@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** §A core SQL query surface — Pinot's selection / filtering / aggregation /
+  * group-by / order-by / distinct queries (reference:
+  * /root/reference/Introduction.md:51,105) re-expressed as declarative
+  * DataFrame plans so Catalyst handles pushdown, pruning, partial
+  * aggregation and TopK (TakeOrderedAndProject) — the properties that keep
+  * these shapes viable on a 100 TB table.
+  *
+  * Determinism contract with the DuckDB oracle: total-order ORDER BY and
+  * `round(x, 2)` on floating aggregates on both sides, identical aliases.
+  */
+object CoreSql {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_select_project",
+      (s, d) =>
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .orderBy("o_orderkey")
+          .limit(100),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority
+              FROM orders ORDER BY o_orderkey LIMIT 100""")),
+
+    QueryDef(
+      "q_filter_basic",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_quantity") > 45.0 && col("l_discount") < 0.05 &&
+            col("l_returnflag") =!= "A")
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(sum("l_extendedprice"), 2).as("sum_price")),
+      Some("""SELECT count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+              FROM lineitem
+              WHERE l_quantity > 45.0 AND l_discount < 0.05 AND l_returnflag <> 'A'""")),
+
+    QueryDef(
+      "q_filter_in",
+      (s, d) =>
+        Tables.orders(s, d)
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+            !col("o_orderstatus").isin("F"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus NOT IN ('F')
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    QueryDef(
+      "q_filter_between",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate").between(
+            to_timestamp(lit("1996-01-01")), to_timestamp(lit("1996-12-31"))) &&
+            col("l_quantity").between(10, 20))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"), round(avg("l_extendedprice"), 2).as("avg_price"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS cnt, round(avg(l_extendedprice), 2) AS avg_price
+              FROM lineitem
+              WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+                AND l_quantity BETWEEN 10 AND 20
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef(
+      "q_filter_like",
+      (s, d) =>
+        Tables.part(s, d)
+          .filter(col("p_name").like("%red%") || col("p_type").like("SMALL%") ||
+            col("p_brand").rlike("Brand#[12][0-9]"))
+          .select("p_partkey", "p_name", "p_brand", "p_type")
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_brand, p_type
+              FROM part
+              WHERE p_name LIKE '%red%' OR p_type LIKE 'SMALL%'
+                 OR regexp_matches(p_brand, 'Brand#[12][0-9]')
+              ORDER BY p_partkey""")),
+
+    QueryDef(
+      "q_agg_global",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(avg("l_extendedprice"), 2).as("avg_price"),
+            min("l_quantity").as("min_qty"),
+            max("l_quantity").as("max_qty"),
+            round(sum(col("l_extendedprice") * col("l_discount")), 2).as("disc_rev")),
+      Some("""SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+                     round(avg(l_extendedprice), 2) AS avg_price,
+                     min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                     round(sum(l_extendedprice * l_discount), 2) AS disc_rev
+              FROM lineitem""")),
+
+    QueryDef(
+      "q_agg_groupby",
+      (s, d) => aggGroupBy(s, d),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(l_extendedprice), 2) AS sum_base,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+                     round(avg(l_quantity), 2) AS avg_qty,
+                     count(*) AS cnt
+              FROM lineitem
+              GROUP BY l_returnflag, l_linestatus
+              HAVING count(*) > 10
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    QueryDef(
+      "q_topn_group",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(round(sum("value"), 2).as("total"), count(lit(1)).as("cnt"))
+          .orderBy(desc("total"), asc("user_id"))
+          .limit(10),
+      Some("""SELECT user_id, round(sum(value), 2) AS total, count(*) AS cnt
+              FROM events GROUP BY user_id
+              ORDER BY total DESC, user_id LIMIT 10""")),
+
+    QueryDef(
+      "q_distinct",
+      (s, d) =>
+        Tables.customer(s, d)
+          .select("c_mktsegment", "c_nationkey")
+          .distinct()
+          .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""SELECT DISTINCT c_mktsegment, c_nationkey
+              FROM customer ORDER BY c_mktsegment, c_nationkey""")),
+
+    QueryDef(
+      "q_distinctcount",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .agg(
+            countDistinct(col("l_partkey")).as("dc_part"),
+            countDistinct(col("l_suppkey")).as("dc_supp"),
+            round(max("l_extendedprice") - min("l_extendedprice"), 2).as("minmaxrange")),
+      Some("""SELECT count(DISTINCT l_partkey) AS dc_part,
+                     count(DISTINCT l_suppkey) AS dc_supp,
+                     round(max(l_extendedprice) - min(l_extendedprice), 2) AS minmaxrange
+              FROM lineitem""")),
+
+    // DISTINCTCOUNTHLL — approximate (HyperLogLog++); no exact oracle.
+    QueryDef(
+      "q_distinctcount_hll",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey")).as("adc_part"))
+          .orderBy("l_returnflag"),
+      None),
+
+    QueryDef(
+      "q_percentile",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"),
+            round(expr("percentile(l_quantity, 0.9)"), 2).as("p90_qty"),
+            round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
+                     round(quantile_cont(l_quantity, 0.9), 2) AS p90_qty,
+                     round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // PERCENTILETDIGEST/KLL analog — approximate; no exact oracle.
+    QueryDef(
+      "q_percentile_approx",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000)).as("ap95"))
+          .orderBy("l_returnflag"),
+      None),
+
+    QueryDef(
+      "q_mode",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("mode_val"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("mode_val"))
+          .limit(1),
+      Some("""SELECT o_orderpriority AS mode_val, count(*) AS cnt
+              FROM orders GROUP BY 1 ORDER BY cnt DESC, mode_val LIMIT 1""")),
+
+    QueryDef(
+      "q_case_when",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .withColumn("bucket",
+            when(col("l_quantity") < 10, "low")
+              .when(col("l_quantity") < 30, "mid")
+              .otherwise("high"))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(sum("l_extendedprice"), 2).as("sum_price"),
+            sum(floor(col("l_quantity")).cast("bigint")).as("sum_qty_floor"))
+          .orderBy("bucket"),
+      Some("""SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                          WHEN l_quantity < 30 THEN 'mid'
+                          ELSE 'high' END AS bucket,
+                     count(*) AS cnt,
+                     round(sum(l_extendedprice), 2) AS sum_price,
+                     sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty_floor
+              FROM lineitem GROUP BY 1 ORDER BY bucket""")),
+
+    QueryDef(
+      "q_transform_fns",
+      (s, d) =>
+        Tables.customer(s, d)
+          .select(
+            col("c_custkey"),
+            upper(col("c_mktsegment")).as("seg_up"),
+            length(col("c_name")).as("name_len"),
+            substring(col("c_name"), 1, 5).as("name_pre"),
+            concat(col("c_name"), lit("-"), col("c_mktsegment")).as("name_seg"),
+            round(abs(col("c_acctbal")), 1).as("bal_abs"),
+            round(col("c_acctbal") * 1.07 + 10.0, 2).as("bal_adj"))
+          .orderBy("c_custkey")
+          .limit(200),
+      Some("""SELECT c_custkey, upper(c_mktsegment) AS seg_up,
+                     length(c_name) AS name_len, substr(c_name, 1, 5) AS name_pre,
+                     concat(c_name, '-', c_mktsegment) AS name_seg,
+                     round(abs(c_acctbal), 1) AS bal_abs,
+                     round(c_acctbal * 1.07 + 10.0, 2) AS bal_adj
+              FROM customer ORDER BY c_custkey LIMIT 200""")),
+
+    QueryDef(
+      "q_orderby_multi",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
+            "l_quantity", "l_partkey", "l_suppkey")
+          .orderBy(asc("l_returnflag"), desc("l_extendedprice"), asc("l_orderkey"),
+            asc("l_linenumber"), asc("l_quantity"), asc("l_partkey"), asc("l_suppkey"))
+          .limit(50),
+      Some("""SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+                     l_quantity, l_partkey, l_suppkey
+              FROM lineitem
+              ORDER BY l_returnflag ASC, l_extendedprice DESC, l_orderkey ASC,
+                       l_linenumber ASC, l_quantity ASC, l_partkey ASC, l_suppkey ASC
+              LIMIT 50"""))
+  )
+
+  /** TPC-H Q1 shape; also the flagship `SparkEntry.entry` query. */
+  def aggGroupBy(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 10)
+      .orderBy("l_returnflag", "l_linestatus")
+}
