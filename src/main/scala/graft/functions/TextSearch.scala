@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pinot text-search surface — TEXT_CONTAINS and TEXT_MATCH with a small
+  * Lucene-ish query language (reference: /root/reference/basics/indexing/
+  * text-search-support.md:1 and native-text-index.md:1).
+  *
+  * Spark-native: instead of a Lucene sidecar index, term predicates are
+  * codegen'd expressions over a whitespace tokenization of the column —
+  * they stay inside WholeStageCodegen and scale as a scan, and at 100 TB
+  * they ride on column pruning + parquet row-group skipping. Supported
+  * query syntax: bare terms, `term*` prefix match, `"quoted phrase"`,
+  * combined with AND / OR (AND binds tighter).
+  */
+object TextSearch {
+
+  private def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** TEXT_CONTAINS(col, term): exact tokenized term containment. */
+  def textContains(text: Column, term: String): Column =
+    array_contains(tokens(text), term.toLowerCase)
+
+  /** One space-normalized, space-padded form for phrase containment. */
+  private def padded(text: Column): Column =
+    concat(lit(" "), regexp_replace(lower(text), "\\s+", " "), lit(" "))
+
+  private def termPredicate(text: Column, term: String): Column = {
+    val t = term.toLowerCase
+    if (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)
+      contains(padded(text), lit(" " + t.substring(1, t.length - 1) + " "))
+    else if (t.endsWith("*") && t.length > 1)
+      exists(tokens(text), w => w.startsWith(lit(t.dropRight(1))))
+    else
+      array_contains(tokens(text), t)
+  }
+
+  /** TEXT_MATCH(col, query): AND/OR of terms, prefixes and phrases. */
+  def textMatch(text: Column, query: String): Column = {
+    // lex: quoted phrases are single tokens
+    val lexed = "\"[^\"]*\"|\\S+".r.findAllIn(query).toList
+    val orGroups = splitOn(lexed, "OR")
+    orGroups
+      .map { group =>
+        splitOn(group, "AND")
+          .map(terms => terms.map(termPredicate(text, _)).reduce(_ && _))
+          .reduce(_ && _)
+      }
+      .reduce(_ || _)
+  }
+
+  private def splitOn(ts: List[String], op: String): List[List[String]] = {
+    val out = scala.collection.mutable.ListBuffer[List[String]]()
+    var cur = scala.collection.mutable.ListBuffer[String]()
+    ts.foreach {
+      case t if t.equalsIgnoreCase(op) =>
+        if (cur.nonEmpty) { out += cur.toList; cur = scala.collection.mutable.ListBuffer() }
+      case t => cur += t
+    }
+    if (cur.nonEmpty) out += cur.toList
+    out.toList
+  }
+}

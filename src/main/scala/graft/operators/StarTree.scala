@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Star-tree index analog (reference: /root/reference/basics/indexing/
+  * README.md:16 — Pinot pre-aggregates along dimension combinations so
+  * group-by queries read far fewer records). Spark-native: materialize a
+  * pre-aggregated cube keyed by the dimension columns with PARTIAL
+  * aggregates (sums + count), then answer any group-by over a dimension
+  * subset by rolling the partials up. At 100 TB the cube is orders of
+  * magnitude smaller than the fact table and can be written out once
+  * (sorted by its dims for row-group pruning) and reused across queries.
+  */
+object StarTree {
+
+  /** Pre-aggregate: one row per dims combination, carrying partial sums
+    * (`s_<col>`) and the row count (`cube_cnt`).
+    */
+  def buildCube(df: DataFrame, dims: Seq[String], sumMetrics: Seq[String]): DataFrame = {
+    val aggs = sumMetrics.map(m => sum(col(m)).as(s"s_$m")) :+ count(lit(1)).as("cube_cnt")
+    df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Answer a group-by over a subset of the cube's dims from the partials:
+    * sums add, counts add. Result columns: `s_<metric>`, `cube_cnt`.
+    */
+  def rollup(cube: DataFrame, dims: Seq[String], sumMetrics: Seq[String]): DataFrame = {
+    val aggs = sumMetrics.map(m => sum(col(s"s_$m")).as(s"s_$m")) :+
+      sum(col("cube_cnt")).as("cube_cnt")
+    cube.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,5 +1,59 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** §B datetime functions — Pinot's DATETRUNC / DATETIMECONVERT and the
+  * timestamp-index fast path (reference:
+  * /root/reference/basics/indexing/timestamp-index.md — Pinot materializes
+  * truncated-granularity columns; here the truncation is a codegen'd
+  * expression on the scan, and at 100 TB the same shape rides on
+  * time-partitioned layout for partition pruning).
+  */
 object DateTimeQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_datetrunc",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
+          .withColumn("week", date_trunc("week", col("day")))
+          .orderBy("day"),
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS cnt,
+                     round(sum(value), 2) AS sum_val,
+                     CAST(date_trunc('week', date_trunc('day', ts)) AS TIMESTAMP) AS week
+              FROM events GROUP BY date_trunc('day', ts) ORDER BY day""")),
+
+    // DATETIMECONVERT('1:MILLISECONDS:EPOCH' -> '15:MINUTES' buckets):
+    // epoch-millis floor-division bucketing, converted back to a timestamp.
+    QueryDef(
+      "q_datetimeconvert",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(expr("(unix_millis(ts) div 900000) * 900000").as("bucket_ms"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
+          .withColumn("bucket_ts", expr("timestamp_millis(bucket_ms)"))
+          .orderBy("bucket_ms"),
+      Some("""SELECT (epoch_ms(ts) // 900000) * 900000 AS bucket_ms,
+                     count(*) AS cnt, round(sum(value), 2) AS sum_val,
+                     make_timestamp(((epoch_ms(ts) // 900000) * 900000) * 1000) AS bucket_ts
+              FROM events GROUP BY 1 ORDER BY bucket_ms""")),
+
+    QueryDef(
+      "q_timeseries",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(sum("value"), 2).as("sum_val"),
+            countDistinct(col("user_id")).as("users"))
+          .orderBy("hour", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+                     count(*) AS cnt, round(sum(value), 2) AS sum_val,
+                     count(DISTINCT user_id) AS users
+              FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+  )
 }

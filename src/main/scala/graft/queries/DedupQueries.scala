@@ -1,5 +1,112 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.dedup.{MinHashLsh, SimHash}
+import graft.functions.{TextShingles, VectorFns}
+
+/** §K dedup — the four standard LLM-corpus near-dup detectors plus exact
+  * hashing. The exact n-gram-Jaccard and embedding-cosine variants are
+  * DuckDB-verified; MinHash/SimHash are LSH candidate generators whose
+  * recall is bounded by specs (DedupSpec) against the exact answers.
+  */
 object DedupQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_dedup_exact",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("keep_id"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                     count(*) AS n_copies
+              FROM documents GROUP BY 1 ORDER BY keep_id""")),
+
+    // Exact word-3-gram Jaccard ≥ 0.8 pairs via inverted-index join: only
+    // docs sharing ≥1 shingle ever meet (never a cross join), intersection
+    // counts come from one groupBy — the shape that survives 100 TB.
+    QueryDef(
+      "q_dedup_ngram_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextShingles.shingles(col("text"), 3).as("sh"))
+        val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+        val ex = docs.select(col("doc_id"), explode(col("sh")).as("sh"))
+        val pairs = ex.as("a")
+          .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+          .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+                   sh AS (SELECT doc_id,
+                          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                         FOR i IN range(1, len(w) - 1)]) AS s
+                          FROM docs WHERE len(w) >= 3),
+                   ex AS (SELECT doc_id, unnest(s) AS shg FROM sh),
+                   pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                             FROM ex a JOIN ex b ON a.shg = b.shg AND a.doc_id < b.doc_id
+                             GROUP BY 1, 2),
+                   sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+              SELECT a_id, b_id,
+                     round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+              FROM pairs p
+              JOIN sizes sa ON p.a_id = sa.doc_id
+              JOIN sizes sb ON p.b_id = sb.doc_id
+              WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+              ORDER BY a_id, b_id""")),
+
+    // LSH candidate generators — approximate by design; recall vs the
+    // exact Jaccard answer is bounded in DedupSpec. rows-only check.
+    QueryDef(
+      "q_dedup_minhash",
+      (s, d) =>
+        MinHashLsh.candidatePairs(Tables.documents(s, d), "doc_id", "text")
+          .orderBy("a_id", "b_id"),
+      None),
+
+    QueryDef(
+      "q_dedup_simhash",
+      (s, d) =>
+        SimHash.nearPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+          .orderBy("a_id", "b_id"),
+      None),
+
+    // Embedding cosine near-dup pairs — exact, double math on both sides.
+    QueryDef(
+      "q_dedup_embedding",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), VectorFns.norm(col("embedding")).as("nrm"))
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+        a.join(b, col("a_id") < col("b_id"))
+          .withColumn("sim", VectorFns.dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+          .filter(col("sim") >= 0.4)
+          .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                                CAST(unnest(embedding) AS DOUBLE) AS v
+                         FROM embeddings),
+                   dots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v * b.v) AS dot
+                            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+                            GROUP BY 1, 2),
+                   norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1)
+              SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 4) AS sim
+              FROM dots
+              JOIN norms na ON a_id = na.vec_id
+              JOIN norms nb ON b_id = nb.vec_id
+              WHERE dot / (na.nrm * nb.nrm) >= 0.4
+              ORDER BY a_id, b_id"""))
+  )
 }

@@ -1,5 +1,80 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** §F joins — Pinot's lookup join (dim-table enrichment) and multi-stage
+  * fact-fact joins. Scale posture: dimension tables are `broadcast()`ed
+  * (no shuffle of the 100 TB fact side); fact-fact joins shuffle on the
+  * join key with AQE handling skew; semi/anti joins never materialize the
+  * right side beyond its keys.
+  */
 object JoinQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_lookup_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = broadcast(Tables.nation(s, d))
+        val r = broadcast(Tables.region(s, d))
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("sum_bal"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS sum_bal
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    QueryDef(
+      "q_join_agg",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")))
+          .select("o_orderkey", "o_orderpriority")
+        val l = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            count(lit(1)).as("n_lines"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+                     count(*) AS n_lines,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              GROUP BY 1 ORDER BY o_orderpriority""")),
+
+    QueryDef(
+      "q_semi_anti_join",
+      (s, d) => {
+        val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        val ok = Tables.orders(s, d).select("o_custkey")
+        val anti = c.join(ok, c("c_custkey") === ok("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("no_orders"))
+        val semi = c.join(ok, c("c_custkey") === ok("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("with_orders"))
+        anti.join(semi, Seq("c_mktsegment"), "full_outer")
+          .select(
+            col("c_mktsegment"),
+            coalesce(col("no_orders"), lit(0L)).as("no_orders"),
+            coalesce(col("with_orders"), lit(0L)).as("with_orders"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH t AS (SELECT c_mktsegment,
+                     EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+                     FROM customer)
+              SELECT c_mktsegment,
+                     CAST(sum(CASE WHEN has_o THEN 0 ELSE 1 END) AS BIGINT) AS no_orders,
+                     CAST(sum(CASE WHEN has_o THEN 1 ELSE 0 END) AS BIGINT) AS with_orders
+              FROM t GROUP BY 1 ORDER BY c_mktsegment"""))
+  )
 }

@@ -1,5 +1,43 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** §E multi-valued columns — Pinot MV fields and complex-type handling
+  * (reference: /root/reference/Introduction.md:52 and
+  * basics/import-data/complex-type-array-map-handling.md). The embedding
+  * column doubles as the MV fixture: explode/UNNEST + array functions.
+  */
 object MultiValueQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_mv_unnest",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("label"), explode(col("embedding")).as("v"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vals"), round(sum("v"), 2).as("sum_v"))
+          .orderBy("label"),
+      Some("""SELECT label, count(*) AS n_vals, round(sum(v), 2) AS sum_v
+              FROM (SELECT label, unnest(embedding) AS v FROM embeddings)
+              GROUP BY label ORDER BY label""")),
+
+    QueryDef(
+      "q_mv_functions",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(
+            col("vec_id"),
+            size(col("embedding")).as("card"),
+            round(array_max(col("embedding")).cast("double"), 4).as("max_v"),
+            round(array_min(col("embedding")).cast("double"), 4).as("min_v"),
+            round(element_at(col("embedding"), 1).cast("double"), 4).as("first_v"))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS card,
+                     round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS max_v,
+                     round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4) AS min_v,
+                     round(CAST(embedding[1] AS DOUBLE), 4) AS first_v
+              FROM embeddings ORDER BY vec_id"""))
+  )
 }

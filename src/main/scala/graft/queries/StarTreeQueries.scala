@@ -1,5 +1,37 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.operators.StarTree
+
+/** §H star-tree pre-aggregation — the group-by is answered from the cube's
+  * partial aggregates; the oracle aggregates the raw table, proving the
+  * rollup is lossless.
+  */
 object StarTreeQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_startree_rollup",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("ship_month", date_trunc("month", col("l_shipdate")))
+        val cube = StarTree.buildCube(
+          li, dims = Seq("l_returnflag", "l_linestatus", "ship_month"),
+          sumMetrics = Seq("l_quantity", "l_extendedprice"))
+        StarTree.rollup(cube, dims = Seq("l_returnflag", "ship_month"),
+            sumMetrics = Seq("l_quantity", "l_extendedprice"))
+          .select(
+            col("l_returnflag"), col("ship_month"),
+            round(col("s_l_quantity"), 2).as("sum_qty"),
+            round(col("s_l_extendedprice"), 2).as("sum_price"),
+            col("cube_cnt").as("cnt"))
+          .orderBy("l_returnflag", "ship_month")
+      },
+      Some("""SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(l_extendedprice), 2) AS sum_price,
+                     count(*) AS cnt
+              FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, ship_month"""))
+  )
 }
