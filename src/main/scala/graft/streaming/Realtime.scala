@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A realtime event row (mirrors the `events` table schema). */
+final case class Event(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+/** Latest-seen state per key for the streaming upsert view. */
+final case class LatestState(
+    user_id: Long,
+    last_event_id: Long,
+    last_type: String,
+    last_value: Double,
+    last_ts: java.sql.Timestamp)
+
+/** Realtime ingestion — Pinot's realtime server consumes a stream and
+  * serves fresh segments (reference: /root/reference/basics/
+  * Architecture.md, realtime flow; /root/reference/Introduction.md:7
+  * Kafka/Kinesis ingestion). Spark-native: Structured Streaming — the
+  * same declarative transforms run incrementally; watermarks bound state;
+  * `flatMapGroupsWithState` carries the upsert (latest-per-key) state.
+  * Sources are pluggable (`readStream.format("kafka"|"parquet"|...)`);
+  * tests drive a MemoryStream, production uses the same plans unchanged.
+  */
+object Realtime {
+
+  /** Watermarked tumbling-window aggregation — the realtime dashboard
+    * query shape (counts + sums per window × event_type).
+    */
+  def windowedAgg(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_val"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_val"))
+
+  /** Streaming upsert: emits the new latest record for a key whenever it
+    * changes (Pinot upsert table semantics, incremental form).
+    */
+  def latestByKey(events: Dataset[Event]): Dataset[LatestState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LatestState, LatestState](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[LatestState]) =>
+          val incoming = batch.toSeq
+          if (incoming.isEmpty) Iterator.empty
+          else {
+            val newest = incoming.maxBy(e => (e.ts.getTime, e.event_id))
+            val cur = state.getOption
+            val newer = cur.forall { c =>
+              val (nt, ct) = (newest.ts.getTime, c.last_ts.getTime)
+              nt > ct || (nt == ct && newest.event_id > c.last_event_id)
+            }
+            if (newer) {
+              val next = LatestState(userId, newest.event_id, newest.event_type,
+                newest.value, newest.ts)
+              state.update(next)
+              Iterator.single(next)
+            } else Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.similarity.Ann
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force knn returns k ranked neighbors per query with valid sims") {
+    val e = Tables.embeddings(spark, sfDir)
+    val out = Ann.knnBruteForce(e.filter(col("vec_id") < 5), e, k = 4).collect()
+    assert(out.length === 5 * 4)
+    out.foreach { r =>
+      val sim = r.getDouble(3)
+      assert(sim >= -1.0001 && sim <= 1.0001, s"cosine out of range: $sim")
+      assert(r.getLong(0) !== r.getLong(1), "self-match leaked")
+    }
+    // ranks are 1..k and descending in sim per query
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(2))
+      assert(byRank.map(_.getInt(2)).toSeq === (1 to 4))
+      val sims = byRank.map(_.getDouble(3)).toSeq
+      assert(sims === sims.sorted.reverse, s"sims not descending: $sims")
+    }
+  }
+
+  test("lsh ann only pairs vectors sharing a bucket and computes true cosine") {
+    val e = Tables.embeddings(spark, sfDir)
+    val buckets = e.select(col("vec_id"), Ann.lshBucket(col("embedding")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Ann.knnLsh(e.filter(col("vec_id") < 10), e, k = 3).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(buckets(r.getLong(0)) === buckets(r.getLong(1)), "pair crosses buckets")
+    }
+    // spot-check: lsh sim equals brute-force sim for the same pair
+    // k >= corpus size so every (query, candidate) pair is present
+    val brute = Ann.knnBruteForce(e.filter(col("vec_id") < 10), e, k = 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    out.foreach { r =>
+      val exact = brute((r.getLong(0), r.getLong(1)))
+      assert(math.abs(exact - r.getDouble(3)) < 1e-9)
+    }
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.operators.StarTree
+
+class StarTreeSpec extends SparkSpec {
+
+  test("cube rollup is lossless vs direct aggregation") {
+    val li = Tables.lineitem(spark, sfDir)
+    val cube = StarTree.buildCube(li,
+      dims = Seq("l_returnflag", "l_linestatus"), sumMetrics = Seq("l_quantity"))
+    val rolled = StarTree.rollup(cube, Seq("l_returnflag"), Seq("l_quantity"))
+      .select(col("l_returnflag"), round(col("s_l_quantity"), 2).as("q"), col("cube_cnt"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val direct = li.groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("q"), count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(rolled === direct)
+  }
+
+  test("cube is much smaller than the fact table") {
+    val li = Tables.lineitem(spark, sfDir)
+    val cube = StarTree.buildCube(li,
+      dims = Seq("l_returnflag", "l_linestatus"), sumMetrics = Seq("l_quantity"))
+    assert(cube.count() < li.count() / 100)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextSearch
+import graft.text.LangId
+
+class TextSearchSpec extends SparkSpec {
+
+  private def docs() = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "spark makes big data simple"),
+      (3L, "a table scan is slow but a quick index helps"),
+      (4L, "Spark SQL does a table   scan sometimes")
+    ).toDF("id", "text")
+  }
+
+  private def ids(c: org.apache.spark.sql.Column): Set[Long] =
+    docs().filter(c).select("id").collect().map(_.getLong(0)).toSet
+
+  test("textContains matches whole tokens case-insensitively") {
+    assert(ids(TextSearch.textContains(col("text"), "spark")) === Set(2L, 4L))
+    assert(ids(TextSearch.textContains(col("text"), "quick")) === Set(1L, 3L))
+    // substring of a token must NOT match
+    assert(ids(TextSearch.textContains(col("text"), "qui")) === Set.empty)
+  }
+
+  test("textMatch AND requires all terms") {
+    assert(ids(TextSearch.textMatch(col("text"), "spark AND data")) === Set(2L))
+  }
+
+  test("textMatch OR unions groups, AND binds tighter") {
+    assert(ids(TextSearch.textMatch(col("text"), "fox OR spark AND data")) === Set(1L, 2L))
+  }
+
+  test("textMatch phrase matches adjacent tokens across whitespace runs") {
+    assert(ids(TextSearch.textMatch(col("text"), "\"table scan\"")) === Set(3L, 4L))
+    assert(ids(TextSearch.textMatch(col("text"), "\"scan table\"")) === Set.empty)
+  }
+
+  test("textMatch prefix wildcard") {
+    assert(ids(TextSearch.textMatch(col("text"), "jump*")) === Set(1L))
+    assert(ids(TextSearch.textMatch(col("text"), "sca* AND table")) === Set(3L, 4L))
+  }
+
+  test("langid predicts a valid language deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "der hund ist nicht mit der katze"),
+      (3L, "le chat est dans la maison et il est")
+    ).toDF("id", "text")
+    val preds = df.select(col("id"), LangId.predict(col("text")).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) === "en")
+    assert(preds(2L) === "de")
+    assert(preds(3L) === "fr")
+  }
+}
