@@ -15,6 +15,7 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); Spark reads it as long
       // with this flag, Tables.events converts back to a timestamp.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

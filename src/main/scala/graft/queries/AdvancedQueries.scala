@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** §A+ advanced analytics — Pinot multi-stage window functions, statistical
+  * aggregations, histogram binning, GAPFILL (Pinot's time-series gap
+  * filling) and an ordered-funnel aggregation (Pinot funnel family).
+  */
+object AdvancedQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        Tables.orders(s, d)
+          .select(
+            col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).as("rn"),
+            lag("o_totalprice", 1).over(w).as("prev_price"))
+          .filter(col("rn") <= 3)
+          .orderBy("o_orderpriority", "rn")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, rn, prev_price
+              FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                           row_number() OVER w AS rn,
+                           lag(o_totalprice, 1) OVER w AS prev_price
+                    FROM orders
+                    WINDOW w AS (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice DESC, o_orderkey))
+              WHERE rn <= 3 ORDER BY o_orderpriority, rn""")),
+
+    QueryDef(
+      "q_stats_agg",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+            round(var_samp(col("l_quantity")), 2).as("var_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     round(stddev_samp(l_quantity), 2) AS sd_qty,
+                     round(var_samp(l_quantity), 2) AS var_qty,
+                     round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+                     round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+              FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    QueryDef(
+      "q_histogram",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(floor(col("l_extendedprice") / 10000).cast("bigint").as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("bucket"),
+      Some("""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+                     count(*) AS cnt
+              FROM lineitem GROUP BY 1 ORDER BY bucket""")),
+
+    // GAPFILL: dense daily time axis, zero-filled where no rows exist.
+    // The axis is generated, not scanned — at 100 TB the fact side stays a
+    // pruned aggregate and the (tiny) axis broadcasts.
+    QueryDef(
+      "q_gapfill",
+      (s, d) => {
+        val axis = s.range(1).select(explode(expr(
+          "sequence(timestamp'1996-01-01', timestamp'1996-03-31', interval 1 day)")).as("day"))
+        val daily = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "P")
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        broadcast(axis).join(daily, Seq("day"), "left_outer")
+          .select(col("day"), coalesce(col("c"), lit(0L)).as("cnt"))
+          .orderBy("day")
+      },
+      Some("""WITH axis AS (SELECT unnest(generate_series(TIMESTAMP '1996-01-01',
+                                   TIMESTAMP '1996-03-31', INTERVAL '1 day')) AS day),
+                   daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                                    count(*) AS c
+                             FROM orders
+                             WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'P'
+                             GROUP BY 1)
+              SELECT axis.day AS day, CAST(coalesce(daily.c, 0) AS BIGINT) AS cnt
+              FROM axis LEFT JOIN daily ON axis.day = daily.day
+              ORDER BY day""")),
+
+    // Ordered funnel: signup -> later purchase, per user.
+    QueryDef(
+      "q_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val signups = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("signup_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"))
+        val converted = signups
+          .join(purchases,
+            signups("user_id") === purchases("user_id") && col("p_ts") > col("signup_ts"),
+            "left_semi")
+          .agg(count(lit(1)).as("n_converted"))
+        signups.agg(count(lit(1)).as("n_signup")).crossJoin(converted)
+      },
+      Some("""WITH s AS (SELECT user_id, min(ts) AS st FROM events
+                         WHERE event_type = 'signup' GROUP BY 1)
+              SELECT (SELECT count(*) FROM s) AS n_signup,
+                     (SELECT count(DISTINCT s.user_id) FROM s
+                      JOIN events p ON p.user_id = s.user_id
+                                   AND p.event_type = 'purchase' AND p.ts > s.st)
+                     AS n_converted"""))
+  )
+}

@@ -27,11 +27,13 @@ object DedupQueries {
     // Exact word-3-gram Jaccard ≥ 0.8 pairs via inverted-index join: only
     // docs sharing ≥1 shingle ever meet (never a cross join), intersection
     // counts come from one groupBy — the shape that survives 100 TB.
+    // Shingles are joined as 64-bit hashes (8-byte shuffle keys, not
+    // strings); Jaccard over hash sets equals Jaccard over string sets up
+    // to a ~n²/2⁶⁴ collision chance.
     QueryDef(
       "q_dedup_ngram_jaccard",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), TextShingles.shingles(col("text"), 3).as("sh"))
+        val docs = TextShingles.withShingleHashes(Tables.documents(s, d), "doc_id", "text", 3)
         val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
         val ex = docs.select(col("doc_id"), explode(col("sh")).as("sh"))
         val pairs = ex.as("a")
