@@ -1,36 +1,31 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import graft.functions.TextShingles
+import graft.functions.expressions.{SimHash64 => SimHash64Expr}
 
 /** SimHash near-duplicate detection: 64-bit signature where bit i is the
   * sign of the sum over tokens of ±1 (token hash's bit i), so documents
   * with mostly-shared token multisets land within a small Hamming
   * distance.
   *
-  * Scale design: the signature is one hash aggregate (64 codegen'd
-  * conditional sums — map-side combinable); pairing uses the pigeonhole
-  * principle: split the 64 bits into 4 chunks of 16 — any pair within
-  * Hamming distance 3 must agree exactly on ≥1 chunk, so a self-join on
-  * (chunk index, chunk value) finds all such pairs without O(n²) work.
+  * Scale design: the signature is a scan-local custom codegen'd
+  * expression (graft.functions.expressions.SimHash64) — no (doc, token)
+  * shuffle; pairing uses the pigeonhole principle: split the 64 bits into
+  * 4 chunks of 16 — any pair within Hamming distance 3 must agree exactly
+  * on ≥1 chunk, so a self-join on (chunk index, chunk value) finds all
+  * such pairs without O(n²) work.
   */
 object SimHash {
 
   /** doc_id + 64-bit `simhash` column. */
-  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol), explode(TextShingles.wordTokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i")
-    }
-    val sig: Column = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    tok.groupBy(idCol)
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), sig.as("simhash"))
-  }
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      ColumnBridge.column(SimHash64Expr(
+        ColumnBridge.expression(TextShingles.wordTokens(col(textCol))))).as("simhash"))
 
   /** Pairs (a_id, b_id, hamming) with Hamming distance ≤ maxHamming
     * (must be ≤ 3 for the 4-chunk pigeonhole to be exhaustive).
