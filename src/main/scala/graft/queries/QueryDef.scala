@@ -15,7 +15,8 @@ final case class QueryDef(
 
 object Registry {
   def all: Seq[QueryDef] =
-    CoreSql.defs ++ AdvancedQueries.defs ++ DateTimeQueries.defs ++ JsonQueries.defs ++
+    CoreSql.defs ++ AdvancedQueries.defs ++ TransformQueries.defs ++
+      DateTimeQueries.defs ++ JsonQueries.defs ++
       TextQueries.defs ++ MultiValueQueries.defs ++ JoinQueries.defs ++
       UpsertQueries.defs ++ StarTreeQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextAnalysisQueries.defs

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.similarity.Ann
+import graft.similarity.{Ann, IvfAnn}
 
 /** §K similarity search — brute-force cosine top-k (DuckDB-verified) and
   * the LSH-bucketed approximate variant (rows-only; recall bounded in
@@ -43,6 +43,16 @@ object SimilarityQueries {
       (s, d) => {
         val e = Tables.embeddings(s, d)
         Ann.knnLsh(e.filter(col("vec_id") < 10), e, k = 3)
+          .select(col("q_id"), col("cand_id"), col("rank"), round(col("sim"), 4).as("sim"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
+    QueryDef(
+      "q_ann_ivf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        IvfAnn.knnIvf(e.filter(col("vec_id") < 10), e, k = 3, numCentroids = 16, nProbe = 4)
           .select(col("q_id"), col("cand_id"), col("rank"), round(col("sim"), 4).as("sim"))
           .orderBy("q_id", "rank")
       },

@@ -1,0 +1,69 @@
+package graft.similarity
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+
+/** IVF (inverted-file) approximate nearest neighbor: partition the corpus
+  * into KMeans cells, probe only the nProbe cells nearest each query.
+  *
+  * Scale posture: the centroid table is tiny (numCentroids rows) and
+  * broadcasts; the corpus is scanned once at build to assign cells (in a
+  * real deployment the assignment is materialized with the segments, like
+  * any Pinot index, and queries touch ~nProbe/numCentroids of the data).
+  * Cosine math reuses the codegen'd vector_dot expression.
+  */
+object IvfAnn {
+
+  /** cell-assigned corpus + centroid table (centroid_id, centroid float[]). */
+  def buildIndex(corpus: DataFrame, numCentroids: Int, seed: Long = 42L)
+      : (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    val withVec = corpus.withColumn("__fv", array_to_vector(col("embedding")))
+    val model = new KMeans()
+      .setK(numCentroids).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__fv").setPredictionCol("cell")
+      .fit(withVec)
+    val assigned = model.transform(withVec).drop("__fv")
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray.map(_.toFloat)) })
+      .toDF("cell", "centroid")
+    (assigned, centroids)
+  }
+
+  /** Approximate cosine top-k: each query probes its nProbe nearest cells. */
+  def knnIvf(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      numCentroids: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    val (assigned, centroids) = buildIndex(candidates, numCentroids, seed)
+
+    // nProbe nearest centroids per query (euclidean, matching KMeans):
+    // |q-c|² = |q|² - 2·q·c + |c|²; |q|² is rank-invariant per query.
+    val q = queries.select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      VectorFns.norm(col("embedding")).as("q_nrm"))
+    val wCell = Window.partitionBy("q_id").orderBy(asc("cell_dist"), asc("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cell_dist",
+        VectorFns.dot(col("centroid"), col("centroid")) -
+          lit(2.0) * VectorFns.dot(col("q_emb"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nProbe)
+      .select("q_id", "q_emb", "q_nrm", "cell")
+
+    val c = assigned.select(
+      col("cell"), col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      VectorFns.norm(col("embedding")).as("c_nrm"))
+    val wK = Window.partitionBy("q_id").orderBy(desc("sim"), asc("cand_id"))
+    broadcast(probes).join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("sim", VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("cand_id"), col("rank"), col("sim"))
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.similarity.Ann
+import graft.similarity.{Ann, IvfAnn}
 
 class SimilaritySpec extends SparkSpec {
 
@@ -41,5 +41,22 @@ class SimilaritySpec extends SparkSpec {
       val exact = brute((r.getLong(0), r.getLong(1)))
       assert(math.abs(exact - r.getDouble(3)) < 1e-9)
     }
+  }
+
+  test("ivf ann recalls a useful fraction of brute-force neighbors") {
+    val e = Tables.embeddings(spark, sfDir)
+    val qs = e.filter(col("vec_id") < 10)
+    val ivf = IvfAnn.knnIvf(qs, e, k = 3, numCentroids = 8, nProbe = 4).collect()
+    assert(ivf.nonEmpty)
+    val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brutePairs = Ann.knnBruteForce(qs, e, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brutePairs.count(ivfPairs.contains).toDouble / brutePairs.size
+    // probing half the cells must find a meaningful share of true top-3
+    assert(recall >= 0.3, s"ivf recall $recall")
+    // and every reported sim must be the true cosine for that pair
+    val bruteSims = Ann.knnBruteForce(qs, e, k = 5000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    ivf.foreach(r => assert(math.abs(bruteSims((r.getLong(0), r.getLong(1))) - r.getDouble(3)) < 1e-9))
   }
 }
