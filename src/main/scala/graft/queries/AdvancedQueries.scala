@@ -89,6 +89,52 @@ object AdvancedQueries {
               FROM axis LEFT JOIN daily ON axis.day = daily.day
               ORDER BY day""")),
 
+    // Theta-sketch-style set operations, exact form: distinct-user
+    // cardinality of click/purchase cohorts plus their intersection and
+    // union, from ONE pass + one user-keyed aggregate.
+    QueryDef(
+      "q_set_ops",
+      (s, d) => {
+        val flags = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy("user_id")
+          .agg(
+            max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+            max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+        flags.agg(
+          sum("c").cast("bigint").as("n_click"),
+          sum("p").cast("bigint").as("n_purchase"),
+          sum(col("c") * col("p")).cast("bigint").as("n_both"),
+          count(lit(1)).as("n_either"))
+      },
+      Some("""WITH flags AS (SELECT user_id,
+                       max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+                       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+                     FROM events WHERE event_type IN ('click', 'purchase')
+                     GROUP BY user_id)
+              SELECT CAST(sum(c) AS BIGINT) AS n_click,
+                     CAST(sum(p) AS BIGINT) AS n_purchase,
+                     CAST(sum(c * p) AS BIGINT) AS n_both,
+                     count(*) AS n_either
+              FROM flags""")),
+
+    // DISTINCTSUM / DISTINCTAVG aggregation family.
+    QueryDef(
+      "q_distinct_sum",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            round(sum_distinct(col("l_quantity")), 2).as("dsum_qty"),
+            round(expr("avg(DISTINCT l_quantity)"), 2).as("davg_qty"),
+            countDistinct(col("l_quantity")).as("dcnt_qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     round(sum(DISTINCT l_quantity), 2) AS dsum_qty,
+                     round(avg(DISTINCT l_quantity), 2) AS davg_qty,
+                     count(DISTINCT l_quantity) AS dcnt_qty
+              FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
     // Ordered funnel: signup -> later purchase, per user.
     QueryDef(
       "q_funnel",

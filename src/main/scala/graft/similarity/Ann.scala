@@ -24,15 +24,13 @@ object Ann {
   val Dim = 64
 
   /** Deterministic pseudo-random hyperplanes (fixed seed). */
-  private lazy val planes: Seq[Array[Double]] = {
+  private lazy val planes: Seq[Array[Float]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(NumPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
+    Seq.fill(NumPlanes)(Array.fill(Dim)(rnd.nextGaussian().toFloat))
   }
 
-  private def planeDot(emb: Column, plane: Array[Double]): Column =
-    aggregate(
-      zip_with(emb, lit(plane), (x, p) => x.cast("double") * p),
-      lit(0.0), (acc, v) => acc + v)
+  private def planeDot(emb: Column, plane: Array[Float]): Column =
+    VectorFns.dot(emb, typedlit(plane))
 
   /** 0..255 bucket id from the sign pattern of the 8 plane dots. */
   def lshBucket(emb: Column): Column =

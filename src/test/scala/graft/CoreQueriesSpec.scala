@@ -52,4 +52,16 @@ class CoreQueriesSpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("top-n group-by plans as TakeOrderedAndProject, not a full sort") {
+    val plan = Registry.queries("q_topn_group")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("group-by aggregations combine map-side (partial aggregation)") {
+    val plan = Registry.queries("q_agg_groupby")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), plan)
+  }
 }
