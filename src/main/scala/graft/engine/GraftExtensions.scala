@@ -18,5 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+    // transparent star-tree pre-aggregation (fires only on fact tables
+    // registered in graft.plans.StarTreeCatalog)
+    ext.injectOptimizerRule(session => new graft.plans.StarTreeRewriteRule(session))
   }
 }

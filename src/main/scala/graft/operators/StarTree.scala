@@ -30,4 +30,16 @@ object StarTree {
       sum(col("cube_cnt")).as("cube_cnt")
     cube.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Build + persist the cube and make it transparent: any eligible
+    * SUM/COUNT/AVG group-by over `factPath` is answered from the cube by
+    * the optimizer (graft.plans.StarTreeRewriteRule) from here on.
+    */
+  def materializeAndRegister(
+      fact: DataFrame, factPath: String,
+      dims: Seq[String], sumMetrics: Seq[String], cubePath: String): Unit = {
+    buildCube(fact, dims, sumMetrics)
+      .repartition(1).write.mode("overwrite").parquet(cubePath)
+    graft.plans.StarTreeCatalog.register(factPath, dims, sumMetrics, cubePath)
+  }
 }

@@ -1,0 +1,154 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DoubleType
+
+/** Transparent star-tree pre-aggregation (reference: /root/reference/
+  * basics/indexing/README.md:16 — Pinot's star-tree index answers eligible
+  * aggregations from pre-aggregated records WITHOUT the query changing).
+  *
+  * `StarTreeCatalog.register` binds a fact table's file paths to a
+  * materialized cube (built by graft.operators.StarTree.buildCube, written
+  * as parquet). The optimizer rule then rewrites
+  *
+  *   Aggregate(dims ⊆ cube.dims, SUM/COUNT/AVG over cube.metrics,
+  *             [Filter on dims] Scan(fact))
+  *
+  * into the same aggregate over the cube's partials (SUM(m) → SUM(s_m),
+  * COUNT(*) → SUM(cube_cnt), AVG(m) → SUM(s_m)/SUM(cube_cnt)) — at 100 TB
+  * that turns a full fact scan into a scan of a cube orders of magnitude
+  * smaller, exactly like Pinot serving group-bys from the star-tree.
+  */
+object StarTreeCatalog {
+
+  final case class CubeDef(
+      factPaths: Set[String],
+      dims: Set[String],
+      metrics: Set[String],
+      cubePath: String)
+
+  private val cubes = new java.util.concurrent.ConcurrentHashMap[String, CubeDef]()
+
+  def register(factPath: String, dims: Seq[String], metrics: Seq[String], cubePath: String): Unit =
+    cubes.put(normalize(factPath),
+      CubeDef(Set(normalize(factPath)), dims.toSet, metrics.toSet, cubePath))
+
+  def clear(): Unit = cubes.clear()
+
+  def find(paths: Set[String]): Option[CubeDef] = {
+    val norm = paths.map(normalize)
+    cubes.values.asScala.find(c => norm.nonEmpty && norm.subsetOf(c.factPaths))
+  }
+
+  private def normalize(p: String): String =
+    p.stripPrefix("file:").stripSuffix("/")
+}
+
+class StarTreeRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg @ Aggregate(groups, aggExprs, child, _) if groups.nonEmpty =>
+      tryRewrite(groups, aggExprs, child).getOrElse(agg)
+  }
+
+  /** fact scan + optional dim-only filter beneath the aggregate. */
+  private def factScan(p: LogicalPlan): Option[(Set[String], Option[Expression])] = p match {
+    case l @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      Some((fs.location.rootPaths.map(_.toString).toSet, None))
+    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      factScan(child)
+    case Filter(cond, child) =>
+      factScan(child).map { case (paths, f) =>
+        (paths, f.map(And(_, cond)).orElse(Some(cond)))
+      }
+    case _ => None
+  }
+
+  private def tryRewrite(
+      groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val (paths, filterOpt) = factScan(child).getOrElse(return None)
+    val cube = StarTreeCatalog.find(paths).getOrElse(return None)
+
+    // grouping must be plain dim attributes
+    val groupAttrs = groups.map {
+      case a: AttributeReference if cube.dims.contains(a.name) => a
+      case _ => return None
+    }
+    // a dim-only filter can ride on the cube; anything else disqualifies
+    filterOpt.foreach { f =>
+      if (!f.references.forall(a => cube.dims.contains(a.name))) return None
+    }
+
+    val cubeRel = spark.read.parquet(cube.cubePath).queryExecution.analyzed
+    val cubeAttrByName = cubeRel.output.map(a => a.name -> a).toMap
+    if (!cube.dims.forall(cubeAttrByName.contains) ||
+      !cube.metrics.forall(m => cubeAttrByName.contains(s"s_$m")) ||
+      !cubeAttrByName.contains("cube_cnt"))
+      return None
+    def cubeAttr(n: String): AttributeReference =
+      cubeAttrByName(n).asInstanceOf[AttributeReference]
+
+    def sumOf(name: String): Expression =
+      Sum(cubeAttr(name)).toAggregateExpression()
+
+    // rewrite each output: grouping attrs pass through; aggregates are
+    // remapped onto the partials WHEREVER they appear in the output
+    // expression (they may be wrapped, e.g. round(sum(x), 2))
+    // transformUp: a top-down transform would descend into the freshly
+    // built replacement (whose sum(s_*) partials don't match the metric
+    // guard) and wrongly flag it unsupported
+    var supported = true
+    def rewriteAggTree(e: Expression): Expression = e.transformUp {
+      case ae @ AggregateExpression(fn, Complete, false, _, _) =>
+        fn match {
+          case Sum(m: AttributeReference, _) if cube.metrics.contains(m.name) =>
+            sumOf(s"s_${m.name}")
+          case Count(Seq(Literal(_, _))) =>
+            sumOf("cube_cnt")
+          case Average(m: AttributeReference, _) if cube.metrics.contains(m.name) =>
+            Divide(
+              Cast(sumOf(s"s_${m.name}"), DoubleType),
+              Cast(sumOf("cube_cnt"), DoubleType))
+          case _ => supported = false; ae
+        }
+      case a: AttributeReference if cube.dims.contains(a.name) => cubeAttr(a.name)
+    }
+    val newAggs = scala.collection.mutable.ArrayBuffer[NamedExpression]()
+    val topProject = aggExprs.map {
+      case a: AttributeReference if cube.dims.contains(a.name) =>
+        val ca = cubeAttr(a.name)
+        newAggs += ca
+        Alias(ca, a.name)(exprId = a.exprId)
+      case al @ Alias(child, name) =>
+        val rewritten = rewriteAggTree(child)
+        // anything still referencing the fact table disqualifies
+        if (!supported || !rewritten.references.forall(cubeRel.outputSet.contains))
+          return None
+        val inner = Alias(rewritten, name)()
+        newAggs += inner
+        Alias(inner.toAttribute, name)(exprId = al.exprId)
+      case _ => return None
+    }
+    if (!supported) return None
+
+    val filtered = filterOpt match {
+      case Some(f) =>
+        val rewrittenCond = f.transform {
+          case a: AttributeReference => cubeAttr(a.name)
+        }
+        Filter(rewrittenCond, cubeRel)
+      case None => cubeRel
+    }
+    val newAggregate = Aggregate(groupAttrs.map(a => cubeAttr(a.name)), newAggs.toSeq, filtered)
+    Some(Project(topProject, newAggregate))
+  }
+}

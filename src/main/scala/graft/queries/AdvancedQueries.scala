@@ -89,6 +89,44 @@ object AdvancedQueries {
               FROM axis LEFT JOIN daily ON axis.day = daily.day
               ORDER BY day""")),
 
+    // Aggregates with FILTER clauses (one scan, many conditional aggs).
+    QueryDef(
+      "q_agg_filter",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            expr("count(*) FILTER (WHERE l_quantity > 25)").as("n_big"),
+            expr("round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)").as("disc_rev"),
+            expr("round(avg(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2)").as("avg_f_qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+                     round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS disc_rev,
+                     round(avg(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS avg_f_qty
+              FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // FIRSTWITHTIME / LASTWITHTIME: value at min/max time per key
+    // (ts is globally unique in the fixture, so arg_max/max_by is
+    // deterministic across engines).
+    QueryDef(
+      "q_first_last_with_time",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(
+            expr("min_by(event_type, ts)").as("first_type"),
+            expr("max_by(event_type, ts)").as("last_type"),
+            expr("min_by(value, ts)").as("first_value"),
+            expr("max_by(value, ts)").as("last_value"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+                     arg_min(event_type, ts) AS first_type,
+                     arg_max(event_type, ts) AS last_type,
+                     arg_min(value, ts) AS first_value,
+                     arg_max(value, ts) AS last_value
+              FROM events GROUP BY 1 ORDER BY user_id""")),
+
     // Theta-sketch-style set operations, exact form: distinct-user
     // cardinality of click/purchase cohorts plus their intersection and
     // union, from ONE pass + one user-keyed aggregate.
