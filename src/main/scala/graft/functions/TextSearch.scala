@@ -36,7 +36,9 @@ object TextSearch {
       array_contains(tokens(text), t)
   }
 
-  /** TEXT_MATCH(col, query): AND/OR of terms, prefixes and phrases. */
+  /** TEXT_MATCH(col, query): AND/OR/NOT of terms, prefixes and phrases
+    * (AND binds tighter than OR; NOT prefixes a single term).
+    */
   def textMatch(text: Column, query: String): Column = {
     // lex: quoted phrases are single tokens
     val lexed = "\"[^\"]*\"|\\S+".r.findAllIn(query).toList
@@ -44,10 +46,24 @@ object TextSearch {
     orGroups
       .map { group =>
         splitOn(group, "AND")
-          .map(terms => terms.map(termPredicate(text, _)).reduce(_ && _))
+          .map(terms => andGroup(text, terms))
           .reduce(_ && _)
       }
       .reduce(_ || _)
+  }
+
+  private def andGroup(text: Column, terms: List[String]): Column = {
+    val preds = scala.collection.mutable.ListBuffer[Column]()
+    var negateNext = false
+    terms.foreach {
+      case t if t.equalsIgnoreCase("NOT") => negateNext = !negateNext
+      case t =>
+        val p = termPredicate(text, t)
+        preds += (if (negateNext) !p else p)
+        negateNext = false
+    }
+    require(preds.nonEmpty, "empty term group in TEXT_MATCH query")
+    preds.reduce(_ && _)
   }
 
   private def splitOn(ts: List[String], op: String): List[List[String]] = {

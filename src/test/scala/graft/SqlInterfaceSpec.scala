@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Graft
+
+/** The reference is queried over SQL; the whole engine surface must be
+  * reachable from `spark.sql` too — tables as views, custom expressions
+  * as registered functions.
+  */
+class SqlInterfaceSpec extends SparkSpec {
+
+  test("tables and aggregations work from plain SQL") {
+    Graft.registerTables(spark, sfDir)
+    val rows = spark.sql(
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS s, count(*) AS c
+         FROM lineitem GROUP BY 1 ORDER BY 1""").collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getString(0)).toSeq === Seq("A", "N", "R"))
+  }
+
+  test("custom vector_dot expression is callable from SQL") {
+    Graft.registerTables(spark, sfDir)
+    val d = spark.sql(
+      "SELECT vector_dot(embedding, embedding) AS d FROM embeddings WHERE vec_id = 0")
+      .head().getDouble(0)
+    assert(d > 0.0)
+    // consistent with the Column API
+    val viaApi = graft.functions.VectorFns
+      .dot(col("embedding"), col("embedding"))
+    val apiVal = graft.engine.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select(viaApi).head().getDouble(0)
+    assert(math.abs(d - apiVal) < 1e-12)
+  }
+
+  test("joins and subqueries from SQL") {
+    Graft.registerTables(spark, sfDir)
+    val n = spark.sql(
+      """SELECT r_name, count(*) AS c
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)
+         GROUP BY r_name ORDER BY r_name""").count()
+    assert(n > 0)
+  }
+}

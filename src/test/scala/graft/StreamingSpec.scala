@@ -30,6 +30,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming ingestion matches the batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("stream_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/orders.parquet"),
+      dir.resolve("part-0.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("tp"))
+    val q = stream.writeStream.format("memory").queryName("orders_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("orders_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = spark.read.parquet(s"$sfDir/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("tp"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming upsert emits the latest record per key incrementally") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -39,6 +39,11 @@ class TextSearchSpec extends SparkSpec {
     assert(ids(TextSearch.textMatch(col("text"), "\"scan table\"")) === Set.empty)
   }
 
+  test("textMatch NOT negates a term within an AND group") {
+    assert(ids(TextSearch.textMatch(col("text"), "quick AND NOT fox")) === Set(3L))
+    assert(ids(TextSearch.textMatch(col("text"), "NOT quick AND NOT spark")) === Set.empty)
+  }
+
   test("textMatch prefix wildcard") {
     assert(ids(TextSearch.textMatch(col("text"), "jump*")) === Set(1L))
     assert(ids(TextSearch.textMatch(col("text"), "sca* AND table")) === Set(3L, 4L))
