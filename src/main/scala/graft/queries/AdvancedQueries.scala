@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
+import graft.operators.Salting
 
 /** §A+ advanced analytics — Pinot multi-stage window functions, statistical
   * aggregations, histogram binning, GAPFILL (Pinot's time-series gap
@@ -88,6 +89,28 @@ object AdvancedQueries {
               SELECT axis.day AS day, CAST(coalesce(daily.c, 0) AS BIGINT) AS cnt
               FROM axis LEFT JOIN daily ON axis.day = daily.day
               ORDER BY day""")),
+
+    // Skew-resistant two-stage (salted) aggregation — result must equal
+    // the plain group-by (the oracle).
+    QueryDef(
+      "q_salted_agg",
+      (s, d) =>
+        Salting.saltedAgg(
+            Tables.lineitem(s, d), keys = Seq("l_returnflag"),
+            metrics = Seq(
+              Salting.Metric("l_quantity", "sum"),
+              Salting.Metric("l_quantity", "count"),
+              Salting.Metric("l_extendedprice", "max")),
+            saltBuckets = 16)
+          .select(
+            col("l_returnflag"),
+            round(col("sum_l_quantity"), 2).as("sum_qty"),
+            col("count_l_quantity").as("cnt"),
+            col("max_l_extendedprice").as("max_price"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+                     count(*) AS cnt, max(l_extendedprice) AS max_price
+              FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
 
     // Aggregates with FILTER clauses (one scan, many conditional aggs).
     QueryDef(

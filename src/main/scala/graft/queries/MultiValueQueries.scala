@@ -23,6 +23,23 @@ object MultiValueQueries {
               FROM (SELECT label, unnest(embedding) AS v FROM embeddings)
               GROUP BY label ORDER BY label""")),
 
+    // positional UNNEST (arrayToMV + ordinality): 0-based positions to
+    // match Spark's posexplode; DuckDB's generate_subscripts is 1-based.
+    QueryDef(
+      "q_mv_positions",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+          .filter(col("i") < 3)
+          .select(col("vec_id"), col("i"),
+            round(col("v").cast("double"), 4).as("v"))
+          .orderBy("vec_id", "i"),
+      Some("""SELECT vec_id, i - 1 AS i, round(CAST(v AS DOUBLE), 4) AS v
+              FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                           unnest(embedding) AS v
+                    FROM embeddings)
+              WHERE i <= 3 ORDER BY vec_id, i""")),
+
     QueryDef(
       "q_mv_functions",
       (s, d) =>
