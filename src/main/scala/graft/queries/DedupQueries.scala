@@ -12,6 +12,24 @@ import graft.functions.{TextShingles, VectorFns}
   */
 object DedupQueries {
 
+  /** Exact word-3-gram Jaccard ≥ threshold pairs (inverted-index join). */
+  private def jaccardPairs(
+      s: org.apache.spark.sql.SparkSession, d: String, threshold: Double) = {
+    val docs = TextShingles.withShingleHashes(Tables.documents(s, d), "doc_id", "text", 3)
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("sh"))
+    val pairs = ex.as("a")
+      .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_dedup_exact",
@@ -32,23 +50,10 @@ object DedupQueries {
     // to a ~n²/2⁶⁴ collision chance.
     QueryDef(
       "q_dedup_ngram_jaccard",
-      (s, d) => {
-        val docs = TextShingles.withShingleHashes(Tables.documents(s, d), "doc_id", "text", 3)
-        val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-        val ex = docs.select(col("doc_id"), explode(col("sh")).as("sh"))
-        val pairs = ex.as("a")
-          .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
-          .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-          .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
-          .withColumn("jaccard",
-            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .filter(col("jaccard") >= 0.8)
+      (s, d) =>
+        jaccardPairs(s, d, 0.8)
           .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
-          .orderBy("a_id", "b_id")
-      },
+          .orderBy("a_id", "b_id"),
       Some("""WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
                    sh AS (SELECT doc_id,
                           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -66,6 +71,41 @@ object DedupQueries {
               JOIN sizes sb ON p.b_id = sb.doc_id
               WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
               ORDER BY a_id, b_id""")),
+
+    // Near-dup CLUSTERS: connected components over the Jaccard pairs —
+    // cluster_id = min doc_id of the component; dedup keeps that doc.
+    // Oracle: recursive CTE transitive closure over the same pairs.
+    QueryDef(
+      "q_dedup_clusters",
+      (s, d) =>
+        graft.dedup.Clusters
+          .connectedComponents(jaccardPairs(s, d, 0.8).select("a_id", "b_id"))
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .orderBy("doc_id"),
+      Some("""WITH RECURSIVE
+                   docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+                   sh AS (SELECT doc_id,
+                          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                         FOR i IN range(1, len(w) - 1)]) AS s
+                          FROM docs WHERE len(w) >= 3),
+                   ex AS (SELECT doc_id, unnest(s) AS shg FROM sh),
+                   prs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                           FROM ex a JOIN ex b ON a.shg = b.shg AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                   sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+                   jp AS (SELECT a_id, b_id
+                          FROM prs p
+                          JOIN sizes sa ON p.a_id = sa.doc_id
+                          JOIN sizes sb ON p.b_id = sb.doc_id
+                          WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+                   edges AS (SELECT a_id AS u, b_id AS v FROM jp
+                             UNION SELECT b_id, a_id FROM jp),
+                   reach(u, v) AS (
+                     SELECT DISTINCT u, u FROM edges
+                     UNION
+                     SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+              SELECT u AS doc_id, min(v) AS cluster_id
+              FROM reach GROUP BY u ORDER BY doc_id""")),
 
     // LSH candidate generators — approximate by design; recall vs the
     // exact Jaccard answer is bounded in DedupSpec. rows-only check.
