@@ -240,6 +240,25 @@ object CoreSql {
                      round(c_acctbal * 1.07 + 10.0, 2) AS bal_adj
               FROM customer ORDER BY c_custkey LIMIT 200""")),
 
+    // Null handling — Pinot substitutes per-type default null values
+    // (reference: /root/reference/configuration-reference/schema.md:24);
+    // nulls are synthesized via nullif and filled with the STRING default.
+    QueryDef(
+      "q_null_handling",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(expr("nullif(l_returnflag, 'A')").as("rf"))
+          .groupBy(coalesce(col("rf"), lit("null")).as("rf_filled"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(when(col("rf").isNull, 1).otherwise(0)).cast("bigint").as("n_null"))
+          .orderBy("rf_filled"),
+      Some("""SELECT coalesce(nullif(l_returnflag, 'A'), 'null') AS rf_filled,
+                     count(*) AS cnt,
+                     CAST(sum(CASE WHEN nullif(l_returnflag, 'A') IS NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+              FROM lineitem GROUP BY 1 ORDER BY rf_filled""")),
+
     QueryDef(
       "q_orderby_multi",
       (s, d) =>

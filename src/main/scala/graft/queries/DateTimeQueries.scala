@@ -41,6 +41,31 @@ object DateTimeQueries {
                      make_timestamp(((epoch_ms(ts) // 900000) * 900000) * 1000) AS bucket_ts
               FROM events GROUP BY 1 ORDER BY bucket_ms""")),
 
+    // SIMPLE_DATE_FORMAT conversions (dateTimeFieldSpec format strings —
+    // reference: /root/reference/configuration-reference/schema.md:70).
+    QueryDef(
+      "q_datetime_format",
+      (s, d) =>
+        Tables.orders(s, d)
+          .select(
+            col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyyMMdd").as("ymd"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"),
+            dayofmonth(col("o_orderdate")).as("dom"),
+            quarter(col("o_orderdate")).as("q"))
+          .orderBy("o_orderkey")
+          .limit(500),
+      Some("""SELECT o_orderkey,
+                     strftime(o_orderdate, '%Y%m%d') AS ymd,
+                     strftime(o_orderdate, '%Y-%m') AS ym,
+                     CAST(year(o_orderdate) AS INT) AS y,
+                     CAST(month(o_orderdate) AS INT) AS m,
+                     CAST(day(o_orderdate) AS INT) AS dom,
+                     CAST(quarter(o_orderdate) AS INT) AS q
+              FROM orders ORDER BY o_orderkey LIMIT 500""")),
+
     QueryDef(
       "q_timeseries",
       (s, d) =>

@@ -107,6 +107,50 @@ object DedupQueries {
               SELECT u AS doc_id, min(v) AS cluster_id
               FROM reach GROUP BY u ORDER BY doc_id""")),
 
+    // Final dedup materialization: drop every cluster member that is not
+    // its cluster's representative (min doc_id) — the surviving corpus.
+    QueryDef(
+      "q_dedup_keep",
+      (s, d) => {
+        val losers = graft.dedup.Clusters
+          .connectedComponents(jaccardPairs(s, d, 0.8).select("a_id", "b_id"))
+          .filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as("doc_id"))
+        Tables.documents(s, d)
+          .join(losers, Seq("doc_id"), "left_anti")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some("""WITH RECURSIVE
+                   docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+                   sh AS (SELECT doc_id,
+                          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                         FOR i IN range(1, len(w) - 1)]) AS s
+                          FROM docs WHERE len(w) >= 3),
+                   ex AS (SELECT doc_id, unnest(s) AS shg FROM sh),
+                   prs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                           FROM ex a JOIN ex b ON a.shg = b.shg AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                   sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+                   jp AS (SELECT a_id, b_id
+                          FROM prs p
+                          JOIN sizes sa ON p.a_id = sa.doc_id
+                          JOIN sizes sb ON p.b_id = sb.doc_id
+                          WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+                   edges AS (SELECT a_id AS u, b_id AS v FROM jp
+                             UNION SELECT b_id, a_id FROM jp),
+                   reach(u, v) AS (
+                     SELECT DISTINCT u, u FROM edges
+                     UNION
+                     SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+                   comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+                   losers AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+              SELECT lang, count(*) AS n_kept
+              FROM documents
+              WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+              GROUP BY lang ORDER BY lang""")),
+
     // LSH candidate generators — approximate by design; recall vs the
     // exact Jaccard answer is bounded in DedupSpec. rows-only check.
     QueryDef(
