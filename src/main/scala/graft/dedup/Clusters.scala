@@ -24,9 +24,15 @@ object Clusters {
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint(true)
-    var changed = 1L
+    // labels only ever decrease, so the label sum is strictly monotonic:
+    // an unchanged sum means a fixpoint — one cheap aggregate per round
+    // instead of a self-join diff.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("cluster_id")).head().getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       val neighborMin = edges.join(labels, edges("v") === labels("id"))
         .groupBy(edges("u").as("nid"))
         .agg(min("cluster_id").as("nlabel"))
@@ -35,8 +41,9 @@ object Clusters {
           col("id"),
           least(col("cluster_id"), coalesce(col("nlabel"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
-        .filter(col("cluster_id") =!= col("prev")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       iter += 1
     }
