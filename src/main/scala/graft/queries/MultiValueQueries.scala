@@ -32,9 +32,9 @@ object MultiValueQueries {
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
           .filter(col("i") < 3)
           .select(col("vec_id"), col("i"),
-            round(col("v").cast("double"), 4).as("v"))
+            (round(col("v").cast("double"), 4) + lit(0.0)).as("v"))
           .orderBy("vec_id", "i"),
-      Some("""SELECT vec_id, i - 1 AS i, round(CAST(v AS DOUBLE), 4) AS v
+      Some("""SELECT vec_id, i - 1 AS i, round(CAST(v AS DOUBLE), 4) + 0 AS v
               FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                            unnest(embedding) AS v
                     FROM embeddings)
@@ -47,14 +47,14 @@ object MultiValueQueries {
           .select(
             col("vec_id"),
             size(col("embedding")).as("card"),
-            round(array_max(col("embedding")).cast("double"), 4).as("max_v"),
-            round(array_min(col("embedding")).cast("double"), 4).as("min_v"),
-            round(element_at(col("embedding"), 1).cast("double"), 4).as("first_v"))
+            (round(array_max(col("embedding")).cast("double"), 4) + lit(0.0)).as("max_v"),
+            (round(array_min(col("embedding")).cast("double"), 4) + lit(0.0)).as("min_v"),
+            (round(element_at(col("embedding"), 1).cast("double"), 4) + lit(0.0)).as("first_v"))
           .orderBy("vec_id"),
       Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS card,
-                     round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS max_v,
-                     round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4) AS min_v,
-                     round(CAST(embedding[1] AS DOUBLE), 4) AS first_v
+                     round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) + 0 AS max_v,
+                     round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4) + 0 AS min_v,
+                     round(CAST(embedding[1] AS DOUBLE), 4) + 0 AS first_v
               FROM embeddings ORDER BY vec_id"""))
   )
 }
