@@ -42,14 +42,14 @@ object AdvancedQueries {
           .agg(
             round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
             round(var_samp(col("l_quantity")), 2).as("var_qty"),
-            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
-            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"))
+            (round(corr(col("l_quantity"), col("l_extendedprice")), 4) + lit(0.0)).as("corr_qp"),
+            (round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2) + lit(0.0)).as("cov_qp"))
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
                      round(stddev_samp(l_quantity), 2) AS sd_qty,
                      round(var_samp(l_quantity), 2) AS var_qty,
-                     round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-                     round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+                     round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qp,
+                     round(covar_samp(l_quantity, l_extendedprice), 2) + 0 AS cov_qp
               FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
 
     QueryDef(

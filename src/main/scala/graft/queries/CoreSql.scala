@@ -230,14 +230,14 @@ object CoreSql {
             substring(col("c_name"), 1, 5).as("name_pre"),
             concat(col("c_name"), lit("-"), col("c_mktsegment")).as("name_seg"),
             round(abs(col("c_acctbal")), 1).as("bal_abs"),
-            round(col("c_acctbal") * 1.07 + 10.0, 2).as("bal_adj"))
+            (round(col("c_acctbal") * 1.07 + 10.0, 2) + lit(0.0)).as("bal_adj"))
           .orderBy("c_custkey")
           .limit(200),
       Some("""SELECT c_custkey, upper(c_mktsegment) AS seg_up,
                      length(c_name) AS name_len, substr(c_name, 1, 5) AS name_pre,
                      concat(c_name, '-', c_mktsegment) AS name_seg,
                      round(abs(c_acctbal), 1) AS bal_abs,
-                     round(c_acctbal * 1.07 + 10.0, 2) AS bal_adj
+                     round(c_acctbal * 1.07 + 10.0, 2) + 0 AS bal_adj
               FROM customer ORDER BY c_custkey LIMIT 200""")),
 
     // Null handling — Pinot substitutes per-type default null values

@@ -16,7 +16,7 @@ object SimilarityQueries {
       (s, d) => {
         val e = Tables.embeddings(s, d)
         Ann.knnBruteForce(e.filter(col("vec_id") < 10), e, k = 5)
-          .select(col("q_id"), col("cand_id"), col("rank"), round(col("sim"), 4).as("sim"))
+          .select(col("q_id"), col("cand_id"), col("rank"), (round(col("sim"), 4) + lit(0.0)).as("sim"))
           .orderBy("q_id", "rank")
       },
       Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -35,7 +35,7 @@ object SimilarityQueries {
                               row_number() OVER (PARTITION BY q_id
                                                  ORDER BY sim_raw DESC, cand_id) AS rank
                               FROM sims)
-              SELECT q_id, cand_id, rank, round(sim_raw, 4) AS sim
+              SELECT q_id, cand_id, rank, round(sim_raw, 4) + 0 AS sim
               FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
 
     QueryDef(
