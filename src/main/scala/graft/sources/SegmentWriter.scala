@@ -26,9 +26,24 @@ object SegmentWriter {
       partitionCols: Seq[String] = Seq.empty,
       sortCols: Seq[String] = Seq.empty,
       bloomFilterCols: Seq[String] = Seq.empty,
-      numSegments: Int = 0 /* 0 = leave partitioning alone */)
+      numSegments: Int = 0, /* 0 = leave partitioning alone */
+      /** Timestamp-index analog (reference: /root/reference/basics/
+        * indexing/timestamp-index.md — Pinot materializes
+        * `$ts$GRANULARITY` columns so DATETRUNC filters hit a stored
+        * column): (timeCol, granularity) pairs become `<col>_<gran>`
+        * columns, filterable/groupable without re-truncating and usable
+        * as partition columns.
+        */
+      derivedTimeCols: Seq[(String, String)] = Seq.empty)
 
-  def write(df: DataFrame, path: String, cfg: Config): Unit = {
+  /** Derived-column name for a (timeCol, granularity) pair. */
+  def derivedName(timeCol: String, granularity: String): String =
+    s"${timeCol}_$granularity"
+
+  def write(df0: DataFrame, path: String, cfg: Config): Unit = {
+    val df = cfg.derivedTimeCols.foldLeft(df0) { case (acc, (c, g)) =>
+      acc.withColumn(derivedName(c, g), date_trunc(g, col(c)))
+    }
     val repartitioned =
       if (cfg.partitionCols.nonEmpty)
         // co-locate rows of one output partition dir into one task each so

@@ -31,4 +31,21 @@ class SegmentWriterSpec extends SparkSpec {
     val pointPlan = point.queryExecution.executedPlan.toString
     assert(pointPlan.contains("PushedFilters: [IsNotNull(l_partkey), EqualTo(l_partkey,42)"), pointPlan)
   }
+
+  test("derived timestamp-index columns materialize and answer DATETRUNC filters") {
+    val out = Files.createTempDirectory("segments_ts").toString
+    val li = Tables.lineitem(spark, sfDir)
+    SegmentWriter.write(li, out, SegmentWriter.Config(
+      derivedTimeCols = Seq("l_shipdate" -> "month")))
+    val back = spark.read.parquet(out)
+    val monthCol = SegmentWriter.derivedName("l_shipdate", "month")
+    assert(back.columns.contains(monthCol))
+    // the stored column equals on-the-fly truncation, and the filter on it
+    // pushes down to the scan (Pinot's timestamp-index fast path)
+    val viaDerived = back.filter(col(monthCol) === to_timestamp(lit("1996-03-01")))
+    val plan = viaDerived.queryExecution.executedPlan.toString
+    assert(plan.contains(s"EqualTo($monthCol,"), plan)
+    assert(viaDerived.count() ===
+      li.filter(date_trunc("month", col("l_shipdate")) === to_timestamp(lit("1996-03-01"))).count())
+  }
 }
