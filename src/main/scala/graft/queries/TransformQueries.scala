@@ -67,6 +67,26 @@ object TransformQueries {
               ORDER BY l_orderkey, l_linenumber, l_quantity, l_partkey, l_suppkey,
                        l_extendedprice""")),
 
+    // Hash / binary transform family (BYTES columns, sketch-adjacent
+    // hashing: md5 / sha256 / hex / base64).
+    QueryDef(
+      "q_hash_fns",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            md5(col("p_name")).as("name_md5"),
+            sha2(col("p_name"), 256).as("name_sha256"),
+            hex(col("p_name")).as("name_hex"),
+            base64(col("p_name").cast("binary")).as("name_b64"))
+          .orderBy("p_partkey")
+          .limit(400),
+      Some("""SELECT p_partkey, md5(p_name) AS name_md5,
+                     sha256(p_name) AS name_sha256,
+                     hex(p_name) AS name_hex,
+                     to_base64(encode(p_name)) AS name_b64
+              FROM part ORDER BY p_partkey LIMIT 400""")),
+
     // ST_Distance / within-radius analog on synthetic coordinates derived
     // deterministically from the customer key (both engines derive them
     // with the same arithmetic).
