@@ -20,6 +20,17 @@ object VectorFns {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Bounded top-k aggregate: `array<struct<cand_id, sim>>` of the k
+    * highest-scoring ids, (score desc, id asc). Partial buffers are
+    * k-bounded (graft.functions.expressions.TopKByAgg), so map-side
+    * combine keeps all but (groups × partitions × k) rows off the shuffle.
+    */
+  def topKBy(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      graft.functions.expressions.TopKByAgg(
+        ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
+
   /** Cosine similarity; callers joining many pairs should precompute norms
     * per side once instead of calling this (it recomputes both norms).
     */

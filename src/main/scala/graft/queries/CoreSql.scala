@@ -216,7 +216,7 @@ object CoreSql {
                           ELSE 'high' END AS bucket,
                      count(*) AS cnt,
                      round(sum(l_extendedprice), 2) AS sum_price,
-                     sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty_floor
+                     CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_floor
               FROM lineitem GROUP BY 1 ORDER BY bucket""")),
 
     QueryDef(

@@ -1,17 +1,18 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
 
 /** Similarity search over embedding columns.
   *
   * Brute-force top-k: the (small) query set is broadcast against the
-  * candidate corpus, cosine is a codegen'd zip_with/aggregate, and top-k
-  * per query is a window over (query partition) — at 100 TB the candidate
-  * side streams through map tasks; nothing but (queries × k) rows ever
-  * shuffle.
+  * candidate corpus, cosine is a codegen'd vector_dot, and the top-k
+  * selection is the bounded `top_k_by` aggregate — each map task keeps a
+  * k-sized heap per query (ObjectHashAggregate partial mode), so the 100 TB
+  * candidate side streams through map tasks and only
+  * (queries × partitions × k) heap entries ever shuffle. No window, no
+  * one-reducer-per-query stage.
   *
   * LSH ANN: 8 fixed random hyperplanes (seeded, deterministic) sign-hash
   * every vector into one of 256 buckets; probes only compare within their
@@ -38,6 +39,19 @@ object Ann {
       .map { case (p, i) => when(planeDot(emb, p) > 0, lit(1 << i)).otherwise(lit(0)) }
       .reduce(_ + _)
 
+  /** Two-stage top-k over (q_id, cand_id, sim) rows: map-side k-bounded
+    * heaps, merge of (queries × partitions × k) entries, then posexplode
+    * back to one ranked row per hit. Rank is 1-based, (sim desc, cand_id
+    * asc) — identical ordering to the window form it replaces.
+    */
+  private[similarity] def selectTopK(sims: DataFrame, k: Int): DataFrame =
+    sims.groupBy("q_id")
+      .agg(VectorFns.topKBy(col("sim"), col("cand_id"), k).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(
+        col("q_id"), col("hit.cand_id").as("cand_id"),
+        (col("pos") + 1).as("rank"), col("hit.sim").as("sim"))
+
   /** Exact cosine top-k: one row per (query, rank<=k candidate). */
   def knnBruteForce(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = queries.select(
@@ -46,12 +60,9 @@ object Ann {
     val c = candidates.select(
       col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
       VectorFns.norm(col("embedding")).as("c_nrm"))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("cand_id"))
-    broadcast(q).join(c, col("q_id") =!= col("cand_id"))
+    val sims = broadcast(q).join(c, col("q_id") =!= col("cand_id"))
       .withColumn("sim", VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("cand_id"), col("rank"), col("sim"))
+    selectTopK(sims, k)
   }
 
   /** LSH-bucketed ANN top-k: compares only same-bucket pairs. */
@@ -64,12 +75,9 @@ object Ann {
       col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
       VectorFns.norm(col("embedding")).as("c_nrm"),
       lshBucket(col("embedding")).as("bucket"))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("cand_id"))
-    broadcast(q).join(c, Seq("bucket"))
+    val sims = broadcast(q).join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("cand_id"))
       .withColumn("sim", VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("cand_id"), col("rank"), col("sim"))
+    selectTopK(sims, k)
   }
 }

@@ -3,7 +3,6 @@ package graft.similarity
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
 
@@ -14,7 +13,10 @@ import graft.functions.VectorFns
   * broadcasts; the corpus is scanned once at build to assign cells (in a
   * real deployment the assignment is materialized with the segments, like
   * any Pinot index, and queries touch ~nProbe/numCentroids of the data).
-  * Cosine math reuses the codegen'd vector_dot expression.
+  * Cosine math reuses the codegen'd vector_dot expression; both the probe
+  * selection and the final top-k use the k-bounded `top_k_by` aggregate —
+  * no window stage, nothing but k-sized heaps per (query, map task)
+  * crosses a shuffle.
   */
 object IvfAnn {
 
@@ -43,27 +45,26 @@ object IvfAnn {
 
     // nProbe nearest centroids per query (euclidean, matching KMeans):
     // |q-c|² = |q|² - 2·q·c + |c|²; |q|² is rank-invariant per query.
+    // top_k_by keeps the nProbe LOWEST distances (score = -distance).
     val q = queries.select(
       col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       VectorFns.norm(col("embedding")).as("q_nrm"))
-    val wCell = Window.partitionBy("q_id").orderBy(asc("cell_dist"), asc("cell"))
-    val probes = q.crossJoin(broadcast(centroids))
+    val probeCells = q.crossJoin(broadcast(centroids))
       .withColumn("cell_dist",
         VectorFns.dot(col("centroid"), col("centroid")) -
           lit(2.0) * VectorFns.dot(col("q_emb"), col("centroid")))
-      .withColumn("cell_rank", row_number().over(wCell))
-      .filter(col("cell_rank") <= nProbe)
-      .select("q_id", "q_emb", "q_nrm", "cell")
+      .groupBy("q_id")
+      .agg(VectorFns.topKBy(-col("cell_dist"), col("cell").cast("long"), nProbe).as("cells"))
+      .select(col("q_id"), explode(col("cells.cand_id")).as("cell_l"))
+      .withColumn("cell", col("cell_l").cast("int")).drop("cell_l")
+    val probes = probeCells.join(q, Seq("q_id"))
 
     val c = assigned.select(
       col("cell"), col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
       VectorFns.norm(col("embedding")).as("c_nrm"))
-    val wK = Window.partitionBy("q_id").orderBy(desc("sim"), asc("cand_id"))
-    broadcast(probes).join(c, Seq("cell"))
+    val sims = broadcast(probes).join(c, Seq("cell"))
       .filter(col("q_id") =!= col("cand_id"))
       .withColumn("sim", VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
-      .withColumn("rank", row_number().over(wK))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("cand_id"), col("rank"), col("sim"))
+    Ann.selectTopK(sims, k)
   }
 }

@@ -24,6 +24,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knn top-k is a k-bounded aggregate, not a per-query window shuffle") {
+    val e = Tables.embeddings(spark, sfDir)
+    val plan = Ann.knnBruteForce(e.filter(col("vec_id") < 5), e, k = 4)
+      .queryExecution.executedPlan.toString
+    // Two-stage: ObjectHashAggregate(partial) map-side + final merge.
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate in:\n$plan")
+    assert(!plan.contains("Window"), s"window top-k leaked back into:\n$plan")
+    assert(plan.contains("partial_top_k_by"), s"expected map-side partial top_k_by in:\n$plan")
+  }
+
   test("lsh ann only pairs vectors sharing a bucket and computes true cosine") {
     val e = Tables.embeddings(spark, sfDir)
     val buckets = e.select(col("vec_id"), Ann.lshBucket(col("embedding")).as("b"))
