@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.dedup.{MinHashLsh, SimHash}
-import graft.functions.{TextShingles, VectorFns}
+import graft.functions.TextShingles
 
 /** §K dedup — the four standard LLM-corpus near-dup detectors plus exact
   * hashing. The exact n-gram-Jaccard and embedding-cosine variants are
@@ -12,12 +12,29 @@ import graft.functions.{TextShingles, VectorFns}
   */
 object DedupQueries {
 
-  /** Exact word-3-gram Jaccard ≥ threshold pairs (inverted-index join). */
-  private def jaccardPairs(
-      s: org.apache.spark.sql.SparkSession, d: String, threshold: Double) = {
+  /** Exact word-3-gram Jaccard ≥ threshold pairs (inverted-index join).
+    *
+    * maxShingleDf caps the bucket width of the self-join: a shingle present
+    * in more docs than the cap is boilerplate ("of the ..."), carries no
+    * near-dup signal, and at corpus scale turns one join key into an
+    * m²-pair hot spot. Dropping it bounds every bucket at maxShingleDf
+    * docs while true near-dups keep meeting through their rare shingles
+    * (recall demonstrated in DedupSpec with the cap forced tight). Jaccard
+    * denominators use the UNCAPPED set sizes, so scores are exact whenever
+    * no shared shingle was dropped — always the case below the cap.
+    */
+  private[graft] def jaccardPairs(
+      s: org.apache.spark.sql.SparkSession, d: String, threshold: Double,
+      maxShingleDf: Long = 4096L) = {
     val docs = TextShingles.withShingleHashes(Tables.documents(s, d), "doc_id", "text", 3)
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("sh"))
+    val exAll = docs.select(col("doc_id"), explode(col("sh")).as("sh"))
+    // Anti-join against the (tiny by construction: ≤ occurrences/cap keys)
+    // over-cap shingle list; map-side partial counts keep the df groupBy
+    // itself skew-safe.
+    val hot = exAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("sh")
+    val ex = exAll.join(hot, Seq("sh"), "left_anti")
     val pairs = ex.as("a")
       .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -167,20 +184,19 @@ object DedupQueries {
           .orderBy("a_id", "b_id"),
       None),
 
-    // Embedding cosine near-dup pairs — exact, double math on both sides.
+    // Embedding cosine near-dup pairs — LSH band candidates + exact-cosine
+    // verify (graft.dedup.EmbeddingLsh): equi-joins only, no cartesian
+    // node; sims are exact doubles, so the DuckDB oracle still matches
+    // (banding at r=4, b=64 holds per-pair miss probability ≤ ~2e-5 at the
+    // 0.4 threshold; DedupSpec checks the candidates cover the all-pairs
+    // ground truth on the fixture).
     QueryDef(
       "q_dedup_embedding",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"), VectorFns.norm(col("embedding")).as("nrm"))
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-        a.join(b, col("a_id") < col("b_id"))
-          .withColumn("sim", VectorFns.dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
-          .filter(col("sim") >= 0.4)
+      (s, d) =>
+        graft.dedup.EmbeddingLsh
+          .nearPairs(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4)
           .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
-          .orderBy("a_id", "b_id")
-      },
+          .orderBy("a_id", "b_id"),
       Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                                 CAST(unnest(embedding) AS DOUBLE) AS v
                          FROM embeddings),

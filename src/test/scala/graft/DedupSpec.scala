@@ -36,6 +36,51 @@ class DedupSpec extends SparkSpec {
     assert(hit >= 0.5, s"simhash found only $hit of near-identical pairs")
   }
 
+  test("embedding LSH candidates cover the all-pairs ground truth") {
+    import graft.functions.VectorFns
+    val e = Tables.embeddings(spark, sfDir)
+    // all-pairs exact cosine — ground truth, small-fixture only
+    val v = e.select(col("vec_id"), col("embedding"),
+      VectorFns.norm(col("embedding")).as("nrm"))
+    val truth = v.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      .join(v.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm")),
+        col("a_id") < col("b_id"))
+      .withColumn("sim", VectorFns.dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("sim") >= 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val got = graft.dedup.EmbeddingLsh
+      .nearPairs(e, "vec_id", "embedding", threshold = 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === truth, s"missed=${truth -- got} extra=${got -- truth}")
+  }
+
+  test("embedding near-dup plan has no cartesian or nested-loop join") {
+    val plan = graft.dedup.EmbeddingLsh
+      .nearPairs(Tables.embeddings(spark, sfDir), "vec_id", "embedding", 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("shingle df cap preserves near-dup recall while bounding buckets") {
+    // The fixture's df histogram tops out at 9 (two boilerplate shingles
+    // above 7; near-dup cluster shingles sit at df <= 7). A cap of 7 drops
+    // the boilerplate yet yields the IDENTICAL pair set: near-dups meet
+    // through their discriminative shingles. The cap must stay above the
+    // duplicate-cluster size — shingles shared by a whole twin cluster
+    // carry df = cluster size, which is why production caps are O(1000),
+    // not O(10).
+    val uncapped = Registry.queries("q_dedup_ngram_jaccard")(spark, sfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = graft.queries.DedupQueries
+      .jaccardPairs(spark, sfDir, 0.8, maxShingleDf = 7L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.nonEmpty)
+    assert(capped === uncapped,
+      s"lost=${uncapped -- capped} invented=${capped -- uncapped}")
+  }
+
   test("exact dedup keeps one representative per distinct content") {
     val docs = Tables.documents(spark, sfDir)
     val out = Registry.queries("q_dedup_exact")(spark, sfDir)
