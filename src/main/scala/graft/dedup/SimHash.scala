@@ -20,12 +20,17 @@ import graft.functions.expressions.{SimHash64 => SimHash64Expr}
   */
 object SimHash {
 
-  /** doc_id + 64-bit `simhash` column. */
+  /** doc_id + 64-bit `simhash` column. Token-less docs are dropped: their
+    * signature would be the constant 0, making every empty doc a Hamming-0
+    * "near-dup" of every other — a quadratic false-pair blowup at scale.
+    */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol),
-      ColumnBridge.column(SimHash64Expr(
-        ColumnBridge.expression(TextShingles.wordTokens(col(textCol))))).as("simhash"))
+    docs.select(col(idCol), TextShingles.wordTokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(
+        col(idCol),
+        ColumnBridge.column(SimHash64Expr(
+          ColumnBridge.expression(col("__toks")))).as("simhash"))
 
   /** Pairs (a_id, b_id, hamming) with Hamming distance ≤ maxHamming
     * (must be ≤ 3 for the 4-chunk pigeonhole to be exhaustive).

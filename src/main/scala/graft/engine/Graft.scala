@@ -32,5 +32,13 @@ object Graft {
   def registerTables(spark: SparkSession, dir: String): Unit =
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
-      .foreach(t => Tables(spark, dir, t).createOrReplaceTempView(t))
+      .foreach { t =>
+        // Route through each table's dedicated loader so SQL views see the
+        // same schema as the DataFrame API (events: nanos-long → timestamp).
+        val df = t match {
+          case "events" => Tables.events(spark, dir)
+          case other => Tables(spark, dir, other)
+        }
+        df.createOrReplaceTempView(t)
+      }
 }

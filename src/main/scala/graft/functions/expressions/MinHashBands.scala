@@ -13,8 +13,13 @@ object MinHashOps {
     */
   def bands(shingles: ArrayData, numHashes: Int, numBands: Int): ArrayData = {
     val rowsPerBand = numHashes / numBands
-    val mins = Array.fill(numHashes)(Long.MaxValue)
     val n = shingles.numElements()
+    // A shingle-less doc has no MinHash signature. Emitting the "empty"
+    // band hashes would make every short/empty doc collide with every
+    // other in ALL bands — a quadratic false-candidate blowup at corpus
+    // scale. No shingles → no bands → no candidates.
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
     while (j < n) {
       val s = shingles.getLong(j)

@@ -31,8 +31,14 @@ object Salting {
         case "max" => max(p)
       }).as(s"${m.agg}_${m.col}")
     }
+    // Salt must be DETERMINISTIC per row: a random/row-id salt used as a
+    // shuffle key re-deals rows on task retry (SPARK-23207-style lost or
+    // doubled updates). Hashing every non-key column keeps hot-key rows
+    // spread while staying stable under recomputation.
+    val nonKey: Seq[String] = df.columns.toSeq.filterNot(keys.contains)
+    val saltSrc: Seq[String] = if (nonKey.nonEmpty) nonKey else df.columns.toSeq
     val salted = df.withColumn("__salt",
-      pmod(hash(col(keys.head), monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(hash(saltSrc.map(col(_)): _*), lit(saltBuckets)))
     val stage1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partial(metrics.head), metrics.tail.map(partial): _*)

@@ -15,18 +15,23 @@ import org.apache.spark.sql.functions._
 object StarTree {
 
   /** Pre-aggregate: one row per dims combination, carrying partial sums
-    * (`s_<col>`) and the row count (`cube_cnt`).
+    * (`s_<col>`), per-metric NON-NULL counts (`c_<col>` — what AVG/COUNT
+    * of a nullable metric actually divides/counts by) and the row count
+    * (`cube_cnt`).
     */
   def buildCube(df: DataFrame, dims: Seq[String], sumMetrics: Seq[String]): DataFrame = {
-    val aggs = sumMetrics.map(m => sum(col(m)).as(s"s_$m")) :+ count(lit(1)).as("cube_cnt")
+    val aggs = sumMetrics.map(m => sum(col(m)).as(s"s_$m")) ++
+      sumMetrics.map(m => count(col(m)).as(s"c_$m")) :+ count(lit(1)).as("cube_cnt")
     df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Answer a group-by over a subset of the cube's dims from the partials:
-    * sums add, counts add. Result columns: `s_<metric>`, `cube_cnt`.
+    * sums add, counts add. Result columns: `s_<metric>`, `c_<metric>`,
+    * `cube_cnt`.
     */
   def rollup(cube: DataFrame, dims: Seq[String], sumMetrics: Seq[String]): DataFrame = {
-    val aggs = sumMetrics.map(m => sum(col(s"s_$m")).as(s"s_$m")) :+
+    val aggs = sumMetrics.map(m => sum(col(s"s_$m")).as(s"s_$m")) ++
+      sumMetrics.map(m => sum(col(s"c_$m")).as(s"c_$m")) :+
       sum(col("cube_cnt")).as("cube_cnt")
     cube.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }

@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.DoubleType
   *             [Filter on dims] Scan(fact))
   *
   * into the same aggregate over the cube's partials (SUM(m) → SUM(s_m),
-  * COUNT(*) → SUM(cube_cnt), AVG(m) → SUM(s_m)/SUM(cube_cnt)) — at 100 TB
+  * COUNT(*) → SUM(cube_cnt), COUNT(m) → SUM(c_m),
+  * AVG(m) → SUM(s_m)/SUM(c_m) where c_m is the metric's non-null count —
+  * NOT cube_cnt, which counts all rows and would corrupt AVG/COUNT over
+  * nullable metrics) — at 100 TB
   * that turns a full fact scan into a scan of a cube orders of magnitude
   * smaller, exactly like Pinot serving group-bys from the star-tree.
   */
@@ -35,12 +38,25 @@ object StarTreeCatalog {
       cubePath: String)
 
   private val cubes = new java.util.concurrent.ConcurrentHashMap[String, CubeDef]()
+  private val relations =
+    new java.util.concurrent.ConcurrentHashMap[String, LogicalPlan]()
 
-  def register(factPath: String, dims: Seq[String], metrics: Seq[String], cubePath: String): Unit =
+  def register(factPath: String, dims: Seq[String], metrics: Seq[String], cubePath: String): Unit = {
+    relations.remove(cubePath) // cube may have been rebuilt
     cubes.put(normalize(factPath),
       CubeDef(Set(normalize(factPath)), dims.toSet, metrics.toSet, cubePath))
+  }
 
-  def clear(): Unit = cubes.clear()
+  def clear(): Unit = { cubes.clear(); relations.clear() }
+
+  /** Analyzed cube relation, resolved ONCE per registration (parquet
+    * footer/schema work must not run inside the optimizer on every
+    * matching Aggregate). Callers take a fresh-exprId instance so two
+    * rewrites in one plan never share attribute ids.
+    */
+  def cubeRelation(spark: SparkSession, cubePath: String): LogicalPlan =
+    relations.computeIfAbsent(cubePath,
+      p => spark.read.parquet(p).queryExecution.analyzed)
 
   def find(paths: Set[String]): Option[CubeDef] = {
     val norm = paths.map(normalize)
@@ -88,7 +104,11 @@ class StarTreeRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (!f.references.forall(a => cube.dims.contains(a.name))) return None
     }
 
-    val cubeRel = spark.read.parquet(cube.cubePath).queryExecution.analyzed
+    val cubeRel = StarTreeCatalog.cubeRelation(spark, cube.cubePath) match {
+      case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+        m.newInstance().asInstanceOf[LogicalPlan]
+      case other => other
+    }
     val cubeAttrByName = cubeRel.output.map(a => a.name -> a).toMap
     if (!cube.dims.forall(cubeAttrByName.contains) ||
       !cube.metrics.forall(m => cubeAttrByName.contains(s"s_$m")) ||
@@ -112,12 +132,24 @@ class StarTreeRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         fn match {
           case Sum(m: AttributeReference, _) if cube.metrics.contains(m.name) =>
             sumOf(s"s_${m.name}")
-          case Count(Seq(Literal(_, _))) =>
+          // COUNT(*) / COUNT(non-null literal) only: COUNT(NULL) is
+          // constant 0 and must NOT become the total row count.
+          case Count(Seq(Literal(v, _))) if v != null =>
             sumOf("cube_cnt")
-          case Average(m: AttributeReference, _) if cube.metrics.contains(m.name) =>
+          // COUNT(m) and AVG(m) count only NON-NULL metric rows, so they
+          // roll up from the per-metric c_<m> partial, never cube_cnt
+          // (which counts all rows and silently inflates the denominator
+          // for any nullable metric).
+          case Count(Seq(m: AttributeReference))
+              if cube.metrics.contains(m.name) &&
+                cubeAttrByName.contains(s"c_${m.name}") =>
+            sumOf(s"c_${m.name}")
+          case Average(m: AttributeReference, _)
+              if cube.metrics.contains(m.name) &&
+                cubeAttrByName.contains(s"c_${m.name}") =>
             Divide(
               Cast(sumOf(s"s_${m.name}"), DoubleType),
-              Cast(sumOf("cube_cnt"), DoubleType))
+              Cast(sumOf(s"c_${m.name}"), DoubleType))
           case _ => supported = false; ae
         }
       case a: AttributeReference if cube.dims.contains(a.name) => cubeAttr(a.name)

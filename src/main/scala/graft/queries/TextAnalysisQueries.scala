@@ -59,7 +59,10 @@ object TextAnalysisQueries {
         Tables.documents(s, d)
           .select(
             col("doc_id"),
-            size(split(col("text"), "\\s+")).as("ws_tokens"),
+            // single-space split (not \s+): matches the engine-wide
+            // wordTokens/oracle convention so counts agree byte-for-byte
+            // with string_split(text, ' ') whatever the whitespace shape.
+            size(split(col("text"), " ")).as("ws_tokens"),
             regexp_count(col("text"), lit("[A-Za-z0-9]+")).as("re_tokens"),
             regexp_count(col("text"), lit("[A-Za-z]{1,4}")).as("bpe_ish"))
           .orderBy("doc_id"),

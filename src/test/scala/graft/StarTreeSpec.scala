@@ -55,4 +55,56 @@ class StarTreeSpec extends SparkSpec {
     // after clear(), queries scan the fact table again
     assert(query().queryExecution.executedPlan.toString.contains("lineitem.parquet"))
   }
+
+  test("AVG/COUNT over a nullable metric rewrite to non-null partials, not cube_cnt") {
+    import graft.plans.StarTreeCatalog
+    val tmp = java.nio.file.Files.createTempDirectory("startree_null").toString
+    val factPath = s"$tmp/fact"
+    // l_extendedprice is NULL on ~half the rows: AVG/COUNT must ignore them
+    Tables.lineitem(spark, sfDir)
+      .withColumn("l_extendedprice",
+        when(col("l_quantity") < 25, col("l_extendedprice")))
+      .write.parquet(factPath)
+    def query() = spark.read.parquet(factPath)
+      .groupBy("l_returnflag")
+      .agg(
+        round(avg("l_extendedprice"), 4).as("a"),
+        count(col("l_extendedprice")).as("c_m"),
+        count(lit(1)).as("c_all"))
+      .orderBy("l_returnflag")
+    val direct = query().collect().map(_.toSeq).toSeq
+
+    StarTree.materializeAndRegister(
+      spark.read.parquet(factPath), factPath,
+      dims = Seq("l_returnflag", "l_linestatus"),
+      sumMetrics = Seq("l_extendedprice"), cubePath = s"$tmp/cube")
+    try {
+      val rewritten = query()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("cube"), s"plan still scans the fact table:\n$plan")
+      assert(rewritten.collect().map(_.toSeq).toSeq === direct)
+    } finally StarTreeCatalog.clear()
+  }
+
+  test("cube relation is analyzed once per registration, not per query") {
+    import graft.plans.StarTreeCatalog
+    val factPath = s"$sfDir/lineitem.parquet"
+    val cubeDir = java.nio.file.Files.createTempDirectory("startree_cache").toString + "/cube"
+    StarTree.materializeAndRegister(
+      spark.read.parquet(factPath), factPath,
+      dims = Seq("l_returnflag"), sumMetrics = Seq("l_quantity"), cubePath = cubeDir)
+    try {
+      val r1 = StarTreeCatalog.cubeRelation(spark, cubeDir)
+      val r2 = StarTreeCatalog.cubeRelation(spark, cubeDir)
+      assert(r1 eq r2, "cube relation re-analyzed on second lookup")
+      // and the rule hands out fresh exprIds per rewrite (no shared ids)
+      def agg() = spark.read.parquet(factPath)
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      val u = agg().union(agg())
+      val ids = u.queryExecution.optimizedPlan.collectLeaves()
+        .flatMap(_.output.map(_.exprId)).toSeq
+      assert(ids.distinct.size === ids.size,
+        s"duplicate exprIds across rewritten branches: $ids")
+    } finally StarTreeCatalog.clear()
+  }
 }
