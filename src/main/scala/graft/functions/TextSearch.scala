@@ -26,18 +26,36 @@ object TextSearch {
   private def padded(text: Column): Column =
     concat(lit(" "), regexp_replace(lower(text), "\\s+", " "), lit(" "))
 
+  private val FuzzyTerm = "(?s)(.+)~(\\d+)".r
+
   private def termPredicate(text: Column, term: String): Column = {
     val t = term.toLowerCase
     if (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)
       contains(padded(text), lit(" " + t.substring(1, t.length - 1) + " "))
-    else if (t.endsWith("*") && t.length > 1)
-      exists(tokens(text), w => w.startsWith(lit(t.dropRight(1))))
-    else
-      array_contains(tokens(text), t)
+    // /regex/ term: whole-token regex match (anchored — Lucene regex terms
+    // match the full token, unlike Spark's substring rlike). Matched
+    // against the lowercased token stream.
+    else if (t.startsWith("/") && t.endsWith("/") && t.length > 2)
+      exists(tokens(text), w => w.rlike("^(?:" + t.substring(1, t.length - 1) + ")$"))
+    else t match {
+      // term~N fuzzy: any token within Levenshtein distance N
+      // (levenshtein is codegen'd; the bounded 3-arg form short-circuits
+      // rows whose distance exceeds N instead of computing it fully).
+      case FuzzyTerm(base, n) if n.toInt >= 0 =>
+        val maxD = n.toInt
+        exists(tokens(text), w => levenshtein(w, lit(base), maxD) >= 0)
+      case _ if t.endsWith("*") && t.length > 1 =>
+        exists(tokens(text), w => w.startsWith(lit(t.dropRight(1))))
+      case _ =>
+        array_contains(tokens(text), t)
+    }
   }
 
-  /** TEXT_MATCH(col, query): AND/OR/NOT of terms, prefixes and phrases
-    * (AND binds tighter than OR; NOT prefixes a single term).
+  /** TEXT_MATCH(col, query): AND/OR/NOT of terms, prefixes, phrases,
+    * `term~N` fuzzy (edit-distance ≤ N) and `/regex/` whole-token regex
+    * terms (AND binds tighter than OR; NOT prefixes a single term).
+    * Reference: /root/reference/basics/indexing/text-search-support.md:22
+    * (phrase, term, regex, fuzzy and composite query families).
     */
   def textMatch(text: Column, query: String): Column = {
     // lex: quoted phrases are single tokens

@@ -179,6 +179,35 @@ object AdvancedQueries {
                      count(*) AS n_either
               FROM flags""")),
 
+    // Sketch-based set operations — the mergeable form the exact q_set_ops
+    // cannot take at 100 TB: per-cohort HLL sketches (map-side partial,
+    // bytes-sized state) merge with hll_union_agg across any cohort
+    // combination WITHOUT re-scanning users; intersection comes from
+    // inclusion–exclusion. Approximate by design (rows-only; error bounded
+    // vs q_set_ops in ApproxSpec).
+    QueryDef(
+      "q_set_ops_sketch",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+        val sketches = ev.groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val per = sketches.select(
+          col("event_type"),
+          hll_sketch_estimate(col("sk")).as("n_users"))
+        val union = sketches.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_either"))
+        per.crossJoin(union)
+          .groupBy()
+          .agg(
+            max(when(col("event_type") === "click", col("n_users"))).as("n_click"),
+            max(when(col("event_type") === "purchase", col("n_users"))).as("n_purchase"),
+            first(col("n_either")).as("n_either"))
+          .withColumn("n_both_est",
+            col("n_click") + col("n_purchase") - col("n_either"))
+      },
+      None),
+
     // DISTINCTSUM / DISTINCTAVG aggregation family.
     QueryDef(
       "q_distinct_sum",

@@ -1,7 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, StructType}
 import graft.engine.Tables
+import graft.functions.JsonFns
 
 /** §C JSON functions — Pinot's JSON_EXTRACT_SCALAR / JSON_MATCH over a raw
   * JSON string column (reference: /root/reference/basics/indexing/
@@ -38,6 +40,49 @@ object JsonQueries {
               FROM events
               WHERE CAST(nullif(regexp_extract(props, '"k": ?(-?\d+)', 1), '') AS INT) >= 50
                 AND event_type IN ('click', 'purchase')
-              GROUP BY 1 ORDER BY event_type"""))
+              GROUP BY 1 ORDER BY event_type""")),
+
+    // JSON_MATCH over a NESTED array-of-object path (the json-index.md
+    // `addresses[*].country` shape). The nested doc is built from orders
+    // with to_json — real JSON bytes — then matched with
+    // from_json + exists(); the oracle checks the semantic answer from the
+    // flat table, proving the whole JSON round-trip.
+    QueryDef(
+      "q_json_match_nested",
+      (s, d) => {
+        val es = new StructType().add("status", StringType).add("price", DoubleType)
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(to_json(struct(collect_list(struct(
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").as("price"))).as("orders"))).as("doc"))
+          .filter(JsonFns.jsonMatch(col("doc"), "$.orders", es)(e =>
+            e.getField("status") === "F" && e.getField("price") > lit(150000.0)))
+          .select(col("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+              ORDER BY o_custkey""")),
+
+    // Same nested shape through the Pinot JSON_MATCH condition-string
+    // syntax: '"$.orders[*].price" > 280000'.
+    QueryDef(
+      "q_json_match_syntax",
+      (s, d) => {
+        val es = new StructType().add("status", StringType).add("price", DoubleType)
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(to_json(struct(collect_list(struct(
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").as("price"))).as("orders"))).as("doc"))
+          .filter(JsonFns.jsonMatchSyntax(col("doc"),
+            """"$.orders[*].price" > 280000""", es))
+          .select(col("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT DISTINCT o_custkey FROM orders
+              WHERE o_totalprice > 280000
+              ORDER BY o_custkey"""))
   )
 }

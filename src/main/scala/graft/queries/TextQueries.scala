@@ -32,6 +32,25 @@ object TextQueries {
               WHERE (list_contains(string_split(lower(text), ' '), 'spark')
                      AND list_contains(string_split(lower(text), ' '), 'data'))
                  OR contains(' ' || lower(text) || ' ', ' table scan ')
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // Fuzzy (edit-distance) + whole-token regex TEXT_MATCH terms —
+    // text-search-support.md:22's remaining query families. `scann~1`
+    // tolerates one edit ("scan", "scans", ...); `/col.+n/` is an anchored
+    // token regex ("column", ...). Both are codegen'd scan predicates.
+    QueryDef(
+      "q_text_match_fuzzy",
+      (s, d) =>
+        Tables.documents(s, d)
+          .filter(TextSearch.textMatch(col("text"), "scann~1 AND /col.+n/"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS cnt FROM documents
+              WHERE len(list_filter(string_split(lower(text), ' '),
+                        w -> levenshtein(w, 'scann') <= 1)) > 0
+                AND len(list_filter(string_split(lower(text), ' '),
+                        w -> regexp_full_match(w, 'col.+n'))) > 0
+              GROUP BY 1 ORDER BY lang"""))
   )
 }

@@ -31,6 +31,26 @@ final case class LatestState(
   */
 object Realtime {
 
+  /** Decode a Kafka-wire-schema stream (key/value binary, topic,
+    * partition, offset, timestamp — exactly what
+    * `readStream.format("kafka")` emits) whose values are JSON-encoded
+    * events into typed Event rows. This is the complete adapter a real
+    * Kafka topic needs: swap the source format, keep every downstream
+    * plan (windowedAgg / latestByKey) unchanged. Malformed payloads
+    * drop (from_json null-safety) instead of poisoning the query.
+    */
+  def fromKafkaJson(kafka: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val eventSchema = new StructType()
+      .add("event_id", LongType).add("ts", TimestampType)
+      .add("user_id", LongType).add("event_type", StringType)
+      .add("value", DoubleType)
+    kafka
+      .select(from_json(col("value").cast("string"), eventSchema).as("e"))
+      .filter(col("e").isNotNull && col("e.event_id").isNotNull)
+      .select("e.*")
+  }
+
   /** Watermarked tumbling-window aggregation — the realtime dashboard
     * query shape (counts + sums per window × event_type).
     */

@@ -17,6 +17,19 @@ class ApproxSpec extends SparkSpec {
     assert(relErr <= 0.05, s"exact=$exact approx=$approx relErr=$relErr")
   }
 
+  test("HLL sketch set-ops are within 5% of the exact cohort cardinalities") {
+    import graft.queries.Registry
+    val exact = Registry.queries("q_set_ops")(spark, sfDir).head()
+    val sk = Registry.queries("q_set_ops_sketch")(spark, sfDir).head()
+    def rel(est: Long, truth: Long): Double =
+      math.abs(est - truth).toDouble / math.max(truth, 1L)
+    assert(rel(sk.getLong(sk.fieldIndex("n_click")), exact.getLong(0)) <= 0.05)
+    assert(rel(sk.getLong(sk.fieldIndex("n_purchase")), exact.getLong(1)) <= 0.05)
+    assert(rel(sk.getLong(sk.fieldIndex("n_either")), exact.getLong(3)) <= 0.05)
+    // inclusion–exclusion intersection: looser bound (errors compound)
+    assert(rel(sk.getLong(sk.fieldIndex("n_both_est")), exact.getLong(2)) <= 0.15)
+  }
+
   test("approx_percentile is within 2% of the exact percentile") {
     val li = Tables.lineitem(spark, sfDir)
     val exact = li.select(expr("percentile(l_extendedprice, 0.95)")).head().getDouble(0)

@@ -54,6 +54,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafka-wire-schema stream decodes and upserts like the batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // exact kafka source projection: binary key/value + topic/partition/offset
+    val input = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long, Timestamp)]
+    val kafkaShaped = input.toDF()
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp")
+    val events = Realtime.fromKafkaJson(kafkaShaped).as[Event]
+    val q = Realtime.latestByKey(events)
+      .writeStream.format("memory").queryName("kafka_upsert")
+      .outputMode("append").start()
+    def rec(id: Long, ts: String, user: Long, typ: String, v: Double) = {
+      val json =
+        s"""{"event_id":$id,"ts":"$ts","user_id":$user,"event_type":"$typ","value":$v}"""
+      (s"$user".getBytes, json.getBytes, "events", 0, id, Timestamp.valueOf(ts))
+    }
+    try {
+      input.addData(
+        rec(1, "2024-01-01 00:00:01", 7, "signup", 1.0),
+        rec(2, "2024-01-01 00:00:05", 7, "click", 2.0))
+      q.processAllAvailable()
+      // malformed payload must drop, not poison the stream
+      input.addData(("k".getBytes, "not json".getBytes, "events", 0, 99L,
+        Timestamp.valueOf("2024-01-01 00:00:06")))
+      input.addData(rec(3, "2024-01-01 00:00:09", 8, "view", 9.0))
+      q.processAllAvailable()
+      val emitted = spark.table("kafka_upsert").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(emitted === Set((7L, 2L, "click"), (8L, 3L, "view")))
+    } finally q.stop()
+  }
+
+  test("rate source drives the windowed aggregation (non-memory, non-file source)") {
+    import org.apache.spark.sql.functions._
+    val events = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(col("value"), lit(10)).as("user_id"),
+        when(pmod(col("value"), lit(2)) === 0, "click").otherwise("view").as("event_type"),
+        (col("value") % 100).cast("double").as("value"))
+    val q = Realtime.windowedAgg(events, "1 minute", "5 seconds")
+      .writeStream.format("memory").queryName("rate_win")
+      .outputMode("complete").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        n = spark.table("rate_win").count()
+      }
+      assert(n > 0, "rate-source stream produced no windows in 30s")
+      val row = spark.table("rate_win").head()
+      assert(Set("click", "view").contains(row.getString(1)))
+    } finally q.stop()
+  }
+
   test("streaming upsert emits the latest record per key incrementally") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -49,6 +49,22 @@ class TextSearchSpec extends SparkSpec {
     assert(ids(TextSearch.textMatch(col("text"), "sca* AND table")) === Set(3L, 4L))
   }
 
+  test("textMatch fuzzy term tolerates N edits") {
+    // "quick" within 1 edit of "quicc"; "fox" within 1 of "box"
+    assert(ids(TextSearch.textMatch(col("text"), "quicc~1")) === Set(1L, 3L))
+    assert(ids(TextSearch.textMatch(col("text"), "box~1")) === Set(1L))
+    // distance 2 from "quick" needs ~2
+    assert(ids(TextSearch.textMatch(col("text"), "quucc~1")) === Set.empty)
+    assert(ids(TextSearch.textMatch(col("text"), "quucc~2")) === Set(1L, 3L))
+  }
+
+  test("textMatch regex term is anchored to whole tokens") {
+    assert(ids(TextSearch.textMatch(col("text"), "/qu.ck/")) === Set(1L, 3L))
+    // unanchored substring must NOT match: "par" is inside "spark"
+    assert(ids(TextSearch.textMatch(col("text"), "/par/")) === Set.empty)
+    assert(ids(TextSearch.textMatch(col("text"), "/s.*k/ AND data")) === Set(2L))
+  }
+
   test("langid predicts a valid language deterministically") {
     import spark.implicits._
     val df = Seq(
