@@ -25,6 +25,28 @@ object GeoFns {
     lit(2 * EarthRadiusKm) * asin(sqrt(a))
   }
 
+  /** Geohash-analog grid cell id for join-shaped geo queries: an integer
+    * cell over a cellDeg° lat/lon grid. Two points within `radiusKm` share
+    * one of the probe's 3×3 neighbor cells whenever
+    * cellDeg ≥ radius-in-degrees at the working latitude — which turns a
+    * radius join into an EQUI-join on the cell id (the geospatial-index
+    * join shape; Pinot's geo index serves the same purpose —
+    * /root/reference/basics/indexing/README.md:22).
+    */
+  def gridCell(lat: Column, lon: Column, cellDeg: Double): Column =
+    floor((lat + 90) / cellDeg).cast("long") * 100000L +
+      floor((lon + 180) / cellDeg).cast("long")
+
+  /** The 3×3 cell neighborhood around a point — what a radius probe
+    * explodes into before the equi-join on `gridCell`.
+    */
+  def neighborCells(lat: Column, lon: Column, cellDeg: Double): Column = {
+    val cells = for (di <- -1 to 1; dj <- -1 to 1) yield
+      (floor((lat + 90) / cellDeg).cast("long") + di) * 100000L +
+        (floor((lon + 180) / cellDeg).cast("long") + dj)
+    array(cells: _*)
+  }
+
   /** ST_Within-circle analog with a sargable bounding-box pre-filter:
     * the box predicate prunes row groups; haversine refines.
     */

@@ -19,7 +19,8 @@ object Registry {
       DateTimeQueries.defs ++ JsonQueries.defs ++
       TextQueries.defs ++ MultiValueQueries.defs ++ JoinQueries.defs ++
       UpsertQueries.defs ++ StarTreeQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ TextAnalysisQueries.defs ++ MultimodalQueries.defs
+      SimilarityQueries.defs ++ TextAnalysisQueries.defs ++ MultimodalQueries.defs ++
+      SamplingQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

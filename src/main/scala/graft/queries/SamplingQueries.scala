@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** §K sampling — the selection stage of a training-data pipeline: carve a
+  * reproducible subset out of a 100 TB corpus with per-stratum quotas.
+  * Random sampling is useless there (not reproducible across retries,
+  * not auditable); these operators hash CONTENT, so the same corpus always
+  * yields the same sample on any cluster, any partitioning, any retry —
+  * and DuckDB computes the identical md5, so both entries are
+  * hash-verified exactly.
+  */
+object SamplingQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // Stratified rate sampling: per-language keep rates (en 25%, others
+    // 50%) decided by the first md5 byte of the content — a pure scan
+    // predicate: no shuffle, no state, deterministic under retries.
+    QueryDef(
+      "q_sample_stratified",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("h", substring(md5(col("text")), 1, 2))
+          .filter(when(col("lang") === "en", col("h") < "40").otherwise(col("h") < "80"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), countDistinct(col("source")).as("n_sources"))
+          .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_kept,
+                     count(DISTINCT source) AS n_sources
+              FROM documents
+              WHERE CASE WHEN lang = 'en'
+                         THEN substring(md5(text), 1, 2) < '40'
+                         ELSE substring(md5(text), 1, 2) < '80' END
+              GROUP BY 1 ORDER BY lang""")),
+
+    // Deterministic fixed-N uniform sample: order by content hash, take N.
+    // Plans as TakeOrderedAndProject — each partition keeps its local
+    // top-N by hash, only N rows per partition reach the driver-side
+    // merge; no full sort, no full shuffle.
+    QueryDef(
+      "q_sample_fixed_n",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("h", md5(col("text")))
+          .orderBy(col("h"), col("doc_id"))
+          .limit(50)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source FROM
+                (SELECT doc_id, lang, source FROM documents
+                 ORDER BY md5(text), doc_id LIMIT 50)
+              ORDER BY doc_id"""))
+  )
+}

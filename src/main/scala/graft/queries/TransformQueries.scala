@@ -115,6 +115,61 @@ object TransformQueries {
                      FROM pts)
               SELECT c_mktsegment, count(*) AS cnt, round(avg(dist_km), 2) AS avg_dist
               FROM dists WHERE dist_km <= 8000.0
-              GROUP BY 1 ORDER BY c_mktsegment"""))
+              GROUP BY 1 ORDER BY c_mktsegment""")),
+
+    // Geospatial RADIUS JOIN via grid-cell bucketing (geohash-analog):
+    // customers land in one 10°-cell; each supplier probes its 3x3
+    // neighborhood — an EQUI-join on the cell id, then exact haversine
+    // refines. Never a cross join: at 100 TB the join fan-out is bounded
+    // by cell occupancy, the geospatial-index shape. The working region
+    // is restricted to |lat|<=60, lon in [-170,170] so a 10° cell
+    // provably covers the 500 km radius (lon shrink factor cos(60°)=0.5;
+    // no antimeridian wrap) — the oracle cross-joins and must agree
+    // exactly.
+    QueryDef(
+      "q_geo_join",
+      (s, d) => {
+        val cell = 10.0
+        val cust = Tables.customer(s, d)
+          .withColumn("lat", (col("c_custkey") % 180) - 90 + lit(0.5))
+          .withColumn("lon", ((col("c_custkey") * 7) % 360) - 180 + lit(0.5))
+          .filter(col("lat").between(-60, 60) && col("lon").between(-170, 170))
+          .withColumn("cell", GeoFns.gridCell(col("lat"), col("lon"), cell))
+          .select(col("c_custkey"), col("lat").as("c_lat"), col("lon").as("c_lon"), col("cell"))
+        val supp = Tables.supplier(s, d)
+          .withColumn("lat", ((col("s_suppkey") * 13) % 180) - 90 + lit(0.5))
+          .withColumn("lon", ((col("s_suppkey") * 29) % 360) - 180 + lit(0.5))
+          .filter(col("lat").between(-60, 60) && col("lon").between(-170, 170))
+          .select(col("s_suppkey"), col("lat").as("s_lat"), col("lon").as("s_lon"),
+            explode(GeoFns.neighborCells(col("lat"), col("lon"), cell)).as("cell"))
+        broadcast(supp).join(cust, Seq("cell"))
+          .withColumn("dist_km",
+            GeoFns.haversineKm(col("s_lat"), col("s_lon"), col("c_lat"), col("c_lon")))
+          .filter(col("dist_km") <= 500.0)
+          .groupBy("s_suppkey")
+          .agg(count(lit(1)).as("cnt"), round(min("dist_km"), 2).as("min_dist"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH cust AS (SELECT c_custkey,
+                     (c_custkey % 180) - 90 + 0.5 AS lat,
+                     ((c_custkey * 7) % 360) - 180 + 0.5 AS lon
+                   FROM customer),
+                   cf AS (SELECT * FROM cust
+                          WHERE lat BETWEEN -60 AND 60 AND lon BETWEEN -170 AND 170),
+                   supp AS (SELECT s_suppkey,
+                     ((s_suppkey * 13) % 180) - 90 + 0.5 AS lat,
+                     ((s_suppkey * 29) % 360) - 180 + 0.5 AS lon
+                   FROM supplier),
+                   sf AS (SELECT * FROM supp
+                          WHERE lat BETWEEN -60 AND 60 AND lon BETWEEN -170 AND 170),
+                   pairs AS (SELECT s_suppkey,
+                     2 * 6371.0088 * asin(sqrt(
+                       pow(sin(radians(c.lat - s.lat) / 2), 2) +
+                       cos(radians(s.lat)) * cos(radians(c.lat)) *
+                       pow(sin(radians(c.lon - s.lon) / 2), 2))) AS dist_km
+                     FROM sf s CROSS JOIN cf c)
+              SELECT s_suppkey, count(*) AS cnt, round(min(dist_km), 2) AS min_dist
+              FROM pairs WHERE dist_km <= 500.0
+              GROUP BY 1 ORDER BY s_suppkey"""))
   )
 }
