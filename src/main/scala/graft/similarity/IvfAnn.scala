@@ -20,6 +20,23 @@ import graft.functions.VectorFns
   */
 object IvfAnn {
 
+  /** Session-scoped index cache: a real deployment materializes the cell
+    * assignment with the segments (like any Pinot index) instead of
+    * re-fitting KMeans per query; within one session, persist() plays that
+    * role. Keyed by the corpus plan's semantic hash + parameters.
+    */
+  private val indexCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Long), (DataFrame, DataFrame)]
+
+  def buildIndexCached(corpus: DataFrame, numCentroids: Int, seed: Long = 42L)
+      : (DataFrame, DataFrame) =
+    indexCache.getOrElseUpdate(
+      (corpus.sparkSession,
+        corpus.queryExecution.analyzed.semanticHash().toString, numCentroids, seed), {
+        val (assigned, centroids) = buildIndex(corpus, numCentroids, seed)
+        (assigned.persist(), centroids.persist())
+      })
+
   /** cell-assigned corpus + centroid table (centroid_id, centroid float[]). */
   def buildIndex(corpus: DataFrame, numCentroids: Int, seed: Long = 42L)
       : (DataFrame, DataFrame) = {
@@ -41,7 +58,7 @@ object IvfAnn {
   def knnIvf(
       queries: DataFrame, candidates: DataFrame, k: Int,
       numCentroids: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
-    val (assigned, centroids) = buildIndex(candidates, numCentroids, seed)
+    val (assigned, centroids) = buildIndexCached(candidates, numCentroids, seed)
 
     // nProbe nearest centroids per query (euclidean, matching KMeans):
     // |q-c|² = |q|² - 2·q·c + |c|²; |q|² is rank-invariant per query.

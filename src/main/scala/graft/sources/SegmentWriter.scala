@@ -62,4 +62,23 @@ object SegmentWriter {
     (if (cfg.partitionCols.nonEmpty) writer.partitionBy(cfg.partitionCols: _*) else writer)
       .parquet(path)
   }
+
+  /** Bucketed catalog table — the co-located-join layout (Pinot analog:
+    * partitioned segment assignment, where both tables hash on the join
+    * key so a key join never reshuffles either side). Spark: `bucketBy`
+    * on the join key + `sortBy` within buckets; two tables bucketed the
+    * same way join with ZERO Exchange nodes — at 100 TB that removes the
+    * dominant cost of every fact-fact join on the bucketed key
+    * (spec-asserted in SegmentWriterSpec).
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String, numBuckets: Int,
+      sortCols: Seq[String] = Seq.empty): Unit = {
+    val w = df.repartition(numBuckets, col(bucketCol))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

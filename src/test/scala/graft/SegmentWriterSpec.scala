@@ -32,6 +32,39 @@ class SegmentWriterSpec extends SparkSpec {
     assert(pointPlan.contains("PushedFilters: [IsNotNull(l_partkey), EqualTo(l_partkey,42)"), pointPlan)
   }
 
+  test("bucketed tables join with no exchange on either side") {
+    SegmentWriter.writeBucketed(
+      Tables.orders(spark, sfDir), "b_orders", "o_orderkey", 8,
+      sortCols = Seq("o_orderkey"))
+    SegmentWriter.writeBucketed(
+      Tables.lineitem(spark, sfDir), "b_lineitem", "l_orderkey", 8,
+      sortCols = Seq("l_orderkey"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the fact-fact path
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+      // co-located: the only Exchange in the whole plan is the post-join
+      // group-by shuffle — the join itself moves NEITHER fact table.
+      val plan = joined.queryExecution.executedPlan.toString
+      val nExchanges = "Exchange".r.findAllMatchIn(plan).length
+      assert(nExchanges <= 1, s"bucketed join still exchanges:\n$plan")
+      // and the answer matches the unbucketed join
+      val direct = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === direct)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("derived timestamp-index columns materialize and answer DATETRUNC filters") {
     val out = Files.createTempDirectory("segments_ts").toString
     val li = Tables.lineitem(spark, sfDir)
