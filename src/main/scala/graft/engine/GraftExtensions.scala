@@ -2,22 +2,54 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.VectorDot
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.expressions._
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions. Install with
   * `.config("spark.sql.extensions", "graft.engine.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)` — after that
-  * `SELECT vector_dot(a, b)` works from plain SQL.
+  * `SELECT vector_dot(a, b)`, `minhash_bands(...)`, `top_k_by(...)` etc.
+  * work from plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Constructor parameters (k, band counts, seeds) must be literals. */
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+  private def longArg(e: Expression, fn: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("vector_dot"),
-      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-      (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+    def register(name: String, clazz: Class[_])(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder))
+
+    register("vector_dot", classOf[VectorDot])(es => VectorDot(es.head, es(1)))
+    register("word_shingle_hashes", classOf[WordShingleHashes])(es =>
+      WordShingleHashes(es.head, intArg(es(1), "word_shingle_hashes")))
+    register("minhash_bands", classOf[MinHashBands])(es =>
+      MinHashBands(es.head,
+        intArg(es(1), "minhash_bands"), intArg(es(2), "minhash_bands")))
+    register("simhash64", classOf[SimHash64])(es =>
+      if (es.size > 1) SimHash64(es.head, longArg(es(1), "simhash64"))
+      else SimHash64(es.head))
+    register("lsh_band_buckets", classOf[LshBandBuckets])(es =>
+      LshBandBuckets(es.head,
+        intArg(es(1), "lsh_band_buckets"), intArg(es(2), "lsh_band_buckets"),
+        intArg(es(3), "lsh_band_buckets"), longArg(es(4), "lsh_band_buckets")))
+    // aggregate: the analyzer wraps AggregateFunctions used in agg context
+    register("top_k_by", classOf[TopKByAgg])(es =>
+      TopKByAgg(es.head, es(1), intArg(es(2), "top_k_by")))
+
     // transparent star-tree pre-aggregation (fires only on fact tables
     // registered in graft.plans.StarTreeCatalog)
     ext.injectOptimizerRule(session => new graft.plans.StarTreeRewriteRule(session))

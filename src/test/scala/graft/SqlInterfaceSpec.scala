@@ -32,6 +32,29 @@ class SqlInterfaceSpec extends SparkSpec {
     assert(math.abs(d - apiVal) < 1e-12)
   }
 
+  test("dedup/similarity expressions and top_k_by aggregate from SQL") {
+    Graft.registerTables(spark, sfDir)
+    // scan-local signature expressions
+    val sig = spark.sql(
+      """SELECT doc_id,
+                minhash_bands(word_shingle_hashes(split(lower(text), ' '), 3), 32, 8) AS mh,
+                simhash64(split(lower(text), ' ')) AS sh
+         FROM documents WHERE doc_id < 3""").collect()
+    assert(sig.length === 3)
+    assert(sig.forall(r => r.getSeq[Long](1).length === 8))
+    // banded LSH over embeddings
+    val bands = spark.sql(
+      "SELECT lsh_band_buckets(embedding, 4, 64, 64, 4242) AS b FROM embeddings LIMIT 1")
+      .head().getSeq[Long](0)
+    assert(bands.length === 64)
+    // bounded top-k aggregate straight from SQL
+    val topk = spark.sql(
+      """SELECT event_type, top_k_by(value, user_id, 3) AS top3
+         FROM events GROUP BY event_type""").collect()
+    assert(topk.nonEmpty)
+    topk.foreach(r => assert(r.getSeq[AnyRef](1).length <= 3))
+  }
+
   test("joins and subqueries from SQL") {
     Graft.registerTables(spark, sfDir)
     val n = spark.sql(
