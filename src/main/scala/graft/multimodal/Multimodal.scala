@@ -77,14 +77,18 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling plumbing for video rows: emits (media_id, frame_idx)
-    * stub frames every `everyMs` over the clip duration.
+  /** Frame sampling plumbing for video rows: emits (media_id, frame_ts_ms)
+    * stub frames every `everyMs` over the clip duration. Fully declarative
+    * (`sequence` + `explode`, codegen'd) — the frame axis is generated
+    * inside the scan stage, no typed lambda, no object serialization; the
+    * per-frame decode then rides `extractFeatures`' batched path.
     */
-  def sampleFrames(items: Dataset[MediaItem], everyMs: Long = 1000L): DataFrame = {
-    import items.sparkSession.implicits._
-    items.filter(_.kind == "video")
-      .flatMap(m => (0L until math.max(m.duration_ms, 1L) by everyMs)
-        .map(t => (m.media_id, t)))
-      .toDF("media_id", "frame_ts_ms")
-  }
+  def sampleFrames(items: Dataset[MediaItem], everyMs: Long = 1000L): DataFrame =
+    items.toDF()
+      .filter(col("kind") === "video")
+      .select(
+        col("media_id"),
+        explode(sequence(
+          lit(0L), greatest(col("duration_ms"), lit(1L)) - 1, lit(everyMs)))
+          .as("frame_ts_ms"))
 }
