@@ -66,6 +66,20 @@ object Realtime {
         col("window.start").as("window_start"),
         col("event_type"), col("cnt"), col("sum_val"))
 
+  /** Streaming dedup — Pinot realtime-table dedup semantics: drop records
+    * whose primary key was already seen, with state bounded by the
+    * watermark (Pinot's analog is the metadata TTL on the dedup store).
+    * First-arrival wins; late duplicates beyond the watermark age out of
+    * state, the standard at-scale trade.
+    */
+  def dedupByKey(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming upsert: emits the new latest record for a key whenever it
     * changes (Pinot upsert table semantics, incremental form).
     */

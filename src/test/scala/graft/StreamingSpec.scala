@@ -112,6 +112,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Realtime.dedupByKey(input.toDF(), Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 00:00:01", 7, "signup", 1.0),
+        ev(1, "2024-01-01 00:00:02", 7, "signup", 1.0), // same key, same batch
+        ev(2, "2024-01-01 00:00:03", 8, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(ev(1, "2024-01-01 00:00:30", 7, "signup", 9.9)) // late dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L), "duplicate event_id leaked through")
+    } finally q.stop()
+  }
+
   test("streaming upsert emits the latest record per key incrementally") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
