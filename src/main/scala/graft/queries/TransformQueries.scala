@@ -32,6 +32,36 @@ object TransformQueries {
                      trim('  ' || p_brand || '  ') AS brand_trim
               FROM part ORDER BY p_partkey LIMIT 300""")),
 
+    // URL transform family (Pinot URL functions): host/path/query-param
+    // extraction plus encode/decode round-trip, over URLs synthesized
+    // deterministically so both engines parse identical strings.
+    QueryDef(
+      "q_url_fns",
+      (s, d) => {
+        val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          col("doc_id"), lit("?lang="), col("lang"), lit("&page=2"))
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            parse_url(url, lit("HOST")).as("host"),
+            parse_url(url, lit("PATH")).as("path"),
+            parse_url(url, lit("QUERY"), lit("lang")).as("q_lang"),
+            url_encode(concat(col("lang"), lit(" & "), col("source"))).as("enc"),
+            url_decode(url_encode(col("source"))).as("dec_roundtrip"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id, lang, source,
+                     'https://' || source || '.example.com/docs/' || doc_id ||
+                     '?lang=' || lang || '&page=2' AS url
+              FROM documents)
+              SELECT doc_id,
+                     regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+                     regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+                     regexp_extract(url, 'lang=([^&]*)', 1) AS q_lang,
+                     replace(replace(lang || ' & ' || source, '&', '%26'), ' ', '+') AS enc,
+                     source AS dec_roundtrip
+              FROM u ORDER BY doc_id""")),
+
     QueryDef(
       "q_math_fns",
       (s, d) =>
