@@ -34,6 +34,33 @@ object AdvancedQueries {
                                  ORDER BY o_totalprice DESC, o_orderkey))
               WHERE rn <= 3 ORDER BY o_orderpriority, rn""")),
 
+    // Window FRAMES: moving aggregates over ROWS BETWEEN frames plus
+    // ntile bucketing — the running-metric dashboard family. Partitioned
+    // by user (many partitions → parallel), one hash shuffle total.
+    QueryDef(
+      "q_window_frame",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        val mv = w.rowsBetween(-3, Window.currentRow)
+        Tables.events(s, d)
+          .filter(col("user_id") < 20)
+          .select(
+            col("user_id"), col("event_id"),
+            round(avg("value").over(mv), 4).as("mov_avg4"),
+            round(sum("value").over(mv), 4).as("mov_sum4"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                     round(avg(value) OVER mv, 4) AS mov_avg4,
+                     round(sum(value) OVER mv, 4) AS mov_sum4,
+                     CAST(ntile(4) OVER w AS INT) AS quartile
+              FROM events WHERE user_id < 20
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                     mv AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+              ORDER BY user_id, event_id""")),
+
     QueryDef(
       "q_stats_agg",
       (s, d) =>
