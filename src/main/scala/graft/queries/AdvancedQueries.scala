@@ -235,6 +235,27 @@ object AdvancedQueries {
       },
       None),
 
+    // GROUPING SETS / CUBE: every dim-combination rollup in ONE pass
+    // (Expand + single aggregate) — the query-side analog of the
+    // star-tree's multi-combination pre-aggregation; at 100 TB one Expand
+    // scan beats k separate group-bys.
+    QueryDef(
+      "q_grouping_sets",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            grouping_id(col("l_returnflag"), col("l_linestatus")).as("gid"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+              FROM lineitem
+              GROUP BY CUBE (l_returnflag, l_linestatus)
+              ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
     // DISTINCTSUM / DISTINCTAVG aggregation family.
     QueryDef(
       "q_distinct_sum",
