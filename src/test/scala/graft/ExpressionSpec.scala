@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+import graft.functions.expressions.{TopKHeap, LshOps, MinHashOps}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+/** Unit coverage for the round-2 custom expressions: the bounded top-k
+  * heap (ordering, merge, serialization semantics) and the banded-LSH /
+  * MinHash empty-input contracts.
+  */
+class ExpressionSpec extends SparkSpec {
+
+  test("TopKHeap keeps exactly the k best under (score desc, id asc)") {
+    val rnd = new scala.util.Random(7)
+    val entries = Seq.tabulate(500)(i => (rnd.nextDouble(), i.toLong))
+    val heap = new TopKHeap(10)
+    entries.foreach { case (s, id) => heap.insert(s, id) }
+    val expect = entries.sortBy { case (s, id) => (-s, id) }.take(10)
+      .map { case (s, id) => (id, s) }
+    assert(heap.sortedPairs.toSeq === expect)
+  }
+
+  test("TopKHeap ties break by ascending id and merge equals single-pass") {
+    val heap = new TopKHeap(3)
+    Seq((1.0, 5L), (1.0, 2L), (1.0, 9L), (1.0, 1L)).foreach((heap.insert _).tupled)
+    assert(heap.sortedPairs.toSeq === Seq((1L, 1.0), (2L, 1.0), (5L, 1.0)))
+    // merging partial heaps must equal one global heap
+    val parts = Seq.tabulate(4)(_ => new TopKHeap(3))
+    val all = new TopKHeap(3)
+    val rnd = new scala.util.Random(13)
+    for (i <- 0 until 200) {
+      val s = rnd.nextDouble()
+      parts(i % 4).insert(s, i.toLong)
+      all.insert(s, i.toLong)
+    }
+    val merged = new TopKHeap(3)
+    parts.foreach(merged.mergeFrom)
+    assert(merged.sortedPairs.toSeq === all.sortedPairs.toSeq)
+  }
+
+  test("TopKHeap skips NaN scores and handles k > n") {
+    val heap = new TopKHeap(5)
+    heap.insert(Double.NaN, 1L)
+    heap.insert(0.5, 2L)
+    assert(heap.sortedPairs.toSeq === Seq((2L, 0.5)))
+  }
+
+  test("top_k_by aggregate equals a window-sorted ground truth on real data") {
+    val e = graft.engine.Tables.events(spark, sfDir)
+    val got = e.groupBy("event_type")
+      .agg(VectorFns.topKBy(col("value"), col("event_id"), 5).as("hits"))
+      .select(col("event_type"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("event_type"), col("hit.cand_id").as("id"), col("pos"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val want = e.select(col("event_type"), col("event_id"), col("value"))
+      .collect().groupBy(_.getString(0))
+      .flatMap { case (t, rows) =>
+        rows.toSeq.map(r => (r.getLong(1), r.getDouble(2)))
+          .sortBy { case (id, v) => (-v, id) }.take(5).zipWithIndex
+          .map { case ((id, _), pos) => (t, id, pos) }
+      }.toSet
+    assert(got === want)
+  }
+
+  test("lsh band buckets are deterministic, band-tagged, and length b") {
+    val emb = new GenericArrayData(Array.tabulate(64)(i => (i * 0.01f) - 0.3f))
+    val a = LshOps.bandBuckets(emb, 4, 64, 64, 4242L)
+    val b = LshOps.bandBuckets(emb, 4, 64, 64, 4242L)
+    assert(a.numElements() === 64)
+    assert((0 until 64).forall(i => a.getLong(i) === b.getLong(i)))
+    // band index lives in the high bits => values collide only within a band
+    assert((0 until 64).forall(i => (a.getLong(i) >> 32) === i.toLong))
+  }
+
+  test("empty inputs emit no minhash bands (no false candidates)") {
+    val none = MinHashOps.bands(new GenericArrayData(Array.emptyLongArray), 32, 8)
+    assert(none.numElements() === 0)
+    val some = MinHashOps.bands(new GenericArrayData(Array(42L)), 32, 8)
+    assert(some.numElements() === 8)
+  }
+}
