@@ -64,4 +64,24 @@ class CoreQueriesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_"), plan)
   }
+
+  test("fixed-N sampling plans as TakeOrderedAndProject (no full sort)") {
+    val plan = Registry.queries("q_sample_fixed_n")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("upsert-latest aggregates partially map-side, no window exchange") {
+    val plan = Registry.queries("q_upsert_latest")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by") || plan.contains("partial_"), plan)
+    assert(!plan.contains("Window"), s"window crept back into upsert:\n$plan")
+  }
+
+  test("geo radius join is an equi-join, never cartesian") {
+    val plan = Registry.queries("q_geo_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
