@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join — for every left row, the latest right row with
+  * `right.ts <= left.ts` on the same key (event attribution, price-as-of,
+  * upsert-state-at-time queries). Spark has no native ASOF operator;
+  * the common workaround — a non-equi range join + per-left-row argmax —
+  * explodes to one row per (left, earlier-right) pair before reducing.
+  *
+  * This implementation composes existing operators into the scale shape:
+  * tag both sides, UNION them, and carry the latest right payload forward
+  * with `last(ignoreNulls) OVER (PARTITION BY key ORDER BY ts, side)`.
+  * One hash shuffle on the key + one partition-local sort, state O(1) per
+  * row — the same cost as a single window aggregate, independent of how
+  * many right rows precede each left row. Ties (left.ts == right.ts)
+  * match, the right row sorting first; multiple right rows on the same
+  * (key, ts) are resolved by their sort order within the union and should
+  * be deduplicated upstream if ambiguous.
+  */
+object AsOfJoin {
+
+  /** @param payloadCols right-side columns delivered onto each left row
+    *                    (null when no right row precedes the left row).
+    */
+  def asof(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
+    val payloadType = right.select(payload).schema.head.dataType
+    val leftRow = struct(left.columns.map(col).toSeq: _*)
+    val leftType = left.select(leftRow).schema.head.dataType
+
+    val r = right.select(
+      col(keyCol).as("__k"), col(rightTsCol).as("__ts"),
+      payload.as("__p"), lit(0).as("__side"),
+      lit(null).cast(leftType).as("__l"))
+    val l = left.select(
+      col(keyCol).as("__k"), col(leftTsCol).as("__ts"),
+      lit(null).cast(payloadType).as("__p"), lit(1).as("__side"),
+      leftRow.as("__l"))
+
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = r.unionByName(l)
+      .withColumn("__carry", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c)).toSeq
+    val rightCols = payloadCols.map(c => col(s"__carry.$c").as(c))
+    carried.select(leftCols ++ rightCols: _*)
+  }
+}

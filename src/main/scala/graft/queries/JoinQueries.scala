@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
+import graft.operators.AsOfJoin
 
 /** §F joins — Pinot's lookup join (dim-table enrichment) and multi-stage
   * fact-fact joins. Scale posture: dimension tables are `broadcast()`ed
@@ -75,6 +76,32 @@ object JoinQueries {
               SELECT c_mktsegment,
                      CAST(sum(CASE WHEN has_o THEN 0 ELSE 1 END) AS BIGINT) AS no_orders,
                      CAST(sum(CASE WHEN has_o THEN 1 ELSE 0 END) AS BIGINT) AS with_orders
-              FROM t GROUP BY 1 ORDER BY c_mktsegment"""))
+              FROM t GROUP BY 1 ORDER BY c_mktsegment""")),
+
+    // AS-OF join: attribute each click to the user's latest prior (or
+    // same-instant) purchase. graft.operators.AsOfJoin composes it as
+    // union + carry-forward window — ONE key shuffle, O(1) state per row,
+    // never the (left × earlier-rights) pair explosion. Oracle: DuckDB's
+    // native ASOF LEFT JOIN.
+    QueryDef(
+      "q_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("p_event_id"), col("value").as("p_value"))
+        AsOfJoin.asof(clicks, purchases, "user_id", "ts", "ts",
+            Seq("p_event_id", "p_value"))
+          .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, l.user_id, r.event_id AS p_event_id,
+                     r.value AS p_value
+              FROM (SELECT * FROM events WHERE event_type = 'click') l
+              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+                ON l.user_id = r.user_id AND l.ts >= r.ts
+              ORDER BY l.event_id"""))
   )
 }

@@ -78,6 +78,15 @@ class CoreQueriesSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window crept back into upsert:\n$plan")
   }
 
+  test("as-of join is one key shuffle, no pair-explosion join node") {
+    val plan = Registry.queries("q_asof_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"asof should be a window carry, not a join node:\n$plan")
+  }
+
   test("geo radius join is an equi-join, never cartesian") {
     val plan = Registry.queries("q_geo_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
