@@ -18,6 +18,13 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // star-schema dims broadcast up to 64 MB (executors are sized for
+      // it; re-shuffling a dim per join is the worse trade at 100 TB)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // fewer, larger scan tasks: 256 MB splits keep task-scheduling
+      // overhead sane on a 100 TB table while still far exceeding the
+      // cluster's core count in task parallelism
+      .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
       .getOrCreate()

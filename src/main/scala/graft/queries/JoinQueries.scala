@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 
 /** §F joins — Pinot's lookup join (dim-table enrichment) and multi-stage
   * fact-fact joins. Scale posture: dimension tables are `broadcast()`ed
@@ -102,6 +102,33 @@ object JoinQueries {
               FROM (SELECT * FROM events WHERE event_type = 'click') l
               ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
                 ON l.user_id = r.user_id AND l.ts >= r.ts
-              ORDER BY l.event_id"""))
+              ORDER BY l.event_id""")),
+
+    // Interval (range) join with NO shared key: orders priced inside
+    // per-customer bands, via bucket decomposition (RangeJoin) — an
+    // equi-join on the band bucket + exact BETWEEN filter, never a
+    // nested-loop. Bands are synthesized deterministically on both sides.
+    QueryDef(
+      "q_range_join",
+      (s, d) => {
+        val points = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        val intervals = Tables.customer(s, d)
+          .select(col("c_custkey"),
+            ((col("c_custkey") * 137) % 400000).cast("double").as("lo"))
+          .withColumn("hi", col("lo") + 5000.0)
+        RangeJoin.intervalJoin(points, intervals, "o_totalprice", "lo", "hi", w = 5000.0)
+          .groupBy("c_custkey")
+          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH iv AS (SELECT c_custkey,
+                     CAST((c_custkey * 137) % 400000 AS DOUBLE) AS lo,
+                     CAST((c_custkey * 137) % 400000 AS DOUBLE) + 5000.0 AS hi
+                   FROM customer)
+              SELECT c_custkey, count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS sum_price
+              FROM iv JOIN orders
+                ON o_totalprice BETWEEN lo AND hi
+              GROUP BY 1 ORDER BY c_custkey"""))
   )
 }
