@@ -46,9 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       LshBandBuckets(es.head,
         intArg(es(1), "lsh_band_buckets"), intArg(es(2), "lsh_band_buckets"),
         intArg(es(3), "lsh_band_buckets"), longArg(es(4), "lsh_band_buckets")))
-    // aggregate: the analyzer wraps AggregateFunctions used in agg context
+    // aggregates: the analyzer wraps AggregateFunctions used in agg context
     register("top_k_by", classOf[TopKByAgg])(es =>
       TopKByAgg(es.head, es(1), intArg(es(2), "top_k_by")))
+    register("frequent_items", classOf[FrequentItemsAgg])(es =>
+      FrequentItemsAgg(es.head, intArg(es(1), "frequent_items")))
 
     // transparent star-tree pre-aggregation (fires only on fact tables
     // registered in graft.plans.StarTreeCatalog)

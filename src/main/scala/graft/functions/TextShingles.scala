@@ -10,8 +10,19 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
   * with codegen'd higher-order functions, no UDF.
   */
 object TextShingles {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
 
   def wordTokens(text: Column): Column = split(lower(text), " ")
+
+  /** Misra–Gries heavy hitters: `array<struct<item, est_count>>` of the
+    * ≤ k most frequent strings; counts are lower bounds, error ≤ n/(k+1).
+    * Mergeable O(k) state — the scan-friendly alternative to a full
+    * distinct-count shuffle for TOP-K term statistics.
+    */
+  def frequentItems(item: Column, k: Int): Column =
+    ColumnBridge.column(
+      graft.functions.expressions.FrequentItemsAgg(
+        ColumnBridge.expression(item), k).toAggregateExpression())
 
   /** Distinct word n-gram shingles; empty array when the doc is shorter
     * than n tokens. NOTE: prefer `withShingleHashes` in plans — this

@@ -72,6 +72,22 @@ object TextAnalysisQueries {
                      CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}')) AS INT) AS bpe_ish
               FROM documents ORDER BY doc_id""")),
 
+    // Approximate TOP-K heavy hitters over the token stream (Misra–Gries
+    // mergeable sketch): per-language most frequent words with O(k) state
+    // per map task. Counts are lower bounds — rows-only; the error bound
+    // is spec'd against exact counts in FrequentItemsSpec.
+    QueryDef(
+      "q_frequent_terms",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("lang"), explode(TextShingles.wordTokens(col("text"))).as("w"))
+          .groupBy("lang")
+          .agg(TextShingles.frequentItems(col("w"), 15).as("top_terms"))
+          .select(col("lang"), posexplode(col("top_terms")).as(Seq("pos", "t")))
+          .select(col("lang"), col("pos"), col("t.item").as("item"))
+          .orderBy("lang", "pos"),
+      None),
+
     QueryDef(
       "q_fingerprint",
       (s, d) =>

@@ -73,6 +73,50 @@ class ExpressionSpec extends SparkSpec {
     assert((0 until 64).forall(i => (a.getLong(i) >> 32) === i.toLong))
   }
 
+  test("frequent_items retains every true heavy hitter within the MG bound") {
+    import graft.engine.Tables
+    import graft.functions.TextShingles
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(TextShingles.wordTokens(col("text"))).as("w"))
+    val n = toks.count()
+    val k = 20
+    val exact = toks.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = toks.agg(TextShingles.frequentItems(col("w"), k).as("f"))
+      .select(explode(col("f")).as("e"))
+      .select(col("e.item"), col("e.est_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.size <= k)
+    val bound = n / (k + 1)
+    // every item with true count > n/(k+1) must be present...
+    exact.filter(_._2 > bound).foreach { case (w, c) =>
+      assert(sketch.contains(w), s"heavy hitter '$w' (count $c > $bound) missing")
+    }
+    // ...and estimates are lower bounds within the additive error
+    sketch.foreach { case (w, est) =>
+      val truth = exact.getOrElse(w, 0L)
+      assert(est <= truth, s"'$w' overestimated: $est > $truth")
+      assert(truth - est <= bound, s"'$w' error ${truth - est} > $bound")
+    }
+  }
+
+  test("frequent_items merge path equals the guarantee under partitioning") {
+    val parts = Seq.tabulate(8)(_ => new graft.functions.expressions.FreqSketch(5))
+    val all = new graft.functions.expressions.FreqSketch(5)
+    val rnd = new scala.util.Random(99)
+    val stream = Seq.fill(2000)(s"w${math.abs(rnd.nextInt(40))}") ++
+      Seq.fill(500)("hot1") ++ Seq.fill(400)("hot2")
+    stream.zipWithIndex.foreach { case (w, i) => parts(i % 8).add(w); all.add(w) }
+    val merged = new graft.functions.expressions.FreqSketch(5)
+    parts.foreach(merged.mergeFrom)
+    val bound = stream.size / 6
+    Seq("hot1", "hot2").foreach { hot =>
+      assert(merged.counters.contains(hot), s"$hot lost in merge")
+      val truth = stream.count(_ == hot).toLong
+      assert(truth - merged.counters(hot) <= bound)
+    }
+  }
+
   test("empty inputs emit no minhash bands (no false candidates)") {
     val none = MinHashOps.bands(new GenericArrayData(Array.emptyLongArray), 32, 8)
     assert(none.numElements() === 0)
