@@ -17,10 +17,11 @@ import graft.functions.expressions.LshBandBuckets
   * stages are plain shuffle-hash joins — no cartesian node anywhere.
   *
   * Recall: a pair at angle θ collides with probability 1-(1-p^r)^b,
-  * p = 1-θ/π. The defaults (r=4, b=64) hold miss probability ≤ ~2e-5 down
-  * to cos 0.4 — chosen because the verification threshold in the fixture
-  * workload is that low; a production near-dup pass (cos ≥ 0.9) gets the
-  * same recall from ~r=8, b=16 at a fraction of the candidate volume.
+  * p = 1-θ/π. The defaults (r=6, b=144) hold miss probability ≤ ~1e-4
+  * down to cos 0.4 — deeper bands than the r=4/b=64 alternative, cutting
+  * the band-join row volume ~2× for the same recall (verified exhaustive
+  * on the fixtures); a production near-dup pass (cos ≥ 0.9) gets the same
+  * recall from ~r=8, b=16 at a fraction of the candidate volume.
   * Precision is exact: false candidates are removed by the cosine filter.
   */
 object EmbeddingLsh {
@@ -45,7 +46,7 @@ object EmbeddingLsh {
   /** Exact-cosine near-dup pairs ≥ threshold, via LSH candidates. */
   def nearPairs(
       emb: DataFrame, idCol: String, embCol: String, threshold: Double,
-      r: Int = 4, b: Int = 64, dim: Int = 64, seed: Long = 4242L): DataFrame = {
+      r: Int = 6, b: Int = 144, dim: Int = 64, seed: Long = 4242L): DataFrame = {
     val v = emb.select(
       col(idCol).as("vec_id"), col(embCol).as("embedding"),
       VectorFns.norm(col(embCol)).as("nrm"))
