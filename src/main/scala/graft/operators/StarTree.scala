@@ -19,19 +19,32 @@ object StarTree {
     * of a nullable metric actually divides/counts by) and the row count
     * (`cube_cnt`).
     */
-  def buildCube(df: DataFrame, dims: Seq[String], sumMetrics: Seq[String]): DataFrame = {
+  def buildCube(
+      df: DataFrame, dims: Seq[String], sumMetrics: Seq[String],
+      distinctMetrics: Seq[String] = Nil): DataFrame = {
     val aggs = sumMetrics.map(m => sum(col(m)).as(s"s_$m")) ++
-      sumMetrics.map(m => count(col(m)).as(s"c_$m")) :+ count(lit(1)).as("cube_cnt")
+      sumMetrics.map(m => count(col(m)).as(s"c_$m")) ++
+      // DISTINCTCOUNTHLL-in-star-tree: a mergeable HLL sketch per cell, so
+      // distinct counts roll up from the cube like sums do — the only way
+      // distinct-count survives pre-aggregation (exact distincts do not
+      // decompose across cells).
+      distinctMetrics.map(m => hll_sketch_agg(col(m)).as(s"hll_$m")) :+
+      count(lit(1)).as("cube_cnt")
     df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Answer a group-by over a subset of the cube's dims from the partials:
-    * sums add, counts add. Result columns: `s_<metric>`, `c_<metric>`,
+    * sums add, counts add, HLL sketches union. Result columns:
+    * `s_<metric>`, `c_<metric>`, `d_<metric>` (estimated distinct count),
     * `cube_cnt`.
     */
-  def rollup(cube: DataFrame, dims: Seq[String], sumMetrics: Seq[String]): DataFrame = {
+  def rollup(
+      cube: DataFrame, dims: Seq[String], sumMetrics: Seq[String],
+      distinctMetrics: Seq[String] = Nil): DataFrame = {
     val aggs = sumMetrics.map(m => sum(col(s"s_$m")).as(s"s_$m")) ++
-      sumMetrics.map(m => sum(col(s"c_$m")).as(s"c_$m")) :+
+      sumMetrics.map(m => sum(col(s"c_$m")).as(s"c_$m")) ++
+      distinctMetrics.map(m =>
+        hll_sketch_estimate(hll_union_agg(col(s"hll_$m"))).as(s"d_$m")) :+
       sum(col("cube_cnt")).as("cube_cnt")
     cube.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }

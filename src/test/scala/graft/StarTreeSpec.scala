@@ -19,6 +19,25 @@ class StarTreeSpec extends SparkSpec {
     assert(rolled === direct)
   }
 
+  test("HLL distinct-count metrics roll up from the cube within 5% of exact") {
+    val li = Tables.lineitem(spark, sfDir)
+    val cube = StarTree.buildCube(li,
+      dims = Seq("l_returnflag", "l_linestatus"), sumMetrics = Seq("l_quantity"),
+      distinctMetrics = Seq("l_partkey"))
+    val rolled = StarTree.rollup(cube, Seq("l_returnflag"), Seq("l_quantity"),
+        distinctMetrics = Seq("l_partkey"))
+      .select(col("l_returnflag"), col("d_l_partkey"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, truth) =>
+      val est = rolled(k)
+      assert(math.abs(est - truth).toDouble / truth <= 0.05,
+        s"$k: est $est vs exact $truth")
+    }
+  }
+
   test("cube is much smaller than the fact table") {
     val li = Tables.lineitem(spark, sfDir)
     val cube = StarTree.buildCube(li,
