@@ -55,6 +55,31 @@ object MultiValueQueries {
                      round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) + 0 AS max_v,
                      round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4) + 0 AS min_v,
                      round(CAST(embedding[1] AS DOUBLE), 4) + 0 AS first_v
-              FROM embeddings ORDER BY vec_id"""))
+              FROM embeddings ORDER BY vec_id""")),
+
+    // MAP columns (complex-type-array-map-handling.md's other half):
+    // build a map deterministically, then exercise element_at / map_keys /
+    // size — the oracle verifies the SEMANTIC values from plain columns,
+    // proving the map round-trip.
+    QueryDef(
+      "q_map_functions",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("m", map(
+            lit("bucket"), (col("doc_id") % 5).cast("string"),
+            lit("chars"), col("n_chars").cast("string")))
+          .select(
+            col("doc_id"),
+            element_at(col("m"), "bucket").cast("int").as("bucket"),
+            size(col("m")).as("n_keys"),
+            array_sort(map_keys(col("m"))).as("keys"),
+            (element_at(col("m"), "bucket").cast("long") +
+              element_at(col("m"), "chars").cast("long")).as("kv_sum"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(doc_id % 5 AS INT) AS bucket,
+                     CAST(2 AS INT) AS n_keys,
+                     ['bucket', 'chars'] AS keys,
+                     CAST(doc_id % 5 + n_chars AS BIGINT) AS kv_sum
+              FROM documents ORDER BY doc_id"""))
   )
 }
