@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Clusters, MinHashLsh}
+import graft.functions.TextShingles
+
+/** End-to-end corpus curation — the standard LLM training-data pass,
+  * composed from the engine's oracle-verified building blocks:
+  *
+  *   1. exact dedup (content hash, keep min id)
+  *   2. near-dup dedup: MinHash-LSH candidates → exact-Jaccard verify →
+  *      connected components → keep one doc per cluster
+  *   3. quality filter (token count / uniq ratio bounds)
+  *   4. reproducible stratified sampling (content-hash keyed)
+  *
+  * Every stage is a declarative DataFrame transform: the pipeline is one
+  * lazy plan per stage boundary, scales exactly as its pieces do (bucket
+  * joins, partial aggregates, no cartesian/window scale-killers), and is
+  * deterministic end-to-end — same corpus in, same corpus out, on any
+  * cluster, any partitioning, any retry.
+  */
+object Curation {
+
+  final case class Config(
+      shingleSize: Int = 3,
+      jaccardThreshold: Double = 0.8,
+      minTokens: Int = 5,
+      maxTokens: Int = 100000,
+      minUniqRatio: Double = 0.1,
+      /** per-stratum keep rate in [0,1]; strata absent from the map keep
+        * `defaultKeepRate` of their docs. */
+      keepRates: Map[String, Double] = Map.empty,
+      defaultKeepRate: Double = 1.0)
+
+  /** Near-dup losers (non-representative cluster members) — MinHash
+    * candidates verified by exact Jaccard, clustered by connected
+    * components. Returns doc ids to DROP.
+    */
+  private def nearDupLosers(docs: DataFrame, cfg: Config): DataFrame = {
+    val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text")
+    val sh = TextShingles.withShingleHashes(docs, "doc_id", "text", cfg.shingleSize)
+      .select(col("doc_id"), col("sh"))
+    val verified = cands
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
+      .filter(col("jaccard") >= cfg.jaccardThreshold)
+      .select("a_id", "b_id")
+    Clusters.connectedComponents(verified)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+  }
+
+  /** The curated corpus: docs surviving every stage, plus audit columns
+    * (`n_tokens`, `uniq_ratio`). Input needs (doc_id, text, lang) columns.
+    */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    // 1. exact dedup — keep the min doc_id per identical content
+    val exactKeep = docs
+      .withColumn("__rep", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("__rep"))
+      .drop("__rep")
+
+    // 2. near-dup dedup
+    val deduped = exactKeep.join(nearDupLosers(exactKeep, cfg), Seq("doc_id"), "left_anti")
+
+    // 3. quality filter
+    val toks = TextShingles.wordTokens(col("text"))
+    val scored = deduped
+      .withColumn("n_tokens", size(toks))
+      .withColumn("uniq_ratio",
+        size(array_distinct(toks)).cast("double") / greatest(size(toks), lit(1)))
+      .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
+        col("uniq_ratio") >= cfg.minUniqRatio)
+
+    // 4. reproducible stratified sampling on the content hash
+    val rate = cfg.keepRates.foldLeft(lit(cfg.defaultKeepRate)) {
+      case (acc, (stratum, r)) => when(col("lang") === stratum, lit(r)).otherwise(acc)
+    }
+    scored.filter(
+      (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("double") / 65536.0) < rate)
+  }
+}
