@@ -186,6 +186,28 @@ object CoreSql {
           .orderBy("l_returnflag"),
       None),
 
+    // Multi-quantile PERCENTILE in ONE aggregation pass (Pinot evaluates
+    // each percentile level over the same column without rescanning).
+    QueryDef(
+      "q_percentile_multi",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(expr(
+            "transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))," +
+              " v -> round(v, 2))").as("qs"))
+          .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("pos", "q")))
+          .select(col("l_returnflag"), col("pos"), (col("q") + lit(0.0)).as("q"))
+          .orderBy("l_returnflag", "pos"),
+      Some("""SELECT l_returnflag, CAST(i - 1 AS INT) AS pos,
+                     round(q, 2) + 0 AS q
+              FROM (SELECT l_returnflag,
+                           generate_subscripts(qs, 1) AS i, unnest(qs) AS q
+                    FROM (SELECT l_returnflag,
+                                 quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs
+                          FROM lineitem GROUP BY 1))
+              ORDER BY l_returnflag, pos""")),
+
     QueryDef(
       "q_mode",
       (s, d) =>
