@@ -18,6 +18,14 @@ class SqlInterfaceSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq === Seq("A", "N", "R"))
   }
 
+  test("events SQL view exposes ts as a timestamp like the DataFrame API") {
+    Graft.registerTables(spark, sfDir)
+    val sqlType = spark.sql("SELECT ts FROM events").schema.head.dataType
+    val apiType = graft.engine.Tables.events(spark, sfDir).schema("ts").dataType
+    assert(sqlType === org.apache.spark.sql.types.TimestampType)
+    assert(sqlType === apiType, "SQL view and DataFrame API diverge on events.ts")
+  }
+
   test("custom vector_dot expression is callable from SQL") {
     Graft.registerTables(spark, sfDir)
     val d = spark.sql(
