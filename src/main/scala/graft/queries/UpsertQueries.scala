@@ -40,6 +40,31 @@ object UpsertQueries {
                     FROM events)
               WHERE rn = 1 ORDER BY user_id""")),
 
+    // Upsert with DELETE semantics (Pinot's delete-on-upsert): the latest
+    // record per key wins, and a key whose LATEST record is a tombstone
+    // (here: deterministic marker event_id % 50 == 0) disappears from the
+    // view entirely — still one partial-aggregating max_by pass.
+    QueryDef(
+      "q_upsert_delete",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(max_by(
+            struct(col("event_id"), col("event_type"),
+              (col("event_id") % 50 === 0).as("del")),
+            struct(col("ts"), col("event_id"))).as("last"))
+          .filter(!col("last.del"))
+          .select(
+            col("user_id"),
+            col("last.event_id").as("last_event_id"),
+            col("last.event_type").as("last_type"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, event_id AS last_event_id, event_type AS last_type
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events)
+              WHERE rn = 1 AND event_id % 50 <> 0 ORDER BY user_id""")),
+
     // PARTIAL upsert — Pinot's per-column merge strategies applied in one
     // aggregate pass: OVERWRITE (latest non-null: last purchase amount via
     // max_by with a null-when-absent ordering key), INCREMENT (running

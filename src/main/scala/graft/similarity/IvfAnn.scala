@@ -37,6 +37,32 @@ object IvfAnn {
         (assigned.persist(), centroids.persist())
       })
 
+  /** Materialize the index next to the corpus segments (the deployment
+    * shape: KMeans fit + assignment happen ONCE at build, queries read
+    * only the assigned cells). Layout: `<path>/assigned` (corpus +
+    * `cell`, partitioned by cell so probes prune whole directories) and
+    * `<path>/centroids`.
+    */
+  def materialize(
+      corpus: DataFrame, path: String,
+      numCentroids: Int, seed: Long = 42L): Unit = {
+    val (assigned, centroids) = buildIndex(corpus, numCentroids, seed)
+    assigned.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/assigned")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query a materialized index: probes read ~nProbe/numCentroids of the
+    * corpus via partition pruning on `cell`.
+    */
+  def knnIvfIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    knnIvfOn(assigned, centroids, queries, k, nProbe)
+  }
+
   /** cell-assigned corpus + centroid table (centroid_id, centroid float[]). */
   def buildIndex(corpus: DataFrame, numCentroids: Int, seed: Long = 42L)
       : (DataFrame, DataFrame) = {
@@ -59,7 +85,13 @@ object IvfAnn {
       queries: DataFrame, candidates: DataFrame, k: Int,
       numCentroids: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
     val (assigned, centroids) = buildIndexCached(candidates, numCentroids, seed)
+    knnIvfOn(assigned, centroids, queries, k, nProbe)
+  }
 
+  /** Probe an already-built (cached or materialized) index. */
+  def knnIvfOn(
+      assigned: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     // nProbe nearest centroids per query (euclidean, matching KMeans):
     // |q-c|² = |q|² - 2·q·c + |c|²; |q|² is rank-invariant per query.
     // top_k_by keeps the nProbe LOWEST distances (score = -distance).

@@ -53,6 +53,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("materialized ivf index answers identically to the in-session build") {
+    val e = Tables.embeddings(spark, sfDir)
+    val qs = e.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    IvfAnn.materialize(e, dir, numCentroids = 8)
+    val fromIndex = IvfAnn.knnIvfIndexed(spark, dir, qs, k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val inSession = IvfAnn.knnIvf(qs, e, k = 3, numCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromIndex === inSession)
+    // probes prune cell directories on the materialized layout
+    val plan = IvfAnn.knnIvfIndexed(spark, dir, qs, k = 3, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+  }
+
   test("ivf ann recalls a useful fraction of brute-force neighbors") {
     val e = Tables.embeddings(spark, sfDir)
     val qs = e.filter(col("vec_id") < 10)
