@@ -34,7 +34,11 @@ object SegmentWriter {
         * columns, filterable/groupable without re-truncating and usable
         * as partition columns.
         */
-      derivedTimeCols: Seq[(String, String)] = Seq.empty)
+      derivedTimeCols: Seq[(String, String)] = Seq.empty,
+      /** Parquet codec — zstd: better ratio than snappy at comparable
+        * decode speed, which at 100 TB is mostly an IO-bytes win.
+        */
+      codec: String = "zstd")
 
   /** Derived-column name for a (timeCol, granularity) pair. */
   def derivedName(timeCol: String, granularity: String): String =
@@ -55,7 +59,7 @@ object SegmentWriter {
       if (cfg.sortCols.nonEmpty)
         repartitioned.sortWithinPartitions(cfg.sortCols.map(col): _*)
       else repartitioned
-    val writer0 = sorted.write.mode("overwrite")
+    val writer0 = sorted.write.mode("overwrite").option("compression", cfg.codec)
     val writer = cfg.bloomFilterCols.foldLeft(writer0) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
