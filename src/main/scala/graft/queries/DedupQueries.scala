@@ -212,6 +212,40 @@ object DedupQueries {
           .orderBy("a_id", "b_id"),
       None),
 
+    // Embedding near-dup CLUSTERS: the same connected-components engine
+    // over the cosine pairs — cluster id = min vec_id; proves the CC
+    // operator is metric-agnostic (text shingles or embeddings alike).
+    QueryDef(
+      "q_dedup_embedding_clusters",
+      (s, d) =>
+        graft.dedup.Clusters
+          .connectedComponents(
+            graft.dedup.EmbeddingLsh
+              .nearPairs(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4)
+              .select("a_id", "b_id"))
+          .select(col("id").as("vec_id"), col("cluster_id"))
+          .orderBy("vec_id"),
+      Some("""WITH RECURSIVE
+                   e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                                CAST(unnest(embedding) AS DOUBLE) AS v
+                         FROM embeddings),
+                   dots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v * b.v) AS dot
+                            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+                            GROUP BY 1, 2),
+                   norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+                   jp AS (SELECT a_id, b_id FROM dots
+                          JOIN norms na ON a_id = na.vec_id
+                          JOIN norms nb ON b_id = nb.vec_id
+                          WHERE dot / (na.nrm * nb.nrm) >= 0.4),
+                   edges AS (SELECT a_id AS u, b_id AS v FROM jp
+                             UNION SELECT b_id, a_id FROM jp),
+                   reach(u, v) AS (
+                     SELECT DISTINCT u, u FROM edges
+                     UNION
+                     SELECT e2.u, r.v FROM edges e2 JOIN reach r ON e2.v = r.u)
+              SELECT u AS vec_id, min(v) AS cluster_id
+              FROM reach GROUP BY u ORDER BY vec_id""")),
+
     // Embedding cosine near-dup pairs — LSH band candidates + exact-cosine
     // verify (graft.dedup.EmbeddingLsh): equi-joins only, no cartesian
     // node; sims are exact doubles, so the DuckDB oracle still matches
