@@ -235,6 +235,41 @@ object AdvancedQueries {
       },
       None),
 
+    // Sessionization: split each user's event stream into sessions at
+    // >30-minute gaps (lag + running sum over one user-keyed window — a
+    // single hash shuffle; the canonical behavioral-analytics shape).
+    QueryDef(
+      "q_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+          .withColumn("sess_id", sum("new_sess")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min("ts").as("sess_start"),
+            round(sum("value"), 2).as("sess_value"))
+          .orderBy("user_id", "sess_id")
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, ts, value,
+                     lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                   FROM events),
+                   marks AS (SELECT *, CASE WHEN prev_ts IS NULL
+                                  OR epoch(ts) - epoch(prev_ts) > 1800
+                               THEN 1 ELSE 0 END AS new_sess FROM g),
+                   sess AS (SELECT *, sum(new_sess) OVER
+                              (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+                            FROM marks)
+              SELECT user_id, sess_id, count(*) AS n_events,
+                     min(ts) AS sess_start, round(sum(value), 2) AS sess_value
+              FROM sess GROUP BY 1, 2 ORDER BY user_id, sess_id""")),
+
     // GROUPING SETS / CUBE: every dim-combination rollup in ONE pass
     // (Expand + single aggregate) — the query-side analog of the
     // star-tree's multi-combination pre-aggregation; at 100 TB one Expand

@@ -66,6 +66,22 @@ object Realtime {
         col("window.start").as("window_start"),
         col("event_type"), col("cnt"), col("sum_val"))
 
+  /** Session-window aggregation: gap-based sessions per key — watermark
+    * bounds state, each session closes `gap` after its last event.
+    */
+  def sessionAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_val"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("sum_val"))
+
   /** Streaming dedup — Pinot realtime-table dedup semantics: drop records
     * whose primary key was already seen, with state bounded by the
     * watermark (Pinot's analog is the metadata TTL on the dedup store).

@@ -112,6 +112,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows split a key's events at the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Realtime.sessionAgg(input.toDF(), "5 minutes", "1 minute")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 00:00:00", 7, "click", 1.0),
+        ev(2, "2024-01-01 00:02:00", 7, "click", 2.0), // same session (< 5m gap)
+        ev(3, "2024-01-01 00:30:00", 7, "click", 4.0)) // new session
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").collect()
+        .map(r => (r.getLong(3), r.getDouble(4)))
+      assert(sessions.toSet === Set((2L, 3.0), (1L, 4.0)),
+        s"got ${sessions.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
