@@ -235,6 +235,50 @@ object AdvancedQueries {
       },
       None),
 
+    // Cohort retention: users bucketed by first-seen day, distinct-user
+    // counts per (cohort, day-offset) — the slice/drill dashboard matrix.
+    QueryDef(
+      "q_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cohorts = ev.groupBy("user_id")
+          .agg(min(date_trunc("day", col("ts"))).as("cohort"))
+        ev.join(cohorts, Seq("user_id"))
+          .withColumn("day_offset",
+            datediff(date_trunc("day", col("ts")), col("cohort")))
+          .filter(col("day_offset") <= 7)
+          .groupBy("cohort", "day_offset")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort", "day_offset")
+      },
+      Some("""WITH c AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+                         FROM events GROUP BY 1)
+              SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+                     CAST(datediff('day', cohort, date_trunc('day', ts)) AS INT) AS day_offset,
+                     count(DISTINCT e.user_id) AS n_users
+              FROM events e JOIN c USING (user_id)
+              WHERE datediff('day', cohort, date_trunc('day', ts)) <= 7
+              GROUP BY 1, 2 ORDER BY cohort, day_offset""")),
+
+    // PIVOT (slice and dice): event_type columns per user, one scan +
+    // one aggregate (explicit pivot values keep the schema static).
+    QueryDef(
+      "q_pivot",
+      (s, d) =>
+        Tables.events(s, d)
+          .filter(col("user_id") < 30)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "view", "purchase"))
+          .agg(round(sum("value"), 2))
+          .na.fill(0.0, Seq("click", "view", "purchase"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+                     coalesce(round(sum(CASE WHEN event_type = 'click' THEN value END), 2), 0) AS click,
+                     coalesce(round(sum(CASE WHEN event_type = 'view' THEN value END), 2), 0) AS view,
+                     coalesce(round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2), 0) AS purchase
+              FROM events WHERE user_id < 30
+              GROUP BY 1 ORDER BY user_id""")),
+
     // Sessionization: split each user's event stream into sessions at
     // >30-minute gaps (lag + running sum over one user-keyed window — a
     // single hash shuffle; the canonical behavioral-analytics shape).
