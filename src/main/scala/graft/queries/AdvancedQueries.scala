@@ -235,6 +235,32 @@ object AdvancedQueries {
       },
       None),
 
+    // Anomaly pre-filter (the ThirdEye-style use in Introduction.md):
+    // per-type z-scores against broadcast per-type stats; stats round to
+    // 6 decimals on both sides so threshold comparisons are engine-stable.
+    QueryDef(
+      "q_zscore_outliers",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val stats = ev.groupBy("event_type").agg(
+          round(avg("value"), 6).as("mu"),
+          round(stddev_pop(col("value")), 6).as("sigma"))
+        ev.join(broadcast(stats), Seq("event_type"))
+          .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+          .filter(abs(col("z")) > 2.5)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_outliers"), round(max(abs(col("z"))), 2).as("max_z"))
+          .orderBy("event_type")
+      },
+      Some("""WITH st AS (SELECT event_type, round(avg(value), 6) AS mu,
+                     round(stddev_pop(value), 6) AS sigma
+                   FROM events GROUP BY 1)
+              SELECT event_type, count(*) AS n_outliers,
+                     round(max(abs((value - mu) / sigma)), 2) AS max_z
+              FROM events JOIN st USING (event_type)
+              WHERE abs((value - mu) / sigma) > 2.5
+              GROUP BY 1 ORDER BY event_type""")),
+
     // Cohort retention: users bucketed by first-seen day, distinct-user
     // counts per (cohort, day-offset) — the slice/drill dashboard matrix.
     QueryDef(
