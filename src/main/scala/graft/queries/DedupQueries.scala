@@ -33,6 +33,17 @@ object DedupQueries {
     pairsCache.getOrElseUpdate((s, d, threshold, maxShingleDf),
       jaccardPairs(s, d, threshold, maxShingleDf).persist())
 
+  private val embPairsCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Double),
+      org.apache.spark.sql.DataFrame]
+
+  private def embeddingPairsCached(
+      s: org.apache.spark.sql.SparkSession, d: String, threshold: Double) =
+    embPairsCache.getOrElseUpdate((s, d, threshold),
+      graft.dedup.EmbeddingLsh
+        .nearPairs(Tables.embeddings(s, d), "vec_id", "embedding", threshold)
+        .persist())
+
   private def clustersCached(
       s: org.apache.spark.sql.SparkSession, d: String, threshold: Double,
       maxShingleDf: Long = 4096L) =
@@ -220,9 +231,7 @@ object DedupQueries {
       (s, d) =>
         graft.dedup.Clusters
           .connectedComponents(
-            graft.dedup.EmbeddingLsh
-              .nearPairs(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4)
-              .select("a_id", "b_id"))
+            embeddingPairsCached(s, d, 0.4).select("a_id", "b_id"))
           .select(col("id").as("vec_id"), col("cluster_id"))
           .orderBy("vec_id"),
       Some("""WITH RECURSIVE
@@ -255,8 +264,7 @@ object DedupQueries {
     QueryDef(
       "q_dedup_embedding",
       (s, d) =>
-        graft.dedup.EmbeddingLsh
-          .nearPairs(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4)
+        embeddingPairsCached(s, d, 0.4)
           .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
           .orderBy("a_id", "b_id"),
       Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
