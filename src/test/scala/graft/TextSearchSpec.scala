@@ -65,6 +65,29 @@ class TextSearchSpec extends SparkSpec {
     assert(ids(TextSearch.textMatch(col("text"), "/s.*k/ AND data")) === Set(2L))
   }
 
+  test("json match syntax parses the supported operators and rejects others") {
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructType}
+    import graft.functions.JsonFns
+    val es = new StructType().add("status", StringType).add("price", DoubleType)
+    val df = {
+      import spark.implicits._
+      Seq(
+        (1L, """{"orders":[{"status":"F","price":10.0},{"status":"O","price":99.0}]}"""),
+        (2L, """{"orders":[{"status":"O","price":5.0}]}""")
+      ).toDF("id", "doc")
+    }
+    def ids(cond: String): Set[Long] =
+      df.filter(JsonFns.jsonMatchSyntax(col("doc"), cond, es))
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(""""$.orders[*].status" = 'F'""") === Set(1L))
+    assert(ids(""""$.orders[*].price" > 50""") === Set(1L))
+    assert(ids(""""$.orders[*].price" <= 5""") === Set(2L))
+    assert(ids(""""$.orders[*].status" != 'O'""") === Set(1L))
+    intercept[IllegalArgumentException] {
+      JsonFns.jsonMatchSyntax(col("doc"), "not a condition", es)
+    }
+  }
+
   test("langid predicts a valid language deterministically") {
     import spark.implicits._
     val df = Seq(
