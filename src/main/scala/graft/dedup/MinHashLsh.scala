@@ -24,17 +24,23 @@ object MinHashLsh {
   val NumHashes = 32
   val NumBands = 8
 
-  /** doc_id, band_idx, band_hash — one row per band. */
-  def bands(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = TextShingles.withShingleHashes(docs, idCol, textCol, 3)
+  /** doc_id, band_idx, band_hash — one row per band. `shingleSize` must
+    * match the shingle size of any downstream exact-Jaccard verification
+    * (candidates generated on one n and verified on another silently lose
+    * recall).
+    */
+  def bands(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val sh = TextShingles.withShingleHashes(docs, idCol, textCol, shingleSize)
     val bandCol = ColumnBridge.column(
       MinHashBands(ColumnBridge.expression(col("sh")), NumHashes, NumBands))
     sh.select(col(idCol), posexplode(bandCol).as(Seq("band_idx", "band_hash")))
   }
 
   /** Distinct candidate pairs (a_id < b_id) sharing ≥1 band. */
-  def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val b = bands(docs, idCol, textCol)
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val b = bands(docs, idCol, textCol, shingleSize)
     val a = b.select(col(idCol).as("a_id"), col("band_idx"), col("band_hash"))
     val c = b.select(col(idCol).as("b_id"), col("band_idx"), col("band_hash"))
     a.join(c, Seq("band_idx", "band_hash"))

@@ -23,9 +23,12 @@ object SimHash {
   /** doc_id + 64-bit `simhash` column. Token-less docs are dropped: their
     * signature would be the constant 0, making every empty doc a Hamming-0
     * "near-dup" of every other — a quadratic false-pair blowup at scale.
+    * `split("", " ")` yields `[""]`, so empty strings must be removed
+    * BEFORE the size guard or empty/whitespace-only docs slip through it.
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), TextShingles.wordTokens(col(textCol)).as("__toks"))
+    docs.select(col(idCol),
+        array_remove(TextShingles.wordTokens(col(textCol)), "").as("__toks"))
       .filter(size(col("__toks")) > 0)
       .select(
         col(idCol),

@@ -33,16 +33,26 @@ object GeoFns {
     * join shape; Pinot's geo index serves the same purpose —
     * /root/reference/basics/indexing/README.md:22).
     */
-  def gridCell(lat: Column, lon: Column, cellDeg: Double): Column =
-    floor((lat + 90) / cellDeg).cast("long") * 100000L +
+  /** Cell ids pack the lat index into the high 32 bits and the lon index
+    * into the low 32 (both fit for any cellDeg ≥ 1e-7°), so distinct cells
+    * never alias — a fixed decimal multiplier would wrap fine grids
+    * (< 0.0036°) into other lat rows. No antimeridian/pole wrap: probes
+    * within cellDeg of ±180° lon / ±90° lat must be handled by the caller
+    * (e.g. probing both sides).
+    */
+  def gridCell(lat: Column, lon: Column, cellDeg: Double): Column = {
+    require(cellDeg >= 1e-7, s"cellDeg $cellDeg too fine: lon index must fit 32 bits")
+    shiftleft(floor((lat + 90) / cellDeg).cast("long"), 32) +
       floor((lon + 180) / cellDeg).cast("long")
+  }
 
   /** The 3×3 cell neighborhood around a point — what a radius probe
     * explodes into before the equi-join on `gridCell`.
     */
   def neighborCells(lat: Column, lon: Column, cellDeg: Double): Column = {
+    require(cellDeg >= 1e-7, s"cellDeg $cellDeg too fine: lon index must fit 32 bits")
     val cells = for (di <- -1 to 1; dj <- -1 to 1) yield
-      (floor((lat + 90) / cellDeg).cast("long") + di) * 100000L +
+      shiftleft(floor((lat + 90) / cellDeg).cast("long") + di, 32) +
         (floor((lon + 180) / cellDeg).cast("long") + dj)
     array(cells: _*)
   }

@@ -67,6 +67,11 @@ object LshOps {
 case class LshBandBuckets(child: Expression, r: Int, b: Int, dim: Int, seed: Long)
   extends UnaryExpression {
 
+  // The band index lives in the high 32 bits and the r sign bits in the low
+  // 32; r > 32 would silently overlap them (cross-band value collisions).
+  require(r > 0 && r <= 32, s"lsh_band_buckets: r must be in 1..32, got $r")
+  require(b > 0, s"lsh_band_buckets: b must be positive, got $b")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

@@ -39,7 +39,7 @@ object Curation {
     * components. Returns doc ids to DROP.
     */
   private def nearDupLosers(docs: DataFrame, cfg: Config): DataFrame = {
-    val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text")
+    val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text", cfg.shingleSize)
     val sh = TextShingles.withShingleHashes(docs, "doc_id", "text", cfg.shingleSize)
       .select(col("doc_id"), col("sh"))
     val verified = cands

@@ -336,7 +336,7 @@ object AdvancedQueries {
                               (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS sess_id
                             FROM marks)
-              SELECT user_id, sess_id, count(*) AS n_events,
+              SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
                      min(ts) AS sess_start, round(sum(value), 2) AS sess_value
               FROM sess GROUP BY 1, 2 ORDER BY user_id, sess_id""")),
 

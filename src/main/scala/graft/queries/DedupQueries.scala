@@ -27,6 +27,20 @@ object DedupQueries {
     .empty[(org.apache.spark.sql.SparkSession, String, Double, Long),
       org.apache.spark.sql.DataFrame]
 
+  /** Drops and unpersists every session-scoped materialization — call
+    * after rewriting the parquet under a cached dir (the caches key on the
+    * path, not the file contents, so stale results would be served
+    * otherwise) or to reclaim executor storage. Mirrors
+    * StarTreeCatalog.register's relation-cache invalidation.
+    */
+  def invalidateCaches(): Unit = {
+    Seq(pairsCache, clustersCache).foreach { c =>
+      c.values.foreach(_.unpersist(blocking = false)); c.clear()
+    }
+    embPairsCache.values.foreach(_.unpersist(blocking = false))
+    embPairsCache.clear()
+  }
+
   private def jaccardPairsCached(
       s: org.apache.spark.sql.SparkSession, d: String, threshold: Double,
       maxShingleDf: Long = 4096L) =

@@ -72,13 +72,13 @@ object MultiValueQueries {
             col("doc_id"),
             element_at(col("m"), "bucket").cast("int").as("bucket"),
             size(col("m")).as("n_keys"),
-            array_sort(map_keys(col("m"))).as("keys"),
+            array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
             (element_at(col("m"), "bucket").cast("long") +
               element_at(col("m"), "chars").cast("long")).as("kv_sum"))
           .orderBy("doc_id"),
       Some("""SELECT doc_id, CAST(doc_id % 5 AS INT) AS bucket,
                      CAST(2 AS INT) AS n_keys,
-                     ['bucket', 'chars'] AS keys,
+                     'bucket,chars' AS keys,
                      CAST(doc_id % 5 + n_chars AS BIGINT) AS kv_sum
               FROM documents ORDER BY doc_id"""))
   )

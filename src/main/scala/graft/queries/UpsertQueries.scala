@@ -78,7 +78,7 @@ object UpsertQueries {
           .agg(
             round(sum("value"), 2).as("total_value"),
             count(lit(1)).as("n_events"),
-            array_sort(collect_set(col("event_type"))).as("types_union"),
+            array_join(array_sort(collect_set(col("event_type"))), ",").as("types_union"),
             max_by(col("value"),
               when(col("event_type") === "purchase",
                 struct(col("ts"), col("event_id")))).as("last_purchase_value"))
@@ -91,7 +91,7 @@ object UpsertQueries {
               SELECT e.user_id,
                      round(sum(e.value), 2) AS total_value,
                      count(*) AS n_events,
-                     list_sort(list(DISTINCT e.event_type)) AS types_union,
+                     array_to_string(list_sort(list(DISTINCT e.event_type)), ',') AS types_union,
                      max(lp.value) AS last_purchase_value
               FROM events e
               LEFT JOIN (SELECT user_id, value FROM lastp WHERE rn = 1) lp

@@ -28,6 +28,16 @@ object IvfAnn {
   private val indexCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, Int, Long), (DataFrame, DataFrame)]
 
+  /** Unpersist + drop every cached index — required after the underlying
+    * corpus files change (the cache keys on the plan, not file contents).
+    */
+  def invalidateIndexCache(): Unit = {
+    indexCache.values.foreach { case (a, c) =>
+      a.unpersist(blocking = false); c.unpersist(blocking = false)
+    }
+    indexCache.clear()
+  }
+
   def buildIndexCached(corpus: DataFrame, numCentroids: Int, seed: Long = 42L)
       : (DataFrame, DataFrame) =
     indexCache.getOrElseUpdate(
