@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.functions.TextShingles
 
 /** Ad-hoc plan/perf probe (not part of the driver contract). */
 object Probe {
@@ -24,19 +23,16 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = TextShingles.withShingleHashes(Tables.documents(spark, sfDir), "doc_id", "text", 3)
-    time("docs+shingles")(docs.count())
-    time("docs+shingles again")(docs.count())
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("sh"))
-    time("explode")(ex.count())
-    val pairs = ex.as("a")
-      .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    time("pairs join+groupBy")(pairs.count())
-    val full = graft.queries.Registry.queries("q_dedup_ngram_jaccard")(spark, sfDir)
-    time("full query")(full.count())
-    full.explain("formatted")
+    val emb = Tables.embeddings(spark, sfDir)
+    time("warm")(emb.count())
+    val pairs = graft.dedup.EmbeddingLsh.nearPairs(emb, "vec_id", "embedding", 0.4)
+    pairs.explain("formatted")
+    val pairsP = pairs.select("a_id", "b_id").persist()
+    val nPairs = time("pairs materialize")(pairsP.count())
+    println(s"[probe] n pairs = $nPairs")
+    val t0 = System.nanoTime()
+    val cc = graft.dedup.Clusters.connectedComponents(pairsP)
+    println(f"[probe] CC total ${(System.nanoTime() - t0) / 1e9}%8.2f s, clusters = ${cc.count()}")
     spark.stop()
   }
 }

@@ -43,14 +43,31 @@ object EmbeddingLsh {
       .distinct()
   }
 
-  /** Exact-cosine near-dup pairs ≥ threshold, via LSH candidates. */
+  /** Exact-cosine near-dup pairs ≥ threshold, via LSH candidates.
+    *
+    * Order of operations matters at scale: the cosine VERIFY runs on the
+    * raw band-collision rows BEFORE any dedup — the embedding lookup joins
+    * are stats-auto-broadcast when the vector table is small (plain
+    * equi-joins at corpus scale) and the dot product is codegen'd, so
+    * collisions are filtered as they are produced, and the only wide
+    * shuffle left (the final distinct) sees just the surviving true pairs
+    * (each duplicated at most `b` times). Deduplicating candidates FIRST
+    * would instead shuffle the full collision volume — at a low threshold
+    * that is nearly all pairs.
+    */
   def nearPairs(
       emb: DataFrame, idCol: String, embCol: String, threshold: Double,
       r: Int = 6, b: Int = 144, dim: Int = 64, seed: Long = 4242L): DataFrame = {
     val v = emb.select(
       col(idCol).as("vec_id"), col(embCol).as("embedding"),
       VectorFns.norm(col(embCol)).as("nrm"))
-    candidatePairs(emb, idCol, embCol, r, b, dim, seed)
+    val banded = emb.select(
+      col(idCol).as("vec_id"),
+      explode(bandBuckets(col(embCol), r, b, dim, seed)).as("band"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .join(v.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
         col("nrm").as("a_nrm")), Seq("a_id"))
       .join(v.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
@@ -59,5 +76,6 @@ object EmbeddingLsh {
         VectorFns.dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("sim"))
+      .distinct()
   }
 }

@@ -11,6 +11,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * inverted/range indexes and is what makes a 100 TB scan viable.
   */
 object Tables {
+
+  /** NOTE on the test fixtures: each table ships as a SINGLE parquet row
+    * group, which parquet cannot split — the raw scan is one partition.
+    * Two remedies were measured at sf0.1/local[32] and BOTH lost: a
+    * round-robin fan-out above every scan (sort-before-repartition +
+    * an exchange per query, total 73s → 100s) and a session-scoped
+    * hash-partitioned cache (Pinot's loaded-segment analog; cache-scan
+    * overhead offset the parallel map stages, 73s → 75s). Plain scans win
+    * because the heavy pipelines gain their parallelism at their first
+    * shuffle anyway, and simple queries are dominated by fixed cost. On a
+    * production SegmentWriter layout (many files, sized row groups) scans
+    * split natively and none of this arises.
+    */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
