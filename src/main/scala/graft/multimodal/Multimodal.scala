@@ -28,10 +28,12 @@ final case class MediaFeatures(
   * The Spark-side plumbing is real: binary schema, batched
   * `mapPartitions` (one decoder init per partition, not per row — the
   * shape a JNI codec or an ONNX session needs), deterministic
-  * partitioning. The CODEC ITSELF IS A STUB (`decodeStub`): this
-  * container has no image/audio libraries, so decode is a deterministic
-  * hash-derived feature vector standing in for "decode + embed"; swap
-  * `decodeStub` for a real codec without touching any plumbing.
+  * partitioning. Image and audio decode are REAL (graft.multimodal.
+  * MediaCodec: pure-JDK PNG and WAV codecs + JPEG/GIF/BMP header
+  * sniffing); only video decode and the embed step remain the documented
+  * deterministic stub (`decodeStub`) — no av/model libraries exist in
+  * this container. Undecodable bytes fall back to the stub rather than
+  * failing the job.
   */
 object Multimodal {
 
@@ -46,8 +48,47 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB decoder: deterministic features from a rolling byte hash.
-    * Replace with a real image/audio decode + model forward pass.
+  /** Real decode where the JDK can: PNG → [width, height, meanR, meanG,
+    * meanB, …]; WAV → [sampleRate, channels, durationMs, meanAbsSample,
+    * …]; everything else (video containers, other codecs) falls back to
+    * the deterministic stub. Zero-padded to FeatureDim.
+    */
+  def decodeFeatures(kind: String, bytes: Array[Byte]): Array[Float] = {
+    import graft.multimodal.{MediaCodec => C}
+    def pad(v: Array[Float]): Array[Float] =
+      if (v.length >= FeatureDim) v.take(FeatureDim)
+      else v ++ Array.fill(FeatureDim - v.length)(0f)
+    kind match {
+      case "image" => C.decodePng(bytes) match {
+        case Some(img) =>
+          val n = (img.rgb.length / 3).max(1)
+          val sums = Array.fill(3)(0L)
+          var i = 0
+          while (i < img.rgb.length) { sums(i % 3) += img.rgb(i) & 0xff; i += 1 }
+          pad(Array(img.width.toFloat, img.height.toFloat,
+            sums(0).toFloat / n, sums(1).toFloat / n, sums(2).toFloat / n))
+        case None => decodeStub(bytes)
+      }
+      case "audio" => C.decodeWav(bytes) match {
+        case Some(a) =>
+          var absSum = 0.0
+          var i = 0
+          while (i + 1 < a.data.length) {
+            val s = ((a.data(i) & 0xff) | (a.data(i + 1) << 8)).toShort
+            absSum += math.abs(s.toInt); i += 2
+          }
+          val nSamples = (a.data.length / 2).max(1)
+          pad(Array(a.sampleRate.toFloat, a.channels.toFloat,
+            a.durationMs.toFloat, (absSum / nSamples).toFloat))
+        case None => decodeStub(bytes)
+      }
+      case _ => decodeStub(bytes)
+    }
+  }
+
+  /** STUB decoder: deterministic features from a rolling byte hash — the
+    * fallback for kinds the JVM cannot decode natively (video) and for
+    * undecodable bytes; a real deployment swaps in a codec/model here.
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val out = Array.fill(FeatureDim)(0L)
@@ -71,7 +112,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
           val b = Option(m.bytes).getOrElse(Array.empty[Byte])
-          MediaFeatures(m.media_id, m.kind, b.length, decodeStub(b))
+          MediaFeatures(m.media_id, m.kind, b.length, decodeFeatures(m.kind, b))
         }
       }
     }

@@ -1,37 +1,110 @@
 package graft.queries
 
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import graft.engine.Tables
-import graft.multimodal.{MediaItem, Multimodal}
+import graft.functions.expressions.ImageDims
+import graft.multimodal.{MediaCodec, MediaItem, Multimodal}
 
-/** §K multimodal — drives the binary-column + batched-decode plumbing
-  * through the driver contract. Media bytes are synthesized from the
-  * documents table (this container has no codecs; the decode step is the
-  * documented stub), so the entry is deterministic but rows-only.
+/** §K multimodal — binary media columns with REAL decode where the JVM
+  * can do it natively: documents synthesize genuine PNG files and RIFF/
+  * WAVE PCM audio (graft.multimodal.MediaCodec, pure JDK), whose decoded
+  * dimensions/audio properties are deterministic functions of doc_id —
+  * so DuckDB verifies that the encode → decode loop is byte-correct.
+  * Video stays a documented stub (no av libs in this container).
   */
 object MultimodalQueries {
 
+  /** Deterministic media corpus derived from documents: real PNGs (kind
+    * image), real WAVs (kind audio), stub blobs (kind video).
+    */
+  private def mediaItems(s: SparkSession, d: String): Dataset[MediaItem] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (id, src) =>
+        (id % 3).toInt match {
+          case 0 =>
+            val w = 1 + (id % 8).toInt
+            val h = 1 + (id % 5).toInt
+            val rgb = Array.tabulate(w * h * 3)(i => ((id * 31 + i) % 256).toByte)
+            MediaItem(id, "image",
+              MediaCodec.encodePng(MediaCodec.PngImage(w, h, rgb)),
+              "image/png", w, h, 0L)
+          case 1 =>
+            val rate = 8000 + (id % 4).toInt * 4000
+            val ch = 1 + (id % 2).toInt
+            val frames = 100 + (id % 50).toInt
+            val samples = Array.tabulate(frames * ch)(i => (((id * 7 + i) % 2048) - 1024).toShort)
+            MediaItem(id, "audio",
+              MediaCodec.encodeWavPcm16(rate, ch, samples),
+              "audio/wav", 0, 0, frames * 1000L / rate)
+          case _ =>
+            MediaItem(id, "video", s"video:$id:$src".getBytes("UTF-8"),
+              "video/stub", 0, 0, 500L + (id % 10) * 250L)
+        }
+      }
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // Decoded image metadata via the codegen'd image_dims expression: the
+    // oracle recomputes width/height from the synthesis formula, so a
+    // parser or encoder bug (wrong endianness, off-by-one scanline, bad
+    // chunk layout) hash-mismatches immediately.
     QueryDef(
-      "q_multimodal_features",
+      "q_multimodal_dims",
+      (s, d) =>
+        mediaItems(s, d).toDF()
+          .filter(col("kind") === "image")
+          .select(col("media_id").as("doc_id"),
+            ColumnBridge.column(ImageDims(ColumnBridge.expression(col("bytes")))).as("dims"))
+          .select(col("doc_id"), col("dims.format").as("format"),
+            col("dims.width").as("width"), col("dims.height").as("height"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, 'png' AS format,
+                     CAST(1 + doc_id % 8 AS INT) AS width,
+                     CAST(1 + doc_id % 5 AS INT) AS height
+              FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""")),
+
+    // Decoded audio properties (RIFF chunk walk): sample rate, channels,
+    // and frame-count-derived duration all verified against the synthesis
+    // arithmetic.
+    QueryDef(
+      "q_multimodal_audio",
       (s, d) => {
         import s.implicits._
-        val kinds = Seq("image", "audio", "video")
-        val items = Tables.documents(s, d)
-          .select(col("doc_id"), col("text"), col("source"))
-          .as[(Long, String, String)]
-          .map { case (id, text, src) =>
-            MediaItem(id, kinds((id % 3).toInt), text.getBytes("UTF-8"),
-              s"stub/$src", 0, 0, 1000L)
+        mediaItems(s, d)
+          .filter(col("kind") === "audio")
+          .map { m =>
+            val a = MediaCodec.decodeWav(m.bytes).getOrElse(
+              MediaCodec.WavAudio(-1, -1, -1, Array.empty))
+            (m.media_id, a.sampleRate, a.channels, a.durationMs)
           }
-        Multimodal.extractFeatures(items, batchSize = 128)
+          .toDF("doc_id", "sample_rate", "channels", "duration_ms")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+                     CAST(1 + doc_id % 2 AS INT) AS channels,
+                     CAST(floor((100 + doc_id % 50) * 1000.0
+                                / (8000 + (doc_id % 4) * 4000)) AS BIGINT) AS duration_ms
+              FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""")),
+
+    // Per-kind feature aggregates through the batched decode path. f0 is
+    // the first REAL decoded feature per kind (image width / audio sample
+    // rate); rows-only because the video stub features are heuristic.
+    QueryDef(
+      "q_multimodal_features",
+      (s, d) =>
+        Multimodal.extractFeatures(mediaItems(s, d), batchSize = 128)
           .groupBy("kind")
           .agg(
             count(lit(1)).as("n_items"),
             round(avg("n_bytes"), 2).as("avg_bytes"),
             round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
-          .orderBy("kind")
-      },
+          .orderBy("kind"),
       None),
 
     // Frame sampling over video rows: the frame axis is deterministic
@@ -39,21 +112,11 @@ object MultimodalQueries {
     // sampled frame counts exactly (floor((dur-1)/step)+1 per clip).
     QueryDef(
       "q_multimodal_frames",
-      (s, d) => {
-        import s.implicits._
-        val kinds = Seq("image", "audio", "video")
-        val items = Tables.documents(s, d)
-          .select(col("doc_id"), col("text"), col("source"))
-          .as[(Long, String, String)]
-          .map { case (id, text, src) =>
-            MediaItem(id, kinds((id % 3).toInt), text.getBytes("UTF-8"),
-              s"stub/$src", 0, 0, 500L + (id % 10) * 250L)
-          }
-        Multimodal.sampleFrames(items, everyMs = 250L)
+      (s, d) =>
+        Multimodal.sampleFrames(mediaItems(s, d), everyMs = 250L)
           .agg(
             countDistinct(col("media_id")).as("n_videos"),
-            count(lit(1)).as("n_frames"))
-      },
+            count(lit(1)).as("n_frames")),
       Some("""SELECT count(DISTINCT doc_id) AS n_videos,
                      CAST(sum(CAST(floor((dur - 1) / 250) + 1 AS BIGINT)) AS BIGINT) AS n_frames
               FROM (SELECT doc_id, 500 + (doc_id % 10) * 250 AS dur

@@ -29,4 +29,72 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getLong(0)).toSet === Set(4L))
     assert(frames.map(_.getLong(1)).sorted.toSeq === Seq(0L, 1000L, 2000L, 3000L))
   }
+
+  import graft.multimodal.MediaCodec
+
+  test("png encode/decode round-trips pixels under every scanline filter") {
+    val w = 7; val h = 10
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    // rotate through filters 0..4 so Sub/Up/Average/Paeth decode paths all run
+    val png = MediaCodec.encodePng(MediaCodec.PngImage(w, h, rgb), filterFor = y => y % 5)
+    val decoded = MediaCodec.decodePng(png)
+    assert(decoded.isDefined)
+    assert(decoded.get.width === w)
+    assert(decoded.get.height === h)
+    assert(decoded.get.rgb.toSeq === rgb.toSeq)
+    // and the header sniffer agrees without a full decode
+    assert(MediaCodec.sniffDims(png) === Some(("png", w, h)))
+  }
+
+  test("wav encode/decode round-trips format and duration") {
+    val samples = Array.tabulate(441)(i => (math.sin(i / 10.0) * 8000).toShort)
+    val wav = MediaCodec.encodeWavPcm16(44100, 1, samples)
+    val a = MediaCodec.decodeWav(wav).get
+    assert(a.sampleRate === 44100)
+    assert(a.channels === 1)
+    assert(a.bitsPerSample === 16)
+    assert(a.nFrames === 441)
+    assert(a.durationMs === 441L * 1000 / 44100)
+    // stereo: frames are per channel pair
+    val st = MediaCodec.decodeWav(MediaCodec.encodeWavPcm16(8000, 2, new Array[Short](800))).get
+    assert(st.channels === 2)
+    assert(st.nFrames === 400)
+    assert(st.durationMs === 50L)
+  }
+
+  test("header sniffing parses jpeg/gif/bmp and rejects corrupt bytes") {
+    // minimal JPEG: SOI, APP0 (zero payload), SOF0 with h=480 w=640, EOI
+    val jpeg = Array[Int](
+      0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46, // APP0, len 4
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x01, 0xe0, 0x02, 0x80, 0x01, 0x00, // SOF0: 480x640
+      0xff, 0xd9).map(_.toByte)
+    assert(MediaCodec.sniffDims(jpeg) === Some(("jpeg", 640, 480)))
+    val gif = ("GIF89a").getBytes("US-ASCII") ++
+      Array[Int](0x20, 0x01, 0xc8, 0x00, 0, 0, 0, 0).map(_.toByte) // 288x200
+    assert(MediaCodec.sniffDims(gif) === Some(("gif", 288, 200)))
+    val bmp = new Array[Byte](30)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(18) = 0x40; bmp(19) = 0x01 // width 320 LE
+    bmp(22) = 0xf0.toByte; bmp(23) = 0x00 // height 240 LE
+    assert(MediaCodec.sniffDims(bmp) === Some(("bmp", 320, 240)))
+    assert(MediaCodec.sniffDims(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13)) === None)
+    assert(MediaCodec.sniffDims(null) === None)
+    assert(MediaCodec.decodePng(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0, 0, 0)) === None)
+    assert(MediaCodec.decodeWav("RIFFxxxxWAVE".getBytes("US-ASCII")) === None)
+  }
+
+  test("image_dims expression decodes real png headers and nulls junk") {
+    import spark.implicits._
+    val png = MediaCodec.encodePng(MediaCodec.PngImage(3, 2, new Array[Byte](18)))
+    val df = Seq((1L, png), (2L, Array[Byte](1, 2, 3)))
+      .toDF("id", "bytes")
+    df.createOrReplaceTempView("media_bytes")
+    val rows = spark.sql(
+      "SELECT id, image_dims(bytes).format AS f, image_dims(bytes).width AS w FROM media_bytes ORDER BY id")
+      .collect()
+    assert(rows(0).getString(1) === "png")
+    assert(rows(0).getInt(2) === 3)
+    assert(rows(1).isNullAt(1))
+  }
 }
