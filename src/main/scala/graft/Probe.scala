@@ -23,16 +23,27 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val emb = Tables.embeddings(spark, sfDir)
-    time("warm")(emb.count())
-    val pairs = graft.dedup.EmbeddingLsh.nearPairs(emb, "vec_id", "embedding", 0.4)
-    pairs.explain("formatted")
-    val pairsP = pairs.select("a_id", "b_id").persist()
-    val nPairs = time("pairs materialize")(pairsP.count())
-    println(s"[probe] n pairs = $nPairs")
-    val t0 = System.nanoTime()
-    val cc = graft.dedup.Clusters.connectedComponents(pairsP)
-    println(f"[probe] CC total ${(System.nanoTime() - t0) / 1e9}%8.2f s, clusters = ${cc.count()}")
+    val docs = Tables.documents(spark, sfDir)
+    time("warm")(docs.count())
+    import graft.functions.TextSearch
+    val filt = docs.filter(TextSearch.textMatch(col("text"), "spark AND data OR \"table scan\""))
+    time("tm filter count")(filt.count())
+    time("tm filter count again")(filt.count())
+    val q = graft.queries.Registry.queries("q_text_match")(spark, sfDir)
+    time("tm full noop")(q.write.format("noop").mode("overwrite").save())
+    time("tm full noop again")(q.write.format("noop").mode("overwrite").save())
+    time("percentile noop")(graft.queries.Registry.queries("q_percentile")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    time("percentile again")(graft.queries.Registry.queries("q_percentile")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    time("ann_ivf")(graft.queries.Registry.queries("q_ann_ivf")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    time("ann_ivf again")(graft.queries.Registry.queries("q_ann_ivf")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    time("timeseries")(graft.queries.Registry.queries("q_timeseries")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    time("dedup_keep")(graft.queries.Registry.queries("q_dedup_keep")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

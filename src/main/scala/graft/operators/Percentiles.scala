@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated percentiles (quantile_cont semantics) via a value
+  * histogram instead of Spark's built-in exact `percentile` aggregate.
+  *
+  * Scale design: the built-in collects a value→count map PER GROUP in a
+  * single reducer — with TPC-H-style few-group aggregations that is one
+  * task holding a whole group's value set, the classic 100 TB killer.
+  * Here the heavy pass is an ordinary partial-aggregating groupBy on
+  * (group, value) — map-side combined, any number of reducers — and the
+  * ranking work happens on the HISTOGRAM, whose size is the number of
+  * distinct values (for Pinot-style dictionary-encoded metrics, tiny).
+  * The interpolation positions h = p·(n−1) land in exactly one
+  * cumulative-count interval each; one conditional aggregate per
+  * percentile picks the bracketing values. This mirrors how Pinot
+  * answers PERCENTILE over a dictionary/range index without re-sorting
+  * rows (/root/reference/basics/indexing/forward-index.md — dictionary
+  * encoding is the default layout).
+  */
+object Percentiles {
+
+  /** One output row per group: `grpCols ++ specs.map(_._1)`.
+    * Each spec is (outputName, valueColumn, percentile in [0,1]).
+    * Matches DuckDB `quantile_cont` / Spark `percentile` exactly
+    * (linear interpolation at h = p·(n−1); nulls excluded).
+    */
+  def exact(df: DataFrame, grpCols: Seq[String], specs: Seq[(String, String, Double)]): DataFrame = {
+    require(grpCols.nonEmpty && specs.nonEmpty, "need grouping columns and percentile specs")
+    val grp = grpCols.map(col)
+    val perValueCol = specs.groupBy(_._2).toSeq.map { case (valCol, ss) =>
+      val hist = df.filter(col(valCol).isNotNull)
+        .groupBy(grp :+ col(valCol).cast("double").as("__v"): _*)
+        .agg(count(lit(1)).as("__cnt"))
+      val wOrd = Window.partitionBy(grpCols.map(col): _*).orderBy("__v")
+      val wAll = Window.partitionBy(grpCols.map(col): _*)
+      val cum = hist
+        .withColumn("__end", sum("__cnt").over(wOrd))
+        .withColumn("__start", col("__end") - col("__cnt"))
+        .withColumn("__n", sum("__cnt").over(wAll))
+      val aggs = ss.flatMap { case (name, _, p) =>
+        val h = (col("__n") - 1) * lit(p)
+        val lo = floor(h)
+        val hi = ceil(h)
+        Seq(
+          max(when(lo >= col("__start") && lo < col("__end"), col("__v"))).as(s"__lo_$name"),
+          max(when(hi >= col("__start") && hi < col("__end"), col("__v"))).as(s"__hi_$name"),
+          max(h).as(s"__h_$name"))
+      }
+      val out = ss.map { case (name, _, _) =>
+        (col(s"__lo_$name") +
+          (col(s"__h_$name") - floor(col(s"__h_$name"))) *
+            (col(s"__hi_$name") - col(s"__lo_$name"))).as(name)
+      }
+      cum.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
+        .select(grp ++ out: _*)
+    }
+    perValueCol.reduce { (a, b) => a.join(b, grpCols, "full_outer") }
+      .select(grpCols.map(col) ++ specs.map(s => col(s._1)): _*)
+  }
+
+  /** All percentiles over ONE column, returned long-form:
+    * (grpCols…, pos, q) with pos = index into `ps` — the multi-quantile
+    * PERCENTILE shape.
+    */
+  def exactMulti(df: DataFrame, grpCols: Seq[String], valCol: String, ps: Seq[Double]): DataFrame = {
+    val named = ps.zipWithIndex.map { case (p, i) => (s"__q_$i", valCol, p) }
+    val wide = exact(df, grpCols, named)
+    wide.select(grpCols.map(col) :+
+      posexplode(array(named.map(n => col(n._1)): _*)).as(Seq("pos", "q")): _*)
+  }
+}

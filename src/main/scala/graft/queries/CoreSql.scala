@@ -160,15 +160,24 @@ object CoreSql {
           .orderBy("l_returnflag"),
       None),
 
+    // Exact PERCENTILE via the dictionary-histogram operator
+    // (graft.operators.Percentiles): the built-in exact percentile
+    // collects each group's value map in ONE reducer; the histogram path
+    // partial-aggregates (group, value) counts map-side and ranks only
+    // distinct values — same quantile_cont answer, scales with groups ×
+    // distinct values instead of rows.
     QueryDef(
       "q_percentile",
       (s, d) =>
-        Tables.lineitem(s, d)
-          .groupBy("l_returnflag")
-          .agg(
-            round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"),
-            round(expr("percentile(l_quantity, 0.9)"), 2).as("p90_qty"),
-            round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"))
+        graft.operators.Percentiles.exact(
+          Tables.lineitem(s, d), Seq("l_returnflag"),
+          Seq(("p50_qty", "l_quantity", 0.5),
+            ("p90_qty", "l_quantity", 0.9),
+            ("p95_price", "l_extendedprice", 0.95)))
+          .select(col("l_returnflag"),
+            round(col("p50_qty"), 2).as("p50_qty"),
+            round(col("p90_qty"), 2).as("p90_qty"),
+            round(col("p95_price"), 2).as("p95_price"))
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
                      round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
@@ -191,13 +200,11 @@ object CoreSql {
     QueryDef(
       "q_percentile_multi",
       (s, d) =>
-        Tables.lineitem(s, d)
-          .groupBy("l_returnflag")
-          .agg(expr(
-            "transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))," +
-              " v -> round(v, 2))").as("qs"))
-          .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("pos", "q")))
-          .select(col("l_returnflag"), col("pos"), (col("q") + lit(0.0)).as("q"))
+        graft.operators.Percentiles.exactMulti(
+          Tables.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice",
+          Seq(0.25, 0.5, 0.75))
+          .select(col("l_returnflag"), col("pos"),
+            (round(col("q"), 2) + lit(0.0)).as("q"))
           .orderBy("l_returnflag", "pos"),
       Some("""SELECT l_returnflag, CAST(i - 1 AS INT) AS pos,
                      round(q, 2) + 0 AS q
