@@ -32,6 +32,39 @@ object Graft {
     s
   }
 
+  /** Per-scan execution statistics — the analog of Pinot's query response
+    * metadata (`numSegmentsQueried` / `numSegmentsProcessed` /
+    * `numSegmentsMatched`, reference: /root/reference/basics/
+    * Architecture.md:139): how many segment files each scan actually
+    * touched after partition pruning, the bytes read after column
+    * pruning, and the filters that reached the scan. Runs the query
+    * (foreach-noop) and reads the final adaptive plan's scan metrics.
+    */
+  final case class ScanStats(
+      location: String, filesRead: Long, bytesRead: Long,
+      pushedFilters: String, readSchema: String)
+
+  def scanStats(df: DataFrame): Seq[ScanStats] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // Execute THIS QueryExecution's plan (df.foreach/rdd would build a new
+    // one and leave these metrics untouched); count() on the internal RDD
+    // moves no rows to the driver.
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case scan: FileSourceScanExec =>
+      ScanStats(
+        scan.metadata.getOrElse("Location", ""),
+        scan.metrics.get("numFiles").map(_.value).getOrElse(-1L),
+        scan.metrics.get("filesSize").map(_.value).getOrElse(-1L),
+        scan.metadata.getOrElse("PushedFilters", ""),
+        scan.metadata.getOrElse("ReadSchema", ""))
+    }
+  }
+
   /** Register every sf-dir table as a temp view so the whole engine
     * surface is reachable from `spark.sql(...)` (the reference is queried
     * over SQL; so is this).

@@ -67,6 +67,38 @@ object SegmentWriter {
       .parquet(path)
   }
 
+  final case class CompactionStats(filesBefore: Long, filesAfter: Long, rows: Long)
+
+  /** Segment compaction — the consuming→completed merge of the realtime
+    * flow (reference: /root/reference/basics/Architecture.md:171: realtime
+    * servers flush many small in-memory segments which later merge into
+    * completed segments). Structured Streaming sinks have exactly this
+    * shape — one small parquet file per micro-batch per partition — and
+    * small files are the classic 100 TB scan killer (per-file open cost,
+    * no row-group pruning leverage). `compact` rewrites a segment dir
+    * through `write`, restoring the full index layout (partition dirs,
+    * sorted row groups, blooms, derived time columns) with few large
+    * files. Reads and writes are both distributed; only file listing
+    * happens on the driver.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, destPath: String, cfg: Config): CompactionStats = {
+    require(srcPath != destPath, "compact cannot overwrite its own input in-flight")
+    def countFiles(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(path, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = countFiles(srcPath)
+    val df = spark.read.parquet(srcPath)
+    write(df, destPath, cfg)
+    CompactionStats(before, countFiles(destPath), spark.read.parquet(destPath).count())
+  }
+
   /** Bucketed catalog table — the co-located-join layout (Pinot analog:
     * partitioned segment assignment, where both tables hash on the join
     * key so a key join never reshuffles either side). Spark: `bucketBy`

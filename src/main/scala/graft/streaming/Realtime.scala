@@ -96,6 +96,22 @@ object Realtime {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream–static dimension enrichment: the realtime lookup join (Pinot
+    * serves realtime segments joined against dimension/lookup tables —
+    * reference: /root/reference/basics/Architecture.md realtime flow +
+    * Introduction.md:51 lookup joins). Spark-native: a stream–static
+    * equi-join; the static side is broadcast per micro-batch (re-read
+    * each batch, so dimension updates are picked up without restarting
+    * the query), and no streaming state accumulates — the join is
+    * stateless on the stream side.
+    */
+  def enrich(
+      events: DataFrame, dim: DataFrame, keyCol: String,
+      dimCols: Seq[String]): DataFrame =
+    events.join(
+      broadcast(dim.select((keyCol +: dimCols).map(col): _*)),
+      Seq(keyCol), "left_outer")
+
   /** Streaming upsert: emits the new latest record for a key whenever it
     * changes (Pinot upsert table semantics, incremental form).
     */

@@ -81,4 +81,36 @@ class SegmentWriterSpec extends SparkSpec {
     assert(viaDerived.count() ===
       li.filter(date_trunc("month", col("l_shipdate")) === to_timestamp(lit("1996-03-01"))).count())
   }
+
+  test("compaction merges micro-batch-sized files into few sorted segments") {
+    val src = Files.createTempDirectory("segments_small").toString
+    val dest = Files.createTempDirectory("segments_compacted").toString
+    // simulate a streaming sink: many tiny files (one per "micro-batch")
+    Tables.orders(spark, sfDir).repartition(40)
+      .write.mode("overwrite").parquet(src)
+    val stats = SegmentWriter.compact(spark, src, dest, SegmentWriter.Config(
+      numSegments = 4, sortCols = Seq("o_orderkey")))
+    assert(stats.filesBefore >= 40)
+    assert(stats.filesAfter <= 4)
+    assert(stats.rows === Tables.orders(spark, sfDir).count())
+    // compacted data answers the same query
+    val a = spark.read.parquet(dest).groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Tables.orders(spark, sfDir).groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("scanStats reports files touched after partition pruning (numSegmentsQueried analog)") {
+    val out = Files.createTempDirectory("segments_stats").toString
+    val li = Tables.lineitem(spark, sfDir).withColumn("ship_year", year(col("l_shipdate")))
+    SegmentWriter.write(li, out, SegmentWriter.Config(partitionCols = Seq("ship_year")))
+    val back = spark.read.parquet(out)
+    val all = graft.engine.Graft.scanStats(back)
+    val pruned = graft.engine.Graft.scanStats(back.filter(col("ship_year") === 1996))
+    assert(all.nonEmpty && pruned.nonEmpty)
+    assert(all.head.filesRead > pruned.head.filesRead,
+      s"pruning did not reduce files: ${all.head} vs ${pruned.head}")
+    assert(pruned.head.bytesRead < all.head.bytesRead)
+  }
 }

@@ -171,4 +171,25 @@ class StreamingSpec extends SparkSpec {
       assert(emitted.toSeq === Seq((1L, "signup"), (2L, "click")))
     } finally q.stop()
   }
+
+  test("stream-static dimension enrichment joins each micro-batch without state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val enriched = Realtime.enrich(input.toDF(), dim, "user_id", Seq("tier"))
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 00:00:01", 1, "click", 1.0),
+        ev(2, "2024-01-01 00:00:02", 2, "click", 2.0),
+        ev(3, "2024-01-01 00:00:03", 9, "click", 3.0)) // no dim row -> null tier
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .select("event_id", "tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows === Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+    } finally q.stop()
+  }
 }
