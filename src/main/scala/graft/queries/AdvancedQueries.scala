@@ -206,6 +206,33 @@ object AdvancedQueries {
                      count(*) AS n_either
               FROM flags""")),
 
+    // Set DIFFERENCE cardinalities (theta-sketch A-NOT-B analog): users in
+    // one behavioral cohort but not the other, plus symmetric difference —
+    // same one-pass flags aggregation, no join or subtraction re-scan.
+    QueryDef(
+      "q_set_ops_diff",
+      (s, d) => {
+        val flags = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy("user_id")
+          .agg(
+            max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+            max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+        flags.agg(
+          sum(col("c") * (lit(1) - col("p"))).cast("bigint").as("n_click_only"),
+          sum(col("p") * (lit(1) - col("c"))).cast("bigint").as("n_purchase_only"),
+          sum(when(col("c") =!= col("p"), 1).otherwise(0)).cast("bigint").as("n_sym_diff"))
+      },
+      Some("""WITH flags AS (SELECT user_id,
+                       max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+                       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+                     FROM events WHERE event_type IN ('click', 'purchase')
+                     GROUP BY user_id)
+              SELECT CAST(sum(c * (1 - p)) AS BIGINT) AS n_click_only,
+                     CAST(sum(p * (1 - c)) AS BIGINT) AS n_purchase_only,
+                     CAST(sum(CASE WHEN c <> p THEN 1 ELSE 0 END) AS BIGINT) AS n_sym_diff
+              FROM flags""")),
+
     // Sketch-based set operations — the mergeable form the exact q_set_ops
     // cannot take at 100 TB: per-cohort HLL sketches (map-side partial,
     // bytes-sized state) merge with hll_union_agg across any cohort

@@ -100,6 +100,69 @@ object TextAnalysisQueries {
       Some("""SELECT doc_id,
                      md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
                      substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp16
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // PII scrubbing — the redaction pass every training corpus runs before
+    // release: regex-replace emails and phone-shaped numbers, count the
+    // redactions. Documents carry no PII, so each doc gets a deterministic
+    // synthetic contact line appended first; the oracle applies the same
+    // construction + regexes, so the scrub semantics are hash-verified.
+    QueryDef(
+      "q_pii_scrub",
+      (s, d) => {
+        val withPii = concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), withPii.as("raw"))
+          .select(
+            col("doc_id"),
+            regexp_replace(
+              regexp_replace(col("raw"), "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+              "\\d{3}-\\d{4}", "<PHONE>").as("clean"),
+            (size(split(col("raw"), "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")) - 1).as("n_emails"),
+            (size(split(col("raw"), "\\d{3}-\\d{4}")) - 1).as("n_phones"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example.com or 555-01' ||
+                       lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS raw
+                   FROM documents)
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                       '\d{3}-\d{4}', '<PHONE>', 'g') AS clean,
+                     CAST(len(regexp_split_to_array(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) - 1 AS INT) AS n_emails,
+                     CAST(len(regexp_split_to_array(raw, '\d{3}-\d{4}')) - 1 AS INT) AS n_phones
+              FROM raw ORDER BY doc_id""")),
+
+    // Repetition ratio — the Gopher-style duplicate-n-gram quality signal:
+    // fraction of a doc's 3-gram occurrences that are repeats of an
+    // earlier 3-gram. High ratio = boilerplate/templated text. One
+    // codegen'd shingling pass (word_shingle_hashes is distinct-counting;
+    // total count is positional arithmetic).
+    QueryDef(
+      "q_repetition_ratio",
+      (s, d) => {
+        val toks = TextShingles.wordTokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            (size(toks) - 2).as("n_grams"),
+            size(TextShingles.shingleHashes(col("text"), 3)).as("n_distinct"))
+          .filter(col("n_grams") > 0)
+          .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+            round(lit(1.0) - col("n_distinct") / col("n_grams").cast("double"), 4)
+              .as("rep_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+                   sh AS (SELECT doc_id,
+                          CAST(len(w) - 2 AS INT) AS n_grams,
+                          CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                                  FOR i IN range(1, len(w) - 1)])) AS INT) AS n_distinct
+                          FROM g WHERE len(w) >= 3)
+              SELECT doc_id, n_grams, n_distinct,
+                     round(1.0 - n_distinct / CAST(n_grams AS DOUBLE), 4) AS rep_ratio
+              FROM sh WHERE n_grams > 0 ORDER BY doc_id"""))
   )
 }

@@ -200,6 +200,54 @@ object TransformQueries {
                      FROM sf s CROSS JOIN cf c)
               SELECT s_suppkey, count(*) AS cnt, round(min(dist_km), 2) AS min_dist
               FROM pairs WHERE dist_km <= 500.0
-              GROUP BY 1 ORDER BY s_suppkey"""))
+              GROUP BY 1 ORDER BY s_suppkey""")),
+
+    // REGEXP_EXTRACT transform family (Pinot regexpExtract /
+    // regexpExtractAll — text-search-support.md lists regex as a core
+    // text capability; the transform form is a scan-local codegen'd
+    // expression in both engines).
+    QueryDef(
+      "q_regexp_extract",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            regexp_extract(col("source"), "src(\\d+)", 1).cast("int").as("src_num"),
+            regexp_extract(col("text"), "^(\\w+)", 1).as("first_word"),
+            size(split(col("text"), "\\bdata\\b")).minus(1).as("n_data"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS src_num,
+                     regexp_extract(text, '^(\w+)', 1) AS first_word,
+                     CAST(len(regexp_split_to_array(text, '\bdata\b')) - 1 AS INT) AS n_data
+              FROM documents ORDER BY doc_id""")),
+
+    // Grid-cell density aggregation — the geo-index aggregation shape
+    // (geohash/H3 bucket counts): cells are the same packed
+    // (latIdx << 32 | lonIdx) ids the radius join probes, so the index
+    // layer and the aggregation layer share one bucketing.
+    QueryDef(
+      "q_geo_grid_agg",
+      (s, d) => {
+        val cell = 10.0
+        Tables.customer(s, d)
+          .withColumn("lat", (col("c_custkey") % 180) - 90 + lit(0.5))
+          .withColumn("lon", ((col("c_custkey") * 7) % 360) - 180 + lit(0.5))
+          .withColumn("cell", GeoFns.gridCell(col("lat"), col("lon"), cell))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("cnt"),
+            round(avg("lat"), 4).as("avg_lat"), round(avg("lon"), 4).as("avg_lon"))
+          .filter(col("cnt") >= 2)
+          .orderBy("cell")
+      },
+      Some("""WITH pts AS (SELECT
+                     (c_custkey % 180) - 90 + 0.5 AS lat,
+                     ((c_custkey * 7) % 360) - 180 + 0.5 AS lon
+                   FROM customer)
+              SELECT CAST(floor((lat + 90) / 10) AS BIGINT) * 4294967296
+                       + CAST(floor((lon + 180) / 10) AS BIGINT) AS cell,
+                     count(*) AS cnt,
+                     round(avg(lat), 4) AS avg_lat, round(avg(lon), 4) AS avg_lon
+              FROM pts GROUP BY 1 HAVING count(*) >= 2 ORDER BY cell"""))
   )
 }
