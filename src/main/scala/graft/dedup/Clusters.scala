@@ -24,8 +24,18 @@ object Clusters {
   /** (id, cluster_id) for every node appearing in `pairs` (a_id, b_id).
     * `pairs` must be distinct (a_id < b_id) pairs — the doubled edge list
     * is then duplicate-free by construction, so no distinct shuffle.
+    *
+    * Convergence strategy: plain propagation rounds are cheapest (one
+    * join + one aggregate) and near-dup components are almost always
+    * shallow, so the first `plainRounds` rounds run plain; a component
+    * still unconverged after that is diameter-deep (a chain), and the
+    * loop switches to pointer-halving rounds (label(label(u)) shortcut)
+    * that close depth-d chains in O(log d) further rounds. Unconverged at
+    * maxIter throws — silently returning partial clusters would merge
+    * fewer dups than requested with no signal.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 64, plainRounds: Int = 8): DataFrame = {
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .localCheckpoint(eager = false)
@@ -46,14 +56,28 @@ object Clusters {
         .groupBy(edges("u").as("nid"))
         .agg(min("cluster_id").as("nlabel"))
       // Plain min-label propagation, one join + one aggregate per round.
-      // A label(label(u)) pointer-halving variant was measured and LOST
-      // here: each halving round adds a self-join stage whose fixed cost
-      // outweighs the saved rounds on sparse near-dup graphs (7.0s vs
-      // 2.4s at sf0.1) — rounds are cheap once the plan is truncated.
-      val next = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left_outer")
+      // (Halving EVERY round was measured and lost on shallow graphs —
+      // the extra self-join stage per round costs more than the rounds it
+      // saves — hence the plain-first hybrid.)
+      val prop = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left_outer")
         .select(
           col("id"),
           least(col("cluster_id"), coalesce(col("nlabel"), col("cluster_id"))).as("cluster_id"))
+      val next =
+        (if (iter < plainRounds) prop
+         else {
+           // pointer halving: hop to the label's own label — sound because
+           // a label is always a node id of the same component and labels
+           // only decrease; closes depth-d chains in O(log d) rounds
+           val p = prop.localCheckpoint(eager = false)
+           p.as("x")
+             .join(p.select(col("id").as("pid"), col("cluster_id").as("plabel")).as("y"),
+               col("x.cluster_id") === col("y.pid"), "left_outer")
+             .select(
+               col("x.id").as("id"),
+               least(col("x.cluster_id"), coalesce(col("plabel"), col("x.cluster_id")))
+                 .as("cluster_id"))
+         })
         .localCheckpoint(eager = false)
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
@@ -61,6 +85,9 @@ object Clusters {
       labels = next
       iter += 1
     }
+    require(converged,
+      s"connected components did not converge within $maxIter rounds — " +
+        "raise maxIter (component diameter exceeds the halving budget)")
     labels
   }
 }

@@ -86,4 +86,35 @@ class DedupSpec extends SparkSpec {
     val out = Registry.queries("q_dedup_exact")(spark, sfDir)
     assert(out.agg(sum("n_copies")).head().getLong(0) === docs.count())
   }
+
+  test("connected components equals union-find on random graphs (chains, stars, cliques)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // chains exercise many-round convergence; stars/cliques the min-label
+    // fan-in; random edges the general case
+    val chain = (0L until 40L).sliding(2).map(s => (s(0) + 1000, s(1) + 1000)).toSeq
+    val star = (1L to 15L).map(i => (2000L, 2000L + i))
+    val clique = for (a <- 0 to 6; b <- a + 1 to 6) yield (3000L + a, 3000L + b)
+    val random = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val edges = (chain ++ star ++ clique ++ random).distinct
+    val pairs = edges.toDF("a_id", "b_id")
+    val got = graft.dedup.Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(n => n -> find(n)).toMap
+    assert(got.keySet === want.keySet)
+    // same PARTITION into components and the min-id representative per component
+    assert(got === want, s"diff=${got.toSet.diff(want.toSet).take(10)}")
+  }
 }
