@@ -50,6 +50,26 @@ object SamplingQueries {
       Some("""SELECT doc_id, lang, source FROM
                 (SELECT doc_id, lang, source FROM documents
                  ORDER BY md5(text), doc_id LIMIT 50)
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // The full corpus-curation pipeline as ONE driver-visible entry:
+    // exact dedup → MinHash-LSH candidates → exact-Jaccard verify →
+    // connected-components keep-one → quality filter → reproducible
+    // stratified sampling (graft.pipeline.Curation). Deterministic on any
+    // partitioning; rows-only because the MinHash candidate stage is
+    // approximate by design (CurationSpec bounds its invariants).
+    QueryDef(
+      "q_curation",
+      (s, d) =>
+        graft.pipeline.Curation.curate(
+          Tables.documents(s, d),
+          graft.pipeline.Curation.Config(
+            keepRates = Map("en" -> 0.5), defaultKeepRate = 0.9))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            round(avg("n_tokens"), 2).as("avg_tokens"),
+            round(avg("uniq_ratio"), 4).as("avg_uniq"))
+          .orderBy("lang"),
+      None)
   )
 }
