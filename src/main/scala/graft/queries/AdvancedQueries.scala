@@ -79,6 +79,39 @@ object AdvancedQueries {
                      round(covar_samp(l_quantity, l_extendedprice), 2) + 0 AS cov_qp
               FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // Higher-moment aggregations (Pinot SKEWNESS / KURTOSIS family).
+    // Spark's built-ins are population skewness and population EXCESS
+    // kurtosis in one codegen pass; the oracle recomputes both from raw
+    // central moments (m3/m2^1.5, m4/m2²−3), so the built-ins are checked
+    // against the mathematical definition rather than another library's
+    // sample-form convention.
+    QueryDef(
+      "q_moments",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            (round(skewness(col("l_quantity")), 4) + lit(0.0)).as("skew_qty"),
+            (round(kurtosis(col("l_quantity")), 4) + lit(0.0)).as("kurt_qty"),
+            (round(skewness(col("l_discount")), 4) + lit(0.0)).as("skew_disc"))
+          .orderBy("l_returnflag"),
+      Some("""WITH m AS (SELECT l_returnflag,
+                     avg(l_quantity) AS mq, avg(l_discount) AS md
+                   FROM lineitem GROUP BY 1),
+                   c AS (SELECT l.l_returnflag,
+                     avg(pow(l_quantity - mq, 2)) AS q2,
+                     avg(pow(l_quantity - mq, 3)) AS q3,
+                     avg(pow(l_quantity - mq, 4)) AS q4,
+                     avg(pow(l_discount - md, 2)) AS d2,
+                     avg(pow(l_discount - md, 3)) AS d3
+                   FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+                   GROUP BY 1)
+              SELECT l_returnflag,
+                     round(q3 / pow(q2, 1.5), 4) + 0 AS skew_qty,
+                     round(q4 / pow(q2, 2) - 3, 4) + 0 AS kurt_qty,
+                     round(d3 / pow(d2, 1.5), 4) + 0 AS skew_disc
+              FROM c ORDER BY l_returnflag""")),
+
     QueryDef(
       "q_histogram",
       (s, d) =>
