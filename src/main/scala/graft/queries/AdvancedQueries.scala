@@ -34,6 +34,38 @@ object AdvancedQueries {
                                  ORDER BY o_totalprice DESC, o_orderkey))
               WHERE rn <= 3 ORDER BY o_orderpriority, rn""")),
 
+    // Window DISTRIBUTION functions: percent_rank / cume_dist / nth_value
+    // — the remaining multi-stage window family (rank position as a
+    // fraction, cumulative distribution, positional value). Same single
+    // key-shuffle as any per-partition window.
+    QueryDef(
+      "q_window_dist",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") <= 2000)
+          .select(
+            col("o_orderpriority"), col("o_orderkey"),
+            (round(percent_rank().over(w), 4) + lit(0.0)).as("pr"),
+            (round(cume_dist().over(w), 4) + lit(0.0)).as("cd"),
+            nth_value(col("o_orderkey"), 2).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("second_key"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+                     round(percent_rank() OVER w, 4) + 0 AS pr,
+                     round(cume_dist() OVER w, 4) + 0 AS cd,
+                     nth_value(o_orderkey, 2) OVER
+                       (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+              FROM orders WHERE o_orderkey <= 2000
+              WINDOW w AS (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey)
+              ORDER BY o_orderpriority, o_orderkey""")),
+
     // Window FRAMES: moving aggregates over ROWS BETWEEN frames plus
     // ntile bucketing — the running-metric dashboard family. Partitioned
     // by user (many partitions → parallel), one hash shuffle total.
