@@ -1,18 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Benchmark the ENGINE's recommended session configuration (AQE,
+    // broadcast threshold, split sizes — graft.engine.Graft), not a bare
+    // default session.
+    val spark = graft.engine.Graft.session(
+      master = s"local[$cpus]", shufflePartitions = cpus.toInt,
+      appName = "graft-bench", extraConf = Map("spark.ui.enabled" -> "false"))
     // Warm the JVM/codegen/IO paths once so the first timed query isn't
     // charged for session bring-up (Pinot servers are long-lived too).
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()

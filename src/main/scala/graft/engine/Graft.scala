@@ -11,10 +11,12 @@ object Graft {
   def session(
       master: String = "local[*]",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors,
-      appName: String = "graft"): SparkSession = {
-    val s = SparkSession.builder()
+      appName: String = "graft",
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val b0 = SparkSession.builder()
       .master(master)
       .appName(appName)
+    val s = extraConf.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
