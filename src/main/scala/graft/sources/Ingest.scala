@@ -26,6 +26,29 @@ object Ingest {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Malformed-record-tolerant JSON ingestion (Pinot ingestion skips bad
+    * records rather than failing the job — the only sane behavior for a
+    * 100 TB load). Returns (good rows, corrupt raw lines): PERMISSIVE
+    * parse with a corrupt-record column; the bad side is kept queryable
+    * for dead-letter auditing instead of dropped silently.
+    */
+  def jsonLinesTolerant(
+      spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      // Spark requires caching/materializing before referencing only the
+      // corrupt column (the parser is lazy per referenced columns)
+      .cache()
+    val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, bad)
+  }
+
   /** Ingest + land as query-optimized segments in one step. */
   def toSegments(df: DataFrame, path: String, cfg: SegmentWriter.Config): Unit =
     SegmentWriter.write(df, path, cfg)
