@@ -92,8 +92,12 @@ final case class TableSchema(
   def withNullDefaults(df: DataFrame): DataFrame =
     fields.filter(f => df.columns.contains(f.name)).foldLeft(df) { (acc, f) =>
       f match {
-        case DimensionField(n, _, false, _) =>
-          acc // MV columns default to [defaultNullValue]; left as-is here
+        // MV columns: a null list becomes the single-element
+        // [defaultNullValue] (schema.md:25's multi-valued default)
+        case d @ DimensionField(n, t, false, _) if d.defaultNullValue != null =>
+          acc.withColumn(n,
+            coalesce(col(n), array(lit(d.defaultNullValue).cast(t))))
+        case DimensionField(_, _, false, _) => acc
         case _ if f.defaultNullValue == null => acc
         case _ =>
           acc.withColumn(f.name,

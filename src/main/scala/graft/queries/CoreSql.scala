@@ -242,6 +242,33 @@ object CoreSql {
                      round(quantile_cont(l_quantity, 0.99), 2) AS p99_qty
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // BIG_DECIMAL metric aggregation (schema.md:48: BIG_DECIMAL is a
+    // first-class metric type): money math in DECIMAL is EXACT — the sums
+    // here are penny-accurate regardless of row count or add order, where
+    // double accumulation drifts. Outputs cast to strings so both engines
+    // compare the exact digits, not a float rendering.
+    QueryDef(
+      "q_decimal_agg",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            col("l_extendedprice").cast("decimal(18,2)").as("price"),
+            col("l_discount").cast("decimal(18,4)").as("disc"))
+          .groupBy("l_returnflag")
+          .agg(
+            sum("price").cast("string").as("sum_price"),
+            sum(col("price") * (lit(BigDecimal(1)) - col("disc")))
+              .cast("decimal(30,6)").cast("string").as("sum_disc_price"),
+            max("price").cast("string").as("max_price"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price,
+                     CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                               (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(30,6))
+                          AS VARCHAR) AS sum_disc_price,
+                     CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS max_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     QueryDef(
       "q_mode",
       (s, d) =>
