@@ -48,6 +48,20 @@ object SimilarityQueries {
       },
       None),
 
+    // Multi-probe LSH: probes the base bucket plus the two
+    // smallest-margin bit flips per query — recall rises with nProbe at
+    // probe-side cost only (SimilaritySpec asserts the monotonicity and
+    // the nProbe=1 ≡ single-probe identity).
+    QueryDef(
+      "q_ann_multiprobe",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Ann.knnLshMultiProbe(e.filter(col("vec_id") < 10), e, k = 3, nProbe = 3)
+          .select(col("q_id"), col("cand_id"), col("rank"), round(col("sim"), 4).as("sim"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     QueryDef(
       "q_ann_ivf",
       (s, d) => {

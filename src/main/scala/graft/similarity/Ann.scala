@@ -66,18 +66,65 @@ object Ann {
   }
 
   /** LSH-bucketed ANN top-k: compares only same-bucket pairs. */
-  def knnLsh(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(
+  def knnLsh(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame =
+    knnLshMultiProbe(queries, candidates, k, nProbe = 1)
+
+  /** Multi-probe LSH ANN: each query probes its own bucket PLUS the
+    * buckets reached by flipping the sign bits with the smallest
+    * |margin| (the hyperplanes the query sits closest to — exactly the
+    * flips most likely to hold its true neighbors). Standard multiprobe:
+    * recall rises with nProbe at probe-side cost only; the candidate
+    * corpus still stores ONE bucket per vector, so the index does not
+    * grow. All probe generation is codegen'd HOFs on the (small,
+    * broadcast) query side: sort plane margins, take the nProbe−1
+    * smallest, XOR their bits into the base bucket, explode.
+    *
+    * numPlanes/seed are parameters (2^numPlanes buckets); recall vs
+    * brute force and the nProbe monotonicity are bounded in
+    * SimilaritySpec.
+    */
+  def knnLshMultiProbe(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      nProbe: Int = 3, numPlanes: Int = NumPlanes, dim: Int = Dim,
+      seed: Long = 42L): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numPlanes + 1,
+      s"nProbe must be in 1..numPlanes+1, got $nProbe")
+    val ps = graft.functions.expressions.LshOps.planes(numPlanes, 1, dim, seed)
+    def dots(emb: Column): Column =
+      array(ps.toSeq.map(p => VectorFns.dot(emb, typedlit(p.toSeq))): _*)
+    def bucketOf(ds: Column): Column =
+      aggregate(
+        zip_with(ds, typedlit((0 until numPlanes).map(i => 1 << i).toList),
+          (d, bit) => when(d > 0, bit).otherwise(lit(0))),
+        lit(0), (acc, b) => acc + b)
+    val q0 = queries.select(
       col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       VectorFns.norm(col("embedding")).as("q_nrm"),
-      lshBucket(col("embedding")).as("bucket"))
+      dots(col("embedding")).as("__dots"))
+    // (|margin|, planeIdx) sorted ascending -> flip the closest planes
+    val flips = slice(
+      transform(
+        array_sort(zip_with(col("__dots"),
+          typedlit((0 until numPlanes).toList),
+          (d, i) => struct(abs(d).as("m"), i.as("i")))),
+        s => s.getField("i")),
+      1, nProbe - 1)
+    val bits = typedlit((0 until numPlanes).map(i => 1 << i).toList)
+    val q = q0
+      .withColumn("__base", bucketOf(col("__dots")))
+      .withColumn("bucket", explode(concat(
+        array(col("__base")),
+        transform(flips, i => col("__base").bitwiseXOR(element_at(bits, i + 1))))))
+      .select("q_id", "q_emb", "q_nrm", "bucket")
     val c = candidates.select(
       col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
       VectorFns.norm(col("embedding")).as("c_nrm"),
-      lshBucket(col("embedding")).as("bucket"))
+      bucketOf(dots(col("embedding"))).as("bucket"))
     val sims = broadcast(q).join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("cand_id"))
       .withColumn("sim", VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      // a candidate can reach one query through at most one bucket (its
+      // own), so no dedup is needed before the k-heap
     selectTopK(sims, k)
   }
 }

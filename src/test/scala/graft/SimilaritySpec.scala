@@ -85,4 +85,22 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     ivf.foreach(r => assert(math.abs(bruteSims((r.getLong(0), r.getLong(1))) - r.getDouble(3)) < 1e-9))
   }
+
+  test("multi-probe lsh: nProbe=1 equals single-probe, recall rises with nProbe") {
+    val e = Tables.embeddings(spark, sfDir)
+    val qs = e.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Ann.knnLsh(qs, e, k = 3))
+    val probe1 = pairs(Ann.knnLshMultiProbe(qs, e, k = 3, nProbe = 1))
+    assert(probe1 === single, "nProbe=1 must reproduce the single-probe result")
+    val brute = pairs(Ann.knnBruteForce(qs, e, k = 3))
+    def recall(p: Set[(Long, Long)]) = brute.count(p.contains).toDouble / brute.size
+    val r1 = recall(probe1)
+    val r3 = recall(pairs(Ann.knnLshMultiProbe(qs, e, k = 3, nProbe = 3)))
+    val r5 = recall(pairs(Ann.knnLshMultiProbe(qs, e, k = 3, nProbe = 5)))
+    assert(r3 >= r1, s"recall must not drop with probes: $r1 -> $r3")
+    assert(r5 >= r3, s"recall must not drop with probes: $r3 -> $r5")
+    assert(r5 > r1, s"probing 5 buckets should beat 1 on the fixture ($r1 -> $r5)")
+  }
 }
