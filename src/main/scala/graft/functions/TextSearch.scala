@@ -27,9 +27,38 @@ object TextSearch {
     concat(lit(" "), regexp_replace(lower(text), "\\s+", " "), lit(" "))
 
   private val FuzzyTerm = "(?s)(.+)~(\\d+)".r
+  private val ProximityPhrase = "(?s)\"([^\"]*)\"~(\\d+)".r
+
+  /** Lucene proximity ("a b"~slop): every phrase term appears within
+    * `slop` token positions of the previous one's match. Positions come
+    * from one zip_with over the token stream; the pairwise check is a
+    * nested `exists` — all codegen'd HOFs, no UDF.
+    */
+  private def proximityPredicate(text: Column, terms: Seq[String], slop: Int): Column = {
+    val toks = tokens(text)
+    val indexed = zip_with(toks, sequence(lit(0), size(toks) - 1),
+      (t, i) => struct(t.as("t"), i.as("i")))
+    def positions(term: String): Column =
+      transform(filter(indexed, s => s.getField("t") === term), s => s.getField("i"))
+    val surviving = terms.map(positions).reduceLeft { (acc, next) =>
+      // keep positions of the accumulated match that have a `next` term
+      // within slop; non-empty result = phrase-with-slop present
+      filter(acc, a => exists(next, b => abs(a - b) <= slop))
+    }
+    size(surviving) > 0
+  }
 
   private def termPredicate(text: Column, term: String): Column = {
     val t = term.toLowerCase
+    t match {
+      case ProximityPhrase(phrase, slop) =>
+        val ts = phrase.split("\\s+").filter(_.nonEmpty).toSeq
+        return (
+          if (ts.isEmpty) lit(false)
+          else if (ts.size == 1) array_contains(tokens(text), ts.head)
+          else proximityPredicate(text, ts, slop.toInt))
+      case _ => ()
+    }
     if (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)
       contains(padded(text), lit(" " + t.substring(1, t.length - 1) + " "))
     // /regex/ term: whole-token regex match (anchored — Lucene regex terms
@@ -58,8 +87,8 @@ object TextSearch {
     * (phrase, term, regex, fuzzy and composite query families).
     */
   def textMatch(text: Column, query: String): Column = {
-    // lex: quoted phrases are single tokens
-    val lexed = "\"[^\"]*\"|\\S+".r.findAllIn(query).toList
+    // lex: quoted phrases (with optional ~slop suffix) are single tokens
+    val lexed = "\"[^\"]*\"(?:~\\d+)?|\\S+".r.findAllIn(query).toList
     val orGroups = splitOn(lexed, "OR")
     orGroups
       .map { group =>

@@ -271,6 +271,36 @@ object AdvancedQueries {
                      count(*) AS n_either
               FROM flags""")),
 
+    // TOP-N + OTHERS — the dashboard rollup: the N heaviest groups keep
+    // their identity, everything else folds into one OTHER bucket, totals
+    // preserved. The ranking window runs over the already-aggregated
+    // per-group counts (rows = distinct groups, not events), so the
+    // "window" cost is dictionary-sized at any corpus scale.
+    QueryDef(
+      "q_topn_others",
+      (s, d) => {
+        val counts = Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
+        val w = Window.orderBy(desc("cnt"), asc("event_type"))
+        counts
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("bucket", when(col("rnk") <= 2, col("event_type")).otherwise("OTHER"))
+          .groupBy("bucket")
+          .agg(sum("cnt").cast("bigint").as("n_events"),
+            round(sum("sum_val"), 2).as("sum_val"))
+          .orderBy(desc("n_events"), asc("bucket"))
+      },
+      Some("""WITH counts AS (SELECT event_type, count(*) AS cnt,
+                       round(sum(value), 2) AS sum_val
+                     FROM events GROUP BY 1),
+                   ranked AS (SELECT *, row_number() OVER
+                       (ORDER BY cnt DESC, event_type) AS rnk FROM counts)
+              SELECT CASE WHEN rnk <= 2 THEN event_type ELSE 'OTHER' END AS bucket,
+                     CAST(sum(cnt) AS BIGINT) AS n_events,
+                     round(sum(sum_val), 2) AS sum_val
+              FROM ranked GROUP BY 1 ORDER BY n_events DESC, bucket""")),
+
     // Set DIFFERENCE cardinalities (theta-sketch A-NOT-B analog): users in
     // one behavioral cohort but not the other, plus symmetric difference —
     // same one-pass flags aggregation, no join or subtraction re-scan.

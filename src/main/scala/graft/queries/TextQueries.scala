@@ -51,6 +51,29 @@ object TextQueries {
                         w -> levenshtein(w, 'scann') <= 1)) > 0
                 AND len(list_filter(string_split(lower(text), ' '),
                         w -> regexp_full_match(w, 'col.+n'))) > 0
+              GROUP BY 1 ORDER BY lang""")),
+
+    // Lucene proximity query ("a b"~slop — terms within slop positions):
+    // the oracle recomputes token positions with list comprehensions, so
+    // the position math is verified exactly.
+    QueryDef(
+      "q_text_proximity",
+      (s, d) =>
+        Tables.documents(s, d)
+          .filter(TextSearch.textMatch(col("text"), "\"spark data\"~3"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("lang"),
+      Some("""WITH t AS (SELECT lang,
+                     regexp_split_to_array(lower(text), '\s+') AS w
+                   FROM documents),
+                   p AS (SELECT lang,
+                     [i FOR i IN range(1, len(w) + 1) IF w[i] = 'spark'] AS pa,
+                     [i FOR i IN range(1, len(w) + 1) IF w[i] = 'data'] AS pb
+                   FROM t)
+              SELECT lang, count(*) AS cnt FROM p
+              WHERE len([a FOR a IN pa
+                         IF len([b FOR b IN pb IF abs(a - b) <= 3]) > 0]) > 0
               GROUP BY 1 ORDER BY lang"""))
   )
 }

@@ -88,6 +88,22 @@ class TextSearchSpec extends SparkSpec {
     }
   }
 
+  test("textMatch proximity phrase matches terms within slop positions") {
+    // "table scan" adjacent in 3 and separated by whitespace run in 4
+    assert(ids(TextSearch.textMatch(col("text"), "\"table scan\"~0")) === Set.empty)
+    assert(ids(TextSearch.textMatch(col("text"), "\"table scan\"~1")) === Set(3L, 4L))
+    // doc 3: "a table scan is slow but a quick index helps" — table..index
+    // are 7 positions apart
+    assert(ids(TextSearch.textMatch(col("text"), "\"table index\"~6")) === Set.empty)
+    assert(ids(TextSearch.textMatch(col("text"), "\"table index\"~7")) === Set(3L))
+    // order-insensitive by design (|i - j| <= slop)
+    assert(ids(TextSearch.textMatch(col("text"), "\"scan table\"~1")) === Set(3L, 4L))
+    // composes with boolean operators
+    assert(ids(TextSearch.textMatch(col("text"), "\"table scan\"~1 AND sql")) === Set(4L))
+    // one-term degenerate phrase behaves like a term
+    assert(ids(TextSearch.textMatch(col("text"), "\"spark\"~2")) === Set(2L, 4L))
+  }
+
   test("langid predicts a valid language deterministically") {
     import spark.implicits._
     val df = Seq(
