@@ -48,4 +48,36 @@ object MinHashLsh {
       .select("a_id", "b_id")
       .distinct()
   }
+
+  /** Materialize a corpus's band index next to its segments — the
+    * dedup-index analog of any Pinot index: built once at ingest,
+    * partitioned by band_idx so an incremental probe prunes to the bands
+    * it touches. Columns: (doc_id, band_idx, band_hash).
+    */
+  def materializeBands(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      shingleSize: Int = 3): Unit =
+    bands(docs, idCol, textCol, shingleSize)
+      .withColumnRenamed(idCol, "doc_id")
+      .write.mode("overwrite").partitionBy("band_idx").parquet(path)
+
+  /** Incremental near-dup candidates: NEW docs against an EXISTING
+    * corpus's materialized band index — the daily-ingest shape. Only the
+    * new batch is shingled/hashed (scan-local expressions); the corpus
+    * side is the index read back from disk, so corpus cost is paid once
+    * at build, not per batch. Returns (new_id, corpus_id) pairs sharing
+    * ≥1 band; verify with exact Jaccard downstream as usual.
+    */
+  def candidatePairsAgainst(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      indexedBands: DataFrame, shingleSize: Int = 3): DataFrame = {
+    val nb = bands(newDocs, idCol, textCol, shingleSize)
+      .select(col(idCol).as("new_id"), col("band_idx"), col("band_hash"))
+    nb.join(indexedBands.select(col("doc_id").as("corpus_id"),
+        col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select("new_id", "corpus_id")
+      .distinct()
+  }
 }

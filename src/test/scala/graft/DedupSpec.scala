@@ -87,6 +87,34 @@ class DedupSpec extends SparkSpec {
     assert(out.agg(sum("n_copies")).head().getLong(0) === docs.count())
   }
 
+  test("incremental candidates against a materialized band index match the self-join") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val newBatch = docs.filter(col("doc_id") % 5 === 0)
+    val idx = Files.createTempDirectory("band_index").toString
+    MinHashLsh.materializeBands(corpus, "doc_id", "text", idx)
+    val indexed = spark.read.parquet(idx)
+    val incr = MinHashLsh
+      .candidatePairsAgainst(newBatch, "doc_id", "text", indexed)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: all-corpus self-join candidates restricted to
+    // (new, existing) pairs
+    val newIds = newBatch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = MinHashLsh.candidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        if (newIds(a) && !newIds(b)) Some((a, b))
+        else if (newIds(b) && !newIds(a)) Some((b, a))
+        else None
+      }.toSet
+    assert(incr === full,
+      s"lost=${(full -- incr).take(5)} invented=${(incr -- full).take(5)}")
+    // the index probe prunes by band partition (scan carries band_idx
+    // partition column, not a full-index scan requirement)
+    assert(indexed.columns.contains("band_idx"))
+  }
+
   test("connected components equals union-find on random graphs (chains, stars, cliques)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
