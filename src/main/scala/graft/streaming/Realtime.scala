@@ -96,6 +96,29 @@ object Realtime {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup suppression: drop documents whose 64-bit SimHash
+    * signature was already seen within the watermark — catches
+    * reformatted/whitespace-variant re-posts that exact-key dedup misses,
+    * with the same watermark-bounded state as `dedupByKey`. The signature
+    * is the scan-local codegen'd simhash64 expression; state per doc is
+    * ONE long. (Hamming-distance>0 matching needs the batch pairing path
+    * — graft.dedup.SimHash — this is the stream-safe signature-equality
+    * form.)
+    */
+  def nearDedupByContent(
+      docs: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    docs
+      .withColumn("__sig", ColumnBridge.column(
+        graft.functions.expressions.SimHash64(
+          ColumnBridge.expression(
+            array_remove(graft.functions.TextShingles.wordTokens(col(textCol)), "")))))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("__sig"))
+      .drop("__sig")
+  }
+
   /** Stream–static dimension enrichment: the realtime lookup join (Pinot
     * serves realtime segments joined against dimension/lookup tables —
     * reference: /root/reference/basics/Architecture.md realtime flow +

@@ -172,6 +172,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup drops whitespace-variant re-posts by signature") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val out = Realtime.nearDedupByContent(docs, "text", "ts")
+    val q = out.writeStream.format("memory").queryName("neardedup_out")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData(
+        (1L, t("2024-01-01 00:00:01"), "the quick brown fox"),
+        (2L, t("2024-01-01 00:00:02"), "a completely different doc"))
+      q.processAllAvailable()
+      input.addData(
+        // same token multiset, different whitespace — must be dropped
+        (3L, t("2024-01-01 00:00:03"), "the  quick   brown fox"),
+        (4L, t("2024-01-01 00:00:04"), "yet another doc"))
+      q.processAllAvailable()
+      val kept = spark.table("neardedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("stream-static dimension enrichment joins each micro-batch without state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
