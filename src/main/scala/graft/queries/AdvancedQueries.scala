@@ -155,6 +155,37 @@ object AdvancedQueries {
                      count(*) AS cnt
               FROM lineitem GROUP BY 1 ORDER BY bucket""")),
 
+    // HISTOGRAM with EXPLICIT bin edges (Pinot's histogram aggregation
+    // takes an arbitrary edge array, not just fixed width): bin index is
+    // one codegen'd conditional chain, counts come from the ordinary
+    // partial-aggregating group-by. Rows outside [first, last) fall into
+    // the open-ended edge bins.
+    QueryDef(
+      "q_histogram_bins",
+      (s, d) => {
+        val edges = Seq(1000.0, 5000.0, 20000.0, 50000.0, 80000.0)
+        val x = col("l_extendedprice")
+        val bin = edges.zipWithIndex.foldRight(lit(edges.size): org.apache.spark.sql.Column) {
+          case ((e, i), acc) => when(x < e, i).otherwise(acc)
+        }
+        Tables.lineitem(s, d)
+          .groupBy(bin.cast("int").as("bin"))
+          .agg(count(lit(1)).as("cnt"),
+            round(min("l_extendedprice"), 2).as("lo"),
+            round(max("l_extendedprice"), 2).as("hi"))
+          .orderBy("bin")
+      },
+      Some("""SELECT CAST(CASE WHEN l_extendedprice < 1000 THEN 0
+                               WHEN l_extendedprice < 5000 THEN 1
+                               WHEN l_extendedprice < 20000 THEN 2
+                               WHEN l_extendedprice < 50000 THEN 3
+                               WHEN l_extendedprice < 80000 THEN 4
+                               ELSE 5 END AS INT) AS bin,
+                     count(*) AS cnt,
+                     round(min(l_extendedprice), 2) AS lo,
+                     round(max(l_extendedprice), 2) AS hi
+              FROM lineitem GROUP BY 1 ORDER BY bin""")),
+
     // GAPFILL: dense daily time axis, zero-filled where no rows exist.
     // The axis is generated, not scanned — at 100 TB the fact side stays a
     // pruned aggregate and the (tiny) axis broadcasts.
