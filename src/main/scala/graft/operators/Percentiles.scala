@@ -30,6 +30,10 @@ object Percentiles {
     */
   def exact(df: DataFrame, grpCols: Seq[String], specs: Seq[(String, String, Double)]): DataFrame = {
     require(grpCols.nonEmpty && specs.nonEmpty, "need grouping columns and percentile specs")
+    specs.foreach { case (name, _, p) =>
+      require(p >= 0.0 && p <= 1.0, s"percentile $name=$p outside [0, 1]")
+    }
+    require(specs.map(_._1).distinct.size == specs.size, "duplicate output names")
     val grp = grpCols.map(col)
     val perValueCol = specs.groupBy(_._2).toSeq.map { case (valCol, ss) =>
       val hist = df.filter(col(valCol).isNotNull)

@@ -32,7 +32,15 @@ object Curation {
       /** per-stratum keep rate in [0,1]; strata absent from the map keep
         * `defaultKeepRate` of their docs. */
       keepRates: Map[String, Double] = Map.empty,
-      defaultKeepRate: Double = 1.0)
+      defaultKeepRate: Double = 1.0) {
+    require(shingleSize > 0, s"shingleSize must be positive, got $shingleSize")
+    require(jaccardThreshold > 0.0 && jaccardThreshold <= 1.0,
+      s"jaccardThreshold $jaccardThreshold outside (0, 1]")
+    require(minTokens >= 0 && maxTokens >= minTokens,
+      s"invalid token bounds [$minTokens, $maxTokens]")
+    (keepRates.values ++ Seq(defaultKeepRate)).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"keep rate $r outside [0, 1]"))
+  }
 
   /** Near-dup losers (non-representative cluster members) — MinHash
     * candidates verified by exact Jaccard, clustered by connected
