@@ -16,7 +16,9 @@ object StarTree {
 
   /** Pre-aggregate: one row per dims combination, carrying partial sums
     * (`s_<col>`), per-metric NON-NULL counts (`c_<col>` — what AVG/COUNT
-    * of a nullable metric actually divides/counts by) and the row count
+    * of a nullable metric actually divides/counts by), per-metric min/max
+    * (`mn_<col>`/`mx_<col>` — min of mins and max of maxes roll up
+    * losslessly, Pinot's MIN/MAX star-tree functions) and the row count
     * (`cube_cnt`).
     */
   def buildCube(
@@ -24,6 +26,8 @@ object StarTree {
       distinctMetrics: Seq[String] = Nil): DataFrame = {
     val aggs = sumMetrics.map(m => sum(col(m)).as(s"s_$m")) ++
       sumMetrics.map(m => count(col(m)).as(s"c_$m")) ++
+      sumMetrics.map(m => min(col(m)).as(s"mn_$m")) ++
+      sumMetrics.map(m => max(col(m)).as(s"mx_$m")) ++
       // DISTINCTCOUNTHLL-in-star-tree: a mergeable HLL sketch per cell, so
       // distinct counts roll up from the cube like sums do — the only way
       // distinct-count survives pre-aggregation (exact distincts do not
@@ -43,6 +47,8 @@ object StarTree {
       distinctMetrics: Seq[String] = Nil): DataFrame = {
     val aggs = sumMetrics.map(m => sum(col(s"s_$m")).as(s"s_$m")) ++
       sumMetrics.map(m => sum(col(s"c_$m")).as(s"c_$m")) ++
+      sumMetrics.map(m => min(col(s"mn_$m")).as(s"mn_$m")) ++
+      sumMetrics.map(m => max(col(s"mx_$m")).as(s"mx_$m")) ++
       distinctMetrics.map(m =>
         hll_sketch_estimate(hll_union_agg(col(s"hll_$m"))).as(s"d_$m")) :+
       sum(col("cube_cnt")).as("cube_cnt")

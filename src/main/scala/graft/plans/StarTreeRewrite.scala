@@ -150,6 +150,17 @@ class StarTreeRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             Divide(
               Cast(sumOf(s"s_${m.name}"), DoubleType),
               Cast(sumOf(s"c_${m.name}"), DoubleType))
+          // MIN/MAX roll up losslessly (min of mins, max of maxes); the
+          // partial-column guard keeps cubes built before these partials
+          // existed un-rewritten rather than wrong.
+          case Min(m: AttributeReference)
+              if cube.metrics.contains(m.name) &&
+                cubeAttrByName.contains(s"mn_${m.name}") =>
+            Min(cubeAttr(s"mn_${m.name}")).toAggregateExpression()
+          case Max(m: AttributeReference)
+              if cube.metrics.contains(m.name) &&
+                cubeAttrByName.contains(s"mx_${m.name}") =>
+            Max(cubeAttr(s"mx_${m.name}")).toAggregateExpression()
           case _ => supported = false; ae
         }
       case a: AttributeReference if cube.dims.contains(a.name) => cubeAttr(a.name)

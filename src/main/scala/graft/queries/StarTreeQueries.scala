@@ -25,12 +25,16 @@ object StarTreeQueries {
             col("l_returnflag"), col("ship_month"),
             round(col("s_l_quantity"), 2).as("sum_qty"),
             round(col("s_l_extendedprice"), 2).as("sum_price"),
+            round(col("mn_l_extendedprice"), 2).as("min_price"),
+            round(col("mx_l_extendedprice"), 2).as("max_price"),
             col("cube_cnt").as("cnt"))
           .orderBy("l_returnflag", "ship_month")
       },
       Some("""SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
                      round(sum(l_quantity), 2) AS sum_qty,
                      round(sum(l_extendedprice), 2) AS sum_price,
+                     round(min(l_extendedprice), 2) AS min_price,
+                     round(max(l_extendedprice), 2) AS max_price,
                      count(*) AS cnt
               FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, ship_month"""))
   )

@@ -55,7 +55,9 @@ class StarTreeSpec extends SparkSpec {
       .agg(
         round(sum("l_quantity"), 2).as("s"),
         count(lit(1)).as("c"),
-        round(avg("l_extendedprice"), 2).as("a"))
+        round(avg("l_extendedprice"), 2).as("a"),
+        round(min("l_extendedprice"), 2).as("mn"),
+        round(max("l_extendedprice"), 2).as("mx"))
       .orderBy("l_returnflag")
     val direct = query().collect().map(_.toSeq).toSeq
 
