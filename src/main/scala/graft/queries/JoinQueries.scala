@@ -54,6 +54,38 @@ object JoinQueries {
               WHERE o_orderdate >= TIMESTAMP '1996-01-01'
               GROUP BY 1 ORDER BY o_orderpriority""")),
 
+    // OUTER joins (multi-stage engine join types beyond inner/semi/anti):
+    // a left-outer customer⋈orders keeps order-less customers with null
+    // order columns; the aggregation counts both sides of the null split
+    // per segment. One key shuffle (or broadcast when a side is small) —
+    // identical plan shape to the inner form.
+    QueryDef(
+      "q_outer_join",
+      (s, d) => {
+        val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        val o = Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("spend"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_customers"),
+            sum(when(col("o_custkey").isNull, 1).otherwise(0)).cast("bigint").as("n_inactive"),
+            sum(coalesce(col("n_orders"), lit(0L))).cast("bigint").as("n_orders"),
+            round(sum(coalesce(col("spend"), lit(0.0))), 2).as("total_spend"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH o AS (SELECT o_custkey, count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS spend
+                   FROM orders GROUP BY 1)
+              SELECT c_mktsegment,
+                     count(*) AS n_customers,
+                     CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive,
+                     CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS n_orders,
+                     round(sum(coalesce(spend, 0)), 2) AS total_spend
+              FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+              GROUP BY 1 ORDER BY c_mktsegment""")),
+
     QueryDef(
       "q_semi_anti_join",
       (s, d) => {
