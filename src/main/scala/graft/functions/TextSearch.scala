@@ -73,12 +73,30 @@ object TextSearch {
       case FuzzyTerm(base, n) if n.toInt >= 0 =>
         val maxD = n.toInt
         exists(tokens(text), w => levenshtein(w, lit(base), maxD) >= 0)
-      case _ if t.endsWith("*") && t.length > 1 =>
+      // trailing-* prefix fast path: plain startsWith, no regex engine
+      case _ if t.endsWith("*") && t.length > 1 &&
+          t.indexOf('*') == t.length - 1 && !t.contains('?') =>
         exists(tokens(text), w => w.startsWith(lit(t.dropRight(1))))
+      // Lucene WildcardQuery (`te?t`, `t*st`): `*` = any run, `?` = any one
+      // char, anchored to the whole token. Compiled once per query into an
+      // anchored regex; evaluated as a codegen'd scan predicate.
+      case _ if t.contains('*') || t.contains('?') =>
+        exists(tokens(text), w => w.rlike("^(?:" + wildcardRegex(t) + ")$"))
       case _ =>
         array_contains(tokens(text), t)
     }
   }
+
+  /** Translate a Lucene wildcard term to a regex: `*`→`.*`, `?`→`.`,
+    * everything else literally (regex metacharacters escaped).
+    */
+  private def wildcardRegex(t: String): String =
+    t.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => "\\" + c
+      case c => c.toString
+    }
 
   /** TEXT_MATCH(col, query): AND/OR/NOT of terms, prefixes, phrases,
     * `term~N` fuzzy (edit-distance ≤ N) and `/regex/` whole-token regex

@@ -213,6 +213,64 @@ object AdvancedQueries {
               FROM axis LEFT JOIN daily ON axis.day = daily.day
               ORDER BY day""")),
 
+    // GAPFILL with FILL_PREVIOUS_VALUE (Pinot gapfill's carry-forward
+    // interpolation mode, vs q_gapfill's zero fill): missing buckets take
+    // the last observed bucket's value. The un-partitioned window runs over
+    // the TIME AXIS (one row per bucket — dictionary-sized at any corpus
+    // scale); the heavy aggregation upstream already reduced to buckets.
+    QueryDef(
+      "q_gapfill_prev",
+      (s, d) => {
+        val axis = s.range(1).select(explode(expr(
+          "sequence(timestamp'1996-01-01', timestamp'1996-03-31', interval 1 day)")).as("day"))
+        val daily = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "P")
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(round(sum("o_totalprice"), 2).as("v"))
+        val fillW = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        broadcast(axis).join(daily, Seq("day"), "left_outer")
+          .select(col("day"),
+            coalesce(last(col("v"), ignoreNulls = true).over(fillW), lit(0.0)).as("filled"))
+          .orderBy("day")
+      },
+      Some("""WITH axis AS (SELECT unnest(generate_series(TIMESTAMP '1996-01-01',
+                                   TIMESTAMP '1996-03-31', INTERVAL '1 day')) AS day),
+                   daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                                    round(sum(o_totalprice), 2) AS v
+                             FROM orders
+                             WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'P'
+                             GROUP BY 1)
+              SELECT axis.day AS day,
+                     coalesce(last_value(v IGNORE NULLS) OVER
+                         (ORDER BY axis.day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW), 0.0) AS filled
+              FROM axis LEFT JOIN daily ON axis.day = daily.day
+              ORDER BY day""")),
+
+    // Linear-regression aggregation family (regr_slope / intercept / r2 /
+    // count) — one-pass, mergeable moment accumulators, same partial-agg
+    // shape as STDDEV/CORR. Oracle recomputes with DuckDB's regr_* family.
+    QueryDef(
+      "q_regr",
+      (s, d) => {
+        val y = col("l_extendedprice"); val x = col("l_quantity")
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            (round(regr_slope(y, x), 2) + lit(0.0)).as("slope"),
+            (round(regr_intercept(y, x), 2) + lit(0.0)).as("icpt"),
+            (round(regr_r2(y, x), 4) + lit(0.0)).as("r2"),
+            regr_count(y, x).cast("long").as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+                     round(regr_slope(l_extendedprice, l_quantity), 2) + 0 AS slope,
+                     round(regr_intercept(l_extendedprice, l_quantity), 2) + 0 AS icpt,
+                     round(regr_r2(l_extendedprice, l_quantity), 4) + 0 AS r2,
+                     CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Skew-resistant two-stage (salted) aggregation — result must equal
     // the plain group-by (the oracle).
     QueryDef(
@@ -553,6 +611,51 @@ object AdvancedQueries {
                      (SELECT count(DISTINCT s.user_id) FROM s
                       JOIN events p ON p.user_id = s.user_id
                                    AND p.event_type = 'purchase' AND p.ts > s.st)
-                     AS n_converted"""))
+                     AS n_converted""")),
+
+    // FUNNELMAXSTEP (Pinot funnel family): the furthest ORDERED step each
+    // user reached (view → later signup → later purchase), as a
+    // distribution over max_step. Each stage is a user-keyed equi-join +
+    // partial MIN aggregate — per-user state is one timestamp per stage,
+    // never a sorted event list; stage outputs shrink monotonically, so
+    // later joins broadcast at scale under AQE.
+    QueryDef(
+      "q_funnel_maxstep",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val t1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val t2 = ev.filter(col("event_type") === "signup")
+          .join(t1, "user_id").filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2, "user_id").filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        t1.join(t2.select("user_id", "t2"), Seq("user_id"), "left_outer")
+          .join(t3.select("user_id", "t3"), Seq("user_id"), "left_outer")
+          .select(
+            when(col("t3").isNotNull, lit(3))
+              .when(col("t2").isNotNull, lit(2))
+              .otherwise(lit(1)).as("max_step"))
+          .groupBy("max_step")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("max_step")
+      },
+      Some("""WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                          WHERE event_type = 'view' GROUP BY 1),
+                   t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                          JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+                          WHERE e.event_type = 'signup' GROUP BY 1),
+                   t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                          JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+                          WHERE e.event_type = 'purchase' GROUP BY 1)
+              SELECT CASE WHEN t3.user_id IS NOT NULL THEN 3
+                          WHEN t2.user_id IS NOT NULL THEN 2
+                          ELSE 1 END AS max_step,
+                     count(*) AS n_users
+              FROM t1
+              LEFT JOIN t2 ON t1.user_id = t2.user_id
+              LEFT JOIN t3 ON t1.user_id = t3.user_id
+              GROUP BY 1 ORDER BY max_step"""))
   )
 }

@@ -57,6 +57,46 @@ object MultiValueQueries {
                      round(CAST(embedding[1] AS DOUBLE), 4) + 0 AS first_v
               FROM embeddings ORDER BY vec_id""")),
 
+    // Pinot's MV aggregation function family — SUMMV / COUNTMV / AVGMV /
+    // MINMV / MAXMV (Introduction.md:52's multi-valued fields, aggregated).
+    // Spark-first shape: each row pre-reduces its array with codegen'd HOFs
+    // (aggregate/size/array_min/array_max), so the group-by shuffles ONE row
+    // per input row instead of one per array element — at 100 TB with
+    // 64-wide arrays that is a 64× smaller exchange than explode-then-agg.
+    QueryDef(
+      "q_mv_agg",
+      (s, d) => {
+        val v = col("embedding")
+        Tables.embeddings(s, d)
+          .select(
+            col("label"),
+            aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double")).as("row_sum"),
+            size(v).cast("long").as("row_n"),
+            array_min(v).cast("double").as("row_min"),
+            array_max(v).cast("double").as("row_max"))
+          .groupBy("label")
+          .agg(
+            round(sum("row_sum"), 2).as("summv"),
+            sum("row_n").as("countmv"),
+            (round(sum("row_sum") / sum("row_n"), 4) + lit(0.0)).as("avgmv"),
+            (round(min("row_min"), 4) + lit(0.0)).as("minmv"),
+            (round(max("row_max"), 4) + lit(0.0)).as("maxmv"))
+          .orderBy("label")
+      },
+      Some("""SELECT label,
+                     round(sum(s), 2) AS summv,
+                     CAST(sum(n) AS BIGINT) AS countmv,
+                     round(sum(s) / sum(n), 4) + 0 AS avgmv,
+                     round(min(mn), 4) + 0 AS minmv,
+                     round(max(mx), 4) + 0 AS maxmv
+              FROM (SELECT label,
+                           list_aggregate(CAST(embedding AS DOUBLE[]), 'sum') AS s,
+                           len(embedding) AS n,
+                           CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+                           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx
+                    FROM embeddings)
+              GROUP BY label ORDER BY label""")),
+
     // MAP columns (complex-type-array-map-handling.md's other half):
     // build a map deterministically, then exercise element_at / map_keys /
     // size — the oracle verifies the SEMANTIC values from plain columns,

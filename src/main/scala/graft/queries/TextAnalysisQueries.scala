@@ -163,6 +163,38 @@ object TextAnalysisQueries {
                           FROM g WHERE len(w) >= 3)
               SELECT doc_id, n_grams, n_distinct,
                      round(1.0 - n_distinct / CAST(n_grams AS DOUBLE), 4) AS rep_ratio
-              FROM sh WHERE n_grams > 0 ORDER BY doc_id"""))
+              FROM sh WHERE n_grams > 0 ORDER BY doc_id""")),
+
+    // CLP-style log templating (the log-analytics columnar-encoding trick:
+    // a log line splits into a static TEMPLATE + extracted variable values;
+    // a petabyte of logs collapses into a dictionary of templates plus
+    // variable columns). Log lines are synthesized deterministically from
+    // events columns (the fixture has no raw logs — same convention as
+    // q_pii_scrub's contact lines); encode = two codegen'd regexps per row,
+    // then the template group-by is dictionary-sized. The oracle replays
+    // the synthesis + encoding in DuckDB.
+    QueryDef(
+      "q_clp_logs",
+      (s, d) => {
+        val line = format_string(
+          "conn %d from host 10.0.%d.%d port %d took %d ms status %s",
+          col("event_id"), col("user_id") % 256, col("event_id") % 256,
+          col("user_id") % 1000 + 8000, col("event_id") % 97, col("event_type"))
+        Tables.events(s, d)
+          .select(
+            regexp_replace(line, "[0-9]+", "<V>").as("template"),
+            (size(split(line, "[0-9]+")) - 1).as("n_vars"))
+          .groupBy("template")
+          .agg(count(lit(1)).as("n_logs"), sum("n_vars").cast("long").as("total_vars"))
+          .orderBy("template")
+      },
+      Some("""WITH l AS (SELECT printf('conn %d from host 10.0.%d.%d port %d took %d ms status %s',
+                                event_id, user_id % 256, event_id % 256,
+                                user_id % 1000 + 8000, event_id % 97, event_type) AS line
+                         FROM events)
+              SELECT regexp_replace(line, '[0-9]+', '<V>', 'g') AS template,
+                     count(*) AS n_logs,
+                     CAST(sum(len(regexp_extract_all(line, '[0-9]+'))) AS BIGINT) AS total_vars
+              FROM l GROUP BY 1 ORDER BY template"""))
   )
 }

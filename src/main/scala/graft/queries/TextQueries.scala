@@ -53,6 +53,25 @@ object TextQueries {
                         w -> regexp_full_match(w, 'col.+n'))) > 0
               GROUP BY 1 ORDER BY lang""")),
 
+    // Lucene WildcardQuery terms (`qu?ry`, `s*rt` — `?` one char, `*` any
+    // run, anchored to whole tokens): the remaining native-text-index query
+    // family beyond prefix/fuzzy/regex. The oracle re-expresses each
+    // wildcard as the equivalent anchored regex.
+    QueryDef(
+      "q_text_wildcard",
+      (s, d) =>
+        Tables.documents(s, d)
+          .filter(TextSearch.textMatch(col("text"), "qu?ry AND s*t"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS cnt FROM documents
+              WHERE len(list_filter(string_split(lower(text), ' '),
+                        w -> regexp_full_match(w, 'qu.ry'))) > 0
+                AND len(list_filter(string_split(lower(text), ' '),
+                        w -> regexp_full_match(w, 's.*t'))) > 0
+              GROUP BY 1 ORDER BY lang""")),
+
     // Lucene proximity query ("a b"~slop — terms within slop positions):
     // the oracle recomputes token positions with list comprehensions, so
     // the position math is verified exactly.

@@ -49,6 +49,20 @@ class TextSearchSpec extends SparkSpec {
     assert(ids(TextSearch.textMatch(col("text"), "sca* AND table")) === Set(3L, 4L))
   }
 
+  test("textMatch wildcard terms anchor to whole tokens") {
+    // ? = exactly one char
+    assert(ids(TextSearch.textMatch(col("text"), "qu?ck")) === Set(1L, 3L))
+    assert(ids(TextSearch.textMatch(col("text"), "qu?ik")) === Set.empty)
+    // mid-token * = any run (including empty)
+    assert(ids(TextSearch.textMatch(col("text"), "s*k")) === Set(2L, 4L))
+    assert(ids(TextSearch.textMatch(col("text"), "j*s")) === Set(1L))
+    // anchored: wildcard must cover the whole token
+    assert(ids(TextSearch.textMatch(col("text"), "?park")) === Set(2L, 4L))
+    assert(ids(TextSearch.textMatch(col("text"), "park?")) === Set.empty)
+    // composes with boolean operators
+    assert(ids(TextSearch.textMatch(col("text"), "t?ble AND s*n")) === Set(3L, 4L))
+  }
+
   test("textMatch fuzzy term tolerates N edits") {
     // "quick" within 1 edit of "quicc"; "fox" within 1 of "box"
     assert(ids(TextSearch.textMatch(col("text"), "quicc~1")) === Set(1L, 3L))
