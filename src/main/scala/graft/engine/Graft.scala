@@ -27,6 +27,14 @@ object Graft {
       // overhead sane on a 100 TB table while still far exceeding the
       // cluster's core count in task parallelism
       .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
+      // runtime bloom-filter semi-join reduction (Pinot's IN_ID_SET /
+      // runtime-filter analog, explicit here because the engine depends on
+      // it): when a fact-fact join's build side carries a selective filter,
+      // the optimizer injects a bloom filter that prunes the probe side
+      // BEFORE its shuffle — at 100 TB that is the difference between
+      // shuffling the full fact table and shuffling the matching slice
+      // (RuntimeFilterSpec asserts the injection)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
       .getOrCreate()

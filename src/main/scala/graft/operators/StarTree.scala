@@ -55,6 +55,42 @@ object StarTree {
     cube.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Merge two cubes over the same (dims, metrics) layout. Every partial
+    * is mergeable by construction — sums and counts add, min-of-mins /
+    * max-of-maxes, HLL sketches union — so the merge is one group-by over
+    * the concatenated cube rows (both cube-sized, never fact-sized).
+    */
+  def mergeCubes(
+      a: DataFrame, b: DataFrame, dims: Seq[String], sumMetrics: Seq[String],
+      distinctMetrics: Seq[String] = Nil): DataFrame = {
+    val aggs = sumMetrics.map(m => sum(col(s"s_$m")).as(s"s_$m")) ++
+      sumMetrics.map(m => sum(col(s"c_$m")).as(s"c_$m")) ++
+      sumMetrics.map(m => min(col(s"mn_$m")).as(s"mn_$m")) ++
+      sumMetrics.map(m => max(col(s"mx_$m")).as(s"mx_$m")) ++
+      distinctMetrics.map(m => hll_union_agg(col(s"hll_$m")).as(s"hll_$m")) :+
+      sum(col("cube_cnt")).as("cube_cnt")
+    a.unionByName(b).groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Incremental refresh — the realtime-segment → star-tree maintenance
+    * path (Pinot keeps star-trees per segment and merges at query time;
+    * here the cube table absorbs each appended segment batch). Only the
+    * DELTA is aggregated — the fact history is never rescanned; the merge
+    * itself runs over two cube-sized inputs. The merged cube is
+    * materialized (localCheckpoint) before the overwrite so reading and
+    * rewriting the same path cannot race, then the catalog entry is
+    * re-registered so the transparent rewrite serves the refreshed cube.
+    */
+  def refreshIncremental(
+      spark: org.apache.spark.sql.SparkSession, factPath: String, delta: DataFrame,
+      dims: Seq[String], sumMetrics: Seq[String], cubePath: String): Unit = {
+    val existing = spark.read.parquet(cubePath)
+    val merged = mergeCubes(existing, buildCube(delta, dims, sumMetrics), dims, sumMetrics)
+      .localCheckpoint(true)
+    merged.repartition(1).write.mode("overwrite").parquet(cubePath)
+    graft.plans.StarTreeCatalog.register(factPath, dims, sumMetrics, cubePath)
+  }
+
   /** Build + persist the cube and make it transparent: any eligible
     * SUM/COUNT/AVG group-by over `factPath` is answered from the cube by
     * the optimizer (graft.plans.StarTreeRewriteRule) from here on.

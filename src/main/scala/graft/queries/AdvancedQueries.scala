@@ -589,6 +589,31 @@ object AdvancedQueries {
                      count(DISTINCT l_quantity) AS dcnt_qty
               FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // ARRAY_AGG / LISTAGG aggregation family: per-group value collection,
+    // plain and DISTINCT, emitted sorted-joined so the result is
+    // deterministic under any partitioning (and comparator-safe — the
+    // driver cannot sort raw array columns). Collected sets here are
+    // dictionary-sized (nations per region, statuses per flag); unbounded
+    // collects over raw facts are what `top_k_by`/sketches are for.
+    QueryDef(
+      "q_array_agg",
+      (s, d) =>
+        Tables.nation(s, d)
+          .groupBy("n_regionkey")
+          .agg(
+            array_join(array_sort(collect_list("n_name")), ",").as("names"),
+            array_join(
+              transform(array_sort(collect_set(col("n_nationkey") % 5)), _.cast("string")),
+              ",").as("key_mods"),
+            count(lit(1)).as("n"))
+          .orderBy("n_regionkey"),
+      Some("""SELECT n_regionkey,
+                     string_agg(n_name, ',' ORDER BY n_name) AS names,
+                     array_to_string(list_sort(list_distinct(list(n_nationkey % 5))), ',')
+                       AS key_mods,
+                     count(*) AS n
+              FROM nation GROUP BY 1 ORDER BY n_regionkey""")),
+
     // Ordered funnel: signup -> later purchase, per user.
     QueryDef(
       "q_funnel",

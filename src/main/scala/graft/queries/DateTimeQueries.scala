@@ -66,6 +66,48 @@ object DateTimeQueries {
                      CAST(quarter(o_orderdate) AS INT) AS q
               FROM orders ORDER BY o_orderkey LIMIT 500""")),
 
+    // EXTRACT field family (Pinot scalar time functions hour / dayOfWeek /
+    // dayOfYear / week / quarter). Normalization: Spark's dayofweek is
+    // 1=Sunday, the oracle's dow is 0=Sunday — the query emits the 0-based
+    // form; week is ISO on both sides.
+    QueryDef(
+      "q_extract",
+      (s, d) =>
+        Tables.events(s, d)
+          .filter(col("event_id") < 500)
+          .select(
+            col("event_id"),
+            hour(col("ts")).as("h"),
+            (dayofweek(col("ts")) - 1).as("dow"),
+            dayofyear(col("ts")).as("doy"),
+            weekofyear(col("ts")).as("wk"),
+            quarter(col("ts")).as("q"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     CAST(extract(hour FROM ts) AS INT) AS h,
+                     CAST(extract(dow FROM ts) AS INT) AS dow,
+                     CAST(extract(doy FROM ts) AS INT) AS doy,
+                     CAST(extract(week FROM ts) AS INT) AS wk,
+                     CAST(extract(quarter FROM ts) AS INT) AS q
+              FROM events WHERE event_id < 500 ORDER BY event_id""")),
+
+    // Timezone-aware DATETIMECONVERT (Pinot's tz-suffixed output formats):
+    // UTC instants bucketed by AMERICA/NEW_YORK local hour-of-day — the
+    // "traffic by local hour" dashboard query. The conversion is a codegen'd
+    // expression; DST is exercised (the fixture spans both regimes iff the
+    // generator does — either way both sides apply the same IANA rules).
+    QueryDef(
+      "q_datetime_tz",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(hour(from_utc_timestamp(col("ts"), "America/New_York")).as("local_hour"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
+          .orderBy("local_hour"),
+      Some("""SELECT CAST(extract(hour FROM
+                       timezone('America/New_York', timezone('UTC', ts))) AS INT) AS local_hour,
+                     count(*) AS cnt, round(sum(value), 2) AS sum_val
+              FROM events GROUP BY 1 ORDER BY local_hour""")),
+
     QueryDef(
       "q_timeseries",
       (s, d) =>

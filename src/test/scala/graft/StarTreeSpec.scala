@@ -107,6 +107,49 @@ class StarTreeSpec extends SparkSpec {
     } finally StarTreeCatalog.clear()
   }
 
+  test("incremental refresh merges a delta cube without rescanning history") {
+    import graft.plans.StarTreeCatalog
+    val tmp = java.nio.file.Files.createTempDirectory("startree_incr").toString
+    val factPath = s"$tmp/fact"
+    val li = Tables.lineitem(spark, sfDir)
+    val old = li.filter(col("l_orderkey") % 2 === 0)
+    val delta = li.filter(col("l_orderkey") % 2 === 1)
+    // the "history": only the old half is materialized + cubed
+    old.write.parquet(factPath)
+    StarTree.materializeAndRegister(
+      spark.read.parquet(factPath), factPath,
+      dims = Seq("l_returnflag", "l_linestatus"),
+      sumMetrics = Seq("l_quantity"), cubePath = s"$tmp/cube")
+    try {
+      // a new segment batch lands: append to the fact, refresh the cube
+      // from the DELTA ONLY
+      delta.write.mode("append").parquet(factPath)
+      StarTree.refreshIncremental(spark, factPath, delta,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), s"$tmp/cube")
+
+      val refreshed = spark.read.parquet(s"$tmp/cube")
+      val rolled = StarTree.rollup(refreshed, Seq("l_returnflag"), Seq("l_quantity"))
+        .select(col("l_returnflag"), round(col("s_l_quantity"), 2).as("q"), col("cube_cnt"))
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      val direct = li.groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("q"), count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      assert(rolled === direct)
+
+      // and the transparent rewrite serves the REFRESHED cube correctly
+      def query() = spark.read.parquet(factPath)
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("s"), count(lit(1)).as("c"))
+        .orderBy("l_returnflag")
+      val rewritten = query()
+      assert(rewritten.queryExecution.executedPlan.toString.contains("cube"))
+      assert(rewritten.collect().map(_.toSeq).toSeq ===
+        li.groupBy("l_returnflag")
+          .agg(round(sum("l_quantity"), 2).as("s"), count(lit(1)).as("c"))
+          .orderBy("l_returnflag").collect().map(_.toSeq).toSeq)
+    } finally StarTreeCatalog.clear()
+  }
+
   test("cube relation is analyzed once per registration, not per query") {
     import graft.plans.StarTreeCatalog
     val factPath = s"$sfDir/lineitem.parquet"
