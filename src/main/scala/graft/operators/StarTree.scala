@@ -83,23 +83,35 @@ object StarTree {
     */
   def refreshIncremental(
       spark: org.apache.spark.sql.SparkSession, factPath: String, delta: DataFrame,
-      dims: Seq[String], sumMetrics: Seq[String], cubePath: String): Unit = {
+      dims: Seq[String], sumMetrics: Seq[String], cubePath: String,
+      distinctMetrics: Seq[String] = Nil): Unit = {
     val existing = spark.read.parquet(cubePath)
-    val merged = mergeCubes(existing, buildCube(delta, dims, sumMetrics), dims, sumMetrics)
+    val merged = mergeCubes(existing,
+        buildCube(delta, dims, sumMetrics, distinctMetrics),
+        dims, sumMetrics, distinctMetrics)
       .localCheckpoint(true)
-    merged.repartition(1).write.mode("overwrite").parquet(cubePath)
-    graft.plans.StarTreeCatalog.register(factPath, dims, sumMetrics, cubePath)
+    // Natural (shuffle) partitioning on the write: AQE coalesces a small
+    // cube to few files, and a big cube (realistic dim cardinalities at
+    // 100 TB) parallelizes across writers instead of bottlenecking on one
+    // task and producing one unsplittable parquet. The rewrite rule reads
+    // the directory either way.
+    merged.write.mode("overwrite").parquet(cubePath)
+    graft.plans.StarTreeCatalog.register(
+      factPath, dims, sumMetrics, cubePath, distinctMetrics)
   }
 
   /** Build + persist the cube and make it transparent: any eligible
-    * SUM/COUNT/AVG group-by over `factPath` is answered from the cube by
-    * the optimizer (graft.plans.StarTreeRewriteRule) from here on.
+    * SUM/COUNT/AVG/MIN/MAX (and, with `distinctMetrics`,
+    * approx_count_distinct) group-by over `factPath` is answered from the
+    * cube by the optimizer (graft.plans.StarTreeRewriteRule) from here on.
     */
   def materializeAndRegister(
       fact: DataFrame, factPath: String,
-      dims: Seq[String], sumMetrics: Seq[String], cubePath: String): Unit = {
-    buildCube(fact, dims, sumMetrics)
-      .repartition(1).write.mode("overwrite").parquet(cubePath)
-    graft.plans.StarTreeCatalog.register(factPath, dims, sumMetrics, cubePath)
+      dims: Seq[String], sumMetrics: Seq[String], cubePath: String,
+      distinctMetrics: Seq[String] = Nil): Unit = {
+    buildCube(fact, dims, sumMetrics, distinctMetrics)
+      .write.mode("overwrite").parquet(cubePath)
+    graft.plans.StarTreeCatalog.register(
+      factPath, dims, sumMetrics, cubePath, distinctMetrics)
   }
 }

@@ -35,16 +35,21 @@ object StarTreeCatalog {
       factPaths: Set[String],
       dims: Set[String],
       metrics: Set[String],
-      cubePath: String)
+      cubePath: String,
+      /** metrics carrying a mergeable HLL sketch (`hll_<m>`) in the cube —
+        * Pinot's DISTINCTCOUNTHLL star-tree aggregation family. */
+      distinctMetrics: Set[String] = Set.empty)
 
   private val cubes = new java.util.concurrent.ConcurrentHashMap[String, CubeDef]()
   private val relations =
     new java.util.concurrent.ConcurrentHashMap[String, LogicalPlan]()
 
-  def register(factPath: String, dims: Seq[String], metrics: Seq[String], cubePath: String): Unit = {
+  def register(factPath: String, dims: Seq[String], metrics: Seq[String], cubePath: String,
+      distinctMetrics: Seq[String] = Nil): Unit = {
     relations.remove(cubePath) // cube may have been rebuilt
     cubes.put(normalize(factPath),
-      CubeDef(Set(normalize(factPath)), dims.toSet, metrics.toSet, cubePath))
+      CubeDef(Set(normalize(factPath)), dims.toSet, metrics.toSet, cubePath,
+        distinctMetrics.toSet))
   }
 
   def clear(): Unit = { cubes.clear(); relations.clear() }
@@ -112,6 +117,7 @@ class StarTreeRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val cubeAttrByName = cubeRel.output.map(a => a.name -> a).toMap
     if (!cube.dims.forall(cubeAttrByName.contains) ||
       !cube.metrics.forall(m => cubeAttrByName.contains(s"s_$m")) ||
+      !cube.distinctMetrics.forall(m => cubeAttrByName.contains(s"hll_$m")) ||
       !cubeAttrByName.contains("cube_cnt"))
       return None
     def cubeAttr(n: String): AttributeReference =
@@ -161,6 +167,18 @@ class StarTreeRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               if cube.metrics.contains(m.name) &&
                 cubeAttrByName.contains(s"mx_${m.name}") =>
             Max(cubeAttr(s"mx_${m.name}")).toAggregateExpression()
+          // DISTINCTCOUNTHLL from the star-tree (Pinot's sketch metric
+          // family): approx_count_distinct(m) over the fact becomes a
+          // union of the cube cells' mergeable HLL sketches + estimate.
+          // Only the user-declared APPROX function is rewritten — exact
+          // COUNT(DISTINCT m) never decomposes across cells and is left
+          // on the fact scan.
+          case HyperLogLogPlusPlus(m: AttributeReference, _, _, _)
+              if cube.distinctMetrics.contains(m.name) &&
+                cubeAttrByName.contains(s"hll_${m.name}") =>
+            HllSketchEstimate(
+              HllUnionAgg(cubeAttr(s"hll_${m.name}"), Literal(true), 0, 0)
+                .toAggregateExpression())
           case _ => supported = false; ae
         }
       case a: AttributeReference if cube.dims.contains(a.name) => cubeAttr(a.name)

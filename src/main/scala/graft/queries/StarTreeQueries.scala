@@ -36,6 +36,40 @@ object StarTreeQueries {
                      round(min(l_extendedprice), 2) AS min_price,
                      round(max(l_extendedprice), 2) AS max_price,
                      count(*) AS cnt
-              FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, ship_month"""))
+              FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, ship_month""")),
+
+    // DISTINCTCOUNTHLL served transparently from the star-tree (Pinot's
+    // sketch metric family — reference: basics/indexing/README.md:16,
+    // configuration-reference/schema.md:48): the fact table is registered
+    // with an HLL sketch per cube cell, and the optimizer rewrites the
+    // approx_count_distinct group-by onto a union of cell sketches — the
+    // fact table is never rescanned. Approximate by design (no SQL
+    // oracle); StarTreeSpec bounds the estimate within 5% of exact and
+    // asserts the plan scans the cube. The fact is a /tmp copy so the
+    // registration never captures other registry queries' lineitem scans.
+    QueryDef(
+      "q_startree_hll",
+      (s, d) => {
+        val base = "/tmp/graft_startree_hll_" +
+          Integer.toHexString(d.hashCode & 0x7fffffff)
+        val factPath = s"$base/fact"
+        if (graft.plans.StarTreeCatalog.find(Set(factPath)).isEmpty) {
+          Tables.lineitem(s, d)
+            .select("l_returnflag", "l_linestatus", "l_partkey", "l_quantity")
+            .write.mode("overwrite").parquet(factPath)
+          StarTree.materializeAndRegister(
+            s.read.parquet(factPath), factPath,
+            dims = Seq("l_returnflag", "l_linestatus"),
+            sumMetrics = Seq("l_quantity"), cubePath = s"$base/cube",
+            distinctMetrics = Seq("l_partkey"))
+        }
+        s.read.parquet(factPath)
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("nd_parts"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      None)
   )
 }

@@ -150,6 +150,75 @@ class StarTreeSpec extends SparkSpec {
     } finally StarTreeCatalog.clear()
   }
 
+  test("approx_count_distinct rewrites onto the cube's HLL sketches") {
+    import graft.plans.StarTreeCatalog
+    val tmp = java.nio.file.Files.createTempDirectory("startree_hll").toString
+    val factPath = s"$tmp/fact"
+    Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "l_partkey", "l_quantity")
+      .write.parquet(factPath)
+    def query() = spark.read.parquet(factPath)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("nd"),
+        round(sum("l_quantity"), 2).as("s"))
+      .orderBy("l_returnflag")
+    val exact = spark.read.parquet(factPath).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd"), round(sum("l_quantity"), 2).as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    StarTree.materializeAndRegister(
+      spark.read.parquet(factPath), factPath,
+      dims = Seq("l_returnflag", "l_linestatus"),
+      sumMetrics = Seq("l_quantity"), cubePath = s"$tmp/cube",
+      distinctMetrics = Seq("l_partkey"))
+    try {
+      val rewritten = query()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("cube"), s"plan still scans the fact table:\n$plan")
+      assert(!plan.contains(s"$tmp/fact"), plan)
+      rewritten.collect().foreach { r =>
+        val (truth, s) = exact(r.getString(0))
+        val est = r.getLong(1)
+        assert(math.abs(est - truth).toDouble / truth <= 0.05,
+          s"${r.getString(0)}: est $est vs exact $truth")
+        assert(r.getDouble(2) === s) // sums stay exact alongside the sketch
+      }
+      // exact COUNT(DISTINCT) must NOT be served from the sketch
+      val exactQ = spark.read.parquet(factPath).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nd"))
+      assert(exactQ.queryExecution.executedPlan.toString.contains(s"$tmp/fact"),
+        "exact count-distinct was wrongly rewritten onto the approximate cube")
+    } finally StarTreeCatalog.clear()
+  }
+
+  test("a multi-file cube still serves the transparent rewrite") {
+    import graft.plans.StarTreeCatalog
+    val factPath = s"$sfDir/lineitem.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("startree_multi").toString
+    val cubeDir = s"$tmp/cube"
+    def query() = spark.read.parquet(factPath)
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("s"), count(lit(1)).as("c"))
+      .orderBy("l_returnflag")
+    val direct = query().collect().map(_.toSeq).toSeq
+
+    // simulate a big cube: force several output files, as a 100 TB fact's
+    // cube would have (the write path no longer repartition(1)s)
+    StarTree.buildCube(spark.read.parquet(factPath),
+        dims = Seq("l_returnflag", "l_linestatus"), sumMetrics = Seq("l_quantity"))
+      .repartition(4).write.parquet(cubeDir)
+    val files = new java.io.File(cubeDir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files > 1, s"expected a multi-file cube, got $files file(s)")
+    StarTreeCatalog.register(factPath,
+      Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), cubeDir)
+    try {
+      val rewritten = query()
+      assert(rewritten.queryExecution.executedPlan.toString.contains("cube"))
+      assert(rewritten.collect().map(_.toSeq).toSeq === direct)
+    } finally StarTreeCatalog.clear()
+  }
+
   test("cube relation is analyzed once per registration, not per query") {
     import graft.plans.StarTreeCatalog
     val factPath = s"$sfDir/lineitem.parquet"
