@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// CRITICAL for the driver's bench gate: the default fork output strategy
+// (LoggedOutput) re-logs the child's stdout through sbt with an "[info] "
+// prefix, which breaks line-oriented JSON parsing of Bench's summary line
+// (BENCH_r04 had the full summary in the tail but it read
+// `[info] {"metric":"total",...}` and parsed as null). StdoutOutput hands
+// the forked JVM the real stdout so `{"metric":...}` starts at column 0.
+// `runMain` shares `run`'s runner, so this covers both.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -44,9 +44,13 @@ object Bench {
       }
       val first = once()
       val times: Seq[Double] = first match {
-        case None => failed += name; Seq.empty // broken benches as broken, not fast
+        case None => Seq.empty
         case Some(t) => t +: (2 to reps).flatMap(_ => once().toSeq)
       }
+      // A query that fails on ANY rep (not just the first) benches as
+      // broken: intermittent failures must not hide behind the median of
+      // the surviving runs.
+      if (times.size < reps) failed += name
       val median =
         if (times.isEmpty) 0.0
         else times.sorted.apply(times.size / 2)

@@ -134,7 +134,18 @@ class StarTreeRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // guard) and wrongly flag it unsupported
     var supported = true
     def rewriteAggTree(e: Expression): Expression = e.transformUp {
-      case ae @ AggregateExpression(fn, Complete, false, _, _) =>
+      // Any aggregate shape the cube cannot serve must DISQUALIFY the whole
+      // rewrite, not merely be left in place: a FILTER'd or DISTINCT
+      // aggregate that survives untouched would still have its dim
+      // references remapped to cube attributes below, pass the
+      // references-subset check, and silently aggregate cube CELLS instead
+      // of fact ROWS (e.g. count(*) FILTER (WHERE dim = 'x') returning the
+      // number of cube cells, or sum(x) FILTER (...) dropping its
+      // predicate).
+      case ae: AggregateExpression
+          if ae.mode != Complete || ae.isDistinct || ae.filter.isDefined =>
+        supported = false; ae
+      case ae @ AggregateExpression(fn, Complete, false, None, _) =>
         fn match {
           case Sum(m: AttributeReference, _) if cube.metrics.contains(m.name) =>
             sumOf(s"s_${m.name}")
@@ -173,8 +184,15 @@ class StarTreeRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // Only the user-declared APPROX function is rewritten — exact
           // COUNT(DISTINCT m) never decomposes across cells and is left
           // on the fact scan.
-          case HyperLogLogPlusPlus(m: AttributeReference, _, _, _)
-              if cube.distinctMetrics.contains(m.name) &&
+          // The cube sketch is a DataSketches HLL at the default lgConfigK
+          // (12 → RSE ≈ 1.04/√4096 ≈ 1.6%). A query asking for TIGHTER
+          // precision than the cube can deliver (approx_count_distinct(m,
+          // 0.005)) must keep its fact scan — serving it from the cube
+          // would silently degrade the requested error bound (and switch
+          // algorithms, HLL++ → DataSketches, changing the estimate).
+          case HyperLogLogPlusPlus(m: AttributeReference, rsd, _, _)
+              if rsd >= 0.0163 &&
+                cube.distinctMetrics.contains(m.name) &&
                 cubeAttrByName.contains(s"hll_${m.name}") =>
             HllSketchEstimate(
               HllUnionAgg(cubeAttr(s"hll_${m.name}"), Literal(true), 0, 0)

@@ -50,8 +50,12 @@ object StarTreeQueries {
     QueryDef(
       "q_startree_hll",
       (s, d) => {
+        // Keyed by sfDir AND pid: two JVMs running the registry
+        // concurrently (bench + correctness) must not race on one
+        // fact/cube directory mid-overwrite.
         val base = "/tmp/graft_startree_hll_" +
-          Integer.toHexString(d.hashCode & 0x7fffffff)
+          Integer.toHexString(d.hashCode & 0x7fffffff) +
+          "_p" + ProcessHandle.current().pid()
         val factPath = s"$base/fact"
         if (graft.plans.StarTreeCatalog.find(Set(factPath)).isEmpty) {
           Tables.lineitem(s, d)

@@ -219,6 +219,64 @@ class StarTreeSpec extends SparkSpec {
     } finally StarTreeCatalog.clear()
   }
 
+  test("FILTER'd / DISTINCT aggregates disqualify the rewrite and stay correct") {
+    import graft.plans.StarTreeCatalog
+    val factPath = s"$sfDir/lineitem.parquet"
+    val cubeDir = java.nio.file.Files.createTempDirectory("startree_filter").toString + "/cube"
+    // sum(x) FILTER (WHERE dim) — the predicate references only dims, so a
+    // buggy rewrite would remap it onto the cube and drop/misapply it
+    def filtered() = spark.read.parquet(factPath)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2)").as("s_f"),
+        expr("count(*) FILTER (WHERE l_linestatus = 'F')").as("c_f"))
+      .orderBy("l_returnflag")
+    def distinctAgg() = spark.read.parquet(factPath)
+      .groupBy("l_returnflag")
+      .agg(sumDistinct(col("l_quantity")).as("sd"))
+      .orderBy("l_returnflag")
+    val directF = filtered().collect().map(_.toSeq).toSeq
+    val directD = distinctAgg().collect().map(_.toSeq).toSeq
+
+    StarTree.materializeAndRegister(
+      spark.read.parquet(factPath), factPath,
+      dims = Seq("l_returnflag", "l_linestatus"),
+      sumMetrics = Seq("l_quantity"), cubePath = cubeDir)
+    try {
+      for ((q, direct) <- Seq(filtered _ -> directF, distinctAgg _ -> directD)) {
+        val plan = q().queryExecution.executedPlan.toString
+        assert(plan.contains("lineitem.parquet"),
+          s"FILTER/DISTINCT aggregate was wrongly served from the cube:\n$plan")
+        assert(q().collect().map(_.toSeq).toSeq === direct)
+      }
+    } finally StarTreeCatalog.clear()
+  }
+
+  test("approx_count_distinct with tighter-than-cube precision keeps the fact scan") {
+    import graft.plans.StarTreeCatalog
+    val tmp = java.nio.file.Files.createTempDirectory("startree_rsd").toString
+    val factPath = s"$tmp/fact"
+    Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "l_partkey")
+      .write.parquet(factPath)
+    StarTree.materializeAndRegister(
+      spark.read.parquet(factPath), factPath,
+      dims = Seq("l_returnflag", "l_linestatus"),
+      sumMetrics = Nil, cubePath = s"$tmp/cube",
+      distinctMetrics = Seq("l_partkey"))
+    try {
+      // default rsd (0.05) — coarser than the cube sketch's ~1.6% → rewrite
+      val coarse = spark.read.parquet(factPath).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("nd"))
+      assert(coarse.queryExecution.executedPlan.toString.contains("cube"))
+      // rsd 0.005 — tighter than the cube can deliver → stays on the fact
+      val tight = spark.read.parquet(factPath).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.005).as("nd"))
+      assert(tight.queryExecution.executedPlan.toString.contains(s"$tmp/fact"),
+        "tight-precision approx_count_distinct was wrongly served from the coarser cube sketch")
+    } finally StarTreeCatalog.clear()
+  }
+
   test("cube relation is analyzed once per registration, not per query") {
     import graft.plans.StarTreeCatalog
     val factPath = s"$sfDir/lineitem.parquet"
