@@ -247,6 +247,202 @@ object MediaCodec {
     } catch { case _: Exception => None }
   }
 
+  // ------------------------------------------------------------------ AVI
+
+  /** Uncompressed RGB video: frames are RGB8 top-down row-major (same
+    * layout as PngImage.rgb), one Array per frame.
+    */
+  final case class AviVideo(
+      width: Int, height: Int, microSecPerFrame: Long, frames: Vector[Array[Byte]]) {
+    def nFrames: Int = frames.length
+    def durationMs: Long = nFrames * microSecPerFrame / 1000L
+  }
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes(StandardCharsets.US_ASCII)
+
+  /** Encode uncompressed 24-bit RGB frames as a RIFF AVI (public
+    * Microsoft 'AVI ' form: LIST hdrl {avih, LIST strl {strh 'vids'/'DIB ',
+    * strf BITMAPINFOHEADER BI_RGB}}, LIST movi {'00db' DIB frames}). Frame
+    * pixel data is converted to the DIB wire layout: bottom-up rows, BGR,
+    * each row padded to a 4-byte boundary.
+    */
+  def encodeAviRgb24(
+      width: Int, height: Int, microSecPerFrame: Long,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && microSecPerFrame > 0)
+    frames.foreach(f => require(f.length == width * height * 3,
+      s"frame length ${f.length} != w*h*3 (${width}x$height)"))
+    val rowBytes = width * 3
+    val paddedRow = (rowBytes + 3) & ~3
+    val dibSize = paddedRow * height
+
+    def dibOf(rgb: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](dibSize)
+      var y = 0
+      while (y < height) {
+        val srcRow = y * rowBytes
+        val dstRow = (height - 1 - y) * paddedRow // bottom-up
+        var x = 0
+        while (x < width) {
+          out(dstRow + x * 3) = rgb(srcRow + x * 3 + 2) // B
+          out(dstRow + x * 3 + 1) = rgb(srcRow + x * 3 + 1) // G
+          out(dstRow + x * 3 + 2) = rgb(srcRow + x * 3) // R
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write(fourcc("LIST")); out.write(u32le(4L + body.length))
+      out.write(fourcc(kind)); out.write(body)
+      out.toByteArray
+    }
+    def ck(id: String, body: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write(fourcc(id)); out.write(u32le(body.length.toLong)); out.write(body)
+      if ((body.length & 1) == 1) out.write(0) // RIFF word alignment
+      out.toByteArray
+    }
+
+    // MainAVIHeader (56 bytes)
+    val avih = new ByteArrayOutputStream()
+    avih.write(u32le(microSecPerFrame))
+    avih.write(u32le(dibSize.toLong * 1000000L / microSecPerFrame)) // maxBytesPerSec
+    avih.write(u32le(0L)) // paddingGranularity
+    avih.write(u32le(0x10L)) // AVIF_HASINDEX off; 0x10 = WASCAPTUREFILE-ish flags unused
+    avih.write(u32le(frames.length.toLong)) // totalFrames
+    avih.write(u32le(0L)) // initialFrames
+    avih.write(u32le(1L)) // streams
+    avih.write(u32le(dibSize.toLong)) // suggestedBufferSize
+    avih.write(u32le(width.toLong))
+    avih.write(u32le(height.toLong))
+    (0 until 4).foreach(_ => avih.write(u32le(0L))) // reserved
+
+    // AVIStreamHeader (56 bytes)
+    val strh = new ByteArrayOutputStream()
+    strh.write(fourcc("vids"))
+    strh.write(fourcc("DIB "))
+    strh.write(u32le(0L)) // flags
+    strh.write(u16le(0)); strh.write(u16le(0)) // priority, language
+    strh.write(u32le(0L)) // initialFrames
+    strh.write(u32le(microSecPerFrame)) // scale
+    strh.write(u32le(1000000L)) // rate => fps = rate/scale
+    strh.write(u32le(0L)) // start
+    strh.write(u32le(frames.length.toLong)) // length (in frames)
+    strh.write(u32le(dibSize.toLong)) // suggestedBufferSize
+    strh.write(u32le(0xffffffffL)) // quality
+    strh.write(u32le(0L)) // sampleSize
+    strh.write(u16le(0)); strh.write(u16le(0)) // rcFrame
+    strh.write(u16le(width)); strh.write(u16le(height))
+
+    // BITMAPINFOHEADER (40 bytes), biCompression = 0 (BI_RGB)
+    val strf = new ByteArrayOutputStream()
+    strf.write(u32le(40L))
+    strf.write(u32le(width.toLong))
+    strf.write(u32le(height.toLong)) // positive = bottom-up
+    strf.write(u16le(1)) // planes
+    strf.write(u16le(24)) // bitCount
+    strf.write(u32le(0L)) // BI_RGB
+    strf.write(u32le(dibSize.toLong))
+    strf.write(u32le(0L)); strf.write(u32le(0L)) // pels/meter
+    strf.write(u32le(0L)); strf.write(u32le(0L)) // clrUsed/Important
+
+    val strl = list("strl",
+      ck("strh", strh.toByteArray) ++ ck("strf", strf.toByteArray))
+    val hdrl = list("hdrl", ck("avih", avih.toByteArray) ++ strl)
+    val movi = list("movi",
+      frames.toArray.flatMap(f => ck("00db", dibOf(f))))
+
+    val body = new ByteArrayOutputStream()
+    body.write(fourcc("AVI "))
+    body.write(hdrl)
+    body.write(movi)
+    val bytes = body.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write(fourcc("RIFF")); out.write(u32le(bytes.length.toLong)); out.write(bytes)
+    out.toByteArray
+  }
+
+  /** Decode an uncompressed-RGB24 AVI produced by any conformant writer
+    * (BI_RGB '00db'/'00dc' frames, bottom-up or top-down DIB rows, 4-byte
+    * row padding). Returns None — never throws — for anything else
+    * (compressed codecs, non-AVI RIFF, corrupt/truncated bytes).
+    */
+  def decodeAvi(bytes: Array[Byte]): Option[AviVideo] = {
+    try {
+      if (bytes == null || bytes.length < 12) return None
+      def tag(off: Int) = new String(bytes, off, 4, StandardCharsets.US_ASCII)
+      if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+
+      var width = -1; var height = -1; var microSec = -1L
+      var bitCount = -1; var compression = -1L; var topDown = false
+      val frames = Vector.newBuilder[Array[Byte]]
+
+      // Walk chunks in [off, end); LISTs recurse into their body.
+      def walk(off0: Int, end: Int): Boolean = { // false = structurally invalid
+        var off = off0
+        while (off + 8 <= end) {
+          val id = tag(off)
+          val len = readU32le(bytes, off + 4).toInt
+          if (len < 0 || off + 8 + len > end) return false
+          if (id == "LIST") {
+            if (len < 4) return false
+            if (!walk(off + 12, off + 8 + len)) return false
+          } else id match {
+            case "avih" if len >= 40 =>
+              microSec = readU32le(bytes, off + 8)
+              width = readU32le(bytes, off + 40).toInt
+              height = readU32le(bytes, off + 44).toInt
+            case "strf" if len >= 40 =>
+              // BITMAPINFOHEADER; negative biHeight = top-down rows
+              val bw = readU32le(bytes, off + 12).toInt
+              val bh = readU32le(bytes, off + 16).toInt
+              if (width <= 0) width = bw
+              if (bh < 0) { topDown = true; if (height <= 0) height = -bh }
+              else if (height <= 0) height = bh
+              bitCount = readU16le(bytes, off + 22)
+              compression = readU32le(bytes, off + 24)
+            case f if f.endsWith("db") || f.endsWith("dc") => // '##db'/'##dc' frames
+              frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
+            case _ => ()
+          }
+          off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+        }
+        true
+      }
+      if (!walk(12, bytes.length)) return None
+      if (width <= 0 || height <= 0 || microSec <= 0) return None
+      if (bitCount != 24 || compression != 0L) return None // only BI_RGB 24bpp
+
+      val rowBytes = width * 3
+      val paddedRow = (rowBytes + 3) & ~3
+      val dibSize = paddedRow * height
+      val rgbFrames = frames.result().map { dib =>
+        if (dib.length != dibSize) return None
+        val rgb = new Array[Byte](height * rowBytes)
+        var y = 0
+        while (y < height) {
+          val srcRow = (if (topDown) y else height - 1 - y) * paddedRow
+          val dstRow = y * rowBytes
+          var x = 0
+          while (x < width) {
+            rgb(dstRow + x * 3) = dib(srcRow + x * 3 + 2) // R
+            rgb(dstRow + x * 3 + 1) = dib(srcRow + x * 3 + 1) // G
+            rgb(dstRow + x * 3 + 2) = dib(srcRow + x * 3) // B
+            x += 1
+          }
+          y += 1
+        }
+        rgb
+      }
+      if (rgbFrames.isEmpty) return None
+      Some(AviVideo(width, height, microSec, rgbFrames))
+    } catch { case _: Exception => None }
+  }
+
   // ------------------------------------- header sniffing (jpeg/gif/bmp/…)
 
   /** (format, width, height) from the binary header alone, or None.

@@ -28,11 +28,12 @@ final case class MediaFeatures(
   * The Spark-side plumbing is real: binary schema, batched
   * `mapPartitions` (one decoder init per partition, not per row — the
   * shape a JNI codec or an ONNX session needs), deterministic
-  * partitioning. Image and audio decode are REAL (graft.multimodal.
-  * MediaCodec: pure-JDK PNG and WAV codecs + JPEG/GIF/BMP header
-  * sniffing); only video decode and the embed step remain the documented
-  * deterministic stub (`decodeStub`) — no av/model libraries exist in
-  * this container. Undecodable bytes fall back to the stub rather than
+  * partitioning. Image, audio AND video decode are REAL
+  * (graft.multimodal.MediaCodec: pure-JDK PNG, WAV and uncompressed-RGB
+  * AVI codecs + JPEG/GIF/BMP header sniffing); only the embed/model step
+  * remains the documented deterministic stub (`decodeStub`), which also
+  * serves as the fallback for compressed codecs the JVM cannot decode
+  * natively — undecodable bytes degrade to stub features rather than
   * failing the job.
   */
 object Multimodal {
@@ -50,8 +51,10 @@ object Multimodal {
 
   /** Real decode where the JDK can: PNG → [width, height, meanR, meanG,
     * meanB, …]; WAV → [sampleRate, channels, durationMs, meanAbsSample,
-    * …]; everything else (video containers, other codecs) falls back to
-    * the deterministic stub. Zero-padded to FeatureDim.
+    * …]; uncompressed-RGB AVI → [width, height, nFrames, durationMs,
+    * meanIntensity, …]; anything undecodable (compressed codecs, corrupt
+    * bytes) falls back to the deterministic stub. Zero-padded to
+    * FeatureDim.
     */
   def decodeFeatures(kind: String, bytes: Array[Byte]): Array[Float] = {
     import graft.multimodal.{MediaCodec => C}
@@ -80,6 +83,18 @@ object Multimodal {
           val nSamples = (a.data.length / 2).max(1)
           pad(Array(a.sampleRate.toFloat, a.channels.toFloat,
             a.durationMs.toFloat, (absSum / nSamples).toFloat))
+        case None => decodeStub(bytes)
+      }
+      case "video" => C.decodeAvi(bytes) match {
+        case Some(v) =>
+          var sum = 0L; var n = 0L
+          v.frames.foreach { f =>
+            var i = 0
+            while (i < f.length) { sum += f(i) & 0xff; i += 1 }
+            n += f.length
+          }
+          pad(Array(v.width.toFloat, v.height.toFloat, v.nFrames.toFloat,
+            v.durationMs.toFloat, if (n == 0) 0f else (sum.toDouble / n).toFloat))
         case None => decodeStub(bytes)
       }
       case _ => decodeStub(bytes)

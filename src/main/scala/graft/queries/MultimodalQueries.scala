@@ -7,12 +7,14 @@ import graft.engine.Tables
 import graft.functions.expressions.ImageDims
 import graft.multimodal.{MediaCodec, MediaItem, Multimodal}
 
-/** §K multimodal — binary media columns with REAL decode where the JVM
-  * can do it natively: documents synthesize genuine PNG files and RIFF/
-  * WAVE PCM audio (graft.multimodal.MediaCodec, pure JDK), whose decoded
-  * dimensions/audio properties are deterministic functions of doc_id —
-  * so DuckDB verifies that the encode → decode loop is byte-correct.
-  * Video stays a documented stub (no av libs in this container).
+/** §K multimodal — binary media columns with REAL decode: documents
+  * synthesize genuine PNG files, RIFF/WAVE PCM audio, and uncompressed-
+  * RGB RIFF AVI video (graft.multimodal.MediaCodec, pure JDK), whose
+  * decoded dimensions/audio properties/frame pixels are deterministic
+  * functions of doc_id — so DuckDB verifies that every encode → decode
+  * loop is byte-correct. Compressed codecs (H.26x etc.) remain out of
+  * scope (no av libs in this container) and fall back to the documented
+  * stub feature path.
   */
 object MultimodalQueries {
 
@@ -42,8 +44,18 @@ object MultimodalQueries {
               MediaCodec.encodeWavPcm16(rate, ch, samples),
               "audio/wav", 0, 0, frames * 1000L / rate)
           case _ =>
-            MediaItem(id, "video", s"video:$id:$src".getBytes("UTF-8"),
-              "video/stub", 0, 0, 500L + (id % 10) * 250L)
+            // Real uncompressed-RGB AVI. 250 ms/frame and 2 + id%10 frames
+            // keep the clip duration equal to the original metadata
+            // formula (500 + id%10 * 250 ms) that q_multimodal_frames'
+            // oracle verifies.
+            val w = 2 + (id % 6).toInt
+            val h = 2 + (id % 4).toInt
+            val n = 2 + (id % 10).toInt
+            val frames = Seq.tabulate(n)(f =>
+              Array.tabulate(w * h * 3)(i => ((id * 17 + f * 13 + i) % 256).toByte))
+            MediaItem(id, "video",
+              MediaCodec.encodeAviRgb24(w, h, 250000L, frames),
+              "video/avi", w, h, n * 250L)
         }
       }
   }
@@ -94,7 +106,9 @@ object MultimodalQueries {
 
     // Per-kind feature aggregates through the batched decode path. f0 is
     // the first REAL decoded feature per kind (image width / audio sample
-    // rate); rows-only because the video stub features are heuristic.
+    // rate / video width); rows-only because the mixed feature vector
+    // layout is not worth a SQL oracle (the per-kind decodes each have
+    // exact oracles of their own).
     QueryDef(
       "q_multimodal_features",
       (s, d) =>
@@ -106,6 +120,41 @@ object MultimodalQueries {
             round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
           .orderBy("kind"),
       None),
+
+    // Decoded video properties (RIFF AVI walk + DIB frame decode): the
+    // container metadata (dims, frame count, duration) AND two decoded
+    // pixel probes (first byte of frame 0, last byte of the last frame)
+    // are deterministic functions of doc_id, so the oracle catches a
+    // BGR/RGB swap, bottom-up row mix-up, or row-padding bug — not just a
+    // header misparse.
+    QueryDef(
+      "q_multimodal_video",
+      (s, d) => {
+        import s.implicits._
+        mediaItems(s, d)
+          .filter(col("kind") === "video")
+          .map { m =>
+            MediaCodec.decodeAvi(m.bytes) match {
+              case Some(v) =>
+                val first = v.frames.head(0) & 0xff
+                val last = v.frames.last(v.frames.last.length - 1) & 0xff
+                (m.media_id, v.width, v.height, v.nFrames, v.durationMs, first, last)
+              case None => (m.media_id, -1, -1, -1, -1L, -1, -1)
+            }
+          }
+          .toDF("doc_id", "width", "height", "n_frames", "duration_ms",
+            "first_byte", "last_byte")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     CAST(2 + doc_id % 6 AS INT) AS width,
+                     CAST(2 + doc_id % 4 AS INT) AS height,
+                     CAST(2 + doc_id % 10 AS INT) AS n_frames,
+                     CAST((2 + doc_id % 10) * 250 AS BIGINT) AS duration_ms,
+                     CAST((doc_id * 17) % 256 AS INT) AS first_byte,
+                     CAST((doc_id * 17 + (1 + doc_id % 10) * 13
+                           + (2 + doc_id % 6) * (2 + doc_id % 4) * 3 - 1) % 256 AS INT) AS last_byte
+              FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""")),
 
     // Frame sampling over video rows: the frame axis is deterministic
     // arithmetic over the synthesized duration, so DuckDB can verify the

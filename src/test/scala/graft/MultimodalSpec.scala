@@ -62,6 +62,62 @@ class MultimodalSpec extends SparkSpec {
     assert(st.durationMs === 50L)
   }
 
+  test("avi encode/decode round-trips frames, dims and duration") {
+    // w=3 → rowBytes 9, padded to 12: exercises the 4-byte row padding
+    val w = 3; val h = 4; val n = 5
+    val frames = Seq.tabulate(n)(f =>
+      Array.tabulate(w * h * 3)(i => ((f * 41 + i * 7 + 3) % 256).toByte))
+    val avi = MediaCodec.encodeAviRgb24(w, h, 200000L, frames)
+    val v = MediaCodec.decodeAvi(avi).get
+    assert(v.width === w)
+    assert(v.height === h)
+    assert(v.nFrames === n)
+    assert(v.microSecPerFrame === 200000L)
+    assert(v.durationMs === n * 200L)
+    (0 until n).foreach(f => assert(v.frames(f).toSeq === frames(f).toSeq,
+      s"frame $f mismatch"))
+    // width already a multiple of 4 (no padding) also round-trips
+    val w4 = MediaCodec.decodeAvi(MediaCodec.encodeAviRgb24(
+      4, 2, 1000000L, Seq(Array.tabulate(24)(_.toByte)))).get
+    assert(w4.frames.head.toSeq === Array.tabulate(24)(_.toByte).toSeq)
+  }
+
+  test("avi decode rejects corrupt, truncated and non-AVI bytes") {
+    val good = MediaCodec.encodeAviRgb24(2, 2, 100000L,
+      Seq(Array.tabulate(12)(_.toByte)))
+    assert(MediaCodec.decodeAvi(good).isDefined)
+    assert(MediaCodec.decodeAvi(null) === None)
+    assert(MediaCodec.decodeAvi(Array.empty[Byte]) === None)
+    assert(MediaCodec.decodeAvi("RIFFxxxxWAVE".getBytes("US-ASCII")) === None)
+    assert(MediaCodec.decodeAvi(good.take(good.length / 2)) === None) // truncated
+    val flipped = good.clone() // corrupt a header field: biCompression != 0
+    // find strf payload and set compression dword to 1 (non-BI_RGB)
+    val idx = {
+      var i = 0; var at = -1
+      while (i + 4 <= flipped.length && at < 0) {
+        if (flipped(i) == 's' && flipped(i + 1) == 't' && flipped(i + 2) == 'r' && flipped(i + 3) == 'f') at = i
+        i += 1
+      }
+      at
+    }
+    assert(idx > 0)
+    flipped(idx + 24) = 1 // biCompression @ strf payload +16 (strf id+len = 8)
+    assert(MediaCodec.decodeAvi(flipped) === None)
+  }
+
+  test("video features decode real AVI properties, stub only for junk") {
+    val avi = MediaCodec.encodeAviRgb24(6, 4, 250000L,
+      Seq.tabulate(3)(f => Array.fill(72)(f.toByte)))
+    val feats = Multimodal.decodeFeatures("video", avi)
+    assert(feats(0) === 6f) // width
+    assert(feats(1) === 4f) // height
+    assert(feats(2) === 3f) // frames
+    assert(feats(3) === 750f) // duration ms
+    assert(feats(4) === 1f) // mean intensity of frames 0,1,2
+    val junk = Multimodal.decodeFeatures("video", Array[Byte](1, 2, 3))
+    assert(junk.toSeq === Multimodal.decodeStub(Array[Byte](1, 2, 3)).toSeq)
+  }
+
   test("header sniffing parses jpeg/gif/bmp and rejects corrupt bytes") {
     // minimal JPEG: SOI, APP0 (zero payload), SOF0 with h=480 w=640, EOI
     val jpeg = Array[Int](
