@@ -114,6 +114,46 @@ object DedupQueries {
                      count(*) AS n_copies
               FROM documents GROUP BY 1 ORDER BY keep_id""")),
 
+    // Benchmark DECONTAMINATION — the training-pipeline step that removes
+    // corpus documents overlapping a held-out eval set by word-8-gram
+    // collision (the standard n-gram decontamination setting). Scale
+    // shape: the benchmark side is SMALL by nature (an eval suite, not a
+    // corpus), so its (bench_id, gram) pairs broadcast — the 100 TB corpus
+    // is touched by exactly one scan-local shingling pass + one broadcast
+    // hash join; no shuffle of corpus grams at all. Grams are compared as
+    // 64-bit hashes (8-byte keys, ~n²/2⁶⁴ collision odds); the fixture's
+    // "benchmark" is the deterministic doc_id % 7 slice so DuckDB can
+    // replay the whole check exactly.
+    QueryDef(
+      "q_decontaminate",
+      (s, d) => {
+        val sh = TextShingles.withShingleHashes(
+          Tables.documents(s, d), "doc_id", "text", n = 8)
+        val bench = sh.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
+        val corpus = sh.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        corpus.join(broadcast(bench), "g")
+          .groupBy("doc_id")
+          .agg(
+            countDistinct(col("g")).as("n_shared_grams"),
+            countDistinct(col("bench_id")).as("n_bench_docs"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+                   sh AS (SELECT doc_id,
+                          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                                         || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+                                         FOR i IN range(1, len(w) - 6)]) AS s
+                          FROM docs WHERE len(w) >= 8),
+                   bench AS (SELECT doc_id AS bench_id, unnest(s) AS g FROM sh WHERE doc_id % 7 = 0),
+                   corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 7 != 0)
+              SELECT c.doc_id,
+                     CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared_grams,
+                     CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+              FROM corpus c JOIN bench b ON c.g = b.g
+              GROUP BY 1 ORDER BY doc_id""")),
+
     // Exact word-3-gram Jaccard ≥ 0.8 pairs via inverted-index join: only
     // docs sharing ≥1 shingle ever meet (never a cross join), intersection
     // counts come from one groupBy — the shape that survives 100 TB.

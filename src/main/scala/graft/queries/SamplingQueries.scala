@@ -52,6 +52,58 @@ object SamplingQueries {
                  ORDER BY md5(text), doc_id LIMIT 50)
               ORDER BY doc_id""")),
 
+    // Concat-and-chunk sequence PACKING — the batch-assembly step of a
+    // pretraining pipeline: documents are concatenated per language in a
+    // deterministic content-hash order and chunked into fixed 512-token
+    // context windows. Each doc's window span falls out of a running
+    // token-offset window function (one shuffle per stratum, O(1) state
+    // per row — no driver-side packing loop, reproducible on any
+    // partitioning). Output: per-language packing stats incl. how many
+    // docs straddle a window boundary.
+    QueryDef(
+      "q_pack_sequences",
+      (s, d) => {
+        val ctx = 512L
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            md5(col("text")).as("h"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("h", "doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        docs
+          .withColumn("end_off", sum("n_tokens").over(w))
+          .withColumn("start_off", col("end_off") - col("n_tokens"))
+          .withColumn("spans",
+            floor((col("end_off") - 1) / ctx) - floor(col("start_off") / ctx) + 1)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            ceil(sum("n_tokens") / lit(ctx.toDouble)).cast("long").as("n_windows"),
+            sum(when(col("spans") > 1, 1L).otherwise(0L)).as("n_boundary_docs"),
+            max("spans").as("max_spans"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+                                len(string_split(text, ' ')) AS n_tokens,
+                                md5(text) AS h
+                         FROM documents),
+                   o AS (SELECT lang, n_tokens,
+                                sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                                    ROWS UNBOUNDED PRECEDING) AS end_off
+                         FROM t)
+              SELECT lang,
+                     count(*) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                     CAST(ceil(sum(n_tokens) / 512.0) AS BIGINT) AS n_windows,
+                     CAST(sum(CASE WHEN floor((end_off - 1) / 512)
+                                        - floor((end_off - n_tokens) / 512) + 1 > 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+                     CAST(max(floor((end_off - 1) / 512)
+                              - floor((end_off - n_tokens) / 512) + 1) AS BIGINT) AS max_spans
+              FROM o GROUP BY 1 ORDER BY lang""")),
+
     // The full corpus-curation pipeline as ONE driver-visible entry:
     // exact dedup → MinHash-LSH candidates → exact-Jaccard verify →
     // connected-components keep-one → quality filter → reproducible

@@ -96,6 +96,12 @@ object SegmentWriter {
     val before = countFiles(srcPath)
     val df = spark.read.parquet(srcPath)
     write(df, destPath, cfg)
+    // The session-scoped materializations (dedup pairs/cluster maps, IVF
+    // indexes) key on the PATH, not file contents — rewriting a dir they
+    // were built over would silently serve stale results. Compaction is
+    // exactly such a rewrite, so it invalidates them.
+    graft.queries.DedupQueries.invalidateCaches()
+    graft.similarity.IvfAnn.invalidateIndexCache()
     CompactionStats(before, countFiles(destPath), spark.read.parquet(destPath).count())
   }
 
