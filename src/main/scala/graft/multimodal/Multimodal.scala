@@ -101,6 +101,33 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resize on a decoded RGB8 image — the thumbnail /
+    * model-input-normalization step of a multimodal pipeline. Pure
+    * per-row compute (src pixel = floor(dst · src/dst) on each axis), so
+    * in a plan it rides the same batched decode path as feature
+    * extraction — no shuffle, no state.
+    */
+  def resizeRgb(img: MediaCodec.PngImage, dstW: Int, dstH: Int): MediaCodec.PngImage = {
+    require(dstW > 0 && dstH > 0, s"bad target ${dstW}x$dstH")
+    val out = new Array[Byte](dstW * dstH * 3)
+    var y = 0
+    while (y < dstH) {
+      val srcY = y * img.height / dstH
+      var x = 0
+      while (x < dstW) {
+        val srcX = x * img.width / dstW
+        val src = (srcY * img.width + srcX) * 3
+        val dst = (y * dstW + x) * 3
+        out(dst) = img.rgb(src)
+        out(dst + 1) = img.rgb(src + 1)
+        out(dst + 2) = img.rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    MediaCodec.PngImage(dstW, dstH, out)
+  }
+
   /** STUB decoder: deterministic features from a rolling byte hash — the
     * fallback for kinds the JVM cannot decode natively (video) and for
     * undecodable bytes; a real deployment swaps in a codec/model here.

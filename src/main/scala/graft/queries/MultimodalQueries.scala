@@ -121,6 +121,40 @@ object MultimodalQueries {
           .orderBy("kind"),
       None),
 
+    // RESIZE through the real decode path: PNG decode → nearest-neighbor
+    // resize to 4×3 → re-encode → re-decode, probing two pixels of the
+    // round-tripped result. The oracle recomputes the nearest-neighbor
+    // source indices (floor(dst·src/dst)) and the synthesis pixel formula,
+    // so the resize arithmetic AND the second encode/decode loop are both
+    // hash-verified.
+    QueryDef(
+      "q_multimodal_resize",
+      (s, d) => {
+        import s.implicits._
+        mediaItems(s, d)
+          .filter(col("kind") === "image")
+          .map { m =>
+            val out = MediaCodec.decodePng(m.bytes)
+              .map(img => Multimodal.resizeRgb(img, 4, 3))
+              .map(r => MediaCodec.decodePng(MediaCodec.encodePng(r)).get)
+            out match {
+              case Some(r) =>
+                val centre = ((1 * 4 + 2) * 3) // dst (x=2, y=1), R channel
+                (m.media_id, r.width, r.height,
+                  r.rgb(0) & 0xff, r.rgb(centre) & 0xff)
+              case None => (m.media_id, -1, -1, -1, -1)
+            }
+          }
+          .toDF("doc_id", "width", "height", "first_r", "centre_r")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 4 AS width, 3 AS height,
+                     CAST((doc_id * 31) % 256 AS INT) AS first_r,
+                     CAST((doc_id * 31
+                           + (((1 + doc_id % 5) // 3) * (1 + doc_id % 8)
+                              + (2 * (1 + doc_id % 8)) // 4) * 3) % 256 AS INT) AS centre_r
+              FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""")),
+
     // Decoded video properties (RIFF AVI walk + DIB frame decode): the
     // container metadata (dims, frame count, duration) AND two decoded
     // pixel probes (first byte of frame 0, last byte of the last frame)

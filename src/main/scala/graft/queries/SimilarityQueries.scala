@@ -70,6 +70,52 @@ object SimilarityQueries {
           .select(col("q_id"), col("cand_id"), col("rank"), round(col("sim"), 4).as("sim"))
           .orderBy("q_id", "rank")
       },
-      None)
+      None),
+
+    // Symmetric int8 quantization of the embedding column — the
+    // compression step that makes a 100 TB ANN index 4× smaller (and
+    // SIMD-friendlier) at a measured accuracy cost. Per label: scale =
+    // max|x|/127 (computed in one partial-agg pass, broadcast back), then
+    // the reconstruction error rides a second scan as a codegen'd array
+    // HOF — no explode, no per-element shuffle. Ties in the round are
+    // pinned with floor(x+0.5) on BOTH sides so the oracle is exact
+    // double arithmetic.
+    QueryDef(
+      "q_embed_quantize",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val scales = e.groupBy("label")
+          .agg((max(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => greatest(acc, abs(x.cast("double"))))) / 127.0d).as("scale"))
+        e.join(broadcast(scales), "label")
+          .select(
+            col("label"), col("scale"),
+            aggregate(col("embedding"), lit(0.0d), (acc, x) => {
+              val v = x.cast("double")
+              val q = floor(v / col("scale") + 0.5d) * col("scale")
+              acc + abs(v - q)
+            }).as("abs_err"),
+            size(col("embedding")).as("dim"))
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            (round(first(col("scale")), 6) + lit(0.0)).as("scale"),
+            (round(sum(col("abs_err")) / sum(col("dim")), 6) + lit(0.0)).as("mean_abs_err"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   s AS (SELECT label,
+                                max(list_aggregate(list_transform(v, x -> abs(x)), 'max')) / 127.0 AS scale
+                         FROM e GROUP BY 1),
+                   err AS (SELECT e.label, s.scale,
+                                  list_aggregate(list_transform(v,
+                                    x -> abs(x - floor(x / s.scale + 0.5) * s.scale)), 'sum') AS abs_err,
+                                  len(v) AS dim
+                           FROM e JOIN s USING (label))
+              SELECT label,
+                     count(*) AS n_vecs,
+                     round(min(scale), 6) + 0 AS scale,
+                     round(sum(abs_err) / sum(dim), 6) + 0 AS mean_abs_err
+              FROM err GROUP BY 1 ORDER BY label"""))
   )
 }

@@ -118,6 +118,23 @@ class MultimodalSpec extends SparkSpec {
     assert(junk.toSeq === Multimodal.decodeStub(Array[Byte](1, 2, 3)).toSeq)
   }
 
+  test("nearest-neighbor resize picks floor-mapped source pixels") {
+    val w = 8; val h = 6
+    val rgb = Array.tabulate(w * h * 3)(i => (i % 256).toByte)
+    val img = MediaCodec.PngImage(w, h, rgb)
+    val r = Multimodal.resizeRgb(img, 4, 3)
+    assert(r.width === 4 && r.height === 3 && r.rgb.length === 36)
+    for (y <- 0 until 3; x <- 0 until 4; c <- 0 until 3) {
+      val src = ((y * h / 3) * w + (x * w / 4)) * 3 + c
+      assert((r.rgb((y * 4 + x) * 3 + c) & 0xff) === (rgb(src) & 0xff),
+        s"pixel ($x,$y,c$c)")
+    }
+    // identity resize is a no-op; upscale replicates pixels
+    assert(Multimodal.resizeRgb(img, w, h).rgb.toSeq === rgb.toSeq)
+    val up = Multimodal.resizeRgb(MediaCodec.PngImage(1, 1, Array[Byte](7, 8, 9)), 3, 2)
+    assert(up.rgb.toSeq === Seq.fill(6)(Seq[Byte](7, 8, 9)).flatten)
+  }
+
   test("header sniffing parses jpeg/gif/bmp and rejects corrupt bytes") {
     // minimal JPEG: SOI, APP0 (zero payload), SOF0 with h=480 w=640, EOI
     val jpeg = Array[Int](
