@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** §K corpus curation, part 2 — the cross-document operators a
+  * training-data pipeline runs AFTER per-document scoring: span-level
+  * dedup (the C4/MassiveText line-dedup shape), unigram-LM quality
+  * scoring (the CCNet perplexity-filter shape), weighted mixture
+  * sampling with epoch replication (data-mixture assembly), and exact
+  * corpus n-gram statistics (the exact twin of q_frequent_terms'
+  * Misra–Gries sketch).
+  *
+  * All four are exactly SQL-expressible, so each carries a DuckDB oracle
+  * — determinism on any partitioning is part of the contract.
+  */
+object CorpusQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // Cross-corpus SPAN dedup: every doc is chunked into fixed 10-token
+    // spans and a span occurrence survives only if it is the FIRST
+    // occurrence of that exact span corpus-wide (ordered by doc_id, then
+    // position — the keep-first policy of C4's line dedup). Shape at
+    // 100 TB: chunking is scan-local (one transform per row), the only
+    // shuffle is the hash-partition by span for the keep-first window —
+    // exactly one pass, no joins, skew bounded because a span that occurs
+    // k times costs k rows in one partition (boilerplate spans are the
+    // skew risk; cap-by-df like q_dedup_ngram_jaccard's maxShingleDf is
+    // the documented knob if a production corpus needs it).
+    QueryDef(
+      "q_dedup_span",
+      (s, d) => {
+        val spanLen = 10
+        val toks = split(col("text"), " ")
+        val nSpans = ceil(size(toks) / lit(spanLen.toDouble)).cast("int")
+        val spans = transform(sequence(lit(0), nSpans - 1), i =>
+          struct(i.cast("int").as("span_idx"),
+            concat_ws(" ", slice(toks, i * spanLen + 1, lit(spanLen))).as("span")))
+        val firstWin = Window.partitionBy("span").orderBy("doc_id", "span_idx")
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(spans).as("s"))
+          .select(col("doc_id"), col("s.span_idx").as("span_idx"), col("s.span").as("span"))
+          .withColumn("rn", row_number().over(firstWin))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_spans"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+          .select(col("doc_id"), col("n_spans"), col("n_kept"),
+            round(col("n_kept") / col("n_spans").cast("double"), 4).as("keep_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                   sp0 AS (SELECT doc_id,
+                                  unnest([{'span_idx': i,
+                                           'span': array_to_string(w[(i*10+1):(i*10+10)], ' ')}
+                                          FOR i IN range(0, CAST(ceil(len(w)/10.0) AS BIGINT))]) AS s
+                           FROM t),
+                   sp AS (SELECT doc_id, CAST(s.span_idx AS INT) AS span_idx, s.span AS span FROM sp0),
+                   k AS (SELECT doc_id, span_idx,
+                                row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+                         FROM sp)
+              SELECT doc_id, count(*) AS n_spans,
+                     CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                     round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS keep_ratio
+              FROM k GROUP BY 1 ORDER BY doc_id""")),
+
+    // Unigram-LM negative log-likelihood per document (the CCNet-style
+    // perplexity quality filter, with the corpus itself as the LM): score
+    // = ln(total_tokens) - mean(ln(count(w))) over the doc's token
+    // occurrences — high score = rare-token-heavy (possibly noise), low =
+    // common-token-heavy (possibly boilerplate). Shape at 100 TB: the
+    // vocab table is dictionary-sized, so the unpartitioned total-sum
+    // window runs over the VOCAB (bounded), never the corpus, and the
+    // score join broadcasts the vocab to a single corpus scan.
+    QueryDef(
+      "q_lm_quality",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+          .withColumn("ln_total", log(sum("cnt").over(Window.partitionBy())))
+        tok.join(broadcast(freq), Seq("w"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            round(first(col("ln_total")) - avg(log(col("cnt"))), 3).as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+                   freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+                   tot AS (SELECT sum(cnt) AS total FROM freq)
+              SELECT doc_id, count(*) AS n_tokens,
+                     round(ln((SELECT total FROM tot)) - avg(ln(cnt)), 3) AS avg_nll
+              FROM tok JOIN freq USING (w)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Weighted mixture sampling with EPOCH REPLICATION — the data-mixture
+    // assembly step: each source gets a target rate (src0 upsampled 2.5×,
+    // src1 downsampled to 0.25×, everything else 1×); a doc contributes
+    // floor(rate) full epochs plus one fractional epoch kept by content
+    // hash, so the sample is reproducible on any cluster, any retry, any
+    // partitioning (same md5 in DuckDB verifies it exactly). Shape at
+    // 100 TB: explode-by-epoch is scan-local with bounded fan-out
+    // (ceil(max rate)), the decision is a pure per-row predicate — no
+    // shuffle at all before the per-source rollup.
+    QueryDef(
+      "q_mix_weighted",
+      (s, d) => {
+        val rate = when(col("source") === "src0", 2.5)
+          .when(col("source") === "src1", 0.25)
+          .otherwise(1.0)
+        val fracThreshold = lpad(lower(hex(
+          floor((col("rate") - floor(col("rate"))) * 65536).cast("long"))), 4, "0")
+        Tables.documents(s, d)
+          .withColumn("rate", rate)
+          .withColumn("epoch", explode(sequence(lit(1), ceil(col("rate")).cast("int"))))
+          .filter(col("epoch") <= floor(col("rate")) ||
+            substring(md5(concat(col("text"), lit("#"), col("epoch"))), 1, 4) < fracThreshold)
+          .groupBy("source")
+          .agg(
+            countDistinct(col("doc_id")).as("n_docs_sampled"),
+            count(lit(1)).as("n_samples"),
+            sum(size(split(col("text"), " ")).cast("long")).as("tokens_out"))
+          .orderBy("source")
+      },
+      Some("""WITH cfg AS (SELECT doc_id, text, source,
+                                  CASE source WHEN 'src0' THEN 2.5
+                                              WHEN 'src1' THEN 0.25
+                                              ELSE 1.0 END AS rate
+                           FROM documents),
+                   ep AS (SELECT doc_id, text, source, rate,
+                                 CAST(unnest(range(1, CAST(ceil(rate) AS BIGINT) + 1)) AS INT) AS epoch
+                          FROM cfg),
+                   kept AS (SELECT * FROM ep
+                            WHERE epoch <= floor(rate)
+                               OR substring(md5(text || '#' || epoch), 1, 4) <
+                                  lpad(lower(hex(CAST(floor((rate - floor(rate)) * 65536) AS BIGINT))), 4, '0'))
+              SELECT source, count(DISTINCT doc_id) AS n_docs_sampled,
+                     count(*) AS n_samples,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_out
+              FROM kept GROUP BY 1 ORDER BY source""")),
+
+    // Exact per-language top-3 bigrams with a deterministic tie-break
+    // (count DESC, gram ASC) — the exact twin of q_frequent_terms'
+    // Misra–Gries sketch, for when the pipeline needs true counts (e.g.
+    // boilerplate-phrase blocklists). Shape at 100 TB: bigram explosion
+    // is scan-local; the count table after the (lang, gram) rollup is
+    // vocab²-bounded (dictionary-sized), so the rank window shuffles the
+    // COUNT table, never the corpus.
+    QueryDef(
+      "q_ngram_top",
+      (s, d) => {
+        val toks = split(lower(col("text")), " ")
+        val grams = transform(sequence(lit(1), size(toks) - 1), i =>
+          concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+        val rankWin = Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))
+        Tables.documents(s, d)
+          .filter(size(toks) >= 2)
+          .select(col("lang"), explode(grams).as("gram"))
+          .groupBy("lang", "gram")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rank", row_number().over(rankWin))
+          .filter(col("rank") <= 3)
+          .select(col("lang"), col("rank"), col("gram"), col("cnt"))
+          .orderBy("lang", "rank")
+      },
+      Some("""WITH t AS (SELECT lang, string_split(lower(text), ' ') AS w FROM documents),
+                   bg AS (SELECT lang, unnest([w[i] || ' ' || w[i+1]
+                                               FOR i IN range(1, len(w))]) AS gram
+                          FROM t WHERE len(w) >= 2),
+                   c AS (SELECT lang, gram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+                   rk AS (SELECT lang, gram, cnt,
+                                 row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+                          FROM c)
+              SELECT lang, CAST(rank AS INT) AS rank, gram, cnt
+              FROM rk WHERE rank <= 3 ORDER BY lang, rank"""))
+  )
+}
