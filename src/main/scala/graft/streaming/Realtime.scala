@@ -119,6 +119,31 @@ object Realtime {
       .drop("__sig")
   }
 
+  /** Stream–stream INTERVAL join — the attribution shape (impressions ⋈
+    * clicks on the same key, click within `within` after the impression).
+    * Both sides carry watermarks and the join condition carries an
+    * event-time range, so Spark derives a state-cleanup bound for BOTH
+    * join buffers — state is O(key-rate × (watermark + within)), never
+    * unbounded (the reference's realtime servers bound their upsert/dedup
+    * stores with TTLs the same way). Columns other than `keyCol` must be
+    * distinct across the two sides; the right side's key is dropped from
+    * the output.
+    */
+  def intervalJoin(
+      left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      keyCol: String, within: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+      .withColumnRenamed(keyCol, s"__r_$keyCol")
+    l.join(r,
+        l(keyCol) === r(s"__r_$keyCol") &&
+          r(rightTs) >= l(leftTs) &&
+          r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"))
+      .drop(s"__r_$keyCol")
+  }
+
   /** Stream–static dimension enrichment: the realtime lookup join (Pinot
     * serves realtime segments joined against dimension/lookup tables —
     * reference: /root/reference/basics/Architecture.md realtime flow +

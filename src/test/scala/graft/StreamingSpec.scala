@@ -217,4 +217,35 @@ class StreamingSpec extends SparkSpec {
       assert(rows === Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes clicks to impressions within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Realtime.intervalJoin(
+      imps.toDF().toDF("imp_id", "user_id", "imp_ts"), "imp_ts",
+      clicks.toDF().toDF("click_id", "user_id", "click_ts"), "click_ts",
+      keyCol = "user_id", within = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    try {
+      imps.addData(
+        (100L, 1L, t("2024-01-01 00:00:00")),
+        (101L, 2L, t("2024-01-01 00:00:00")),
+        (102L, 3L, t("2024-01-01 00:30:00")))
+      clicks.addData(
+        (900L, 1L, t("2024-01-01 00:05:00")), // within 10 min -> attributed
+        (901L, 2L, t("2024-01-01 00:20:00")), // 20 min later -> outside window
+        (902L, 3L, t("2024-01-01 00:29:00")), // BEFORE the impression -> no join
+        (903L, 3L, t("2024-01-01 00:31:00"))) // 1 min after -> attributed
+      q.processAllAvailable()
+      val pairs = spark.table("attrib_out").select("imp_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((100L, 900L), (102L, 903L)))
+      // the output keeps exactly one user_id column (right key dropped)
+      assert(spark.table("attrib_out").columns.count(_ == "user_id") === 1)
+    } finally q.stop()
+  }
 }
