@@ -29,7 +29,11 @@ object ScaleBench {
 
   private val QueryNames = Seq(
     "q_dedup_embedding", "q_dedup_ngram_jaccard", "q_dedup_clusters",
-    "q_ann_ivf", "q_curation", "dedup_embedding_t09")
+    "q_ann_ivf", "q_curation", "dedup_embedding_t09",
+    // round-6 corpus family: the three shuffle-bearing new operators
+    // (span-dedup window, LM-score explode+join, n-gram rollup);
+    // q_mix_weighted is a pure scan predicate and has nothing to measure.
+    "q_dedup_span", "q_lm_quality", "q_ngram_top")
 
   /** The registry's q_dedup_embedding runs the fixture-calibrated
     * threshold 0.4, where ~0.4% of RANDOM pairs qualify — so the true-pair

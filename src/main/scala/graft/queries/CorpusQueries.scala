@@ -30,26 +30,16 @@ object CorpusQueries {
     // the documented knob if a production corpus needs it).
     QueryDef(
       "q_dedup_span",
-      (s, d) => {
-        val spanLen = 10
-        val toks = split(col("text"), " ")
-        val nSpans = ceil(size(toks) / lit(spanLen.toDouble)).cast("int")
-        val spans = transform(sequence(lit(0), nSpans - 1), i =>
-          struct(i.cast("int").as("span_idx"),
-            concat_ws(" ", slice(toks, i * spanLen + 1, lit(spanLen))).as("span")))
-        val firstWin = Window.partitionBy("span").orderBy("doc_id", "span_idx")
-        Tables.documents(s, d)
-          .select(col("doc_id"), explode(spans).as("s"))
-          .select(col("doc_id"), col("s.span_idx").as("span_idx"), col("s.span").as("span"))
-          .withColumn("rn", row_number().over(firstWin))
+      (s, d) =>
+        graft.dedup.SpanDedup.markSpans(
+            Tables.documents(s, d), "doc_id", "text", spanLen = 10)
           .groupBy("doc_id")
           .agg(
             count(lit(1)).as("n_spans"),
-            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
           .select(col("doc_id"), col("n_spans"), col("n_kept"),
             round(col("n_kept") / col("n_spans").cast("double"), 4).as("keep_ratio"))
-          .orderBy("doc_id")
-      },
+          .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
                    sp0 AS (SELECT doc_id,
                                   unnest([{'span_idx': i,
@@ -106,24 +96,16 @@ object CorpusQueries {
     // shuffle at all before the per-source rollup.
     QueryDef(
       "q_mix_weighted",
-      (s, d) => {
-        val rate = when(col("source") === "src0", 2.5)
-          .when(col("source") === "src1", 0.25)
-          .otherwise(1.0)
-        val fracThreshold = lpad(lower(hex(
-          floor((col("rate") - floor(col("rate"))) * 65536).cast("long"))), 4, "0")
-        Tables.documents(s, d)
-          .withColumn("rate", rate)
-          .withColumn("epoch", explode(sequence(lit(1), ceil(col("rate")).cast("int"))))
-          .filter(col("epoch") <= floor(col("rate")) ||
-            substring(md5(concat(col("text"), lit("#"), col("epoch"))), 1, 4) < fracThreshold)
+      (s, d) =>
+        graft.pipeline.Mixture.sample(
+            Tables.documents(s, d), "text", "source",
+            rates = Map("src0" -> 2.5, "src1" -> 0.25), defaultRate = 1.0)
           .groupBy("source")
           .agg(
             countDistinct(col("doc_id")).as("n_docs_sampled"),
             count(lit(1)).as("n_samples"),
             sum(size(split(col("text"), " ")).cast("long")).as("tokens_out"))
-          .orderBy("source")
-      },
+          .orderBy("source"),
       Some("""WITH cfg AS (SELECT doc_id, text, source,
                                   CASE source WHEN 'src0' THEN 2.5
                                               WHEN 'src1' THEN 0.25

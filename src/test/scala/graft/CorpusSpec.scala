@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.SpanDedup
+import graft.pipeline.Mixture
+
+/** Edge-case specs for the round-6 corpus operators (the registry queries
+  * over them are DuckDB-hash-verified; these cover the API semantics the
+  * fixture can't reach).
+  */
+class CorpusSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("Mixture.sample: integer rate replicates exactly, zero rate drops the stratum") {
+    val docs = Seq(
+      (1L, "alpha beta", "a"), (2L, "gamma delta", "a"),
+      (3L, "epsilon zeta", "b"), (4L, "eta theta", "c"))
+      .toDF("doc_id", "text", "source")
+    val out = Mixture.sample(docs, "text", "source",
+      rates = Map("a" -> 3.0, "b" -> 0.0), defaultRate = 1.0)
+    val byDoc = out.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc === Map(1L -> 3L, 2L -> 3L, 4L -> 1L)) // b dropped entirely
+    // epoch column is the 1-based copy index
+    val epochs = out.filter(col("doc_id") === 1L).select("epoch")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(epochs === Seq(1, 2, 3))
+  }
+
+  test("Mixture.sample: fractional rate is deterministic and bounded by ceil(rate)") {
+    val docs = (1 to 400)
+      .map(i => (i.toLong, s"doc number $i with content ${i * 37}", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Mixture.sample(docs, "text", "source", rates = Map("s" -> 1.5))
+    val counts = out.groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(c => c >= 1 && c <= 2)) // floor guaranteed, ceil bound
+    val total = counts.sum.toDouble / 400
+    assert(total > 1.3 && total < 1.7, s"mean copies $total should approximate rate 1.5")
+    // deterministic under a different partitioning
+    val again = Mixture.sample(docs.repartition(7, col("doc_id")), "text", "source",
+      rates = Map("s" -> 1.5))
+    assert(again.select("doc_id", "epoch").except(out.select("doc_id", "epoch")).isEmpty &&
+      out.select("doc_id", "epoch").except(again.select("doc_id", "epoch")).isEmpty)
+  }
+
+  test("SpanDedup: an exact duplicate document loses every span; first occurrence survives") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"), // spans: [a..j], [k l]
+      (2L, "a b c d e f g h i j k l"), // exact dup of doc 1
+      (3L, "z y x w v u t s r q k l")) // last span "k l" duplicates doc 1's
+    val df = docs.toDF("doc_id", "text")
+    val out = SpanDedup.dedupText(df, "doc_id", "text", spanLen = 10)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) === ((1L, "a b c d e f g h i j k l", 2L, 2L)))
+    assert(out(1) === ((2L, "", 2L, 0L))) // everything seen before
+    assert(out(2) === ((3L, "z y x w v u t s r q", 2L, 1L))) // trailing dup span gone
+  }
+
+  test("SpanDedup: reassembly preserves original span order") {
+    // doc 2 shares doc 1's MIDDLE span; its other spans survive around it
+    val s1 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val shared = (1 to 10).map(i => s"c$i").mkString(" ")
+    val s3 = (1 to 10).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, shared), (2L, s"$s1 $shared $s3")).toDF("doc_id", "text")
+    val out = SpanDedup.dedupText(docs, "doc_id", "text", spanLen = 10)
+      .filter(col("doc_id") === 2L).select("text").as[String].head()
+    assert(out === s"$s1 $s3")
+  }
+}
