@@ -105,6 +105,53 @@ object SegmentWriter {
     CompactionStats(before, countFiles(destPath), spark.read.parquet(destPath).count())
   }
 
+  final case class RetentionStats(
+      partitionsDropped: Long, partitionsKept: Long, filesDropped: Long)
+
+  /** Retention management — Pinot's retention manager purges segments
+    * past the table's retention period (reference: /root/reference/basics/
+    * Architecture.md:185-186 — realtime tables keep a short retention,
+    * offline tables a long one, enforced by dropping whole segments).
+    * Spark-native analog: segments are TIME-PARTITIONED directories
+    * (`write` with a derived time column in `partitionCols`), so retention
+    * is dropping the partition directories whose value sorts below the
+    * cutoff — a file-metadata operation: no data rewrite, no scan, cost
+    * independent of table size (only the partition count matters, which
+    * is why the time column must be the partition key at 100 TB).
+    *
+    * `cutoff` is compared lexicographically against the partition value
+    * (ISO timestamps/dates sort correctly as strings); partitions with
+    * value >= cutoff survive. The `__HIVE_DEFAULT_PARTITION__` (null) dir
+    * is never dropped — null timestamps are a data-quality signal, not
+    * expired data.
+    */
+  def applyRetention(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, timePartitionCol: String, cutoff: String): RetentionStats = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$timePartitionCol="
+    var dropped = 0L; var kept = 0L; var files = 0L
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(prefix)) {
+        // partition values are URI-escaped on disk (e.g. ':' -> '%3A')
+        val value = java.net.URLDecoder.decode(name.stripPrefix(prefix), "UTF-8")
+        if (value != "__HIVE_DEFAULT_PARTITION__" && value < cutoff) {
+          val it = fs.listFiles(st.getPath, true)
+          while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) files += 1 }
+          fs.delete(st.getPath, true)
+          dropped += 1
+        } else kept += 1
+      }
+    }
+    // Same staleness rule as compact: path-keyed session materializations
+    // over this dir must rebuild.
+    graft.queries.DedupQueries.invalidateCaches()
+    graft.similarity.IvfAnn.invalidateIndexCache()
+    RetentionStats(dropped, kept, files)
+  }
+
   /** Bucketed catalog table — the co-located-join layout (Pinot analog:
     * partitioned segment assignment, where both tables hash on the join
     * key so a key join never reshuffles either side). Spark: `bucketBy`

@@ -101,6 +101,29 @@ class SegmentWriterSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("retention drops only the expired time partitions, without a rewrite") {
+    val out = Files.createTempDirectory("segments_retention").toString
+    val li = Tables.lineitem(spark, sfDir)
+    SegmentWriter.write(li, out, SegmentWriter.Config(
+      partitionCols = Seq(SegmentWriter.derivedName("l_shipdate", "year")),
+      derivedTimeCols = Seq(("l_shipdate", "year"))))
+    val years = li.select(year(col("l_shipdate"))).distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(years.length > 2, s"fixture needs multiple ship years: ${years.toSeq}")
+    val cutoffYear = years(years.length - 2) // keep the last two years
+    val stats = SegmentWriter.applyRetention(
+      spark, out, SegmentWriter.derivedName("l_shipdate", "year"),
+      cutoff = s"$cutoffYear-01-01 00:00:00")
+    assert(stats.partitionsDropped === years.length - 2)
+    assert(stats.partitionsKept === 2L)
+    assert(stats.filesDropped > 0)
+    // surviving data is exactly the un-expired rows; no rewrite happened
+    val back = spark.read.parquet(out)
+    assert(back.count() ===
+      li.filter(year(col("l_shipdate")) >= cutoffYear).count())
+    assert(back.agg(min(year(col("l_shipdate_year")))).head.getInt(0) === cutoffYear)
+  }
+
   test("scanStats reports files touched after partition pruning (numSegmentsQueried analog)") {
     val out = Files.createTempDirectory("segments_stats").toString
     val li = Tables.lineitem(spark, sfDir).withColumn("ship_year", year(col("l_shipdate")))
