@@ -128,6 +128,34 @@ object Multimodal {
     MediaCodec.PngImage(dstW, dstH, out)
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint: resize to 8×8
+    * (nearest-neighbor), integer grayscale, one bit per cell = gray ≥
+    * mean. The training-corpus image-dedup signal: re-encoded or
+    * uniformly brightness-shifted copies keep the IDENTICAL hash (shift
+    * moves every gray and the mean by the same amount, so every
+    * comparison is unchanged), while byte-level dedup sees them as
+    * distinct blobs. Scan-local pure compute — corpus-wide image dedup
+    * is then groupBy(ahash), the same shape as q_dedup_exact.
+    */
+  def aHash64(img: MediaCodec.PngImage): Long = {
+    val small = resizeRgb(img, 8, 8)
+    val gray = new Array[Int](64)
+    var i = 0
+    var sum = 0
+    while (i < 64) {
+      val p = i * 3
+      gray(i) = ((small.rgb(p) & 0xff) + (small.rgb(p + 1) & 0xff) +
+        (small.rgb(p + 2) & 0xff)) / 3
+      sum += gray(i)
+      i += 1
+    }
+    val mean = sum.toDouble / 64
+    var h = 0L
+    i = 0
+    while (i < 64) { if (gray(i) >= mean) h |= (1L << i); i += 1 }
+    h
+  }
+
   /** STUB decoder: deterministic features from a rolling byte hash — the
     * fallback for kinds the JVM cannot decode natively (video) and for
     * undecodable bytes; a real deployment swaps in a codec/model here.

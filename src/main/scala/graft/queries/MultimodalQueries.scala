@@ -190,6 +190,46 @@ object MultimodalQueries {
                            + (2 + doc_id % 6) * (2 + doc_id % 4) * 3 - 1) % 256 AS INT) AS last_byte
               FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""")),
 
+    // Perceptual image dedup: each doc synthesizes a real PNG plus a
+    // uniformly brightness-shifted RE-ENCODE of it — a near-duplicate
+    // byte-level dedup can never catch (different compressed bytes) but
+    // the 64-bit aHash catches exactly (threshold-vs-mean is shift
+    // invariant). Corpus-wide dedup is then groupBy(ahash) — the
+    // q_dedup_exact shape on a scan-local fingerprint. Rows-only (the
+    // hash is not SQL-expressible); MultimodalSpec pins the invariance
+    // and anti-collision properties.
+    QueryDef(
+      "q_dedup_image",
+      (s, d) => {
+        import s.implicits._
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val w = 2 + (id % 7).toInt
+            val h = 2 + (id % 4).toInt
+            val base = Array.tabulate(w * h * 3)(i =>
+              ((id * 2654435761L + i * 40503L) % 200).toByte)
+            val bright = base.map(b => (b + 40).toByte)
+            Seq(
+              (id, 0, MediaCodec.encodePng(MediaCodec.PngImage(w, h, base))),
+              (id, 1, MediaCodec.encodePng(MediaCodec.PngImage(w, h, bright))))
+          }
+          .map { case (id, variant, bytes) =>
+            (id, variant,
+              MediaCodec.decodePng(bytes).map(Multimodal.aHash64).getOrElse(-1L))
+          }
+          .toDF("doc_id", "variant", "ahash")
+        val perDoc = hashed.groupBy("doc_id")
+          .agg(countDistinct(col("ahash")).as("n_doc_hashes"))
+        perDoc.agg(
+          count(lit(1)).as("n_images"),
+          sum(when(col("n_doc_hashes") === 1, 1L).otherwise(0L))
+            .as("n_variant_matched"))
+          .crossJoin(hashed.agg(
+            countDistinct(col("ahash")).as("n_distinct_hashes")))
+      },
+      None),
+
     // Frame sampling over video rows: the frame axis is deterministic
     // arithmetic over the synthesized duration, so DuckDB can verify the
     // sampled frame counts exactly (floor((dur-1)/step)+1 per clip).

@@ -170,4 +170,21 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).getInt(2) === 3)
     assert(rows(1).isNullAt(1))
   }
+
+  test("aHash64 is invariant to uniform brightness shift and re-encode, not to content") {
+    import graft.multimodal.MediaCodec
+    def img(seed: Long, w: Int, h: Int, shift: Int = 0) =
+      MediaCodec.PngImage(w, h, Array.tabulate(w * h * 3)(i =>
+        (((seed * 2654435761L + i * 40503L) % 200) + shift).toByte))
+    val base = img(7L, 5, 4)
+    // uniform brightness shift → identical hash
+    assert(Multimodal.aHash64(base) === Multimodal.aHash64(img(7L, 5, 4, shift = 40)))
+    // encode → decode round trip (a re-encoded copy) → identical hash
+    val reencoded = MediaCodec.decodePng(MediaCodec.encodePng(base)).get
+    assert(Multimodal.aHash64(base) === Multimodal.aHash64(reencoded))
+    // different content → hashes differ across a seed sweep (no trivial
+    // constant-hash degeneracy)
+    val hashes = (1L to 40L).map(s => Multimodal.aHash64(img(s, 5, 4))).toSet
+    assert(hashes.size > 20, s"aHash collapsed to ${hashes.size} values over 40 seeds")
+  }
 }

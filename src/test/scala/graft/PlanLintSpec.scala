@@ -15,7 +15,7 @@ import graft.queries.Registry
 class PlanLintSpec extends SparkSpec {
 
   private val scalarCrossJoinOk = Set("q_funnel", "q_set_ops", "q_set_ops_sketch",
-    "q_set_ops_diff", "q_funnel_window")
+    "q_set_ops_diff", "q_funnel_window", "q_dedup_image")
 
   /** Broadcast-bounded by construction: one side is a dictionary-sized
     * set the operator broadcasts ON PURPOSE, so the "nested loop" is a
