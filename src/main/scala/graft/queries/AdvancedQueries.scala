@@ -271,6 +271,27 @@ object AdvancedQueries {
                      CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Correlation / covariance aggregations (Pinot's COVAR_POP /
+    // COVAR_SAMP / CORR family) — single-pass mergeable moments, the
+    // same partial-aggregation shape as q_regr.
+    QueryDef(
+      "q_corr",
+      (s, d) => {
+        val x = col("l_quantity"); val y = col("l_extendedprice")
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            (round(corr(x, y), 4) + lit(0.0)).as("r"),
+            (round(covar_pop(x, y), 2) + lit(0.0)).as("cv_pop"),
+            (round(covar_samp(x, y), 2) + lit(0.0)).as("cv_samp"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+                     round(corr(l_quantity, l_extendedprice), 4) + 0 AS r,
+                     round(covar_pop(l_quantity, l_extendedprice), 2) + 0 AS cv_pop,
+                     round(covar_samp(l_quantity, l_extendedprice), 2) + 0 AS cv_samp
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Skew-resistant two-stage (salted) aggregation — result must equal
     // the plain group-by (the oracle).
     QueryDef(

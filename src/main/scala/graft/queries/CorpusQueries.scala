@@ -123,6 +123,46 @@ object CorpusQueries {
                      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_out
               FROM kept GROUP BY 1 ORDER BY source""")),
 
+    // Hashing-trick document embedding (feature-hashing vectorizer):
+    // vocabulary-free, deterministic, scan-local bucketing + one per-doc
+    // rollup — the featurization step that feeds the ANN/embedding-dedup
+    // family before any model exists. dim=8 here so each dimension is a
+    // driver-comparable scalar column; the API (pipeline.TextFeaturizer)
+    // takes any dim. The oracle replays the md5-bucket arithmetic and the
+    // L2 normalization exactly.
+    QueryDef(
+      "q_text_embed",
+      (s, d) => {
+        val dim = 8
+        graft.pipeline.TextFeaturizer.embed(
+            Tables.documents(s, d), "doc_id", "text", dim)
+          .select(col("doc_id") +:
+            (0 until dim).map(i =>
+              round(element_at(col("embedding"), i + 1), 4).as(s"d$i")): _*)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+                   b AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 4)) AS INT) % 8 AS b FROM tok),
+                   tf AS (SELECT doc_id,
+                                 sum(CASE WHEN b = 0 THEN 1.0 ELSE 0 END) AS t0,
+                                 sum(CASE WHEN b = 1 THEN 1.0 ELSE 0 END) AS t1,
+                                 sum(CASE WHEN b = 2 THEN 1.0 ELSE 0 END) AS t2,
+                                 sum(CASE WHEN b = 3 THEN 1.0 ELSE 0 END) AS t3,
+                                 sum(CASE WHEN b = 4 THEN 1.0 ELSE 0 END) AS t4,
+                                 sum(CASE WHEN b = 5 THEN 1.0 ELSE 0 END) AS t5,
+                                 sum(CASE WHEN b = 6 THEN 1.0 ELSE 0 END) AS t6,
+                                 sum(CASE WHEN b = 7 THEN 1.0 ELSE 0 END) AS t7
+                          FROM b GROUP BY 1),
+                   n AS (SELECT *, sqrt(t0*t0 + t1*t1 + t2*t2 + t3*t3
+                                        + t4*t4 + t5*t5 + t6*t6 + t7*t7) AS nrm
+                         FROM tf)
+              SELECT doc_id,
+                     round(t0 / nrm, 4) AS d0, round(t1 / nrm, 4) AS d1,
+                     round(t2 / nrm, 4) AS d2, round(t3 / nrm, 4) AS d3,
+                     round(t4 / nrm, 4) AS d4, round(t5 / nrm, 4) AS d5,
+                     round(t6 / nrm, 4) AS d6, round(t7 / nrm, 4) AS d7
+              FROM n ORDER BY doc_id""")),
+
     // Exact per-language top-3 bigrams with a deterministic tie-break
     // (count DESC, gram ASC) — the exact twin of q_frequent_terms'
     // Misra–Gries sketch, for when the pipeline needs true counts (e.g.
