@@ -57,6 +57,34 @@ object GeoFns {
     array(cells: _*)
   }
 
+  /** ST_Contains(polygon, point) analog — even-odd ray casting against a
+    * CONSTANT polygon (the common "is this point in my geofence" shape).
+    * The polygon folds into a fixed chain of codegen'd arithmetic
+    * comparisons (one term per edge) — scan-local, no join, no UDF; a
+    * bounding-box pre-filter from the vertex extremes is prepended so the
+    * cheap sargable predicate prunes before the edge tests run.
+    * Vertices are (lat, lon) pairs; points exactly ON an edge follow the
+    * even-odd rule's half-open convention (callers needing closed-edge
+    * semantics should buffer the polygon).
+    */
+  def pointInPolygon(lat: Column, lon: Column, vertices: Seq[(Double, Double)]): Column = {
+    require(vertices.size >= 3, s"polygon needs >= 3 vertices, got ${vertices.size}")
+    val edges = vertices.zip(vertices.tail :+ vertices.head)
+    val crossings = edges.map { case ((latI, lonI), (latJ, lonJ)) =>
+      // edge crosses the horizontal ray iff it spans the point's latitude;
+      // guard latJ == latI by construction (a horizontal edge spans no ray)
+      if (latJ == latI) lit(0)
+      else
+        when(
+          (lit(latI) > lat) =!= (lit(latJ) > lat) &&
+            lon < (lit(lonJ - lonI) * (lat - latI) / lit(latJ - latI) + lonI),
+          1).otherwise(0)
+    }.reduce(_ + _)
+    val lats = vertices.map(_._1); val lons = vertices.map(_._2)
+    lat.between(lats.min, lats.max) && lon.between(lons.min, lons.max) &&
+      crossings % 2 === 1
+  }
+
   /** ST_Within-circle analog with a sargable bounding-box pre-filter:
     * the box predicate prunes row groups; haversine refines.
     */

@@ -34,6 +34,62 @@ object AdvancedQueries {
                                  ORDER BY o_totalprice DESC, o_orderkey))
               WHERE rn <= 3 ORDER BY o_orderpriority, rn""")),
 
+    // LEAD/LAG with explicit offsets and defaults — the
+    // previous/next-event comparison family. One per-customer key shuffle;
+    // ordering is total within each partition ((date, orderkey) with a
+    // unique orderkey), so the offset neighbors are engine-independent.
+    QueryDef(
+      "q_window_leadlag",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        Tables.orders(s, d)
+          .filter(col("o_custkey") < 100)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            round(lag("o_totalprice", 1, 0.0).over(w), 2).as("prev_price"),
+            round(lead("o_totalprice", 2).over(w), 2).as("next2_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                     round(lag(o_totalprice, 1, 0.0) OVER w, 2) AS prev_price,
+                     round(lead(o_totalprice, 2) OVER w, 2) AS next2_price
+              FROM orders WHERE o_custkey < 100
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+              ORDER BY o_custkey, o_orderkey""")),
+
+    // ARG_MIN / ARG_MAX (Pinot's argMin/argMax): the value of one column
+    // at another column's extreme, as a single-pass mergeable aggregate —
+    // min_by/max_by with a (price, key) struct ordering so ties break on
+    // the unique key and the answer is engine-independent. The oracle
+    // replays the tie-break with ranked windows.
+    QueryDef(
+      "q_argminmax",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(
+            max_by(col("o_orderkey"),
+              struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+            min_by(col("o_orderkey"),
+              struct(col("o_totalprice"), col("o_orderkey"))).as("bottom_order"),
+            round(max("o_totalprice"), 2).as("max_price"),
+            round(min("o_totalprice"), 2).as("min_price"))
+          .orderBy("o_orderstatus"),
+      Some("""WITH ranked AS (
+                SELECT o_orderstatus, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+                       row_number() OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+                FROM orders)
+              SELECT o_orderstatus,
+                     CAST(max(CASE WHEN rmax = 1 THEN o_orderkey END) AS BIGINT) AS top_order,
+                     CAST(max(CASE WHEN rmin = 1 THEN o_orderkey END) AS BIGINT) AS bottom_order,
+                     round(max(o_totalprice), 2) AS max_price,
+                     round(min(o_totalprice), 2) AS min_price
+              FROM ranked GROUP BY 1 ORDER BY o_orderstatus""")),
+
     // Window DISTRIBUTION functions: percent_rank / cume_dist / nth_value
     // — the remaining multi-stage window family (rank position as a
     // fraction, cumulative distribution, positional value). Same single

@@ -150,6 +150,45 @@ object CoreSql {
                      round(max(l_extendedprice) - min(l_extendedprice), 2) AS minmaxrange
               FROM lineitem""")),
 
+    // Multi-column DISTINCTCOUNT (Pinot's DISTINCTCOUNT over an expression
+    // tuple / SEGMENT_PARTITIONED_DISTINCT_COUNT target shape): the tuple
+    // is hashed scan-local and the distinct runs per group as one
+    // partial-aggregated pass. Columns are non-null by construction, so
+    // Spark's any-null-drops-the-row multi-arg semantics and DuckDB's
+    // row-tuple distinct agree.
+    QueryDef(
+      "q_distinctcount_multi",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_linestatus")
+          .agg(
+            countDistinct(col("l_returnflag"), col("l_shipdate")).as("nd_flag_date"),
+            countDistinct(col("l_returnflag")).as("nd_flag"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+                     CAST(count(DISTINCT (l_returnflag, l_shipdate)) AS BIGINT) AS nd_flag_date,
+                     CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd_flag
+              FROM lineitem GROUP BY 1 ORDER BY l_linestatus""")),
+
+    // BOOL_AND / BOOL_OR / COUNT_IF aggregation family — one scan-local
+    // predicate each, folded by mergeable boolean partials (Pinot's
+    // BOOLAND/BOOLOR aggregations).
+    QueryDef(
+      "q_bool_agg",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            bool_and(col("l_quantity") > 1).as("all_multi"),
+            bool_or(col("l_discount") > 0.09).as("any_big_disc"),
+            count_if(col("l_tax") > 0.05).as("n_taxed"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     bool_and(l_quantity > 1) AS all_multi,
+                     bool_or(l_discount > 0.09) AS any_big_disc,
+                     CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_taxed
+              FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
     // DISTINCTCOUNTHLL — approximate (HyperLogLog++); no exact oracle.
     QueryDef(
       "q_distinctcount_hll",

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.functions.TextShingles
@@ -195,6 +196,48 @@ object TextAnalysisQueries {
               SELECT regexp_replace(line, '[0-9]+', '<V>', 'g') AS template,
                      count(*) AS n_logs,
                      CAST(sum(len(regexp_extract_all(line, '[0-9]+'))) AS BIGINT) AS total_vars
-              FROM l GROUP BY 1 ORDER BY template"""))
+              FROM l GROUP BY 1 ORDER BY template""")),
+
+    // Per-document top-3 TF-IDF terms — the classic keyword-extraction /
+    // relevance-feature pass. Shape at 100 TB: tokenize is scan-local,
+    // term frequencies shuffle once on (doc, term), document frequencies
+    // reduce to a vocabulary-sized table, the scalar corpus size N rides a
+    // broadcast (single-row — lint-audited), and the final top-3 is a
+    // window over per-doc partitions whose size is bounded by document
+    // length. Ranking happens on the ROUNDED score so both engines rank
+    // identical doubles; ties break on the term itself.
+    QueryDef(
+      "q_tfidf_top",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val df = tok.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(countDistinct(col("doc_id")).as("n"))
+        val scored = tf.join(df, "w").crossJoin(broadcast(n))
+          .withColumn("score",
+            round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+        val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("w"))
+        scored
+          .select(
+            col("doc_id"), col("w").as("term"),
+            row_number().over(w).as("rk"),
+            (col("score") + lit(0.0)).as("score"))
+          .filter(col("rk") <= 3)
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+                   tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+                   df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+                   n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+                   scored AS (SELECT tf.doc_id, tf.w,
+                                     round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS score
+                              FROM tf JOIN df USING (w) CROSS JOIN n),
+                   ranked AS (SELECT doc_id, w, score,
+                                     CAST(row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, w ASC) AS INT) AS rk
+                              FROM scored)
+              SELECT doc_id, w AS term, rk, score + 0 AS score
+              FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""))
   )
 }

@@ -248,6 +248,64 @@ object TransformQueries {
                        + CAST(floor((lon + 180) / 10) AS BIGINT) AS cell,
                      count(*) AS cnt,
                      round(avg(lat), 4) AS avg_lat, round(avg(lon), 4) AS avg_lon
-              FROM pts GROUP BY 1 HAVING count(*) >= 2 ORDER BY cell"""))
+              FROM pts GROUP BY 1 HAVING count(*) >= 2 ORDER BY cell""")),
+
+    // ST_Contains(polygon, point) — even-odd ray casting against a fixed
+    // geofence. The polygon unrolls into one codegen'd comparison chain
+    // per edge (scan-local, no join); the oracle SQL is GENERATED from
+    // the same vertex list so the two sides cannot drift. Vertices use
+    // .1/.3-grade decimals while the synthetic points sit on .5 offsets,
+    // so no point is near-degenerate with an edge.
+    QueryDef(
+      "q_geo_polygon",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .withColumn("lat", (col("c_custkey") % 180) - 90 + lit(0.5))
+          .withColumn("lon", ((col("c_custkey") * 7) % 360) - 180 + lit(0.5))
+        cust
+          .withColumn("inside",
+            GeoFns.pointInPolygon(col("lat"), col("lon"), GeoPolygon.vertices))
+          .groupBy("c_mktsegment")
+          .agg(
+            sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"),
+            count(lit(1)).as("n_total"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""WITH pts AS (SELECT c_mktsegment,
+                     (c_custkey % 180) - 90 + 0.5 AS lat,
+                     ((c_custkey * 7) % 360) - 180 + 0.5 AS lon
+                   FROM customer),
+                   flagged AS (SELECT c_mktsegment,
+                     (${GeoPolygon.boundsSql} AND (${GeoPolygon.crossingsSql}) % 2 = 1) AS inside
+                   FROM pts)
+              SELECT c_mktsegment,
+                     CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+                     CAST(count(*) AS BIGINT) AS n_total
+              FROM flagged GROUP BY 1 ORDER BY c_mktsegment"""))
   )
+}
+
+/** The fixed test geofence shared by the Spark expression and the DuckDB
+  * oracle — the oracle's ray-cast SQL is generated from these vertices so
+  * both engines evaluate the identical arithmetic.
+  */
+private[queries] object GeoPolygon {
+  val vertices: Seq[(Double, Double)] = Seq(
+    (35.2, -10.1), (60.3, -5.2), (65.1, 20.3), (48.7, 35.4), (36.6, 22.8))
+
+  def boundsSql: String = {
+    val lats = vertices.map(_._1); val lons = vertices.map(_._2)
+    s"lat BETWEEN ${lats.min} AND ${lats.max} AND lon BETWEEN ${lons.min} AND ${lons.max}"
+  }
+
+  /** One ray-crossing CASE term per polygon edge — the same even-odd test
+    * GeoFns.pointInPolygon folds into the Spark plan.
+    */
+  def crossingsSql: String =
+    vertices.zip(vertices.tail :+ vertices.head).map {
+      case ((latI, lonI), (latJ, lonJ)) =>
+        s"""CASE WHEN (($latI > lat) <> ($latJ > lat))
+            AND lon < (${lonJ - lonI}) * (lat - $latI) / (${latJ - latI}) + $lonI
+            THEN 1 ELSE 0 END"""
+    }.mkString(" + ")
 }

@@ -26,8 +26,10 @@ class PlanLintSpec extends SparkSpec {
     *  - q_ann_ivf: probe selection crosses queries × the centroid table
     *    (numCentroids rows); the corpus join below it is an equi-join on
     *    `cell`.
+    *  - q_tfidf_top: the corpus-size scalar N (one row) broadcasts onto
+    *    the scored term table; everything else is an equi-join.
     */
-  private val broadcastBoundedOk = Set("q_knn_brute", "q_ann_ivf")
+  private val broadcastBoundedOk = Set("q_knn_brute", "q_ann_ivf", "q_tfidf_top")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
