@@ -1,0 +1,38 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sliding-window document chunking — the RAG / pretraining-context
+  * preparation step: split each document into overlapping windows of
+  * `window` tokens advancing by `stride` (overlap = window - stride), so
+  * retrieval or training sees every span inside at least one chunk.
+  *
+  * Shape at 100 TB: entirely scan-local — tokenize, per-doc window-index
+  * explode (bounded by docLength/stride) and slice are all codegen'd
+  * expressions; no shuffle, no state, no UDF. Contrast with
+  * `Packing`/q_pack_sequences, which concatenates ACROSS documents; this
+  * operator windows WITHIN each document.
+  */
+object Chunker {
+
+  /** One row per (doc, chunk): (idCol, chunk_idx, chunk: Array[String]).
+    * The final window may be shorter than `window` (the tail); every
+    * token of every document lands in at least one chunk.
+    */
+  def slidingWindows(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("t"))
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) - 1) / stride).cast("int"))).as("chunk_idx"))
+      .select(
+        col(idCol), col("chunk_idx"),
+        slice(col("t"), col("chunk_idx") * stride + 1, lit(window)).as("chunk"))
+  }
+}

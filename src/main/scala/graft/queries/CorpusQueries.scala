@@ -163,6 +163,35 @@ object CorpusQueries {
                      round(t6 / nrm, 4) AS d6, round(t7 / nrm, 4) AS d7
               FROM n ORDER BY doc_id""")),
 
+    // Sliding-window RAG/context chunking (pipeline.Chunker): 30-token
+    // windows advancing by 20 (10-token overlap) WITHIN each document —
+    // entirely scan-local (tokenize + bounded index explode + slice, all
+    // codegen), no shuffle. Chunk content is md5'd so the comparator sees
+    // scalar columns; the oracle replays the same slicing in DuckDB.
+    QueryDef(
+      "q_chunk_docs",
+      (s, d) => {
+        graft.pipeline.Chunker.slidingWindows(
+            Tables.documents(s, d), "doc_id", "text", window = 30, stride = 20)
+          .select(
+            col("doc_id"), col("chunk_idx"),
+            size(col("chunk")).as("n_tokens"),
+            md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                   idx AS (SELECT doc_id, t,
+                                  unnest(generate_series(0,
+                                    CAST(floor((len(t) - 1) / 20) AS BIGINT))) AS i
+                           FROM toks),
+                   chunks AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                                     t[i * 20 + 1 : i * 20 + 30] AS chunk
+                              FROM idx)
+              SELECT doc_id, chunk_idx,
+                     CAST(len(chunk) AS INT) AS n_tokens,
+                     md5(array_to_string(chunk, ' ')) AS chunk_md5
+              FROM chunks ORDER BY doc_id, chunk_idx""")),
+
     // Exact per-language top-3 bigrams with a deterministic tie-break
     // (count DESC, gram ASC) — the exact twin of q_frequent_terms'
     // Misra–Gries sketch, for when the pipeline needs true counts (e.g.

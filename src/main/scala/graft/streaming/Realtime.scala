@@ -160,6 +160,46 @@ object Realtime {
       broadcast(dim.select((keyCol +: dimCols).map(col): _*)),
       Seq(keyCol), "left_outer")
 
+  /** Streaming star-tree maintenance: each micro-batch appends to the
+    * fact archive and folds its OWN mini-cube into the materialized cube
+    * (Pinot's realtime servers build star-trees per consuming segment and
+    * serve them fresh — reference: /root/reference/basics/Architecture.md
+    * realtime flow + basics/indexing/README.md:16 star-tree). Only the
+    * delta is ever aggregated — history is never rescanned — and after
+    * every batch the transparent rewrite (StarTreeRewriteRule) serves the
+    * refreshed cube, so dashboard aggregates stay cube-fast while the
+    * stream runs. foreachBatch executes batches serially per query, so
+    * the read-merge-overwrite refresh never races itself.
+    */
+  def cubeRefreshSink(
+      stream: DataFrame, factPath: String, cubePath: String,
+      dims: Seq[String], sumMetrics: Seq[String],
+      checkpointDir: String,
+      distinctMetrics: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        batch.persist()
+        try {
+          if (batch.isEmpty) ()
+          else {
+            batch.write.mode("append").parquet(factPath)
+            val cp = new org.apache.hadoop.fs.Path(cubePath)
+            val cubeExists =
+              cp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cp)
+            if (!cubeExists)
+              graft.operators.StarTree.materializeAndRegister(
+                batch, factPath, dims, sumMetrics, cubePath, distinctMetrics)
+            else
+              graft.operators.StarTree.refreshIncremental(
+                spark, factPath, batch, dims, sumMetrics, cubePath, distinctMetrics)
+          }
+        } finally batch.unpersist()
+      }
+      .start()
+
   /** Streaming upsert: emits the new latest record for a key whenever it
     * changes (Pinot upsert table semantics, incremental form).
     */

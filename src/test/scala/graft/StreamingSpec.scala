@@ -248,4 +248,49 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("attrib_out").columns.count(_ == "user_id") === 1)
     } finally q.stop()
   }
+
+  test("streaming cube refresh folds each micro-batch; rewrite serves the fresh cube") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cube_stream").toString
+    val factPath = s"$base/fact"; val cubePath = s"$base/cube"
+    val input = MemoryStream[Event]
+    val q = Realtime.cubeRefreshSink(
+      input.toDF(), factPath, cubePath,
+      dims = Seq("event_type"), sumMetrics = Seq("value"),
+      checkpointDir = s"$base/ckpt", distinctMetrics = Seq("user_id"))
+    try {
+      input.addData(
+        ev(1, "2024-01-01 00:10:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 00:40:00", 2, "click", 2.0),
+        ev(3, "2024-01-01 01:10:00", 1, "view", 5.0))
+      q.processAllAvailable()
+      input.addData(
+        ev(4, "2024-01-01 01:20:00", 3, "click", 4.0),
+        ev(5, "2024-01-01 01:30:00", 2, "view", 6.0))
+      q.processAllAvailable()
+
+      // the cube absorbed BOTH batches: rollup equals a direct aggregate
+      // over the full fact archive
+      val fromCube = spark.read.parquet(cubePath)
+        .groupBy("event_type")
+        .agg(sum("s_value").as("sv"), sum("cube_cnt").as("cnt"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(fromCube === Set(("click", 7.0, 3L), ("view", 11.0, 2L)))
+
+      // the transparent rewrite answers fact-table aggregates from the
+      // refreshed cube (no fact rescan) with correct post-merge values,
+      // including the HLL distinct metric
+      val agg = spark.read.parquet(factPath)
+        .groupBy("event_type")
+        .agg(sum("value").as("sv"), count(lit(1)).as("cnt"),
+          approx_count_distinct(col("user_id")).as("nd_users"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("cube"), s"expected cube scan in plan:\n$plan")
+      val served = agg.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+      assert(served === Set(("click", 7.0, 3L, 3L), ("view", 11.0, 2L, 2L)))
+    } finally q.stop()
+  }
 }
