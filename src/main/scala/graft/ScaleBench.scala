@@ -33,7 +33,12 @@ object ScaleBench {
     // round-6 corpus family: the three shuffle-bearing new operators
     // (span-dedup window, LM-score explode+join, n-gram rollup);
     // q_mix_weighted is a pure scan predicate and has nothing to measure.
-    "q_dedup_span", "q_lm_quality", "q_ngram_top")
+    "q_dedup_span", "q_lm_quality", "q_ngram_top",
+    // round-6 additions: TF-IDF (tf shuffle + vocab join + per-doc window),
+    // feature-hash embedding (per-doc rollup), sliding-window chunking
+    // (expected ~1.0 — scan-local by construction, the measurement is the
+    // proof).
+    "q_tfidf_top", "q_text_embed", "q_chunk_docs")
 
   /** The registry's q_dedup_embedding runs the fixture-calibrated
     * threshold 0.4, where ~0.4% of RANDOM pairs qualify — so the true-pair
