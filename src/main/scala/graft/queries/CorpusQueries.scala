@@ -163,6 +163,36 @@ object CorpusQueries {
                      round(t6 / nrm, 4) AS d6, round(t7 / nrm, 4) AS d7
               FROM n ORDER BY doc_id""")),
 
+    // Deterministic training-shard assignment: each doc lands in one of
+    // N shards by CONTENT hash (md5 — reproducible on any cluster and
+    // under any input partitioning, unlike Spark's partition-dependent
+    // monotonically_increasing_id or rand). The same column feeds
+    // DataFrameWriter.partitionBy for the physical export; here the query
+    // reports per-shard balance stats the pipeline gates on. Scan-local
+    // bucket + one dictionary-sized (8-group) rollup.
+    QueryDef(
+      "q_shard_assign",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 8).as("shard"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .groupBy("shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("toks").as("n_tokens"),
+            sum("doc_id").as("id_checksum"))
+          .orderBy("shard"),
+      Some("""WITH s AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(text), 1, 4)) AS INT) % 8 AS shard,
+                     len(string_split(text, ' ')) AS toks
+                   FROM documents)
+              SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(toks) AS BIGINT) AS n_tokens,
+                     CAST(sum(doc_id) AS BIGINT) AS id_checksum
+              FROM s GROUP BY 1 ORDER BY shard""")),
+
     // Sliding-window RAG/context chunking (pipeline.Chunker): 30-token
     // windows advancing by 20 (10-token overlap) WITHIN each document —
     // entirely scan-local (tokenize + bounded index explode + slice, all

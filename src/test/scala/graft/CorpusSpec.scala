@@ -68,4 +68,27 @@ class CorpusSpec extends SparkSpec {
       .filter(col("doc_id") === 2L).select("text").as[String].head()
     assert(out === s"$s1 $s3")
   }
+
+  test("Chunker: overlapping windows cover every token; plan is shuffle-free") {
+    val docs = Seq(
+      (1L, (1 to 47).map(i => s"t$i").mkString(" ")), // 47 toks -> idx 0,1,2
+      (2L, "a b"), // shorter than one window -> single short chunk
+      (3L, "")) // empty text -> split yields [""], one 1-token chunk
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Chunker.slidingWindows(docs, "doc_id", "text",
+      window = 30, stride = 20)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[String](2)))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.map(t => (t._1, t._2, t._3.size)).toSeq === Seq(
+      (1L, 0, 30), (1L, 1, 27), (1L, 2, 7), (2L, 0, 2), (3L, 0, 1)))
+    // every token of doc 1 appears in at least one chunk (overlap covers)
+    val covered = rows.filter(_._1 == 1L).flatMap(_._3).toSet
+    assert((1 to 47).forall(i => covered.contains(s"t$i")))
+    // windows 0 and 1 overlap by window - stride = 10 tokens
+    assert(rows(0)._3.takeRight(10).toSeq === rows(1)._3.take(10).toSeq)
+    // scan-local by construction: no Exchange anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunker plan shuffles:\n$plan")
+  }
 }
