@@ -121,6 +121,43 @@ object DateTimeQueries {
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
                      count(*) AS cnt, round(sum(value), 2) AS sum_val,
                      count(DISTINCT user_id) AS users
-              FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+              FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // EWMA smoothing per series — the timeseries-engine smoothing shape
+    // (Pinot ships a PromQL-ish timeseries engine; EWMA is its canonical
+    // stateful transform). Inherently sequential WITHIN a series and
+    // parallel ACROSS series: state is one ordered per-user value list
+    // (series-bounded, the sessionize shape), the fold is a codegen'd
+    // array `aggregate` — identical left-fold arithmetic to the oracle's
+    // `list_reduce` (both seed from the first element), so the doubles
+    // match bit-for-bit before rounding.
+    QueryDef(
+      "q_ewma",
+      (s, d) => {
+        val alpha = 0.3
+        val seq = Tables.events(s, d)
+          .filter(col("user_id") < 50)
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(
+            col("ts"), col("event_id"), col("value")))).as("seq"))
+          .withColumn("vals", transform(col("seq"), x => x.getField("value")))
+        seq.select(
+            col("user_id"),
+            size(col("vals")).as("n"),
+            (round(element_at(col("vals"), -1), 4) + lit(0.0)).as("last_v"),
+            (round(
+              aggregate(
+                slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+                element_at(col("vals"), 1),
+                (acc, x) => lit(alpha) * x + lit(1 - alpha) * acc),
+              4) + lit(0.0)).as("ewma"))
+          .orderBy("user_id")
+      },
+      Some("""WITH seq AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+                           FROM events WHERE user_id < 50 GROUP BY 1)
+              SELECT user_id, CAST(len(vals) AS INT) AS n,
+                     round(vals[-1], 4) + 0 AS last_v,
+                     round(list_reduce(vals, (acc, x) -> 0.3*x + 0.7*acc), 4) + 0 AS ewma
+              FROM seq ORDER BY user_id"""))
   )
 }
