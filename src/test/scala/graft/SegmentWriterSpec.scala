@@ -65,6 +65,28 @@ class SegmentWriterSpec extends SparkSpec {
     }
   }
 
+  test("bucketed distinct-count never shuffles raw rows (partitioned-distinct analog)") {
+    // Pinot's SEGMENT_PARTITIONED_DISTINCT_COUNT: when data is partitioned
+    // by the counted column, each segment counts its own distincts and the
+    // merge is a sum of small partials. Spark analog: on a table bucketed
+    // by the column, the per-key HashAggregate runs scan-local — the only
+    // Exchange left carries the already-distinct keys to the final count.
+    SegmentWriter.writeBucketed(
+      Tables.orders(spark, sfDir), "b_orders_dc", "o_custkey", 8)
+    try {
+      val bucketed = spark.table("b_orders_dc")
+        .agg(countDistinct(col("o_custkey")).as("nd"))
+      val plan = bucketed.queryExecution.executedPlan.toString
+      // plain table: Exchange(custkey) for the distinct + Exchange(single)
+      // for the final count; bucketed: only the final single-partition one
+      val nExchanges = "Exchange".r.findAllMatchIn(plan).length
+      assert(nExchanges <= 1, s"bucketed distinct still shuffles raw rows:\n$plan")
+      val direct = Tables.orders(spark, sfDir)
+        .agg(countDistinct(col("o_custkey"))).head().getLong(0)
+      assert(bucketed.head().getLong(0) === direct)
+    } finally spark.sql("DROP TABLE IF EXISTS b_orders_dc")
+  }
+
   test("derived timestamp-index columns materialize and answer DATETRUNC filters") {
     val out = Files.createTempDirectory("segments_ts").toString
     val li = Tables.lineitem(spark, sfDir)
