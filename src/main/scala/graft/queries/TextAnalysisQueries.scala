@@ -210,20 +210,9 @@ object TextAnalysisQueries {
       "q_tfidf_top",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val df = tok.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
-        val n = docs.agg(countDistinct(col("doc_id")).as("n"))
-        val scored = tf.join(df, "w").crossJoin(broadcast(n))
-          .withColumn("score",
-            round(col("tf") * log(col("n").cast("double") / col("df")), 4))
-        val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("w"))
-        scored
-          .select(
-            col("doc_id"), col("w").as("term"),
-            row_number().over(w).as("rk"),
-            (col("score") + lit(0.0)).as("score"))
-          .filter(col("rk") <= 3)
+        graft.pipeline.Tfidf.topTerms(docs, "doc_id", "text",
+            df = graft.pipeline.Tfidf.docFrequencies(docs, "doc_id", "text"),
+            n = graft.pipeline.Tfidf.corpusSize(docs, "doc_id"), k = 3)
           .orderBy("doc_id", "rk")
       },
       Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

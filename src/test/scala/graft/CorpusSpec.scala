@@ -91,4 +91,26 @@ class CorpusSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunker plan shuffles:\n$plan")
   }
+
+  test("Tfidf: materialized DF index scores identically to the inline path") {
+    import graft.pipeline.Tfidf
+    val docs = graft.engine.Tables.documents(spark, sfDir).limit(200)
+    val idx = java.nio.file.Files.createTempDirectory("tfidf_idx").toString
+    Tfidf.materializeDf(docs, "doc_id", "text", idx)
+    val inline = Tfidf.topTerms(docs, "doc_id", "text",
+        Tfidf.docFrequencies(docs, "doc_id", "text"),
+        Tfidf.corpusSize(docs, "doc_id"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val indexed = Tfidf.topTermsIndexed(spark, docs, "doc_id", "text", idx, k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(indexed === inline)
+    // a new doc whose terms all exist in the index scores without
+    // rescanning the corpus; unseen terms are dropped (no IDF yet)
+    import spark.implicits._
+    val fresh = Seq((999999L, "data data system zzzunseenzzz")).toDF("doc_id", "text")
+    val scored = Tfidf.topTermsIndexed(spark, fresh, "doc_id", "text", idx, k = 5)
+      .collect().map(r => (r.getString(1), r.getInt(2)))
+    assert(scored.nonEmpty)
+    assert(!scored.map(_._1).contains("zzzunseenzzz"))
+  }
 }
