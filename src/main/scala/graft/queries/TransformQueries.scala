@@ -250,6 +250,52 @@ object TransformQueries {
                      round(avg(lat), 4) AS avg_lat, round(avg(lon), 4) AS avg_lon
               FROM pts GROUP BY 1 HAVING count(*) >= 2 ORDER BY cell""")),
 
+    // URL canonicalization before URL-level dedup (functions.UrlFns):
+    // crawl variants of one page (case-shifted host, default :443 port,
+    // www. prefix, utm_* tracking params, fragments, slash-before-query)
+    // collapse to one canonical form, so groupBy(canon) actually merges
+    // them — every doc_id-distinct raw URL lands on its (source, lang)
+    // canonical. All codegen'd string/regexp steps, replayed one-for-one
+    // in the oracle.
+    QueryDef(
+      "q_url_canonical",
+      (s, d) => {
+        val raw = concat(
+          lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/"),
+          col("lang"), lit("/index.html/?utm_source="), col("doc_id"),
+          lit("&ref="), col("lang"),
+          when(col("doc_id") % 2 === 0, concat(lit("#sec"), col("doc_id")))
+            .otherwise(lit("")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), raw.as("url"))
+          .select(col("url"), graft.functions.UrlFns.canonicalize(col("url")).as("canon"))
+          .groupBy("canon")
+          .agg(count(lit(1)).as("cnt"), countDistinct(col("url")).as("n_raw"))
+          .orderBy("canon")
+      },
+      Some("""WITH raw AS (SELECT doc_id,
+                     'HTTPS://WWW.' || source || '.Example.COM:443/' || lang ||
+                     '/index.html/?utm_source=' || doc_id || '&ref=' || lang ||
+                     CASE WHEN doc_id % 2 = 0 THEN '#sec' || doc_id ELSE '' END AS url
+                   FROM documents),
+                   c1 AS (SELECT url, regexp_replace(url, '#.*', '') AS u FROM raw),
+                   c2 AS (SELECT url, regexp_replace(
+                            regexp_replace(u, '[?&]utm_[^&#]*', '', 'g'),
+                            '^([^?&]*)&', '\1?') AS u FROM c1),
+                   c3 AS (SELECT url, u,
+                            regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*') AS p
+                          FROM c2),
+                   c4 AS (SELECT url,
+                            regexp_replace(
+                              replace(regexp_replace(lower(p), ':443$', ''),
+                                      '://www.', '://')
+                              || substr(u, len(p) + 1, len(u)),
+                              '/\?', '?') AS canon
+                          FROM c3)
+              SELECT canon, count(*) AS cnt,
+                     CAST(count(DISTINCT url) AS BIGINT) AS n_raw
+              FROM c4 GROUP BY 1 ORDER BY canon""")),
+
     // ST_Contains(polygon, point) — even-odd ray casting against a fixed
     // geofence. The polygon unrolls into one codegen'd comparison chain
     // per edge (scan-local, no join); the oracle SQL is GENERATED from
