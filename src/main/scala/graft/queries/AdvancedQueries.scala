@@ -348,6 +348,32 @@ object AdvancedQueries {
                      round(covar_samp(l_quantity, l_extendedprice), 2) + 0 AS cv_samp
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Hierarchical ROLLUP (year → status → grand total) with grouping()
+    // markers — the drill-down twin of q_grouping_sets' CUBE: one Expand
+    // pass emits all prefix levels, partial aggregation combines
+    // map-side. NULLS FIRST on the rollup keys keeps the subtotal rows'
+    // ordering engine-independent.
+    QueryDef(
+      "q_rollup",
+      (s, d) =>
+        Tables.orders(s, d)
+          .withColumn("yr", year(col("o_orderdate")))
+          .rollup("yr", "o_orderstatus")
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(sum("o_totalprice"), 2).as("tp"),
+            grouping(col("yr")).cast("int").as("g_yr"),
+            grouping(col("o_orderstatus")).cast("int").as("g_st"))
+          .orderBy(col("g_yr"), col("g_st"),
+            col("yr").asc_nulls_first, col("o_orderstatus").asc_nulls_first),
+      Some("""SELECT CAST(extract(year FROM o_orderdate) AS INT) AS yr, o_orderstatus,
+                     CAST(count(*) AS BIGINT) AS cnt,
+                     round(sum(o_totalprice), 2) AS tp,
+                     CAST(grouping(yr) AS INT) AS g_yr,
+                     CAST(grouping(o_orderstatus) AS INT) AS g_st
+              FROM orders GROUP BY ROLLUP(yr, o_orderstatus)
+              ORDER BY g_yr, g_st, yr NULLS FIRST, o_orderstatus NULLS FIRST""")),
+
     // Skew-resistant two-stage (salted) aggregation — result must equal
     // the plain group-by (the oracle).
     QueryDef(
