@@ -113,4 +113,18 @@ class CorpusSpec extends SparkSpec {
     assert(scored.nonEmpty)
     assert(!scored.map(_._1).contains("zzzunseenzzz"))
   }
+
+  test("Tfidf: top-k ranking is invariant under input repartitioning") {
+    // rank ties broken only by non-deterministic partition order would
+    // flip terms between runs; the (rounded score, term) total order must
+    // make the answer partitioning-independent
+    import graft.pipeline.Tfidf
+    val docs = graft.engine.Tables.documents(spark, sfDir).limit(300)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Tfidf.topTerms(d, "doc_id", "text",
+          Tfidf.docFrequencies(d, "doc_id", "text"),
+          Tfidf.corpusSize(d, "doc_id"), k = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getString(1)).toMap
+    assert(run(docs.repartition(17)) === run(docs.coalesce(1)))
+  }
 }
