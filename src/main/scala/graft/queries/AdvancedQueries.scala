@@ -348,6 +348,41 @@ object AdvancedQueries {
                      round(covar_samp(l_quantity, l_extendedprice), 2) + 0 AS cv_samp
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Moving MEDIAN over a row frame — the robust-smoothing dashboard
+    // twin of q_window_frame's moving average (medians shrug off the
+    // outliers that drag a mean). The exact percentile aggregate runs AS
+    // a window function over a 5-row frame: state is frame-bounded, the
+    // shuffle is the same single per-customer key hash as any window.
+    // Output starts at the 5th row of each partition so every frame holds
+    // an ODD count and the median is an actual data value — even-count
+    // frames interpolate (a+b)/2, and half-cent results round differently
+    // across engines at the 1-ulp boundary.
+    QueryDef(
+      "q_window_median",
+      (s, d) => {
+        val ord = Window.partitionBy("o_custkey")
+          .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        val w = ord.rowsBetween(-4, Window.currentRow)
+        Tables.orders(s, d)
+          .filter(col("o_custkey") < 100)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            row_number().over(ord).as("rn"),
+            round(expr("percentile(o_totalprice, 0.5)").over(w), 2).as("mov_median"))
+          .filter(col("rn") >= 5)
+          .drop("rn")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""WITH r AS (SELECT o_custkey, o_orderkey,
+                     row_number() OVER w AS rn,
+                     round(quantile_cont(o_totalprice, 0.5) OVER
+                       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS mov_median
+              FROM orders WHERE o_custkey < 100
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+              SELECT o_custkey, o_orderkey, mov_median
+              FROM r WHERE rn >= 5 ORDER BY o_custkey, o_orderkey""")),
+
     // Hierarchical ROLLUP (year → status → grand total) with grouping()
     // markers — the drill-down twin of q_grouping_sets' CUBE: one Expand
     // pass emits all prefix levels, partial aggregation combines
