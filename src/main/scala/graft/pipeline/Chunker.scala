@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
 object Chunker {
 
   /** One row per (doc, chunk): (idCol, chunk_idx, chunk: Array[String]).
-    * The final window may be shorter than `window` (the tail); every
-    * token of every document lands in at least one chunk.
+    * Windows advance by `stride` and STOP at the first window that
+    * reaches the document's end — later start positions would emit
+    * strictly-suffix chunks already contained in an earlier window
+    * (pure duplication for stride < window). Chunk count is
+    * ceil(max(n - window, 0) / stride) + 1; every token lands in at
+    * least one chunk; only the final chunk may be shorter than `window`
+    * (when the document is shorter than one window).
     */
   def slidingWindows(
       docs: DataFrame, idCol: String, textCol: String,
@@ -26,11 +31,12 @@ object Chunker {
     require(window >= 1, s"window must be >= 1, got $window")
     require(stride >= 1 && stride <= window,
       s"stride must be in [1, window], got $stride (window $window)")
+    val lastIdx = greatest(
+      ceil((size(col("t")) - window).cast("double") / stride).cast("int"), lit(0))
     docs
       .select(col(idCol), split(col(textCol), " ").as("t"))
       .select(col(idCol), col("t"),
-        explode(sequence(lit(0),
-          floor((size(col("t")) - 1) / stride).cast("int"))).as("chunk_idx"))
+        explode(sequence(lit(0), lastIdx)).as("chunk_idx"))
       .select(
         col(idCol), col("chunk_idx"),
         slice(col("t"), col("chunk_idx") * stride + 1, lit(window)).as("chunk"))

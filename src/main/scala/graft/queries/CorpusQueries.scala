@@ -212,7 +212,7 @@ object CorpusQueries {
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
                    idx AS (SELECT doc_id, t,
                                   unnest(generate_series(0,
-                                    CAST(floor((len(t) - 1) / 20) AS BIGINT))) AS i
+                                    CAST(ceil(greatest(len(t) - 30, 0) / 20.0) AS BIGINT))) AS i
                            FROM toks),
                    chunks AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
                                      t[i * 20 + 1 : i * 20 + 30] AS chunk

@@ -71,7 +71,7 @@ class CorpusSpec extends SparkSpec {
 
   test("Chunker: overlapping windows cover every token; plan is shuffle-free") {
     val docs = Seq(
-      (1L, (1 to 47).map(i => s"t$i").mkString(" ")), // 47 toks -> idx 0,1,2
+      (1L, (1 to 47).map(i => s"t$i").mkString(" ")), // 47 toks -> idx 0,1
       (2L, "a b"), // shorter than one window -> single short chunk
       (3L, "")) // empty text -> split yields [""], one 1-token chunk
       .toDF("doc_id", "text")
@@ -80,8 +80,9 @@ class CorpusSpec extends SparkSpec {
     val rows = out.collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[String](2)))
       .sortBy(t => (t._1, t._2))
+    // window 1 (tokens 21..47) reaches the end — no redundant suffix chunk
     assert(rows.map(t => (t._1, t._2, t._3.size)).toSeq === Seq(
-      (1L, 0, 30), (1L, 1, 27), (1L, 2, 7), (2L, 0, 2), (3L, 0, 1)))
+      (1L, 0, 30), (1L, 1, 27), (2L, 0, 2), (3L, 0, 1)))
     // every token of doc 1 appears in at least one chunk (overlap covers)
     val covered = rows.filter(_._1 == 1L).flatMap(_._3).toSet
     assert((1 to 47).forall(i => covered.contains(s"t$i")))
@@ -90,6 +91,26 @@ class CorpusSpec extends SparkSpec {
     // scan-local by construction: no Exchange anywhere in the plan
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunker plan shuffles:\n$plan")
+  }
+
+  test("Chunker: coverage and chunk counts hold across window/stride settings") {
+    // stride = window → disjoint chunks that partition the token list;
+    // stride = 1 → one chunk per token; mid strides overlap — in every
+    // case each token appears in >= 1 chunk and chunk count is
+    // ceil(max(n - window, 0) / stride) + 1 for non-empty docs
+    val n = 53
+    val doc = Seq((1L, (1 to n).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    for ((window, stride) <- Seq((10, 10), (10, 1), (16, 7), (60, 60), (1, 1))) {
+      val chunks = graft.pipeline.Chunker
+        .slidingWindows(doc, "doc_id", "text", window, stride)
+        .collect().map(r => (r.getInt(1), r.getSeq[String](2))).sortBy(_._1)
+      val expectedCount = math.ceil(math.max(n - window, 0).toDouble / stride).toInt + 1
+      assert(chunks.length === expectedCount, s"count for w=$window s=$stride")
+      val covered = chunks.flatMap(_._2).toSet
+      assert((1 to n).forall(i => covered.contains(s"w$i")), s"coverage w=$window s=$stride")
+      if (stride == window) // disjoint partition: no token in two chunks
+        assert(chunks.flatMap(_._2).length === n, s"overlap at w=$window s=$stride")
+    }
   }
 
   test("Tfidf: materialized DF index scores identically to the inline path") {
