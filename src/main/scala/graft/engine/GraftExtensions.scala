@@ -52,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TopKByAgg(es.head, es(1), intArg(es(2), "top_k_by")))
     register("frequent_items", classOf[FrequentItemsAgg])(es =>
       FrequentItemsAgg(es.head, intArg(es(1), "frequent_items")))
+    // composed-builtin function (no custom expression class): the SQL name
+    // expands to the same codegen'd regexp/string tree the Column API builds
+    register("canonicalize_url", graft.functions.UrlFns.getClass)(es =>
+      graft.functions.UrlFns.canonicalizeExpr(es.head))
 
     // transparent star-tree pre-aggregation (fires only on fact tables
     // registered in graft.plans.StarTreeCatalog)

@@ -1,35 +1,43 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** URL canonicalization — the corpus-curation step BEFORE URL-level
   * dedup: crawl frontiers see the same page as `HTTPS://WWW.Host:443/p?
   * utm_source=feed#frag` and `https://host/p`; canonicalizing collapses
   * the variants so the groupBy(url) dedup actually merges them.
   *
-  * All steps are codegen'd string/regexp expressions (scan-local, no UDF)
-  * and each is replayable verbatim in the DuckDB oracle:
+  * The expression tree is built at the CATALYST level (codegen'd builtin
+  * string/regexp nodes, no UDF) so one builder serves both the Column API
+  * and the SQL registration (`canonicalize_url` via GraftExtensions), and
+  * each step is replayable verbatim in the DuckDB oracle:
   * fragment strip → utm_* param removal (separator-repair) → scheme+host
   * lowercasing → default-:443 port strip → leading `www.` strip →
   * trailing-slash-before-query collapse.
   */
 object UrlFns {
 
-  def canonicalize(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*", "")
+  /** Catalyst-level builder — what `canonicalize_url(url)` expands to. */
+  def canonicalizeExpr(url: Expression): Expression = {
+    def lit(s: String): Expression = Literal(s)
+    val noFrag = RegExpReplace(url, lit("#.*"), lit(""))
     // drop every utm_* param WITH its separator, then repair a dangling
     // first '&' (left when the '?utm_...' leading param was removed)
-    val noUtm = regexp_replace(
-      regexp_replace(noFrag, "[?&]utm_[^&#]*", ""),
-      "^([^?&]*)&", "$1?")
+    val noUtm = RegExpReplace(
+      RegExpReplace(noFrag, lit("[?&]utm_[^&#]*"), lit("")),
+      lit("^([^?&]*)&"), lit("$1?"))
     // scheme://authority is case-insensitive; the path/query is not
-    val prefix = regexp_extract(noUtm, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", 0)
-    val rest = noUtm.substr(length(prefix) + 1, length(noUtm))
+    val prefix = RegExpExtract(noUtm, lit("^[A-Za-z][A-Za-z0-9+.-]*://[^/]*"), Literal(0))
+    val rest = Substring(noUtm, Add(Length(prefix), Literal(1)), Length(noUtm))
     val canonPrefix =
-      regexp_replace(
-        regexp_replace(lower(prefix), ":443$", ""),
-        "://www\\.", "://")
-    regexp_replace(concat(canonPrefix, rest), "/\\?", "?")
+      RegExpReplace(
+        RegExpReplace(Lower(prefix), lit(":443$"), lit("")),
+        lit("://www\\."), lit("://"))
+    RegExpReplace(Concat(Seq(canonPrefix, rest)), lit("/\\?"), lit("?"))
   }
+
+  def canonicalize(url: Column): Column =
+    ColumnBridge.column(canonicalizeExpr(ColumnBridge.expression(url)))
 }

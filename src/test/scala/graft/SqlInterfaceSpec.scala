@@ -40,6 +40,14 @@ class SqlInterfaceSpec extends SparkSpec {
     assert(math.abs(d - apiVal) < 1e-12)
   }
 
+  test("canonicalize_url composed function is callable from SQL") {
+    val canon = spark.sql(
+      """SELECT canonicalize_url(
+           'HTTPS://WWW.Example.COM:443/a/index.html/?utm_source=x&ref=y#frag') AS c""")
+      .head().getString(0)
+    assert(canon === "https://example.com/a/index.html?ref=y")
+  }
+
   test("dedup/similarity expressions and top_k_by aggregate from SQL") {
     Graft.registerTables(spark, sfDir)
     // scan-local signature expressions
