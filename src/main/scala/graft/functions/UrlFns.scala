@@ -9,13 +9,16 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * utm_source=feed#frag` and `https://host/p`; canonicalizing collapses
   * the variants so the groupBy(url) dedup actually merges them.
   *
+  * The URL is split structurally FIRST (authority / path / query) and each
+  * rule then applies only to its own component — utm_* stripping cannot
+  * eat a path segment containing '&utm_', lowercasing cannot touch a
+  * case-sensitive query value on a path-less URL, and the trailing-slash
+  * collapse fires exactly once at the path/query boundary.
+  *
   * The expression tree is built at the CATALYST level (codegen'd builtin
   * string/regexp nodes, no UDF) so one builder serves both the Column API
   * and the SQL registration (`canonicalize_url` via GraftExtensions), and
-  * each step is replayable verbatim in the DuckDB oracle:
-  * fragment strip → utm_* param removal (separator-repair) → scheme+host
-  * lowercasing → default-:443 port strip → leading `www.` strip →
-  * trailing-slash-before-query collapse.
+  * each step is replayable verbatim in the DuckDB oracle.
   */
 object UrlFns {
 
@@ -23,19 +26,25 @@ object UrlFns {
   def canonicalizeExpr(url: Expression): Expression = {
     def lit(s: String): Expression = Literal(s)
     val noFrag = RegExpReplace(url, lit("#.*"), lit(""))
-    // drop every utm_* param WITH its separator, then repair a dangling
-    // first '&' (left when the '?utm_...' leading param was removed)
-    val noUtm = RegExpReplace(
-      RegExpReplace(noFrag, lit("[?&]utm_[^&#]*"), lit("")),
-      lit("^([^?&]*)&"), lit("$1?"))
-    // scheme://authority is case-insensitive; the path/query is not
-    val prefix = RegExpExtract(noUtm, lit("^[A-Za-z][A-Za-z0-9+.-]*://[^/]*"), Literal(0))
-    val rest = Substring(noUtm, Add(Length(prefix), Literal(1)), Length(noUtm))
+    // structural split: scheme://authority | path | query
+    val prefix = RegExpExtract(noFrag, lit("^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"), Literal(0))
+    val rest = Substring(noFrag, Add(Length(prefix), Literal(1)), Length(noFrag))
+    val path = RegExpExtract(rest, lit("^[^?#]*"), Literal(0))
+    val query = Substring(rest, Add(Length(path), Literal(1)), Length(rest))
+    // scheme/authority are case-insensitive; path and query are not
     val canonPrefix =
       RegExpReplace(
         RegExpReplace(Lower(prefix), lit(":443$"), lit("")),
         lit("://www\\."), lit("://"))
-    RegExpReplace(Concat(Seq(canonPrefix, rest)), lit("/\\?"), lit("?"))
+    // query only: drop every utm_* param WITH its separator, then repair
+    // a dangling first '&' (left when the leading '?utm_...' was removed)
+    val canonQuery = RegExpReplace(
+      RegExpReplace(query, lit("[?&]utm_[^&#]*"), lit("")),
+      lit("^&"), lit("?"))
+    // collapse the trailing path slash only when a query follows it
+    val canonPath = If(GreaterThan(Length(canonQuery), Literal(0)),
+      RegExpReplace(path, lit("/$"), lit("")), path)
+    Concat(Seq(canonPrefix, canonPath, canonQuery))
   }
 
   def canonicalize(url: Column): Column =

@@ -90,7 +90,6 @@ object Curation {
     val rate = cfg.keepRates.foldLeft(lit(cfg.defaultKeepRate)) {
       case (acc, (stratum, r)) => when(col("lang") === stratum, lit(r)).otherwise(acc)
     }
-    scored.filter(
-      (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("double") / 65536.0) < rate)
+    scored.filter(graft.functions.HashBuckets.md5Uniform(col("text")) < rate)
   }
 }

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.HashBuckets
 
 /** Hashing-trick document featurization — the cheap, vocabulary-free
   * embedding a corpus pipeline computes BEFORE any model exists: token →
@@ -12,28 +13,37 @@ import org.apache.spark.sql.functions._
   * ANN/embedding-dedup family directly.
   *
   * Shape at 100 TB: tokenize + bucket are scan-local codegen; the only
-  * shuffle is the per-doc rollup (one pass, partial aggregation does the
-  * heavy lifting map-side since dim is small and fixed).
+  * shuffles are the per-doc rollup (partial aggregation does the heavy
+  * lifting map-side since dim is small and fixed) and the id-keyed join
+  * that restores token-less documents as all-zero rows.
   */
 object TextFeaturizer {
 
   /** One row per input doc: (idCol, embedding: Array[Double] of length
-    * `dim`, L2-normalized; all-zero docs — empty text — stay all-zero).
+    * `dim`, L2-normalized). Empty tokens (split artifacts of empty text /
+    * repeated spaces) never hash into a bucket, and documents with no
+    * real tokens at all — empty or NULL text — keep their row with an
+    * all-zero embedding (the documented "nothing to embed" signal) rather
+    * than colliding on a spurious md5('')-bucket unit vector.
     */
   def embed(docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 4096, s"dim out of range: $dim")
-    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
-      // first 16 bits of md5 → bucket; conv's decimal string parses back
-      // exactly (max 65535) and the SAME arithmetic replays in DuckDB as
-      // CAST('0x' || substr(md5(w),1,4) AS INT) — oracle-comparable.
-      .withColumn("b",
-        (conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int") % dim))
+    val tok = docs
+      .select(col(idCol), explode(split(coalesce(col(textCol), lit("")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      // same 16-bit md5 bucket arithmetic the DuckDB oracle replays as
+      // CAST('0x' || substr(md5(w),1,4) AS INT) % dim
+      .withColumn("b", HashBuckets.md5Bucket(col("w"), dim))
     val tf = tok.groupBy(idCol).agg(
       array((0 until dim).map(i =>
         sum(when(col("b") === i, 1.0).otherwise(0.0))): _*).as("tf"))
+    val zero = array(Seq.fill(dim)(lit(0.0)): _*)
     val norm = sqrt(aggregate(col("tf"), lit(0.0), (a, x) => a + x * x))
-    tf.select(col(idCol),
-      when(norm > 0.0, transform(col("tf"), v => v / norm))
-        .otherwise(col("tf")).as("embedding"))
+    docs.select(col(idCol))
+      .join(tf, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("tf").isNull, zero)
+          .when(norm > 0.0, transform(col("tf"), v => v / norm))
+          .otherwise(col("tf")).as("embedding"))
   }
 }

@@ -142,7 +142,8 @@ object CorpusQueries {
           .orderBy("doc_id")
       },
       Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-                   b AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 4)) AS INT) % 8 AS b FROM tok),
+                   b AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 4)) AS INT) % 8 AS b
+                         FROM tok WHERE w <> ''),
                    tf AS (SELECT doc_id,
                                  sum(CASE WHEN b = 0 THEN 1.0 ELSE 0 END) AS t0,
                                  sum(CASE WHEN b = 1 THEN 1.0 ELSE 0 END) AS t1,
@@ -176,7 +177,7 @@ object CorpusQueries {
         Tables.documents(s, d)
           .select(
             col("doc_id"),
-            (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 8).as("shard"),
+            graft.functions.HashBuckets.md5Bucket(col("text"), 8).as("shard"),
             size(split(col("text"), " ")).cast("long").as("toks"))
           .groupBy("shard")
           .agg(

@@ -279,22 +279,29 @@ object TransformQueries {
                      CASE WHEN doc_id % 2 = 0 THEN '#sec' || doc_id ELSE '' END AS url
                    FROM documents),
                    c1 AS (SELECT url, regexp_replace(url, '#.*', '') AS u FROM raw),
-                   c2 AS (SELECT url, regexp_replace(
-                            regexp_replace(u, '[?&]utm_[^&#]*', '', 'g'),
-                            '^([^?&]*)&', '\1?') AS u FROM c1),
-                   c3 AS (SELECT url, u,
-                            regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*') AS p
+                   c2 AS (SELECT url, u,
+                            regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS p
+                          FROM c1),
+                   c3 AS (SELECT url, p,
+                            regexp_extract(substr(u, len(p) + 1, len(u)), '^[^?#]*') AS pth,
+                            substr(u, len(p) + 1, len(u)) AS rest
                           FROM c2),
-                   c4 AS (SELECT url,
+                   c4 AS (SELECT url, p, pth,
                             regexp_replace(
-                              replace(regexp_replace(lower(p), ':443$', ''),
-                                      '://www.', '://')
-                              || substr(u, len(p) + 1, len(u)),
-                              '/\?', '?') AS canon
-                          FROM c3)
+                              regexp_replace(substr(rest, len(pth) + 1, len(rest)),
+                                             '[?&]utm_[^&#]*', '', 'g'),
+                              '^&', '?') AS q
+                          FROM c3),
+                   c5 AS (SELECT url,
+                            replace(regexp_replace(lower(p), ':443$', ''),
+                                    '://www.', '://')
+                            || CASE WHEN len(q) > 0
+                                    THEN regexp_replace(pth, '/$', '') ELSE pth END
+                            || q AS canon
+                          FROM c4)
               SELECT canon, count(*) AS cnt,
                      CAST(count(DISTINCT url) AS BIGINT) AS n_raw
-              FROM c4 GROUP BY 1 ORDER BY canon""")),
+              FROM c5 GROUP BY 1 ORDER BY canon""")),
 
     // ST_Contains(polygon, point) — even-odd ray casting against a fixed
     // geofence. The polygon unrolls into one codegen'd comparison chain

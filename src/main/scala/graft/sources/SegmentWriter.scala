@@ -135,8 +135,13 @@ object SegmentWriter {
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith(prefix)) {
-        // partition values are URI-escaped on disk (e.g. ':' -> '%3A')
-        val value = java.net.URLDecoder.decode(name.stripPrefix(prefix), "UTF-8")
+        // Partition values are Hive-escaped on disk (only '%xx' sequences;
+        // Hive never encodes '+' or space as '+'). URLDecoder would turn a
+        // LITERAL '+' in a partition value (e.g. a '+02:00' tz offset) into
+        // a space and the cutoff compare would run on a mangled value —
+        // escape '+' first so only the '%xx' decoding applies.
+        val value = java.net.URLDecoder.decode(
+          name.stripPrefix(prefix).replace("+", "%2B"), "UTF-8")
         if (value != "__HIVE_DEFAULT_PARTITION__" && value < cutoff) {
           val it = fs.listFiles(st.getPath, true)
           while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) files += 1 }

@@ -179,26 +179,51 @@ object Realtime {
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        batch.persist()
-        try {
-          if (batch.isEmpty) ()
-          else {
-            batch.write.mode("append").parquet(factPath)
-            val cp = new org.apache.hadoop.fs.Path(cubePath)
-            val cubeExists =
-              cp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cp)
-            if (!cubeExists)
-              graft.operators.StarTree.materializeAndRegister(
-                batch, factPath, dims, sumMetrics, cubePath, distinctMetrics)
-            else
-              graft.operators.StarTree.refreshIncremental(
-                spark, factPath, batch, dims, sumMetrics, cubePath, distinctMetrics)
-          }
-        } finally batch.unpersist()
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processCubeBatch(batch, id, factPath, cubePath, dims, sumMetrics, distinctMetrics)
       }
       .start()
+
+  /** One micro-batch of the cube-maintenance sink. foreachBatch is
+    * AT-LEAST-ONCE: after a crash between the batch side effects and the
+    * checkpoint commit, the same (batchId, rows) is re-delivered. Two
+    * guards make the replay safe:
+    *  - the fact archive is written to a batch-id-keyed subdir with
+    *    overwrite (re-running replaces the same files — no duplicate rows),
+    *  - a re-delivered batch id (its subdir already exists) means the cube
+    *    may ALREADY contain this batch's partials, so instead of folding
+    *    the delta again (double counting), the cube is rebuilt from the
+    *    full fact archive — correct by construction, and the one-time
+    *    rebuild cost is paid only on crash recovery, never steady-state.
+    */
+  private[graft] def processCubeBatch(
+      batch: DataFrame, id: Long, factPath: String, cubePath: String,
+      dims: Seq[String], sumMetrics: Seq[String],
+      distinctMetrics: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    batch.persist()
+    try {
+      if (batch.isEmpty) ()
+      else {
+        val hc = spark.sparkContext.hadoopConfiguration
+        val batchDir = new org.apache.hadoop.fs.Path(s"$factPath/batch_id=$id")
+        val replay = batchDir.getFileSystem(hc).exists(batchDir)
+        batch.write.mode("overwrite").parquet(batchDir.toString)
+        val cp = new org.apache.hadoop.fs.Path(cubePath)
+        val cubeExists = cp.getFileSystem(hc).exists(cp)
+        if (!cubeExists)
+          graft.operators.StarTree.materializeAndRegister(
+            batch, factPath, dims, sumMetrics, cubePath, distinctMetrics)
+        else if (replay)
+          graft.operators.StarTree.materializeAndRegister(
+            spark.read.parquet(factPath), factPath,
+            dims, sumMetrics, cubePath, distinctMetrics)
+        else
+          graft.operators.StarTree.refreshIncremental(
+            spark, factPath, batch, dims, sumMetrics, cubePath, distinctMetrics)
+      }
+    } finally batch.unpersist()
+  }
 
   /** Streaming upsert: emits the new latest record for a key whenever it
     * changes (Pinot upsert table semantics, incremental form).

@@ -113,6 +113,23 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("TextFeaturizer: empty and null texts keep their row as an all-zero vector") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, ""), // empty text -> no tokens -> all-zero, NOT a unit vector
+      (3L, null.asInstanceOf[String]), // null text -> treated as empty
+      (4L, "  ")) // whitespace only -> split artifacts filtered out
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextFeaturizer.embed(docs, "doc_id", "text", dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L)) // every doc keeps its row
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(out(id).forall(_ == 0.0), s"doc $id should be all-zero: ${out(id)}")
+    }
+    // the real doc is L2-normalized
+    assert(math.abs(out(1L).map(v => v * v).sum - 1.0) < 1e-12)
+  }
+
   test("Tfidf: materialized DF index scores identically to the inline path") {
     import graft.pipeline.Tfidf
     val docs = graft.engine.Tables.documents(spark, sfDir).limit(200)

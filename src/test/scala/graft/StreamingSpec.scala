@@ -293,4 +293,29 @@ class StreamingSpec extends SparkSpec {
       assert(served === Set(("click", 7.0, 3L, 3L), ("view", 11.0, 2L, 2L)))
     } finally q.stop()
   }
+
+  test("cube refresh is idempotent under foreachBatch at-least-once replay") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cube_replay").toString
+    val factPath = s"$base/fact"; val cubePath = s"$base/cube"
+    def b(rows: (Long, String, Double)*) =
+      rows.toDF("user_id", "event_type", "value")
+    def cubeState() = spark.read.parquet(cubePath)
+      .groupBy("event_type").agg(sum("s_value").as("sv"), sum("cube_cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    def process(batch: org.apache.spark.sql.DataFrame, id: Long) =
+      Realtime.processCubeBatch(batch, id, factPath, cubePath,
+        dims = Seq("event_type"), sumMetrics = Seq("value"), distinctMetrics = Nil)
+
+    process(b((1L, "click", 1.0), (2L, "click", 2.0)), id = 0)
+    process(b((1L, "view", 5.0)), id = 1)
+    val healthy = cubeState()
+    assert(healthy === Set(("click", 3.0, 2L), ("view", 5.0, 1L)))
+    // crash-replay: the SAME batch id 1 is delivered again — the cube must
+    // not double-count and the fact archive must not duplicate rows
+    process(b((1L, "view", 5.0)), id = 1)
+    assert(cubeState() === healthy)
+    assert(spark.read.parquet(factPath).count() === 3)
+  }
 }
