@@ -41,8 +41,10 @@ object UrlFns {
     val canonQuery = RegExpReplace(
       RegExpReplace(query, lit("[?&]utm_[^&#]*"), lit("")),
       lit("^&"), lit("?"))
-    // collapse the trailing path slash only when a query follows it
-    val canonPath = If(GreaterThan(Length(canonQuery), Literal(0)),
+    // collapse the trailing path slash when the ORIGINAL url had a query
+    // after it — keying on the post-utm-strip query would canonicalize
+    // '/p/?utm_x=1' and '/p?utm_x=1' to different strings
+    val canonPath = If(GreaterThan(Length(query), Literal(0)),
       RegExpReplace(path, lit("/$"), lit("")), path)
     Concat(Seq(canonPrefix, canonPath, canonQuery))
   }

@@ -73,7 +73,9 @@ object Multimodal {
         case None => decodeStub(bytes)
       }
       case "audio" => C.decodeWav(bytes) match {
-        case Some(a) =>
+        // the sample loop reads 16-bit LE frames; other accepted bit
+        // depths (8/24/32) would misalign, so they take the stub path
+        case Some(a) if a.bitsPerSample == 16 =>
           var absSum = 0.0
           var i = 0
           while (i + 1 < a.data.length) {
@@ -83,7 +85,7 @@ object Multimodal {
           val nSamples = (a.data.length / 2).max(1)
           pad(Array(a.sampleRate.toFloat, a.channels.toFloat,
             a.durationMs.toFloat, (absSum / nSamples).toFloat))
-        case None => decodeStub(bytes)
+        case _ => decodeStub(bytes)
       }
       case "video" => C.decodeAvi(bytes) match {
         case Some(v) =>

@@ -148,10 +148,12 @@ object Realtime {
     * serves realtime segments joined against dimension/lookup tables —
     * reference: /root/reference/basics/Architecture.md realtime flow +
     * Introduction.md:51 lookup joins). Spark-native: a stream–static
-    * equi-join; the static side is broadcast per micro-batch (re-read
-    * each batch, so dimension updates are picked up without restarting
-    * the query), and no streaming state accumulates — the join is
-    * stateless on the stream side.
+    * equi-join; the static side is broadcast per micro-batch and no
+    * streaming state accumulates — the join is stateless on the stream
+    * side. NOTE: a file-backed dimension DataFrame caches its file
+    * listing at creation, so NEW dimension files are not reliably seen
+    * mid-query; for live dimension refresh, recreate the dim DataFrame
+    * inside `foreachBatch` and join there instead.
     */
   def enrich(
       events: DataFrame, dim: DataFrame, keyCol: String,
