@@ -31,7 +31,15 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated subset for targeted profiling runs; the
+    // driver never sets it, so the contract run times the full registry.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       // noop sink: full materialization of every output row/column (count()
       // lets Spark prune the final project, under-timing wide results).
       def once(): Option[Double] = {

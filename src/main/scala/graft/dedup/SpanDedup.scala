@@ -25,13 +25,18 @@ object SpanDedup {
       docs: DataFrame, idCol: String, textCol: String,
       spanLen: Int = 10): DataFrame = {
     require(spanLen >= 1, s"spanLen must be >= 1: $spanLen")
-    val toks = split(col(textCol), " ")
+    // The token array is materialized in its own projection FIRST: a
+    // `split` Column inlined into the `transform` lambda would be
+    // re-evaluated per span in the interpreted HOF path — O(tokens²/len)
+    // per doc instead of one split per doc.
+    val toks = col("__toks")
     val nSpans = ceil(size(toks) / lit(spanLen.toDouble)).cast("int")
     val spans = transform(sequence(lit(0), nSpans - 1), i =>
       struct(i.cast("int").as("span_idx"),
         concat_ws(" ", slice(toks, i * spanLen + 1, lit(spanLen))).as("span")))
     val firstWin = Window.partitionBy("span").orderBy(idCol, "span_idx")
     docs
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol), explode(spans).as("s"))
       .select(col(idCol), col("s.span_idx").as("span_idx"), col("s.span").as("span"))
       .withColumn("kept", row_number().over(firstWin) === 1)

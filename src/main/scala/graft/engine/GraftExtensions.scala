@@ -50,6 +50,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // aggregates: the analyzer wraps AggregateFunctions used in agg context
     register("top_k_by", classOf[TopKByAgg])(es =>
       TopKByAgg(es.head, es(1), intArg(es(2), "top_k_by")))
+    register("top_k_by_str", classOf[TopKByStrAgg])(es =>
+      TopKByStrAgg(es.head, es(1), intArg(es(2), "top_k_by_str")))
     register("frequent_items", classOf[FrequentItemsAgg])(es =>
       FrequentItemsAgg(es.head, intArg(es(1), "frequent_items")))
     // composed-builtin function (no custom expression class): the SQL name

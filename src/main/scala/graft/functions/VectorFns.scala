@@ -31,6 +31,19 @@ object VectorFns {
         ColumnBridge.expression(score), ColumnBridge.expression(id), k)
         .toAggregateExpression())
 
+  /** String-keyed bounded top-k aggregate: `array<struct<key, score>>` of
+    * the k highest-scoring keys, (score desc, key asc). The exact
+    * heavy-hitter-per-group selector — replaces the
+    * `row_number() OVER (PARTITION BY g ORDER BY cnt DESC, term)` window
+    * that would sort a vocabulary-sized count table in one reducer per
+    * group (graft.functions.expressions.TopKByStrAgg).
+    */
+  def topKByStr(score: Column, key: Column, k: Int): Column =
+    ColumnBridge.column(
+      graft.functions.expressions.TopKByStrAgg(
+        ColumnBridge.expression(score), ColumnBridge.expression(key), k)
+        .toAggregateExpression())
+
   /** Cosine similarity; callers joining many pairs should precompute norms
     * per side once instead of calling this (it recomputes both norms).
     */

@@ -227,24 +227,34 @@ object CorpusQueries {
     // (count DESC, gram ASC) — the exact twin of q_frequent_terms'
     // Misra–Gries sketch, for when the pipeline needs true counts (e.g.
     // boilerplate-phrase blocklists). Shape at 100 TB: bigram explosion
-    // is scan-local; the count table after the (lang, gram) rollup is
-    // vocab²-bounded (dictionary-sized), so the rank window shuffles the
-    // COUNT table, never the corpus.
+    // is scan-local; the (lang, gram) count rollup is the one unavoidable
+    // shuffle; the top-3 selection is the k-bounded `top_k_by_str` heap
+    // aggregate (partial per map task), so only (langs × partitions × 3)
+    // entries cross the second shuffle instead of the whole vocab²-sized
+    // count table sorting in one reducer per lang. The token array is
+    // MATERIALIZED in its own projection before the HOF: a `split` Column
+    // inlined into a `transform` lambda is re-evaluated per element in the
+    // interpreted HOF path — O(tokens²) per doc (measured 3.5s → <1s at
+    // sf0.1; same trap word_shingle_hashes §L fixed at the codegen level).
+    // Counts are exact in double below 2^53, so the cast round-trips.
     QueryDef(
       "q_ngram_top",
       (s, d) => {
-        val toks = split(lower(col("text")), " ")
+        val toks = col("toks")
         val grams = transform(sequence(lit(1), size(toks) - 1), i =>
           concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
-        val rankWin = Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))
         Tables.documents(s, d)
+          .select(col("lang"), split(lower(col("text")), " ").as("toks"))
           .filter(size(toks) >= 2)
           .select(col("lang"), explode(grams).as("gram"))
           .groupBy("lang", "gram")
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("rank", row_number().over(rankWin))
-          .filter(col("rank") <= 3)
-          .select(col("lang"), col("rank"), col("gram"), col("cnt"))
+          .groupBy("lang")
+          .agg(graft.functions.VectorFns.topKByStr(
+            col("cnt").cast("double"), col("gram"), 3).as("top"))
+          .select(col("lang"), posexplode(col("top")))
+          .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.key").as("gram"), col("col.score").cast("long").as("cnt"))
           .orderBy("lang", "rank")
       },
       Some("""WITH t AS (SELECT lang, string_split(lower(text), ' ') AS w FROM documents),

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
-import graft.functions.expressions.{TopKHeap, LshOps, MinHashOps}
+import graft.functions.expressions.{TopKHeap, TopKStrHeap, LshOps, MinHashOps}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 
 /** Unit coverage for the round-2 custom expressions: the bounded top-k
@@ -59,6 +60,46 @@ class ExpressionSpec extends SparkSpec {
         rows.toSeq.map(r => (r.getLong(1), r.getDouble(2)))
           .sortBy { case (id, v) => (-v, id) }.take(5).zipWithIndex
           .map { case ((id, _), pos) => (t, id, pos) }
+      }.toSet
+    assert(got === want)
+  }
+
+  test("TopKStrHeap orders (score desc, key asc) and merge equals single-pass") {
+    def u(s: String) = UTF8String.fromString(s)
+    val heap = new TopKStrHeap(3)
+    Seq((1.0, "pear"), (1.0, "apple"), (1.0, "zebra"), (1.0, "bee"))
+      .foreach { case (s, k) => heap.insert(s, u(k)) }
+    assert(heap.sortedPairs.toSeq.map { case (k, s) => (k.toString, s) } ===
+      Seq(("apple", 1.0), ("bee", 1.0), ("pear", 1.0)))
+    // merging partial heaps must equal one global heap (random scores/keys)
+    val rnd = new scala.util.Random(23)
+    val parts = Seq.tabulate(4)(_ => new TopKStrHeap(5))
+    val all = new TopKStrHeap(5)
+    for (i <- 0 until 300) {
+      val s = rnd.nextInt(20).toDouble // many ties to stress the key order
+      val k = u(f"term_${rnd.nextInt(50)}%03d")
+      parts(i % 4).insert(s, k)
+      all.insert(s, k)
+    }
+    val merged = new TopKStrHeap(5)
+    parts.foreach(merged.mergeFrom)
+    assert(merged.sortedPairs.toSeq === all.sortedPairs.toSeq)
+  }
+
+  test("top_k_by_str aggregate equals a window-sorted ground truth on real data") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+    val got = docs.groupBy("lang")
+      .agg(VectorFns.topKByStr(col("cnt").cast("double"), col("term"), 4).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), col("col.key"), col("col.score").cast("long"), col("pos"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    val want = docs.collect().groupBy(_.getString(0))
+      .flatMap { case (lang, rows) =>
+        rows.toSeq.map(r => (r.getString(1), r.getLong(2)))
+          .sortBy { case (t, c) => (-c, t) }.take(4).zipWithIndex
+          .map { case ((t, c), pos) => (lang, t, c, pos) }
       }.toSet
     assert(got === want)
   }

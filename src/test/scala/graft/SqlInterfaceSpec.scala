@@ -69,6 +69,15 @@ class SqlInterfaceSpec extends SparkSpec {
          FROM events GROUP BY event_type""").collect()
     assert(topk.nonEmpty)
     topk.foreach(r => assert(r.getSeq[AnyRef](1).length <= 3))
+    // string-keyed bounded top-k aggregate straight from SQL
+    val topStr = spark.sql(
+      """SELECT lang, top_k_by_str(CAST(cnt AS DOUBLE), term, 2) AS top2
+         FROM (SELECT lang, t.term, count(*) AS cnt
+               FROM documents LATERAL VIEW explode(split(lower(text), ' ')) t AS term
+               GROUP BY lang, t.term)
+         GROUP BY lang""").collect()
+    assert(topStr.nonEmpty)
+    topStr.foreach(r => assert(r.getSeq[AnyRef](1).length <= 2))
   }
 
   test("joins and subqueries from SQL") {
