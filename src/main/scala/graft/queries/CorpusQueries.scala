@@ -266,6 +266,171 @@ object CorpusQueries {
                                  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
                           FROM c)
               SELECT lang, CAST(rank AS INT) AS rank, gram, cnt
-              FROM rk WHERE rank <= 3 ORDER BY lang, rank"""))
+              FROM rk WHERE rank <= 3 ORDER BY lang, rank""")),
+
+    // Rule-based document quality gates — the C4/Gopher heuristic filter
+    // pass: token count bounds, mean word length bounds, unique-token
+    // ratio, and stopword presence, each an independent gate; a doc is
+    // kept only if every gate passes. Per-language rollup reports total /
+    // kept / per-gate failure counts — the numbers a curation run gates
+    // on before committing a corpus snapshot. Shape at 100 TB: every gate
+    // is scan-local (tokenize once — materialized before the HOFs — then
+    // size/array_distinct/array_contains), the rollup is
+    // language-dictionary-sized. Threshold comparisons are int-ratio
+    // doubles computed identically on both engines, so the gate booleans
+    // are engine-exact.
+    QueryDef(
+      "q_quality_gates",
+      (s, d) => {
+        val t = col("toks")
+        Tables.documents(s, d)
+          .select(col("lang"), col("text"), split(col("text"), " ").as("toks"))
+          .select(
+            col("lang"),
+            size(t).cast("long").as("n_toks"),
+            (length(regexp_replace(col("text"), " ", "")).cast("double") /
+              size(t)).as("mean_wlen"),
+            (size(array_distinct(t)).cast("double") / size(t)).as("uniq_ratio"),
+            (array_contains(t, "the") || array_contains(t, "a")).as("has_stop"))
+          .select(
+            col("lang"),
+            (col("n_toks") >= 20 && col("n_toks") <= 1000).as("g_len"),
+            (col("mean_wlen") >= 2.0 && col("mean_wlen") <= 8.0).as("g_wlen"),
+            (col("uniq_ratio") >= 0.3).as("g_uniq"),
+            col("has_stop").as("g_stop"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("g_len") && col("g_wlen") && col("g_uniq") && col("g_stop"),
+              1L).otherwise(0L)).as("n_kept"),
+            sum(when(!col("g_len"), 1L).otherwise(0L)).as("fail_len"),
+            sum(when(!col("g_wlen"), 1L).otherwise(0L)).as("fail_wlen"),
+            sum(when(!col("g_uniq"), 1L).otherwise(0L)).as("fail_uniq"),
+            sum(when(!col("g_stop"), 1L).otherwise(0L)).as("fail_stop"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT lang, text, string_split(text, ' ') AS toks FROM documents),
+                   m AS (SELECT lang,
+                                len(toks) AS n_toks,
+                                CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS mean_wlen,
+                                CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+                                (list_contains(toks, 'the') OR list_contains(toks, 'a')) AS has_stop
+                         FROM t),
+                   g AS (SELECT lang,
+                                (n_toks >= 20 AND n_toks <= 1000) AS g_len,
+                                (mean_wlen >= 2.0 AND mean_wlen <= 8.0) AS g_wlen,
+                                (uniq_ratio >= 0.3) AS g_uniq,
+                                has_stop AS g_stop
+                         FROM m)
+              SELECT lang, count(*) AS n_docs,
+                     CAST(sum(CASE WHEN g_len AND g_wlen AND g_uniq AND g_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                     CAST(sum(CASE WHEN NOT g_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+                     CAST(sum(CASE WHEN NOT g_wlen THEN 1 ELSE 0 END) AS BIGINT) AS fail_wlen,
+                     CAST(sum(CASE WHEN NOT g_uniq THEN 1 ELSE 0 END) AS BIGINT) AS fail_uniq,
+                     CAST(sum(CASE WHEN NOT g_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop
+              FROM g GROUP BY 1 ORDER BY lang""")),
+
+    // Per-domain crawl capping — the over-representation control a crawl
+    // curation pass runs before dedup: per-host corpus share, a share cap,
+    // the derived keep-rate min(1, cap/share), and the EXACT deterministic
+    // downsample by content hash (the q_sample_stratified predicate with a
+    // rate computed FROM the data instead of configured). Reproducible on
+    // any cluster/retry/partitioning; the oracle replays the md5 decisions
+    // one-for-one. Shape at 100 TB: host parse is scan-local, the share
+    // rollup is domain-dictionary-sized, the rates broadcast back onto one
+    // corpus scan whose keep decision is a pure predicate.
+    QueryDef(
+      "q_domain_cap",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            concat(col("lang"), lit("."), col("source"), lit(".example.com"))
+              .as("host"))
+        val shares = docs.groupBy("host").agg(count(lit(1)).as("n_docs"))
+          .withColumn("share",
+            col("n_docs") / sum("n_docs").over(Window.partitionBy()))
+          .withColumn("keep_rate", least(lit(1.0), lit(0.015) / col("share")))
+        val thresh = lpad(lower(hex(floor(col("keep_rate") * 65536).cast("long"))), 4, "0")
+        docs.join(broadcast(shares), Seq("host"))
+          .withColumn("kept",
+            col("keep_rate") >= 1.0 ||
+              substring(md5(concat(col("text"), lit("#"), col("doc_id"))), 1, 4) < thresh)
+          .groupBy("host")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(first(col("share")) * 100, 2).as("share_pct"),
+            round(first(col("keep_rate")), 4).as("keep_rate"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("host")
+      },
+      Some("""WITH docs AS (SELECT doc_id, text,
+                                   lang || '.' || source || '.example.com' AS host
+                            FROM documents),
+                   shares AS (SELECT host, count(*) AS n_docs,
+                                     count(*) / CAST((SELECT count(*) FROM docs) AS DOUBLE) AS share
+                              FROM docs GROUP BY 1),
+                   rates AS (SELECT *, least(1.0, 0.015 / share) AS keep_rate FROM shares),
+                   dec AS (SELECT d.host, d.doc_id, r.n_docs, r.share, r.keep_rate,
+                                  (r.keep_rate >= 1.0 OR
+                                   substr(md5(d.text || '#' || d.doc_id), 1, 4) <
+                                     lpad(lower(hex(CAST(floor(r.keep_rate * 65536) AS BIGINT))), 4, '0')) AS kept
+                           FROM docs d JOIN rates r USING (host))
+              SELECT host, count(*) AS n_docs,
+                     round(any_value(share) * 100, 2) AS share_pct,
+                     round(any_value(keep_rate), 4) AS keep_rate,
+                     CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              FROM dec GROUP BY 1 ORDER BY host""")),
+
+    // Boilerplate span stripping by document frequency — the df-threshold
+    // twin of q_dedup_span's keep-first policy: a 2-token span occurring in
+    // MORE THAN maxDf distinct documents is boilerplate (header/footer/
+    // navigation text in a real crawl) and is stripped from EVERY document.
+    // Per-doc rollup reports span totals / boilerplate hits / kept ratio.
+    // Shape at 100 TB: spanning is scan-local (token array materialized
+    // before the HOF), the df rollup is span-vocabulary-bounded, and only
+    // the (small) over-threshold boilerplate set broadcasts back onto the
+    // span stream — the corpus never joins against the full span table.
+    QueryDef(
+      "q_boilerplate_strip",
+      (s, d) => {
+        val t = col("toks")
+        val spanLen = 2
+        val spans = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), explode(
+            transform(
+              sequence(lit(0),
+                ceil(size(t) / lit(spanLen.toDouble)).cast("int") - 1),
+              i => concat_ws(" ", slice(t, i * spanLen + 1, lit(spanLen)))))
+            .as("span"))
+        val boiler = spans.groupBy("span")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") > 100)
+          .select(col("span"), lit(true).as("is_boiler"))
+        spans.join(broadcast(boiler), Seq("span"), "left_outer")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_spans"),
+            sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"))
+          .select(col("doc_id"), col("n_spans"), col("n_boiler"),
+            round((col("n_spans") - col("n_boiler")) / col("n_spans").cast("double"), 4)
+              .as("kept_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                   sp AS (SELECT doc_id,
+                                 unnest([array_to_string(w[(i*2+1):(i*2+2)], ' ')
+                                         FOR i IN range(0, CAST(ceil(len(w)/2.0) AS BIGINT))]) AS span
+                          FROM t),
+                   boiler AS (SELECT span FROM sp GROUP BY span
+                              HAVING count(DISTINCT doc_id) > 100),
+                   j AS (SELECT s.doc_id, s.span,
+                                (b.span IS NOT NULL) AS is_boiler
+                         FROM sp s LEFT JOIN boiler b ON s.span = b.span)
+              SELECT doc_id, count(*) AS n_spans,
+                     CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                     round((count(*) - sum(CASE WHEN is_boiler THEN 1 ELSE 0 END))
+                           / CAST(count(*) AS DOUBLE), 4) AS kept_ratio
+              FROM j GROUP BY 1 ORDER BY doc_id"""))
   )
 }

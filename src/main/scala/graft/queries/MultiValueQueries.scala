@@ -120,6 +120,52 @@ object MultiValueQueries {
                      CAST(2 AS INT) AS n_keys,
                      'bucket,chars' AS keys,
                      CAST(doc_id % 5 + n_chars AS BIGINT) AS kv_sum
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // MV SET operations (Pinot's arrayUnion/arrayIntersect/arrayDistinct
+    // transform family over multi-valued fields): two integer MV columns
+    // derived from each embedding's halves, then union / intersection /
+    // difference cardinalities plus the sorted union itself. Set contents
+    // are compared ORDER-NORMALIZED (numeric sort before stringify) since
+    // engines disagree on native set-op element order. Floats are widened
+    // to double BEFORE bucketing on both sides so the int sets are
+    // engine-exact. All scan-local codegen'd HOFs — no explode, no
+    // shuffle before the final ORDER BY.
+    QueryDef(
+      "q_mv_setops",
+      (s, d) => {
+        def buckets(c: org.apache.spark.sql.Column) =
+          transform(c, x => floor(x.cast("double") * 10).cast("long"))
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            buckets(slice(col("embedding"), 1, 8)).as("a"),
+            buckets(slice(col("embedding"), 9, 8)).as("b"))
+          .select(
+            col("vec_id"),
+            size(array_union(col("a"), col("b"))).as("n_union"),
+            size(array_distinct(array_intersect(col("a"), col("b")))).as("n_inter"),
+            size(array_distinct(array_except(col("a"), col("b")))).as("n_diff"),
+            array_join(
+              transform(array_sort(array_union(col("a"), col("b"))),
+                x => x.cast("string")), ",").as("union_sorted"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH m AS (SELECT vec_id,
+                     list_transform(embedding[1:8],
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS BIGINT)) AS a,
+                     list_transform(embedding[9:16],
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS BIGINT)) AS b
+                   FROM embeddings),
+                   ops AS (SELECT vec_id,
+                             list_distinct(list_concat(a, b)) AS u,
+                             list_distinct(list_filter(a, x -> list_contains(b, x))) AS i,
+                             list_distinct(list_filter(a, x -> NOT list_contains(b, x))) AS e
+                           FROM m)
+              SELECT vec_id,
+                     CAST(len(u) AS INT) AS n_union,
+                     CAST(len(i) AS INT) AS n_inter,
+                     CAST(len(e) AS INT) AS n_diff,
+                     array_to_string(list_sort(u), ',') AS union_sorted
+              FROM ops ORDER BY vec_id"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Segment generation — the Spark-native analog of Pinot's segment build
@@ -155,6 +155,61 @@ object SegmentWriter {
     graft.queries.DedupQueries.invalidateCaches()
     graft.similarity.IvfAnn.invalidateIndexCache()
     RetentionStats(dropped, kept, files)
+  }
+
+  /** Morton (Z-order) bit interleave of two pre-scaled long columns: bit i
+    * of `a` lands at position 2i, bit i of `b` at 2i+1. Pure codegen'd
+    * shift/mask expression tree — no UDF. Callers must scale both inputs
+    * into [0, 2^bits).
+    */
+  def interleaveBits(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(a.bitwiseAND(lit(1L << i)), i))
+        .bitwiseOR(shiftleft(b.bitwiseAND(lit(1L << i)), i + 1))
+    }
+  }
+
+  /** Z-ordered segment layout — the MULTI-column range-index analog
+    * (reference: /root/reference/basics/indexing/range-index.md). A plain
+    * sorted layout clusters row groups on ONE leading column: min/max
+    * stats prune range filters on it, but every file spans the full range
+    * of any other column. Z-ordering sorts by the Morton interleave of TWO
+    * columns, so each output file covers a small rectangle in (a, b) space
+    * — min/max stats stay tight on BOTH columns and a range filter on
+    * EITHER prunes most files/row groups. This is the public lakehouse
+    * layout trick (Delta/Iceberg Z-ORDER) applied to the segment writer;
+    * at 100 TB it is the difference between a two-dimension dashboard
+    * filter touching a handful of segments and scanning the table.
+    *
+    * Both columns min/max-scale into [0, 2^bits) via one metadata-sized
+    * aggregate (a single tiny driver-side row — the only non-distributed
+    * step, same cost class as file listing). Rows then range-repartition
+    * and sort by the z-value, which is dropped before writing so the
+    * on-disk schema is unchanged.
+    */
+  def writeZOrdered(
+      df: DataFrame, path: String, colA: String, colB: String,
+      numSegments: Int, bits: Int = 16, codec: String = "zstd"): Unit = {
+    val stats = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    def scaled(c: String, mn: Double, mx: Double): Column = {
+      val levels = (1L << bits) - 1
+      if (!(mx > mn)) lit(0L)
+      else least(lit(levels),
+        floor((col(c).cast("double") - mn) / (mx - mn) * levels).cast("long"))
+    }
+    val z = interleaveBits(
+      scaled(colA, stats.getDouble(0), stats.getDouble(1)),
+      scaled(colB, stats.getDouble(2), stats.getDouble(3)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numSegments, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").option("compression", codec)
+      .parquet(path)
   }
 
   /** Bucketed catalog table — the co-located-join layout (Pinot analog:

@@ -32,6 +32,58 @@ class SegmentWriterSpec extends SparkSpec {
     assert(pointPlan.contains("PushedFilters: [IsNotNull(l_partkey), EqualTo(l_partkey,42)"), pointPlan)
   }
 
+  test("z-ordered layout keeps per-file min/max tight on BOTH columns") {
+    val zOut = Files.createTempDirectory("zorder").toString
+    val sortOut = Files.createTempDirectory("plainsort").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    // z-order on (orderkey, partkey) vs plain sort on orderkey only
+    SegmentWriter.writeZOrdered(li, zOut, "l_orderkey", "l_partkey", numSegments = 8)
+    SegmentWriter.write(li.repartitionByRange(8, col("l_orderkey")), sortOut,
+      SegmentWriter.Config(sortCols = Seq("l_orderkey")))
+
+    def avgRange(path: String, c: String): Double = {
+      val rows = spark.read.parquet(path)
+        .select(input_file_name().as("f"), col(c).cast("double").as("v"))
+        .groupBy("f").agg((max("v") - min("v")).as("r"))
+        .collect()
+      rows.map(_.getDouble(1)).sum / rows.length
+    }
+    val full = li.agg(
+      (max("l_partkey") - min("l_partkey")).cast("double"),
+      (max("l_orderkey") - min("l_orderkey")).cast("double")).head()
+    val (fullPart, fullOrder) = (full.getDouble(0), full.getDouble(1))
+
+    // plain orderkey-sort: every file spans ~the whole partkey range, so a
+    // partkey filter can never skip a file on stats
+    assert(avgRange(sortOut, "l_partkey") > 0.9 * fullPart)
+    // z-order: each file covers a small (orderkey, partkey) rectangle —
+    // BOTH columns' stats stay tight, so range filters on EITHER prune
+    assert(avgRange(zOut, "l_partkey") < 0.7 * fullPart)
+    assert(avgRange(zOut, "l_orderkey") < 0.7 * fullOrder)
+
+    // layout never changes results
+    val a = spark.read.parquet(zOut).filter(col("l_partkey") < 50)
+      .agg(sum("l_quantity").cast("long"), count(lit(1))).head()
+    val b = li.filter(col("l_partkey") < 50)
+      .agg(sum("l_quantity").cast("long"), count(lit(1))).head()
+    assert(a === b)
+  }
+
+  test("interleaveBits is the exact Morton order") {
+    val df = spark.range(0, 64).select(
+      (col("id") / 8).cast("long").as("a"), (col("id") % 8).cast("long").as("b"))
+    val got = df.select(col("a"), col("b"),
+        SegmentWriter.interleaveBits(col("a"), col("b"), 3).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    def morton(a: Long, b: Long): Long =
+      (0 until 3).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    for (a <- 0L until 8L; b <- 0L until 8L)
+      assert(got((a, b)) === morton(a, b), s"($a, $b)")
+  }
+
   test("bucketed tables join with no exchange on either side") {
     SegmentWriter.writeBucketed(
       Tables.orders(spark, sfDir), "b_orders", "o_orderkey", 8,
