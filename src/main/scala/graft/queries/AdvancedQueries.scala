@@ -819,6 +819,122 @@ object AdvancedQueries {
               FROM t1
               LEFT JOIN t2 ON t1.user_id = t2.user_id
               LEFT JOIN t3 ON t1.user_id = t3.user_id
-              GROUP BY 1 ORDER BY max_step"""))
+              GROUP BY 1 ORDER BY max_step""")),
+
+    // User journey / path analysis — the "top first-N event sequences"
+    // dashboard staple (funnel's exploratory twin: instead of testing ONE
+    // ordered pattern, rank the sequences users actually take). Each
+    // user's first 3 events under the (ts, event_id) total order become a
+    // '>'-joined path; paths roll up to (path, n_users). Shape at 100 TB:
+    // one user-key shuffle for the ranking window (state = 3 rows per
+    // user), then a path rollup bounded by |event_type|^3 — the corpus
+    // never shuffles twice. The ordered per-user concat is array_sort
+    // over a (rank, type) struct list, so no ordered-aggregation
+    // dependency; ties are impossible under the total order.
+    QueryDef(
+      "q_user_paths",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .groupBy("user_id")
+          .agg(array_sort(collect_list(struct(col("rn"), col("event_type"))))
+            .as("steps"))
+          .select(col("user_id"),
+            concat_ws(">", transform(col("steps"), s0 => s0.getField("event_type")))
+              .as("path"))
+          .groupBy("path")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(desc("n_users"), asc("path"))
+      },
+      Some("""WITH r AS (SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                   FROM events),
+                   p AS (SELECT user_id,
+                                string_agg(event_type, '>' ORDER BY rn) AS path
+                         FROM r WHERE rn <= 3 GROUP BY 1)
+              SELECT path, count(*) AS n_users
+              FROM p GROUP BY 1 ORDER BY n_users DESC, path""")),
+
+    // Time-weighted average — the irregular-sample timeseries mean (IoT /
+    // billing / financial OLAP staple): each observation holds until the
+    // next one, so its value weights by the interval length; the final
+    // observation of a series carries no interval. One user-key shuffle
+    // for the lead() window, then a per-user rollup — the sessionize
+    // plan shape. Intervals are exact MICROSECOND longs on both engines
+    // (unix_micros vs epoch_us — second-granularity casts truncate
+    // differently), so the weighted sums are engine-exact before the
+    // final rounding.
+    QueryDef(
+      "q_tw_avg",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        Tables.events(s, d)
+          .withColumn("next_ts", lead("ts", 1).over(w))
+          .filter(col("next_ts").isNotNull)
+          .withColumn("dur",
+            expr("unix_micros(next_ts)") - expr("unix_micros(ts)"))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_intervals"),
+            sum("dur").as("span_us"),
+            round(sum(col("value") * col("dur")) / sum("dur"), 2).as("tw_avg"),
+            round(avg("value"), 2).as("plain_avg"))
+          .orderBy("user_id")
+      },
+      Some("""WITH l AS (SELECT user_id, ts, value,
+                     lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+                   FROM events),
+                   d AS (SELECT user_id, value,
+                                epoch_us(next_ts) - epoch_us(ts) AS dur
+                         FROM l WHERE next_ts IS NOT NULL)
+              SELECT user_id, count(*) AS n_intervals,
+                     CAST(sum(dur) AS BIGINT) AS span_us,
+                     round(sum(value * dur) / sum(dur), 2) AS tw_avg,
+                     round(avg(value), 2) AS plain_avg
+              FROM d GROUP BY 1 ORDER BY user_id""")),
+
+    // Median-absolute-deviation outliers — the robust twin of
+    // q_zscore_outliers (median/MAD instead of mean/stddev, so a few
+    // extreme values cannot mask themselves by inflating the threshold).
+    // Two dictionary-sized aggregation passes (per-type median, then MAD
+    // of residuals) broadcast back onto one scan; stats are ROUNDED before
+    // the comparison on both engines (the q_zscore trick) so boundary
+    // decisions cannot drift on interpolation bit-differences.
+    QueryDef(
+      "q_mad_outliers",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val med = ev.groupBy("event_type")
+          .agg(round(expr("percentile(value, 0.5)"), 2).as("med"))
+        val mad = ev.join(broadcast(med), "event_type")
+          .groupBy("event_type")
+          .agg(round(expr("percentile(abs(value - med), 0.5)"), 2).as("mad"),
+            first("med").as("med"))
+        ev.join(broadcast(mad), "event_type")
+          .withColumn("is_out", abs(col("value") - col("med")) > col("mad") * 4)
+          .groupBy("event_type")
+          .agg(
+            first("med").as("med"), first("mad").as("mad"),
+            count(lit(1)).as("n_events"),
+            sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH med AS (SELECT event_type,
+                                  round(quantile_cont(value, 0.5), 2) AS med
+                           FROM events GROUP BY 1),
+                   mad AS (SELECT e.event_type,
+                                  round(quantile_cont(abs(e.value - m.med), 0.5), 2) AS mad,
+                                  any_value(m.med) AS med
+                           FROM events e JOIN med m USING (event_type)
+                           GROUP BY 1)
+              SELECT e.event_type,
+                     any_value(m.med) AS med, any_value(m.mad) AS mad,
+                     count(*) AS n_events,
+                     CAST(sum(CASE WHEN abs(e.value - m.med) > m.mad * 4
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+              FROM events e JOIN mad m USING (event_type)
+              GROUP BY 1 ORDER BY event_type"""))
   )
 }
