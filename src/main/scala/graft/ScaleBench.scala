@@ -38,7 +38,11 @@ object ScaleBench {
     // feature-hash embedding (per-doc rollup), sliding-window chunking
     // (expected ~1.0 — scan-local by construction, the measurement is the
     // proof).
-    "q_tfidf_top", "q_text_embed", "q_chunk_docs")
+    "q_tfidf_top", "q_text_embed", "q_chunk_docs",
+    // round-7 curation family: quality gates (scan-local, expected ~flat),
+    // boilerplate span df-strip (span rollup + broadcast-back), domain
+    // capping (dictionary rollup + broadcast predicate).
+    "q_quality_gates", "q_boilerplate_strip", "q_domain_cap")
 
   /** The registry's q_dedup_embedding runs the fixture-calibrated
     * threshold 0.4, where ~0.4% of RANDOM pairs qualify — so the true-pair
