@@ -55,6 +55,50 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
+  test("no HOF lambda re-evaluates a loop-invariant expensive expression per element") {
+    // Higher-order functions (transform/filter/aggregate/...) evaluate
+    // their lambda INTERPRETED, once per array element. An expensive
+    // expression inlined into the lambda body that does NOT reference the
+    // lambda variable is loop-invariant — it re-executes per element
+    // (O(elements) splits/regexes per ROW; q_ngram_top measured 6× slower
+    // from exactly this). The fix is always the same: materialize the
+    // value in its own projection first. This lint sweeps every registry
+    // query so the trap cannot recur.
+    import org.apache.spark.sql.catalyst.expressions._
+    def isExpensive(e: Expression): Boolean = e match {
+      case _: StringSplit | _: RegExpReplace | _: RegExpExtract |
+           _: Md5 | _: Sha2 | _: Crc32 | _: XxHash64 | _: Murmur3Hash => true
+      case _ => false
+    }
+    def invariantExpensive(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+        case hof: HigherOrderFunction =>
+          hof.functions.collect { case LambdaFunction(body, _, _) =>
+            body.collect {
+              case e if isExpensive(e) &&
+                !e.exists(_.isInstanceOf[NamedLambdaVariable]) => e.prettyName
+            }
+          }.flatten
+      }.flatten)
+
+    // negative control: the detector must flag the known-bad inlined form
+    // (the exact shape q_ngram_top shipped with before the fix)
+    import org.apache.spark.sql.functions._
+    val toks = split(lower(col("text")), " ")
+    val bad = graft.engine.Tables.documents(spark, sfDir)
+      .select(transform(sequence(lit(1), size(toks) - 1),
+        i => element_at(toks, i)).as("g"))
+    assert(invariantExpensive(bad).nonEmpty,
+      "lint self-check failed: the known-bad inlined-split HOF was not flagged")
+
+    val offenders = Registry.all.flatMap { q =>
+      val found = invariantExpensive(q.run(spark, sfDir))
+      if (found.nonEmpty) Some(s"${q.name}: ${found.distinct.mkString(",")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"loop-invariant expensive expressions inside HOF lambdas: ${offenders.mkString("; ")}")
+  }
+
   test("allowlisted scalar cross joins really do combine single-row inputs") {
     // each allowlisted query must produce at most a handful of rows — the
     // cross join is between already-aggregated scalars, not data tables
