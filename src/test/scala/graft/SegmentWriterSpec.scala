@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.sources.SegmentWriter
@@ -68,6 +69,44 @@ class SegmentWriterSpec extends SparkSpec {
     val b = li.filter(col("l_partkey") < 50)
       .agg(sum("l_quantity").cast("long"), count(lit(1))).head()
     assert(a === b)
+  }
+
+  test("segment manifest prunes files on BOTH z-ordered columns, never results") {
+    import graft.sources.SegmentCatalog
+    val out = Files.createTempDirectory("manifest").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    SegmentWriter.writeZOrdered(li, out, "l_orderkey", "l_partkey", numSegments = 8)
+    SegmentCatalog.build(spark, out, Seq("l_orderkey", "l_partkey"))
+
+    val total = spark.read.parquet(out).select(input_file_name())
+      .distinct().count()
+    val Row(pLo: Long, pHi: Long) = li
+      .agg(min("l_partkey").cast("long"), max("l_partkey").cast("long")).head()
+    val Row(oLo: Long, oHi: Long) = li
+      .agg(min("l_orderkey").cast("long"), max("l_orderkey").cast("long")).head()
+
+    // a narrow range on EITHER z-ordered column skips files via the
+    // manifest (plain parquet would open every footer)
+    val narrowP = (pLo, pLo + (pHi - pLo) / 10)
+    val narrowO = (oLo, oLo + (oHi - oLo) / 10)
+    assert(SegmentCatalog.candidateFiles(spark, out, "l_partkey",
+      narrowP._1, narrowP._2).size < total)
+    assert(SegmentCatalog.candidateFiles(spark, out, "l_orderkey",
+      narrowO._1, narrowO._2).size < total)
+
+    // pruning is invisible to results
+    val got = SegmentCatalog.prunedRead(spark, out, "l_partkey",
+        narrowP._1, narrowP._2)
+      .agg(sum("l_quantity").cast("long"), count(lit(1))).head()
+    val want = li.filter(col("l_partkey").between(narrowP._1, narrowP._2))
+      .agg(sum("l_quantity").cast("long"), count(lit(1))).head()
+    assert(got === want)
+
+    // an out-of-range request prunes everything and still returns the schema
+    val none = SegmentCatalog.prunedRead(spark, out, "l_partkey", pHi + 10, pHi + 20)
+    assert(none.count() === 0)
+    assert(none.columns.toSeq === Seq("l_orderkey", "l_partkey", "l_quantity"))
   }
 
   test("interleaveBits is the exact Morton order") {
