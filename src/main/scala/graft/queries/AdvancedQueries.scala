@@ -555,6 +555,35 @@ object AdvancedQueries {
                      CAST(sum(CASE WHEN c <> p THEN 1 ELSE 0 END) AS BIGINT) AS n_sym_diff
               FROM flags""")),
 
+    // Row-level SQL set operators (INTERSECT / EXCEPT — the multi-stage
+    // engine's set surface, vs q_set_ops' cardinality-only flag algebra):
+    // customers ordering in BOTH years and customers who churned after
+    // 1996, as actual row sets with distinct semantics. Catalyst plans
+    // both as semi/anti hash joins + distinct — key-partitioned shuffles,
+    // no sort of either full side; the labeled union keeps one output
+    // relation so the driver sees a single deterministic frame.
+    QueryDef(
+      "q_sql_setops",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        def keysIn(year: Int) =
+          o.filter(expr(s"year(o_orderdate) = $year")).select("o_custkey")
+        val a = keysIn(1996)
+        val b = keysIn(1997)
+        a.intersect(b).withColumn("grp", lit("both"))
+          .unionByName(a.except(b).withColumn("grp", lit("only_1996")))
+          .select(col("grp"), col("o_custkey"))
+          .orderBy("grp", "o_custkey")
+      },
+      Some("""WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+                   b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+                   both_k AS (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b),
+                   only96 AS (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+              SELECT 'both' AS grp, o_custkey FROM both_k
+              UNION ALL
+              SELECT 'only_1996' AS grp, o_custkey FROM only96
+              ORDER BY grp, o_custkey""")),
+
     // Sketch-based set operations — the mergeable form the exact q_set_ops
     // cannot take at 100 TB: per-cohort HLL sketches (map-side partial,
     // bytes-sized state) merge with hll_union_agg across any cohort

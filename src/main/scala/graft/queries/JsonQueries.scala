@@ -83,6 +83,40 @@ object JsonQueries {
       },
       Some("""SELECT DISTINCT o_custkey FROM orders
               WHERE o_totalprice > 280000
-              ORDER BY o_custkey"""))
+              ORDER BY o_custkey""")),
+
+    // Positional JSON array access ($.orders[0].price — json-index.md's
+    // indexed-path shape, vs the [*] wildcard above). The nested doc's
+    // array is array_sort'ed before serialization so element 0 is
+    // deterministic under any partitioning; the oracle recomputes the
+    // same element from the flat table (min by (price, status)).
+    QueryDef(
+      "q_json_array_index",
+      (s, d) => {
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(to_json(struct(array_sort(collect_list(struct(
+            col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status")))).as("orders"))).as("doc"))
+          .select(
+            col("o_custkey"),
+            get_json_object(col("doc"), "$.orders[0].price")
+              .cast("double").as("first_price"),
+            get_json_object(col("doc"), "$.orders[0].status").as("first_status"),
+            json_array_length(get_json_object(col("doc"), "$.orders"))
+              .as("n_orders"))
+          .select(col("o_custkey"), round(col("first_price"), 2).as("first_price"),
+            col("first_status"), col("n_orders"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH r AS (SELECT o_custkey, o_totalprice, o_orderstatus,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice, o_orderstatus) AS rn,
+                     count(*) OVER (PARTITION BY o_custkey) AS n
+                   FROM orders)
+              SELECT o_custkey, round(o_totalprice, 2) AS first_price,
+                     o_orderstatus AS first_status,
+                     CAST(n AS INT) AS n_orders
+              FROM r WHERE rn = 1 ORDER BY o_custkey"""))
   )
 }

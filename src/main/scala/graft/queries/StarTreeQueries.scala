@@ -74,6 +74,37 @@ object StarTreeQueries {
             round(sum(col("l_quantity")), 2).as("sum_qty"))
           .orderBy("l_returnflag")
       },
-      None)
+      None),
+
+    // Star-tree rollup WITH a dimension filter (Pinot star-trees answer
+    // filtered group-bys as long as the predicate is on cube dimensions —
+    // basics/indexing/README.md:16): the filter applies to the CUBE rows
+    // (dictionary-sized), never the fact table, and the partial aggregates
+    // still roll up losslessly. The oracle runs the same filter on the raw
+    // table.
+    QueryDef(
+      "q_startree_filtered",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("ship_month", date_trunc("month", col("l_shipdate")))
+        val cube = StarTree.buildCube(
+          li, dims = Seq("l_returnflag", "l_linestatus", "ship_month"),
+          sumMetrics = Seq("l_quantity", "l_extendedprice"))
+        StarTree.rollup(cube.filter(col("l_linestatus") === "F"),
+            dims = Seq("l_returnflag"),
+            sumMetrics = Seq("l_quantity", "l_extendedprice"))
+          .select(
+            col("l_returnflag"),
+            round(col("s_l_quantity"), 2).as("sum_qty"),
+            round(col("s_l_extendedprice") / col("c_l_extendedprice"), 2).as("avg_price"),
+            col("cube_cnt").as("cnt"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(l_extendedprice) / count(l_extendedprice), 2) AS avg_price,
+                     count(*) AS cnt
+              FROM lineitem WHERE l_linestatus = 'F'
+              GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }
