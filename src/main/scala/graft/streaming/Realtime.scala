@@ -227,6 +227,27 @@ object Realtime {
     } finally batch.unpersist()
   }
 
+  /** Streaming ANN serving: each micro-batch of query vectors
+    * (vec_id, embedding) probes the MATERIALIZED IVF index
+    * (similarity.IvfAnn.materialize — cell-partitioned parquet, nProbe
+    * directory pruning per probe). The stream side carries NO state: the
+    * index is the state, lives on disk, and refreshes independently of
+    * the serving query (rebuild the path, batches pick it up). This is
+    * the retrieval-serving shape of the realtime flow — Pinot servers
+    * answer queries from on-disk segments the ingestion side keeps
+    * refreshing, reference: /root/reference/basics/Architecture.md
+    * realtime query path.
+    */
+  def annServe(
+      queryStream: DataFrame, indexPath: String, k: Int, nProbe: Int = 2)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.similarity.IvfAnn.knnIvfIndexed(
+          batch.sparkSession, indexPath, batch, k, nProbe), id)
+      }
+      .start()
+
   /** Streaming upsert: emits the new latest record for a key whenever it
     * changes (Pinot upsert table semantics, incremental form).
     */

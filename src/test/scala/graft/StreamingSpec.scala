@@ -54,6 +54,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN serving probes the materialized index per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.similarity.IvfAnn
+    val e = graft.engine.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("annserve").toString
+    IvfAnn.materialize(e, dir, numCentroids = 8)
+    val qVecs = e.filter(col("vec_id") < 4).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(qVecs.length === 4)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val results = scala.collection.mutable.Map[Long, Set[(Long, Long, Long)]]()
+    val q = Realtime.annServe(
+        input.toDF().toDF("vec_id", "embedding"), dir, k = 3, nProbe = 4) {
+      (out, id) =>
+        val rows = out.select("q_id", "cand_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+        results.synchronized { results(id) = rows }
+    }
+    try {
+      input.addData(qVecs(0), qVecs(1))
+      q.processAllAvailable()
+      input.addData(qVecs(2), qVecs(3))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // two micro-batches served, each from the on-disk index, and the
+    // union of streamed answers equals the batch-mode probe of the same
+    // queries — serving adds no state and changes no results
+    assert(results.size === 2)
+    val streamed = results.values.flatten.toSet
+    val batchMode = IvfAnn.knnIvfIndexed(
+        spark, dir, e.filter(col("vec_id") < 4), k = 3, nProbe = 4)
+      .select("q_id", "cand_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(streamed === batchMode)
+    assert(streamed.map(_._1) === Set(0L, 1L, 2L, 3L))
+  }
+
   test("kafka-wire-schema stream decodes and upserts like the batch path") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
