@@ -243,6 +243,57 @@ object MultimodalQueries {
       Some("""SELECT count(DISTINCT doc_id) AS n_videos,
                      CAST(sum(CAST(floor((dur - 1) / 250) + 1 AS BIGINT)) AS BIGINT) AS n_frames
               FROM (SELECT doc_id, 500 + (doc_id % 10) * 250 AS dur
-                    FROM documents WHERE doc_id % 3 = 2)"""))
+                    FROM documents WHERE doc_id % 3 = 2)""")),
+
+    // Audio CONTENT analysis, not just container metadata: pure-sine WAVs
+    // (frequency a deterministic function of doc_id, integer cycles per
+    // window so candidate bins are orthogonal) go through the full
+    // encode → RIFF decode → Goertzel pitch-detect loop, and the detected
+    // frequency must equal the synthesis frequency for EVERY clip — a
+    //16-bit quantization bug, byte-order swap, or off-by-one sample walk
+    // breaks the detection and hash-mismatches. Per-row compute rides the
+    // same typed decode path as the other media queries (a stateful codec
+    // + O(n·candidates) DSP loop is exactly what the batched-decode
+    // exception is for).
+    QueryDef(
+      "q_multimodal_pitch",
+      (s, d) => {
+        import s.implicits._
+        val rate = 8000
+        val n = 800 // 100 ms window; candidates are multiples of 10 Hz
+        Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .filter((id: Long) => id % 3 == 1)
+          .map { id =>
+            val f = 400 + (id % 8).toInt * 200
+            val samples = Array.tabulate(n)(i =>
+              math.round(8000.0 * math.sin(2 * math.Pi * f * i / rate)).toShort)
+            val a = MediaCodec.decodeWav(
+              MediaCodec.encodeWavPcm16(rate, 1, samples)).get
+            def goertzelPower(freq: Int): Double = {
+              val w = 2 * math.Pi * freq / rate
+              val coeff = 2 * math.cos(w)
+              var s1 = 0.0; var s2 = 0.0
+              var i = 0
+              val m = a.data.length / 2
+              while (i < m) {
+                val x = ((a.data(2 * i) & 0xff) | (a.data(2 * i + 1) << 8))
+                  .toShort.toDouble
+                val s0 = x + coeff * s1 - s2
+                s2 = s1; s1 = s0
+                i += 1
+              }
+              s1 * s1 + s2 * s2 - coeff * s1 * s2
+            }
+            val detected = (0 until 8).map(k => 400 + k * 200).maxBy(goertzelPower)
+            (id, detected, f)
+          }
+          .toDF("doc_id", "detected_hz", "true_hz")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     CAST(400 + (doc_id % 8) * 200 AS INT) AS detected_hz,
+                     CAST(400 + (doc_id % 8) * 200 AS INT) AS true_hz
+              FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id"""))
   )
 }
