@@ -850,6 +850,36 @@ object AdvancedQueries {
               LEFT JOIN t3 ON t1.user_id = t3.user_id
               GROUP BY 1 ORDER BY max_step""")),
 
+    // Time-RANGE window frames (RANGE BETWEEN INTERVAL ... PRECEDING): the
+    // trailing-hour running metric over IRREGULAR event times — row-count
+    // frames (q_window_frame) cannot express "last hour" when event
+    // spacing varies. The order key is exact epoch MICROSECONDS on both
+    // engines (unix_micros ≡ epoch_us; second-granularity casts would
+    // truncate sub-second spacing differently), frame = [t-1h, t]
+    // inclusive. Same one-key-shuffle plan shape as every window here.
+    QueryDef(
+      "q_window_timerange",
+      (s, d) => {
+        val hourUs = 3600L * 1000000L
+        val w = Window.partitionBy("user_id")
+          .orderBy(expr("unix_micros(ts)"))
+          .rangeBetween(-hourUs, 0)
+        Tables.events(s, d)
+          .filter(col("user_id") < 30)
+          .select(
+            col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            round(sum("value").over(w), 2).as("sum_1h"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                     count(*) OVER w AS n_1h,
+                     round(sum(value) OVER w, 2) AS sum_1h
+              FROM events WHERE user_id < 30
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+              ORDER BY user_id, event_id""")),
+
     // User journey / path analysis — the "top first-N event sequences"
     // dashboard staple (funnel's exploratory twin: instead of testing ONE
     // ordered pattern, rank the sequences users actually take). Each
