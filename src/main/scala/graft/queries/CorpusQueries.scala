@@ -268,6 +268,67 @@ object CorpusQueries {
               SELECT lang, CAST(rank AS INT) AS rank, gram, cnt
               FROM rk WHERE rank <= 3 ORDER BY lang, rank""")),
 
+    // Collocation / phrase detection by pointwise mutual information — the
+    // word2vec-style phrase-vocabulary builder: bigrams whose observed
+    // frequency far exceeds the independence expectation
+    // (PMI = ln(p(ab) / (p(a)·p(b)))) become multi-word tokens for the
+    // tokenizer. Shape at 100 TB: unigram and bigram counting are the two
+    // scan-local explode+rollup passes (vocab / vocab²-bounded tables);
+    // the totals ride unpartitioned windows over those DICTIONARY-sized
+    // tables (never the corpus — the q_lm_quality pattern) and the
+    // unigram probabilities broadcast onto the bigram table twice. Both
+    // engines compute identical IEEE doubles (int counts → same
+    // divisions/log), so the rounded PMI ranking cannot drift.
+    QueryDef(
+      "q_pmi_phrases",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(split(lower(col("text")), " ").as("toks"))
+        val uni = toks.select(explode(col("toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c_w"))
+          .withColumn("n_uni", sum("c_w").over(Window.partitionBy()))
+        val t = col("toks")
+        val big = toks
+          .filter(size(t) >= 2)
+          .select(explode(transform(sequence(lit(1), size(t) - 1), i =>
+            struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+            .as("g"))
+          .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+          .withColumn("n_big", sum("c_ab").over(Window.partitionBy()))
+        big
+          .join(broadcast(uni.select(col("w").as("w1"), col("c_w").as("c_a"),
+            col("n_uni"))), Seq("w1"))
+          .join(broadcast(uni.select(col("w").as("w2"), col("c_w").as("c_b"))),
+            Seq("w2"))
+          .filter(col("c_ab") >= 25)
+          .withColumn("pmi", round(
+            log((col("c_ab") / col("n_big")) /
+              ((col("c_a") / col("n_uni")) * (col("c_b") / col("n_uni")))), 3))
+          .select(concat(col("w1"), lit(" "), col("w2")).as("phrase"),
+            col("c_ab"), col("pmi"))
+          .orderBy(desc("pmi"), asc("phrase"))
+          .limit(15)
+      },
+      Some("""WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+                   uni AS (SELECT w, count(*) AS c_w
+                           FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+                   nu AS (SELECT sum(c_w) AS n_uni FROM uni),
+                   bg0 AS (SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                                          FOR i IN range(1, len(toks))]) AS g
+                           FROM t WHERE len(toks) >= 2),
+                   bg AS (SELECT g.w1 AS w1, g.w2 AS w2, count(*) AS c_ab
+                          FROM bg0 GROUP BY 1, 2),
+                   nb AS (SELECT sum(c_ab) AS n_big FROM bg)
+              SELECT w1 || ' ' || w2 AS phrase, c_ab,
+                     round(ln((c_ab / (SELECT n_big FROM nb))
+                              / ((a.c_w / (SELECT n_uni FROM nu))
+                                 * (b.c_w / (SELECT n_uni FROM nu)))), 3) AS pmi
+              FROM bg JOIN uni a ON bg.w1 = a.w
+                      JOIN uni b ON bg.w2 = b.w
+              WHERE c_ab >= 25
+              ORDER BY pmi DESC, phrase LIMIT 15""")),
+
     // Rule-based document quality gates — the C4/Gopher heuristic filter
     // pass: token count bounds, mean word length bounds, unique-token
     // ratio, and stopword presence, each an independent gate; a doc is
