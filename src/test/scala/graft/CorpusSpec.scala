@@ -12,6 +12,39 @@ class CorpusSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("LmScore: materialized vocabulary scores identically to the inline LM") {
+    import graft.pipeline.LmScore
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("lmvocab").toString
+    LmScore.materializeVocab(docs, "doc_id", "text", dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = rows(LmScore.score(docs, "doc_id", "text",
+      LmScore.vocabulary(docs, "doc_id", "text"),
+      LmScore.vocabulary(docs, "doc_id", "text").agg(sum("cnt").as("total"))))
+    val indexed = rows(LmScore.scoreIndexed(spark, docs, "doc_id", "text", dir))
+    assert(indexed === inline)
+    assert(indexed.nonEmpty)
+  }
+
+  test("LmScore: out-of-vocabulary tokens take the maximum rarity penalty") {
+    import graft.pipeline.LmScore
+    val corpus = graft.engine.Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("lmvocab2").toString
+    LmScore.materializeVocab(corpus, "doc_id", "text", dir)
+    // one batch doc made of common corpus tokens, one of pure OOV noise
+    val common = corpus
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().orderBy(desc("count"), asc("w"))
+      .limit(5).collect().map(_.getString(0)).mkString(" ")
+    val batch = Seq((1L, common), (2L, "zzqx1 zzqx2 zzqx3 zzqx4 zzqx5"))
+      .toDF("doc_id", "text")
+    val scored = LmScore.scoreIndexed(spark, batch, "doc_id", "text", dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the OOV doc must score strictly rarer than the common-token doc
+    assert(scored(2L) > scored(1L))
+  }
+
   test("Mixture.sample: integer rate replicates exactly, zero rate drops the stratum") {
     val docs = Seq(
       (1L, "alpha beta", "a"), (2L, "gamma delta", "a"),
