@@ -41,10 +41,12 @@ object UrlFns {
     val canonQuery = RegExpReplace(
       RegExpReplace(query, lit("[?&]utm_[^&#]*"), lit("")),
       lit("^&"), lit("?"))
-    // collapse the trailing path slash when the ORIGINAL url had a query
-    // after it — keying on the post-utm-strip query would canonicalize
-    // '/p/?utm_x=1' and '/p?utm_x=1' to different strings
-    val canonPath = If(GreaterThan(Length(query), Literal(0)),
+    // collapse the trailing path slash on every NON-ROOT path ('/p/' →
+    // '/p', '/' stays). Unconditional (round-7 keyed it on the original
+    // query, which split '/p/' from '/p/?utm_x=1' after utm-stripping),
+    // so all four of '/p', '/p/', '/p?utm_x=1', '/p/?utm_x=1' now merge
+    // — the dedup-recall behavior URL-level dedup wants.
+    val canonPath = If(GreaterThan(Length(path), Literal(1)),
       RegExpReplace(path, lit("/$"), lit("")), path)
     Concat(Seq(canonPrefix, canonPath, canonQuery))
   }

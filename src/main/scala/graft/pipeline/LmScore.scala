@@ -20,26 +20,39 @@ import org.apache.spark.sql.functions._
   */
 object LmScore {
 
+  /** One row per token — and, via explode_outer, one (id, w=null) row
+    * for a null-text document, so unscoreable docs SURFACE in score()
+    * (n_tokens=0, avg_nll=null) instead of silently vanishing from the
+    * output and slipping past any avg_nll gate.
+    */
   private def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    docs.select(col(idCol), explode_outer(split(col(textCol), " ")).as("w"))
 
   /** The corpus LM: (w, cnt) token frequencies + single-row total. */
   def vocabulary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokens(docs, idCol, textCol).groupBy("w").agg(count(lit(1)).as("cnt"))
+    tokens(docs, idCol, textCol).filter(col("w").isNotNull)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
 
   /** Persist the LM for incremental scoring: `path/vocab` (token table,
     * vocabulary-sized) and `path/meta` (single-row total token count).
+    * The total is summed from the just-written vocab parquet — one
+    * corpus tokenize+aggregate, not two (the unmaterialized plan would
+    * otherwise re-run for the meta row).
     */
   def materializeVocab(
       docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     val v = vocabulary(docs, idCol, textCol)
     v.write.mode("overwrite").parquet(s"$path/vocab")
-    v.agg(sum("cnt").as("total")).write.mode("overwrite").parquet(s"$path/meta")
+    v.sparkSession.read.parquet(s"$path/vocab")
+      .agg(sum("cnt").as("total")).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Per-doc average negative log-likelihood of `docs` under an explicit
     * LM (vocab + total): score = ln(total) - mean(ln(count(w))) over the
-    * doc's tokens; unseen tokens score with smoothed count 1.
+    * doc's tokens; unseen tokens score with smoothed count 1. A null-text
+    * doc still gets a row, with n_tokens=0 and avg_nll=null — callers
+    * gating a batch on avg_nll see it as unscoreable instead of it
+    * passing through unscored.
     * Output: (idCol, n_tokens, avg_nll).
     */
   def score(
@@ -47,11 +60,13 @@ object LmScore {
       vocab: DataFrame, meta: DataFrame): DataFrame =
     tokens(docs, idCol, textCol)
       .join(broadcast(vocab), Seq("w"), "left_outer")
-      .withColumn("cnt", coalesce(col("cnt"), lit(1L)))
+      .withColumn("cnt",
+        when(col("w").isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("cnt"), lit(1L))))
       .crossJoin(broadcast(meta))
       .groupBy(idCol)
       .agg(
-        count(lit(1)).as("n_tokens"),
+        count(col("w")).as("n_tokens"),
         round(first(log(col("total").cast("double"))) - avg(log(col("cnt"))), 3)
           .as("avg_nll"))
 

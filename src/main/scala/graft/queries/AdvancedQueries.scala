@@ -957,43 +957,58 @@ object AdvancedQueries {
     // Median-absolute-deviation outliers — the robust twin of
     // q_zscore_outliers (median/MAD instead of mean/stddev, so a few
     // extreme values cannot mask themselves by inflating the threshold).
-    // Two dictionary-sized aggregation passes (per-type median, then MAD
-    // of residuals) broadcast back onto one scan; stats are ROUNDED before
-    // the comparison on both engines (the q_zscore trick) so boundary
-    // decisions cannot drift on interpolation bit-differences.
+    // The metric is quantized to INTEGER CENTS first, which (a) bounds
+    // the stat passes' state to the cents dictionary so the
+    // histogram-percentile operator (operators/Percentiles —
+    // partial-aggregating (group, value) counts, any number of
+    // reducers) applies — unlike the built-in exact `percentile`, whose
+    // per-group value map concentrates ~N/groups entries in each
+    // final-merge task at 100 TB — and (b) keeps every stat EXACT in
+    // binary: the interpolated median of integers is a half-integer and
+    // the MAD of half-integer residuals a quarter-integer, all exactly
+    // representable doubles, so no post-rounding exists for the two
+    // engines to disagree on (rounding the x.xx5 midpoints of cent
+    // values was measured to drift by representation). Both stat frames
+    // are dictionary-sized and broadcast back onto one scan.
     QueryDef(
       "q_mad_outliers",
       (s, d) => {
         val ev = Tables.events(s, d)
-        val med = ev.groupBy("event_type")
-          .agg(round(expr("percentile(value, 0.5)"), 2).as("med"))
-        val mad = ev.join(broadcast(med), "event_type")
-          .groupBy("event_type")
-          .agg(round(expr("percentile(abs(value - med), 0.5)"), 2).as("mad"),
-            first("med").as("med"))
-        ev.join(broadcast(mad), "event_type")
-          .withColumn("is_out", abs(col("value") - col("med")) > col("mad") * 4)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"))
+        val med = graft.operators.Percentiles
+          .exact(ev, Seq("event_type"), Seq(("med_c", "c", 0.5)))
+        val resid = ev.join(broadcast(med), "event_type")
+          .withColumn("r", abs(col("c") - col("med_c")))
+        val mad = graft.operators.Percentiles
+          .exact(resid, Seq("event_type"), Seq(("mad_c", "r", 0.5)))
+        ev.join(broadcast(med.join(mad, "event_type")), "event_type")
+          .withColumn("is_out", abs(col("c") - col("med_c")) > col("mad_c") * 4)
           .groupBy("event_type")
           .agg(
-            first("med").as("med"), first("mad").as("mad"),
+            (first("med_c") / 100).as("med"), (first("mad_c") / 100).as("mad"),
             count(lit(1)).as("n_events"),
             sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
           .orderBy("event_type")
       },
-      Some("""WITH med AS (SELECT event_type,
-                                  round(quantile_cont(value, 0.5), 2) AS med
-                           FROM events GROUP BY 1),
+      Some("""WITH e AS (SELECT event_type,
+                                CAST(round(value * 100) AS BIGINT) AS c
+                         FROM events),
+                   med AS (SELECT event_type,
+                                  quantile_cont(c, 0.5) AS med_c
+                           FROM e GROUP BY 1),
                    mad AS (SELECT e.event_type,
-                                  round(quantile_cont(abs(e.value - m.med), 0.5), 2) AS mad,
-                                  any_value(m.med) AS med
-                           FROM events e JOIN med m USING (event_type)
+                                  quantile_cont(abs(e.c - m.med_c), 0.5) AS mad_c,
+                                  any_value(m.med_c) AS med_c
+                           FROM e JOIN med m USING (event_type)
                            GROUP BY 1)
               SELECT e.event_type,
-                     any_value(m.med) AS med, any_value(m.mad) AS mad,
+                     any_value(m.med_c) / 100 AS med,
+                     any_value(m.mad_c) / 100 AS mad,
                      count(*) AS n_events,
-                     CAST(sum(CASE WHEN abs(e.value - m.med) > m.mad * 4
+                     CAST(sum(CASE WHEN abs(e.c - m.med_c) > m.mad_c * 4
                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-              FROM events e JOIN mad m USING (event_type)
+              FROM e JOIN mad m USING (event_type)
               GROUP BY 1 ORDER BY event_type"""))
   )
 }

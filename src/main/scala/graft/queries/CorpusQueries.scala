@@ -407,9 +407,15 @@ object CorpusQueries {
           .select(col("doc_id"), col("text"),
             concat(col("lang"), lit("."), col("source"), lit(".example.com"))
               .as("host"))
-        val shares = docs.groupBy("host").agg(count(lit(1)).as("n_docs"))
-          .withColumn("share",
-            col("n_docs") / sum("n_docs").over(Window.partitionBy()))
+        // corpus total as a scalar agg + broadcast crossJoin (the
+        // q_tfidf_top pattern), NOT an unpartitioned window — web-crawl
+        // host cardinality is ~1e8, and Window.partitionBy() would move
+        // every host row to ONE partition for the total
+        val counts = docs.groupBy("host").agg(count(lit(1)).as("n_docs"))
+        val total = counts.agg(sum("n_docs").as("n_total"))
+        val shares = counts.crossJoin(broadcast(total))
+          .withColumn("share", col("n_docs") / col("n_total"))
+          .drop("n_total")
           .withColumn("keep_rate", least(lit(1.0), lit(0.015) / col("share")))
         val thresh = lpad(lower(hex(floor(col("keep_rate") * 65536).cast("long"))), 4, "0")
         docs.join(broadcast(shares), Seq("host"))

@@ -287,7 +287,6 @@ object TransformQueries {
                             substr(u, len(p) + 1, len(u)) AS rest
                           FROM c2),
                    c4 AS (SELECT url, p, pth,
-                            substr(rest, len(pth) + 1, len(rest)) AS oq,
                             regexp_replace(
                               regexp_replace(substr(rest, len(pth) + 1, len(rest)),
                                              '[?&]utm_[^&#]*', '', 'g'),
@@ -296,7 +295,7 @@ object TransformQueries {
                    c5 AS (SELECT url,
                             replace(regexp_replace(lower(p), ':443$', ''),
                                     '://www.', '://')
-                            || CASE WHEN len(oq) > 0
+                            || CASE WHEN len(pth) > 1
                                     THEN regexp_replace(pth, '/$', '') ELSE pth END
                             || q AS canon
                           FROM c4)

@@ -59,19 +59,54 @@ object SegmentCatalog {
       .collect().map(_.getString(0)).toSeq
   }
 
+  /** Scheme-independent path form, so manifest entries
+    * (`input_file_name()`, e.g. "file:///a/b.parquet") compare equal to
+    * live `FileSystem` listings (e.g. "file:/a/b.parquet").
+    */
+  private def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Live data-file listing of the segment directory (file-count-sized,
+    * the same cost class as the scan planner's own listing).
+    */
+  private def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+  }
+
   /** Range read through the manifest: plan the scan over only the files
-    * that can contain rows in [lo, hi], then apply the exact filter. An
-    * empty candidate list short-circuits to an empty frame with the right
-    * schema (read via the full dir but with a false predicate).
+    * that can contain rows in [lo, hi], then apply the exact filter.
+    *
+    * Staleness safety (the correctness half of the manifest contract):
+    * the candidate list is reconciled against a LIVE listing of the
+    * directory, so
+    *   - files deleted/compacted after build() drop out of the scan
+    *     instead of failing it, and
+    *   - files ADDED after build() (a new ingest batch, or a rewrite
+    *     with wider value ranges) are read UNPRUNED — they have no
+    *     trustworthy stats, so they get the exact filter only.
+    * A stale manifest therefore loses pruning on the new files, never
+    * rows. An empty file list short-circuits to an empty frame with the
+    * right schema (read via the full dir but with a false predicate).
     */
   def prunedRead(
       spark: SparkSession, dir: String, c: String,
       lo: Any, hi: Any): DataFrame = {
-    val files = candidateFiles(spark, dir, c, lo, hi)
+    val live = listDataFiles(spark, dir)
+    val liveByNorm = live.map(f => normalize(f) -> f).toMap
+    val manifested = spark.read.parquet(manifestPath(dir))
+      .select("file").collect().map(r => normalize(r.getString(0))).toSet
+    val candidates = candidateFiles(spark, dir, c, lo, hi)
+      .map(normalize).filter(liveByNorm.contains)
+    val unmanifested = liveByNorm.keys.filterNot(manifested).toSeq
+    val toRead = (candidates ++ unmanifested).distinct.map(liveByNorm)
     val pred = col(c) >= lit(lo) && col(c) <= lit(hi)
-    if (files.isEmpty)
+    if (toRead.isEmpty)
       spark.read.parquet(dir).filter(lit(false))
     else
-      spark.read.parquet(files: _*).filter(pred)
+      spark.read.parquet(toRead: _*).filter(pred)
   }
 }

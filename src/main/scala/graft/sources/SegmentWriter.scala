@@ -195,15 +195,20 @@ object SegmentWriter {
     val stats = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    // An empty frame or an all-null column yields null min/max — degrade
+    // that column to a constant z-contribution (plain write layout)
+    // instead of NPE-ing on getDouble.
+    def bound(i: Int): Double = if (stats.isNullAt(i)) 0.0 else stats.getDouble(i)
     def scaled(c: String, mn: Double, mx: Double): Column = {
       val levels = (1L << bits) - 1
       if (!(mx > mn)) lit(0L)
-      else least(lit(levels),
-        floor((col(c).cast("double") - mn) / (mx - mn) * levels).cast("long"))
+      else coalesce(least(lit(levels),
+        floor((col(c).cast("double") - mn) / (mx - mn) * levels).cast("long")),
+        lit(0L))
     }
     val z = interleaveBits(
-      scaled(colA, stats.getDouble(0), stats.getDouble(1)),
-      scaled(colB, stats.getDouble(2), stats.getDouble(3)), bits)
+      scaled(colA, bound(0), bound(1)),
+      scaled(colB, bound(2), bound(3)), bits)
     df.withColumn("__z", z)
       .repartitionByRange(numSegments, col("__z"))
       .sortWithinPartitions("__z")

@@ -45,6 +45,23 @@ class CorpusSpec extends SparkSpec {
     assert(scored(2L) > scored(1L))
   }
 
+  test("LmScore: null-text docs surface as unscoreable instead of vanishing") {
+    import graft.pipeline.LmScore
+    val corpus = graft.engine.Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("lmvocab3").toString
+    LmScore.materializeVocab(corpus, "doc_id", "text", dir)
+    val batch = Seq((1L, Some("the a and")), (2L, None))
+      .toDF("doc_id", "text")
+    val scored = LmScore.scoreIndexed(spark, batch, "doc_id", "text", dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // a caller gating on avg_nll sees doc 2 as unscoreable (null), not
+    // absent — both rows come back
+    assert(scored.keySet === Set(1L, 2L))
+    assert(scored(2L).getLong(1) === 0L)     // n_tokens
+    assert(scored(2L).isNullAt(2))           // avg_nll
+    assert(!scored(1L).isNullAt(2))
+  }
+
   test("Mixture.sample: integer rate replicates exactly, zero rate drops the stratum") {
     val docs = Seq(
       (1L, "alpha beta", "a"), (2L, "gamma delta", "a"),

@@ -48,6 +48,19 @@ class SqlInterfaceSpec extends SparkSpec {
     assert(canon === "https://example.com/a/index.html?ref=y")
   }
 
+  test("canonicalize_url merges slash and utm-only variants of a page") {
+    val variants = Seq(
+      "https://host/p", "https://host/p/",
+      "https://host/p?utm_x=1", "https://host/p/?utm_x=1")
+    val canon = variants.map { u =>
+      spark.sql(s"SELECT canonicalize_url('$u')").head().getString(0)
+    }.distinct
+    assert(canon === Seq("https://host/p"))
+    // the root path keeps its slash
+    val root = spark.sql("SELECT canonicalize_url('https://host/')").head().getString(0)
+    assert(root === "https://host/")
+  }
+
   test("dedup/similarity expressions and top_k_by aggregate from SQL") {
     Graft.registerTables(spark, sfDir)
     // scan-local signature expressions
