@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleBench [copies] — prints one JSON line per
   * scale plus a final {"metric":"scale_slope",...} summary.
+  *
+  * Full-registry mode: `runMain graft.ScaleBench full [copies]`
+  * synthesizes EVERY table C× (relational tables replicate with
+  * copy-shifted keys so joins/windows stay within-copy; documents/
+  * embeddings keep the content-perturbed synthesis) and times the whole
+  * registry at both scales — the superlinear-operator sweep that catches
+  * a bad constant hiding OUTSIDE the audited expensive family. Emits an
+  * extra {"metric":"scale_superlinear",...} line flagging any query with
+  * slope > 1.3×copies (sub-50ms fixed-cost queries listed separately —
+  * a ratio of two planning-overhead constants is not a data slope).
   */
 object ScaleBench {
 
@@ -58,8 +68,9 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val copies = args.headOption.map(_.toInt).getOrElse(10)
-    val reps = 3
+    val full = args.headOption.contains("full")
+    val scaleArgs = if (full) args.drop(1) else args
+    val copies = scaleArgs.headOption.map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.engine.Graft.session(
       master = s"local[$cpus]", shufflePartitions = cpus.toInt,
@@ -68,10 +79,17 @@ object ScaleBench {
     val root = s"/tmp/graft_scale_p${ProcessHandle.current().pid()}"
     val dir1 = s"$root/x1"
     val dirC = s"$root/x$copies"
-    synthesize(spark, baseDir, dir1, 1)
-    synthesize(spark, baseDir, dirC, copies)
+    if (full) {
+      synthesizeAll(spark, baseDir, dir1, 1)
+      synthesizeAll(spark, baseDir, dirC, copies)
+    } else {
+      synthesize(spark, baseDir, dir1, 1)
+      synthesize(spark, baseDir, dirC, copies)
+    }
 
-    def timeAll(dir: String): Map[String, Double] = QueryNames.map { name =>
+    val names = if (full) SparkEntry.queries.keys.toSeq.sorted else QueryNames
+
+    def timeAll(dir: String, reps: Int): Map[String, Double] = names.map { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         (s: SparkSession, d: String) => dedupEmbeddingT09(s, d))
       val times = (1 to reps).flatMap { _ =>
@@ -90,17 +108,90 @@ object ScaleBench {
     }.toMap
 
     def f3(v: Double) = "%.3f".format(v)
-    val t1 = timeAll(dir1)
-    val tC = timeAll(dirC)
+    // Full mode runs every registry query, so the C× pass gets one rep
+    // (it runs AFTER the 1× pass, whose identical plan shapes have
+    // already paid codegen/JIT — the 1× side keeps median-of-3 since its
+    // short runs are the noisy denominator).
+    val t1 = timeAll(dir1, reps = 3)
+    val tC = timeAll(dirC, reps = if (full) 1 else 3)
     def line(scale: Int, t: Map[String, Double]) =
       s"""{"metric":"scale_times","scale":$scale,"queries":{${
-        QueryNames.map(n => s"\"$n\":${f3(t(n))}").mkString(",")}}}"""
+        names.map(n => s"\"$n\":${f3(t(n))}").mkString(",")}}}"""
     println(line(1, t1))
     println(line(copies, tC))
-    val slopes = QueryNames.map(n => n -> tC(n) / t1(n))
+    val slopes = names.map(n => n -> tC(n) / t1(n))
     println(s"""{"metric":"scale_slope","copies":$copies,"slopes":{${
       slopes.map { case (n, s) => s"\"$n\":${f3(s)}" }.mkString(",")}}}""")
+    if (full) {
+      // The headline signal of full mode: anything growing meaningfully
+      // FASTER than its input. Sub-50ms-at-1× queries are fixed-cost
+      // (session/planning overhead dominates; a ratio of two constants
+      // says nothing about data scaling) and are reported separately
+      // rather than silently dropped.
+      val fixedCost = slopes.collect { case (n, _) if t1(n) < 0.05 => n }
+      val suspect = slopes.collect {
+        case (n, sl) if t1(n) >= 0.05 && sl > copies * 1.3 => n -> sl
+      }.sortBy(-_._2)
+      println(s"""{"metric":"scale_superlinear","copies":$copies,"threshold":${f3(copies * 1.3)},"flagged":{${
+        suspect.map { case (n, sl) => s"\"$n\":${f3(sl)}" }.mkString(",")}},"fixed_cost_skipped":[${
+        fixedCost.map(n => s"\"$n\"").mkString(",")}]}""")
+    }
     spark.stop()
+  }
+
+  /** Integer id/key columns that shift by copy so each replica is a
+    * self-contained shard: joins and per-entity windows never match
+    * across copies, so ground-truth join/agg/window work grows exactly
+    * C× (a plain self-union would instead square the within-key work).
+    */
+  private val IdNames = Set("event_id", "user_id", "doc_id", "vec_id")
+
+  /** Continuous columns that act as VALUE-JOIN domains (q_range_join
+    * bands o_totalprice against customer-derived intervals). These shift
+    * by copy too: replicas sharing one value domain would make every
+    * value-range join match ACROSS copies — quadratic ground-truth
+    * output by construction, which no linear engine can hide (the same
+    * artifact class as self-union dedup; measured as a false 21.7×
+    * q_range_join slope before this shift). The interval domain is
+    * [0, 405000), so 1M per copy keeps copies disjoint.
+    */
+  private val ValueShiftCols = Set("o_totalprice")
+
+  /** Generic C× replication of one table for full-registry mode. */
+  private def replicateTable(
+      spark: SparkSession, baseDir: String, outDir: String,
+      name: String, copies: Int): Unit = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val idShift = 10000000L
+    val valueShift = 1000000.0
+    val base =
+      if (name == "events") graft.engine.Tables.events(spark, baseDir)
+      else graft.engine.Tables(spark, baseDir, name)
+    val replicas = (0 until copies).map { k =>
+      base.select(base.schema.fields.toSeq.map { f =>
+        val isId = (f.name.endsWith("key") || IdNames(f.name)) &&
+          (f.dataType == LongType || f.dataType == IntegerType)
+        if (isId && k > 0)
+          (col(f.name) + lit(k.toLong * idShift)).cast(f.dataType).as(f.name)
+        else if (ValueShiftCols(f.name) && f.dataType == DoubleType && k > 0)
+          (col(f.name) + lit(k * valueShift)).as(f.name)
+        else col(f.name)
+      }: _*)
+    }.reduce(_ unionByName _)
+    replicas.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+  }
+
+  /** Full-registry corpus: every table the registry reads, C×. Documents
+    * and embeddings keep the content-perturbed synthesis (dedup/ANN
+    * ground truth must not grow quadratically); the relational tables
+    * replicate with shifted keys.
+    */
+  def synthesizeAll(
+      spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
+    synthesize(spark, baseDir, outDir, copies)
+    Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events")
+      .foreach(t => replicateTable(spark, baseDir, outDir, t, copies))
   }
 
   /** Write a `copies`× corpus (documents + embeddings) derived from

@@ -6,11 +6,12 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 
 /** Real, dependency-free media codecs (pure JDK): a PNG encoder/decoder
   * (RGB8, all five scanline filters on decode; `java.util.zip` deflate +
-  * CRC32), a WAV PCM encoder/decoder (RIFF chunk walk), and header
-  * sniffing for JPEG (SOF marker scan), GIF and BMP. This replaces the
-  * round-1 "decode is a stub" compromise for the formats a JVM can decode
-  * natively; video decode remains out of scope (no container/av libs
-  * here) and still rides the documented stub path.
+  * CRC32), a WAV PCM encoder/decoder (RIFF chunk walk), a 24-bit BMP
+  * encoder/decoder, and header sniffing for JPEG (SOF marker scan), GIF
+  * and BMP. Baseline JPEG and GIF pixel decode live in the sibling
+  * JpegCodec/GifCodec objects; Multimodal.decodeImage dispatches across
+  * all four image formats. Modern compressed video remains out of scope
+  * (no container/av libs here) and rides the documented stub path.
   *
   * Reference capability: Pinot stores opaque BYTES columns and computes
   * over them with transform functions (/root/reference/
@@ -440,6 +441,84 @@ object MediaCodec {
       }
       if (rgbFrames.isEmpty) return None
       Some(AviVideo(width, height, microSec, rgbFrames))
+    } catch { case _: Exception => None }
+  }
+
+  // ------------------------------------------------------------------ BMP
+
+  /** Encode RGB8 as a classic 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    * BI_RGB, bottom-up rows, BGR byte order, 4-byte row padding).
+    */
+  def encodeBmp(img: PngImage): Array[Byte] = {
+    require(img.rgb.length == img.width * img.height * 3, "rgb length mismatch")
+    val rowSize = (img.width * 3 + 3) & ~3
+    val dataSize = rowSize * img.height
+    val out = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = out.write(u32le(v))
+    out.write('B'); out.write('M')
+    u32(14 + 40 + dataSize) // file size
+    u16(0); u16(0)
+    u32(14 + 40) // pixel data offset
+    u32(40) // BITMAPINFOHEADER
+    u32(img.width.toLong); u32(img.height.toLong)
+    u16(1); u16(24) // planes, bpp
+    u32(0) // BI_RGB
+    u32(dataSize.toLong)
+    u32(2835); u32(2835); u32(0); u32(0) // 72 dpi, no palette
+    val row = new Array[Byte](rowSize)
+    var y = img.height - 1
+    while (y >= 0) { // bottom-up
+      java.util.Arrays.fill(row, 0.toByte)
+      var x = 0
+      while (x < img.width) {
+        val p = (y * img.width + x) * 3
+        row(x * 3) = img.rgb(p + 2) // B
+        row(x * 3 + 1) = img.rgb(p + 1) // G
+        row(x * 3 + 2) = img.rgb(p) // R
+        x += 1
+      }
+      out.write(row, 0, rowSize)
+      y -= 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode a 24-bit uncompressed BMP (bottom-up or top-down). Other
+    * depths/compressions → None.
+    */
+  def decodeBmp(bytes: Array[Byte]): Option[PngImage] = {
+    try {
+      if (bytes == null || bytes.length < 54 ||
+        bytes(0) != 'B' || bytes(1) != 'M') return None
+      val dataOff = readU32le(bytes, 10).toInt
+      val headerSize = readU32le(bytes, 14).toInt
+      if (headerSize < 40) return None
+      val width = readU32le(bytes, 18).toInt
+      val rawH = readU32le(bytes, 22).toInt
+      val height = math.abs(rawH)
+      val topDown = rawH < 0
+      val bpp = readU16le(bytes, 28)
+      val compression = readU32le(bytes, 30)
+      if (width <= 0 || height <= 0 || bpp != 24 || compression != 0) return None
+      val rowSize = (width * 3 + 3) & ~3
+      if (dataOff + rowSize * height > bytes.length) return None
+      val rgb = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        val srcRow = if (topDown) y else height - 1 - y
+        val src = dataOff + srcRow * rowSize
+        var x = 0
+        while (x < width) {
+          val p = (y * width + x) * 3
+          rgb(p) = bytes(src + x * 3 + 2) // R
+          rgb(p + 1) = bytes(src + x * 3 + 1) // G
+          rgb(p + 2) = bytes(src + x * 3) // B
+          x += 1
+        }
+        y += 1
+      }
+      Some(PngImage(width, height, rgb))
     } catch { case _: Exception => None }
   }
 

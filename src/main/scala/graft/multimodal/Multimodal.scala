@@ -28,12 +28,13 @@ final case class MediaFeatures(
   * The Spark-side plumbing is real: binary schema, batched
   * `mapPartitions` (one decoder init per partition, not per row — the
   * shape a JNI codec or an ONNX session needs), deterministic
-  * partitioning. Image, audio AND video decode are REAL
-  * (graft.multimodal.MediaCodec: pure-JDK PNG, WAV and uncompressed-RGB
-  * AVI codecs + JPEG/GIF/BMP header sniffing); only the embed/model step
-  * remains the documented deterministic stub (`decodeStub`), which also
-  * serves as the fallback for compressed codecs the JVM cannot decode
-  * natively — undecodable bytes degrade to stub features rather than
+  * partitioning. Image, audio AND video decode are REAL — pure-JDK PNG
+  * (MediaCodec), baseline JPEG incl. 4:2:0/4:2:2 (JpegCodec), GIF
+  * (GifCodec), 24-bit BMP (MediaCodec), WAV and uncompressed-RGB AVI
+  * codecs; only the embed/model step remains the documented
+  * deterministic stub (`decodeStub`), which also serves as the fallback
+  * for codecs the JVM cannot decode natively (progressive JPEG, modern
+  * video) — undecodable bytes degrade to stub features rather than
   * failing the job.
   */
 object Multimodal {
@@ -49,6 +50,23 @@ object Multimodal {
 
   val FeatureDim = 16
 
+  /** Format-dispatched image decode: PNG, baseline JPEG (JpegCodec —
+    * any sampling up to 4:2:0), GIF first frame (GifCodec) and 24-bit
+    * BMP all decode to RGB8; anything else → None (stub path). This is
+    * the crawl-shaped entry point: perceptual dedup and featurization
+    * see PIXELS regardless of which container the crawler stored.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[MediaCodec.PngImage] = {
+    if (bytes == null || bytes.length < 4) return None
+    val b0 = bytes(0) & 0xff
+    val b1 = bytes(1) & 0xff
+    if (b0 == 0x89 && b1 == 'P') MediaCodec.decodePng(bytes)
+    else if (b0 == 0xff && b1 == 0xd8) JpegCodec.decodeJpeg(bytes)
+    else if (b0 == 'G' && b1 == 'I') GifCodec.decodeGif(bytes)
+    else if (b0 == 'B' && b1 == 'M') MediaCodec.decodeBmp(bytes)
+    else None
+  }
+
   /** Real decode where the JDK can: PNG → [width, height, meanR, meanG,
     * meanB, …]; WAV → [sampleRate, channels, durationMs, meanAbsSample,
     * …]; uncompressed-RGB AVI → [width, height, nFrames, durationMs,
@@ -62,7 +80,7 @@ object Multimodal {
       if (v.length >= FeatureDim) v.take(FeatureDim)
       else v ++ Array.fill(FeatureDim - v.length)(0f)
     kind match {
-      case "image" => C.decodePng(bytes) match {
+      case "image" => decodeImage(bytes) match {
         case Some(img) =>
           val n = (img.rgb.length / 3).max(1)
           val sums = Array.fill(3)(0L)

@@ -1009,6 +1009,49 @@ object AdvancedQueries {
                      CAST(sum(CASE WHEN abs(e.c - m.med_c) > m.mad_c * 4
                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
               FROM e JOIN mad m USING (event_type)
-              GROUP BY 1 ORDER BY event_type"""))
+              GROUP BY 1 ORDER BY event_type""")),
+
+    // Winsorized aggregation — the robust-mean companion of
+    // q_mad_outliers: clamp each value into its group's [p05, p95]
+    // before averaging, so a handful of extreme prices cannot own the
+    // mean. Same scale discipline as the MAD query: prices quantize to
+    // integer cents, the p05/p95 limits come from the dictionary-
+    // histogram percentile operator (bounded aggregate state, never the
+    // built-in's per-group value map), land on exactly-representable
+    // quarter-cent doubles (no cross-engine rounding), and broadcast
+    // back onto one scan whose clamp is a pure least/greatest.
+    QueryDef(
+      "q_winsorize",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("c"))
+        val limits = graft.operators.Percentiles.exact(
+          li, Seq("l_returnflag"), Seq(("lo", "c", 0.05), ("hi", "c", 0.95)))
+        li.join(broadcast(limits), "l_returnflag")
+          .withColumn("w", least(greatest(col("c").cast("double"), col("lo")), col("hi")))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            first("lo").as("p05_c"), first("hi").as("p95_c"),
+            round(sum("c") / count(lit(1)), 4).as("mean_raw_c"),
+            round(sum("w") / count(lit(1)), 4).as("mean_wins_c"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH li AS (SELECT l_returnflag,
+                                 CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                          FROM lineitem),
+                   lim AS (SELECT l_returnflag,
+                                  quantile_cont(c, 0.05) AS lo,
+                                  quantile_cont(c, 0.95) AS hi
+                           FROM li GROUP BY 1)
+              SELECT li.l_returnflag,
+                     count(*) AS n_rows,
+                     any_value(lo) AS p05_c, any_value(hi) AS p95_c,
+                     round(CAST(sum(c) AS DOUBLE) / count(*), 4) AS mean_raw_c,
+                     round(sum(least(greatest(CAST(c AS DOUBLE), lo), hi))
+                           / count(*), 4) AS mean_wins_c
+              FROM li JOIN lim USING (l_returnflag)
+              GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }

@@ -184,6 +184,62 @@ object DedupQueries {
               WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
               ORDER BY a_id, b_id""")),
 
+    // Asymmetric n-gram CONTAINMENT — the subset-detection companion of
+    // Jaccard dedup: a short doc quoted wholesale inside a long one has
+    // low Jaccard (union is dominated by the long doc) but containment
+    // |S(a)∩S(b)| / |S(a)| ≈ 1, which is exactly the
+    // quote/mirror/boilerplate-page signal a crawl dedup needs. Same
+    // 100 TB shape as q_dedup_ngram_jaccard: inverted-index join on
+    // 64-bit shingle hashes (docs only meet through a shared shingle,
+    // never a cross join), one a<b pair per join, BOTH directions of the
+    // asymmetric score derived from that single intersection count.
+    QueryDef(
+      "q_ngram_containment",
+      (s, d) => {
+        val docs = TextShingles.withShingleHashes(
+          Tables.documents(s, d), "doc_id", "text", 3)
+        val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+        val exAll = docs.filter(size(col("sh")) > 0)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        // same hot-shingle cap as jaccardPairs: an over-cap shingle is
+        // boilerplate and would turn one join key into an m² bucket;
+        // scores stay exact whenever no shared shingle was dropped
+        // (always, below the cap — the fixture never reaches it)
+        val hot = exAll.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") > 4096L).select("g")
+        val ex = exAll.join(hot, Seq("g"), "left_anti")
+        val pairs = ex.as("a")
+          .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+          .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+          .filter(col("inter") / col("na") >= 0.9 || col("inter") / col("nb") >= 0.9)
+          .select(col("a_id"), col("b_id"),
+            round(col("inter") / col("na"), 4).as("c_ab"),
+            round(col("inter") / col("nb"), 4).as("c_ba"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+                   sh AS (SELECT doc_id,
+                          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                         FOR i IN range(1, len(w) - 1)]) AS s
+                          FROM docs WHERE len(w) >= 3),
+                   ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+                   pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                             FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                             GROUP BY 1, 2),
+                   sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+              SELECT a_id, b_id,
+                     round(inter * 1.0 / sa.n, 4) AS c_ab,
+                     round(inter * 1.0 / sb.n, 4) AS c_ba
+              FROM pairs p
+              JOIN sizes sa ON p.a_id = sa.doc_id
+              JOIN sizes sb ON p.b_id = sb.doc_id
+              WHERE inter * 1.0 / sa.n >= 0.9 OR inter * 1.0 / sb.n >= 0.9
+              ORDER BY a_id, b_id""")),
+
     // Near-dup CLUSTERS: connected components over the Jaccard pairs —
     // cluster_id = min doc_id of the component; dedup keeps that doc.
     // Oracle: recursive CTE transitive closure over the same pairs.

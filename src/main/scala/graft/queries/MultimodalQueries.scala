@@ -104,11 +104,13 @@ object MultimodalQueries {
                                 / (8000 + (doc_id % 4) * 4000)) AS BIGINT) AS duration_ms
               FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""")),
 
-    // Per-kind feature aggregates through the batched decode path. f0 is
-    // the first REAL decoded feature per kind (image width / audio sample
-    // rate / video width); rows-only because the mixed feature vector
-    // layout is not worth a SQL oracle (the per-kind decodes each have
-    // exact oracles of their own).
+    // Per-kind feature aggregates through the batched decode path. f0/f1
+    // are the first two REAL decoded features per kind (image width+
+    // height / audio sample rate+channels / video width+height) — all
+    // deterministic functions of doc_id, so the whole encode → batched
+    // mapPartitions decode → feature loop is hash-verified against the
+    // synthesis formulas (the round-7 rows-only gap; the embed/model
+    // stub remains out of the measured columns by construction).
     QueryDef(
       "q_multimodal_features",
       (s, d) =>
@@ -116,10 +118,23 @@ object MultimodalQueries {
           .groupBy("kind")
           .agg(
             count(lit(1)).as("n_items"),
-            round(avg("n_bytes"), 2).as("avg_bytes"),
-            round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+            round(avg(element_at(col("features"), 1)), 4).as("avg_f0"),
+            round(avg(element_at(col("features"), 2)), 4).as("avg_f1"))
           .orderBy("kind"),
-      None),
+      Some("""SELECT kind, count(*) AS n_items,
+                     round(avg(f0), 4) AS avg_f0,
+                     round(avg(f1), 4) AS avg_f1
+              FROM (SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                                           WHEN 1 THEN 'audio'
+                                           ELSE 'video' END AS kind,
+                           CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 8
+                                           WHEN 1 THEN 8000 + (doc_id % 4) * 4000
+                                           ELSE 2 + doc_id % 6 END AS f0,
+                           CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 5
+                                           WHEN 1 THEN 1 + doc_id % 2
+                                           ELSE 2 + doc_id % 4 END AS f1
+                    FROM documents)
+              GROUP BY 1 ORDER BY kind""")),
 
     // RESIZE through the real decode path: PNG decode → nearest-neighbor
     // resize to 4×3 → re-encode → re-decode, probing two pixels of the
@@ -190,14 +205,18 @@ object MultimodalQueries {
                            + (2 + doc_id % 6) * (2 + doc_id % 4) * 3 - 1) % 256 AS INT) AS last_byte
               FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""")),
 
-    // Perceptual image dedup: each doc synthesizes a real PNG plus a
-    // uniformly brightness-shifted RE-ENCODE of it — a near-duplicate
-    // byte-level dedup can never catch (different compressed bytes) but
-    // the 64-bit aHash catches exactly (threshold-vs-mean is shift
-    // invariant). Corpus-wide dedup is then groupBy(ahash) — the
-    // q_dedup_exact shape on a scan-local fingerprint. Rows-only (the
-    // hash is not SQL-expressible); MultimodalSpec pins the invariance
-    // and anti-collision properties.
+    // Perceptual image dedup ACROSS CONTAINER FORMATS: each doc
+    // synthesizes one blocky image and stores it four ways — PNG,
+    // baseline JPEG (lossy!), GIF, and a uniformly brightness-shifted
+    // BMP. Byte-level dedup sees four unrelated blobs; the 64-bit aHash
+    // over Multimodal.decodeImage (format-dispatched pixel decode)
+    // merges all four: high-contrast 8×8 blocks keep every hash cell
+    // far from the mean, so JPEG quantization error cannot flip a bit,
+    // and the shift moves grays and mean together. Corpus-wide dedup is
+    // then groupBy(ahash) — the q_dedup_exact shape on a scan-local
+    // fingerprint. Rows-only (the hash is not SQL-expressible);
+    // MultimodalSpec + MediaCodecFormatsSpec pin the invariance,
+    // cross-format and anti-collision properties.
     QueryDef(
       "q_dedup_image",
       (s, d) => {
@@ -205,18 +224,29 @@ object MultimodalQueries {
         val hashed = Tables.documents(s, d)
           .select(col("doc_id")).as[Long]
           .flatMap { id =>
-            val w = 2 + (id % 7).toInt
-            val h = 2 + (id % 4).toInt
-            val base = Array.tabulate(w * h * 3)(i =>
-              ((id * 2654435761L + i * 40503L) % 200).toByte)
-            val bright = base.map(b => (b + 40).toByte)
+            val (w, h, bs) = (32, 32, 8)
+            val rgb = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < w * h) {
+              val block = (i / w / bs) * (w / bs) + (i % w / bs)
+              val v = id * 2654435761L + block * 40503L
+              rgb(i * 3) = (32 + (v % 5) * 48).toByte
+              rgb(i * 3 + 1) = (32 + ((v >> 3) % 5) * 48).toByte
+              rgb(i * 3 + 2) = (32 + ((v >> 6) % 5) * 48).toByte
+              i += 1
+            }
+            val img = MediaCodec.PngImage(w, h, rgb)
+            val shifted = MediaCodec.PngImage(w, h,
+              rgb.map(b => ((b & 0xff) + 24).toByte)) // 224+24 < 256: no clip
             Seq(
-              (id, 0, MediaCodec.encodePng(MediaCodec.PngImage(w, h, base))),
-              (id, 1, MediaCodec.encodePng(MediaCodec.PngImage(w, h, bright))))
+              (id, 0, MediaCodec.encodePng(img)),
+              (id, 1, graft.multimodal.JpegCodec.encodeJpeg(img, quality = 90)),
+              (id, 2, graft.multimodal.GifCodec.encodeGif(img).get),
+              (id, 3, MediaCodec.encodeBmp(shifted)))
           }
           .map { case (id, variant, bytes) =>
             (id, variant,
-              MediaCodec.decodePng(bytes).map(Multimodal.aHash64).getOrElse(-1L))
+              Multimodal.decodeImage(bytes).map(Multimodal.aHash64).getOrElse(-1L))
           }
           .toDF("doc_id", "variant", "ahash")
         val perDoc = hashed.groupBy("doc_id")

@@ -227,6 +227,149 @@ object TextAnalysisQueries {
                                           ORDER BY score DESC, w ASC) AS INT) AS rk
                               FROM scored)
               SELECT doc_id, w AS term, rk, score + 0 AS score
-              FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""))
+              FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // Character-level unigram entropy — the information-density quality
+    // signal (near-zero = degenerate repetition, near-log(alphabet) =
+    // uniform noise; natural text sits in a stable band). Identity
+    // H = ln(n) − Σ c·ln(c) / n turns it into two sums over the per-doc
+    // character histogram. Shape at 100 TB: the (doc, char) rollup
+    // partial-aggregates map-side down to ≤ alphabet-size rows per doc
+    // before any shuffle — the corpus' raw characters never cross the
+    // wire.
+    QueryDef(
+      "q_char_entropy",
+      (s, d) => {
+        val chars = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(
+            sum("c").as("n_chars"),
+            round(log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"), 4)
+              .as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                          FROM documents),
+                   f AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_chars,
+                     round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+              FROM f GROUP BY 1 ORDER BY doc_id""")),
+
+    // BM25 ranking for a fixed term set (k1=1.2, b=0.75) — the IR
+    // scoring function behind retrieval-based curation and search-style
+    // corpus slicing (TF-IDF's saturating, length-normalized successor).
+    // Shape at 100 TB: per-doc tf of the query terms and the doc length
+    // are SCAN-LOCAL higher-order-function counts over one tokenize (the
+    // token array materializes in its own projection first — the
+    // interpreted-HOF loop-invariant rule); corpus stats (N, avgdl,
+    // per-term df) collapse to ONE single-row broadcast; the final score
+    // is a pure per-row expression. No token ever shuffles. Ranking uses
+    // the ROUNDED score (both engines rank identical doubles), ties
+    // break on doc_id.
+    QueryDef(
+      "q_bm25",
+      (s, d) => {
+        val terms = Seq("table", "scan", "merge")
+        val k1 = 1.2
+        val b = 0.75
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val perDoc = toks.select(
+          col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+            terms.map(t =>
+              size(filter(col("toks"), w => w === lit(t))).cast("long").as(s"tf_$t")): _*)
+        val statAggs = count(lit(1)).as("n_docs") +: avg("dl").as("avgdl") +:
+          terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+        val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+        val scored = perDoc.crossJoin(broadcast(stats))
+        val score = terms.map { t =>
+          val tf = col(s"tf_$t").cast("double")
+          val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$t") + lit(0.5)) /
+            (col(s"df_$t") + lit(0.5)))
+          // literal 2.2, not k1+1: the Scala sum 1.2+1.0 need not be the
+          // same double as DuckDB's parsed "2.2"
+          idf * (tf * lit(2.2)) /
+            (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+        }.reduce(_ + _)
+        scored
+          .select(col("doc_id"), col("dl"), round(score, 4).as("bm25"))
+          .filter(col("bm25") > 0)
+          .orderBy(desc("bm25"), asc("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                   perdoc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                                     CAST(len(list_filter(w, x -> x = 'table')) AS BIGINT) AS tf_table,
+                                     CAST(len(list_filter(w, x -> x = 'scan')) AS BIGINT) AS tf_scan,
+                                     CAST(len(list_filter(w, x -> x = 'merge')) AS BIGINT) AS tf_merge
+                              FROM t),
+                   stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                                    CAST(sum(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_table,
+                                    CAST(sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_scan,
+                                    CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge
+                             FROM perdoc),
+                   scored AS (SELECT doc_id, dl,
+                                     round(
+                                       ln(1.0 + (n_docs - df_table + 0.5) / (df_table + 0.5))
+                                         * (CAST(tf_table AS DOUBLE) * 2.2)
+                                         / (CAST(tf_table AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+                                       ln(1.0 + (n_docs - df_scan + 0.5) / (df_scan + 0.5))
+                                         * (CAST(tf_scan AS DOUBLE) * 2.2)
+                                         / (CAST(tf_scan AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+                                       ln(1.0 + (n_docs - df_merge + 0.5) / (df_merge + 0.5))
+                                         * (CAST(tf_merge AS DOUBLE) * 2.2)
+                                         / (CAST(tf_merge AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                                       4) AS bm25
+                              FROM perdoc CROSS JOIN stats)
+              SELECT doc_id, dl, bm25 FROM scored WHERE bm25 > 0
+              ORDER BY bm25 DESC, doc_id ASC LIMIT 20""")),
+
+    // Compression-ratio quality proxy (deflate level 6): repetitive /
+    // templated text compresses far below natural prose, random noise
+    // barely compresses — a one-number redundancy signal used alongside
+    // q_repetition_ratio. Per-row compute with ONE Deflater per
+    // partition (the batched-codec shape: stateful native-buffer
+    // resources initialize per partition, never per row). Rows-only
+    // (deflate output length is not SQL-expressible); CorpusSpec pins
+    // determinism under repartitioning and the repetitive < prose <
+    // noise ordering.
+    QueryDef(
+      "q_compression_ratio",
+      (s, d) => {
+        import s.implicits._
+        val measured = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+          .mapPartitions { it =>
+            val deflater = new java.util.zip.Deflater(6)
+            val buf = new Array[Byte](64 * 1024)
+            it.map { case (id, src, text) =>
+              val raw =
+                if (text == null) Array.empty[Byte]
+                else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              deflater.reset()
+              deflater.setInput(raw)
+              deflater.finish()
+              var zipped = 0L
+              while (!deflater.finished()) zipped += deflater.deflate(buf)
+              (id, src, raw.length.toLong, zipped)
+            }
+          }
+          .toDF("doc_id", "source", "raw_bytes", "zip_bytes")
+        measured
+          .withColumn("ratio",
+            col("zip_bytes") / greatest(col("raw_bytes"), lit(1L)))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg("ratio"), 4).as("avg_ratio"),
+            round(min("ratio"), 4).as("min_ratio"),
+            round(max("ratio"), 4).as("max_ratio"))
+          .orderBy("source")
+      },
+      None)
   )
 }

@@ -62,6 +62,35 @@ class CorpusSpec extends SparkSpec {
     assert(!scored(1L).isNullAt(2))
   }
 
+  test("compression ratio: deterministic under repartitioning, ordered by redundancy") {
+    // the query itself (deflate via one Deflater per partition)
+    val run = SparkEntry.queries("q_compression_ratio")
+    val a = run(spark, sfDir).collect().map(_.toSeq).toSeq
+    val b = run(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(a === b) // bit-identical across runs/partitioning
+    assert(a.nonEmpty)
+    // ratios live in (0, 1.2] — deflate adds bounded overhead at worst
+    a.foreach { r =>
+      val (avg, mn, mx) =
+        (r(2).asInstanceOf[Double], r(3).asInstanceOf[Double], r(4).asInstanceOf[Double])
+      assert(mn > 0.0 && mx <= 1.2 && avg >= mn && avg <= mx)
+    }
+    // redundancy ordering: pure repetition compresses far below noise
+    val deflater = new java.util.zip.Deflater(6)
+    def ratio(s: String): Double = {
+      val raw = s.getBytes("UTF-8")
+      deflater.reset(); deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](64 * 1024)
+      var n = 0L
+      while (!deflater.finished()) n += deflater.deflate(buf)
+      n.toDouble / raw.length
+    }
+    val rep = ratio("spam ham " * 500)
+    val noise = ratio(Seq.tabulate(1000)(i =>
+      java.lang.Long.toHexString(i * 2654435761L)).mkString(" "))
+    assert(rep < 0.05 && noise > 0.3 && rep < noise)
+  }
+
   test("Mixture.sample: integer rate replicates exactly, zero rate drops the stratum") {
     val docs = Seq(
       (1L, "alpha beta", "a"), (2L, "gamma delta", "a"),

@@ -28,8 +28,12 @@ class PlanLintSpec extends SparkSpec {
     *    `cell`.
     *  - q_tfidf_top: the corpus-size scalar N (one row) broadcasts onto
     *    the scored term table; everything else is an equi-join.
+    *  - q_bm25 / q_domain_cap: the same scalar-N pattern — one
+    *    single-row corpus-stats aggregate (N/avgdl/df…, resp. the
+    *    total-docs row) broadcasts onto a per-doc/per-host table.
     */
-  private val broadcastBoundedOk = Set("q_knn_brute", "q_ann_ivf", "q_tfidf_top")
+  private val broadcastBoundedOk = Set("q_knn_brute", "q_ann_ivf", "q_tfidf_top",
+    "q_bm25", "q_domain_cap")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
