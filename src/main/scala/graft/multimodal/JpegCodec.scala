@@ -137,27 +137,41 @@ object JpegCodec {
     table
   }
 
+  /** cos((2x+1)·u·π/16) indexed (x, u) — shared by FDCT and IDCT. A
+    * per-coefficient math.cos would cost 8192 libm calls per block and
+    * was measured 20× the whole dedup-image query; with the table and
+    * the separable row/column factorization each block is 1k multiplies.
+    */
+  private val Cos: Array[Double] = Array.tabulate(64) { i =>
+    math.cos((2 * (i / 8) + 1) * (i % 8) * math.Pi / 16)
+  }
+  private val Cu: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1 / math.sqrt(2) else 1.0)
+
   private def fdct(block: Array[Double]): Array[Double] = {
+    // t(x, v) = Σ_y f(x, y)·cos(y, v); out(u, v) = ¼ cu cv Σ_x t(x, v)·cos(x, u)
+    val t = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var v = 0
+      while (v < 8) {
+        var sum = 0.0
+        var y = 0
+        while (y < 8) { sum += block(x * 8 + y) * Cos(y * 8 + v); y += 1 }
+        t(x * 8 + v) = sum
+        v += 1
+      }
+      x += 1
+    }
     val out = new Array[Double](64)
     var u = 0
     while (u < 8) {
       var v = 0
       while (v < 8) {
         var sum = 0.0
-        var x = 0
-        while (x < 8) {
-          var y = 0
-          while (y < 8) {
-            sum += block(x * 8 + y) *
-              math.cos((2 * x + 1) * u * math.Pi / 16) *
-              math.cos((2 * y + 1) * v * math.Pi / 16)
-            y += 1
-          }
-          x += 1
-        }
-        val cu = if (u == 0) 1 / math.sqrt(2) else 1.0
-        val cv = if (v == 0) 1 / math.sqrt(2) else 1.0
-        out(u * 8 + v) = 0.25 * cu * cv * sum
+        var x2 = 0
+        while (x2 < 8) { sum += t(x2 * 8 + v) * Cos(x2 * 8 + u); x2 += 1 }
+        out(u * 8 + v) = 0.25 * Cu(u) * Cu(v) * sum
         v += 1
       }
       u += 1
@@ -378,25 +392,28 @@ object JpegCodec {
     else v
 
   private def idct(coefs: Array[Double]): Array[Double] = {
+    // t(u, y) = Σ_v cv F(u, v)·cos(y, v); f(x, y) = ¼ Σ_u cu t(u, y)·cos(x, u)
+    val t = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var sum = 0.0
+        var v = 0
+        while (v < 8) { sum += Cu(v) * coefs(u * 8 + v) * Cos(y * 8 + v); v += 1 }
+        t(u * 8 + y) = sum
+        y += 1
+      }
+      u += 1
+    }
     val out = new Array[Double](64)
     var x = 0
     while (x < 8) {
       var y = 0
       while (y < 8) {
         var sum = 0.0
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            val cu = if (u == 0) 1 / math.sqrt(2) else 1.0
-            val cv = if (v == 0) 1 / math.sqrt(2) else 1.0
-            sum += cu * cv * coefs(u * 8 + v) *
-              math.cos((2 * x + 1) * u * math.Pi / 16) *
-              math.cos((2 * y + 1) * v * math.Pi / 16)
-            v += 1
-          }
-          u += 1
-        }
+        var u2 = 0
+        while (u2 < 8) { sum += Cu(u2) * t(u2 * 8 + y) * Cos(x * 8 + u2); u2 += 1 }
         out(x * 8 + y) = sum * 0.25
         y += 1
       }
