@@ -54,6 +54,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TopKByStrAgg(es.head, es(1), intArg(es(2), "top_k_by_str")))
     register("frequent_items", classOf[FrequentItemsAgg])(es =>
       FrequentItemsAgg(es.head, intArg(es(1), "frequent_items")))
+    register("vector_avg", classOf[VectorAvgAgg])(es => VectorAvgAgg(es.head))
+    register("theta_sketch_agg", classOf[ThetaSketchAgg])(es =>
+      ThetaSketchAgg(es.head, intArg(es(1), "theta_sketch_agg")))
+    register("theta_estimate", classOf[ThetaEstimate])(es => ThetaEstimate(es.head))
+    register("theta_union", classOf[ThetaUnion])(es => ThetaUnion(es.head, es(1)))
+    register("theta_intersect", classOf[ThetaIntersect])(es =>
+      ThetaIntersect(es.head, es(1)))
+    register("theta_a_not_b", classOf[ThetaANotB])(es => ThetaANotB(es.head, es(1)))
     // composed-builtin function (no custom expression class): the SQL name
     // expands to the same codegen'd regexp/string tree the Column API builds
     register("canonicalize_url", graft.functions.UrlFns.getClass)(es =>

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+
+import graft.functions.expressions._
+
+/** Column API over the theta-sketch family (KMV distinct-count sketches
+  * with full set algebra — Pinot's DISTINCTCOUNTTHETASKETCH analog).
+  * Typical shape: `groupBy(cohort).agg(thetaSketch(user_id, 4096))`, then
+  * combine the handful of per-cohort blobs with union/intersect/aNotB and
+  * read cardinalities off with `thetaEstimate`.
+  */
+object SketchFns {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def thetaSketch(value: Column, k: Int = 4096): Column =
+    ColumnBridge.column(
+      ThetaSketchAgg(ColumnBridge.expression(value), k).toAggregateExpression())
+
+  def thetaEstimate(sketch: Column): Column =
+    ColumnBridge.column(ThetaEstimate(ColumnBridge.expression(sketch)))
+
+  def thetaUnion(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      ThetaUnion(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def thetaIntersect(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      ThetaIntersect(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def thetaANotB(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      ThetaANotB(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

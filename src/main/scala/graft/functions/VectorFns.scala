@@ -48,4 +48,14 @@ object VectorFns {
     * per side once instead of calling this (it recomputes both norms).
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Element-wise mean aggregate (`array<double>` centroid) with O(dim)
+    * mergeable state (graft.functions.expressions.VectorAvgAgg) — per-label
+    * centroids of an arbitrarily large embedding table shuffle only
+    * (labels × partitions) fixed-size buffers.
+    */
+  def vectorAvg(v: Column): Column =
+    ColumnBridge.column(
+      graft.functions.expressions.VectorAvgAgg(
+        ColumnBridge.expression(v)).toAggregateExpression())
 }

@@ -22,26 +22,33 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vector_dot requires two array<float> arguments, " +
+      s"vector_dot requires two array<float|double> arguments, " +
         s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
   override def dataType: DataType = DoubleType
 
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (isDouble(left), isDouble(right))
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (!x.isNullAt(i) && !y.isNullAt(i))
-        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        acc += (if (xd) x.getDouble(i) else x.getFloat(i).toDouble) *
+          (if (yd) y.getDouble(i) else y.getFloat(i).toDouble)
       i += 1
     }
     acc
@@ -52,13 +59,15 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      def get(arr: String, e: Expression): String =
+        if (isDouble(e)) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
       s"""
          |int $n = $a.numElements() < $b.numElements()
          |    ? $a.numElements() : $b.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $acc += ${get(a, left)} * ${get(b, right)};
          |  }
          |}
          |${ev.value} = $acc;

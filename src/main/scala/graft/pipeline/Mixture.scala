@@ -33,16 +33,52 @@ object Mixture {
     val rate: Column = rates.foldLeft(when(lit(false), lit(0.0))) {
       case (acc, (stratum, r)) => acc.when(col(stratumCol) === stratum, r)
     }.otherwise(defaultRate)
-    // frac(rate) in 16-bit hex, zero-padded, lowercase — comparable
-    // against the first 4 hex chars of md5 in any engine.
+    replicate(docs.withColumn("__rate", rate), textCol).drop("__rate")
+  }
+
+  /** Temperature-scaled mixture (the multi-source rebalancing recipe:
+    * stratum probability ∝ n^alpha, alpha<1 flattening the source
+    * distribution toward uniform while preserving total corpus size):
+    * rate_s = (n_s^alpha / Σ n^alpha) · N / n_s, then the same
+    * replicate-and-hash-sample machinery as `sample`. Rates round to 6
+    * decimals so the floor/threshold arithmetic is engine-stable (the
+    * q_zscore_outliers convention). Output keeps the applied rate as
+    * `mix_rate` plus the 1-based `epoch`.
+    *
+    * Shape at 100 TB: the rate table is dictionary-sized (one row per
+    * source), computed in one partial-agg pass and broadcast back; the
+    * replication itself stays scan-local with bounded fan-out.
+    */
+  def sampleTemperature(
+      docs: DataFrame,
+      textCol: String,
+      stratumCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    val counts = docs.groupBy(stratumCol)
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", pow(col("__n"), lit(alpha)))
+    val tot = counts.agg(sum("__n").as("__N"), sum("__w").as("__W"))
+    // tot derives from counts, so the cross join is a self-join — qualify
+    // every reference through the aliases to keep resolution unambiguous
+    val ratesDf = counts.alias("c").crossJoin(broadcast(tot.alias("t")))
+      .select(col("c." + stratumCol),
+        round(col("c.__w") / col("t.__W") * col("t.__N") / col("c.__n"), 6).as("__rate"))
+    replicate(docs.join(broadcast(ratesDf), Seq(stratumCol)), textCol)
+      .withColumnRenamed("__rate", "mix_rate")
+  }
+
+  /** Epoch-replicate rows by their `__rate` column: floor(r) full copies
+    * plus one more kept when the content hash clears the frac(r)
+    * threshold (16-bit hex compare — replayable in any engine).
+    */
+  private def replicate(docs: DataFrame, textCol: String): DataFrame = {
     val fracThreshold = lpad(lower(hex(
       floor((col("__rate") - floor(col("__rate"))) * 65536).cast("long"))), 4, "0")
     docs
-      .withColumn("__rate", rate)
       .filter(col("__rate") > 0.0)
       .withColumn("epoch", explode(sequence(lit(1), ceil(col("__rate")).cast("int"))))
       .filter(col("epoch") <= floor(col("__rate")) ||
         substring(md5(concat(col(textCol), lit("#"), col("epoch"))), 1, 4) < fracThreshold)
-      .drop("__rate")
   }
 }

@@ -613,6 +613,37 @@ object AdvancedQueries {
       },
       None),
 
+    // Theta-sketch set algebra — the capability HLL structurally lacks:
+    // DIRECT intersection and difference sketches (Pinot's
+    // DISTINCTCOUNTTHETASKETCH; KMV family, Beyer et al. SIGMOD'07).
+    // Per-year O(k) sketches of the ordering customers merge/intersect/
+    // subtract as blobs — "customers in BOTH years" at 100 TB without
+    // the exact q_sql_setops distinct shuffles, and unlike HLL
+    // inclusion–exclusion the result is ITSELF a sketch that composes
+    // further. k=256 < the ~1170 per-year cardinality, so the sketches
+    // are genuinely trimmed at sf0.01 (approximate by design — rows-only
+    // here; ThetaSketchSpec bounds every estimate vs the exact counts).
+    QueryDef(
+      "q_theta_setops",
+      (s, d) => {
+        import graft.functions.SketchFns._
+        val o = Tables.orders(s, d)
+          .filter(expr("year(o_orderdate) in (1996, 1997)"))
+          .withColumn("yr", expr("year(o_orderdate)"))
+        o.groupBy("yr")
+          .agg(thetaSketch(col("o_custkey"), 256).as("sk"))
+          .agg(
+            first(when(col("yr") === 1996, col("sk")), ignoreNulls = true).as("sk96"),
+            first(when(col("yr") === 1997, col("sk")), ignoreNulls = true).as("sk97"))
+          .select(
+            thetaEstimate(col("sk96")).as("n_1996"),
+            thetaEstimate(col("sk97")).as("n_1997"),
+            thetaEstimate(thetaUnion(col("sk96"), col("sk97"))).as("n_either"),
+            thetaEstimate(thetaIntersect(col("sk96"), col("sk97"))).as("n_both"),
+            thetaEstimate(thetaANotB(col("sk96"), col("sk97"))).as("n_only_1996"))
+      },
+      None),
+
     // Anomaly pre-filter (the ThirdEye-style use in Introduction.md):
     // per-type z-scores against broadcast per-type stats; stats round to
     // 6 decimals on both sides so threshold comparisons are engine-stable.

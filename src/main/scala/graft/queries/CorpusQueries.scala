@@ -85,6 +85,68 @@ object CorpusQueries {
               FROM tok JOIN freq USING (w)
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Bigram-LM quality scoring — the context-aware upgrade of
+    // q_lm_quality's unigram NLL: per-doc average of
+    // -ln P(w2|w1) = ln(c(w1·) + V) - ln(c(w1,w2) + 1) (add-one smoothed
+    // conditional). Shape at 100 TB: bigram counting is ONE scan-local
+    // explode + vocab²-bounded rollup; the predecessor-context table
+    // derives from THAT rollup (no second corpus pass for c1); doc
+    // bigrams meet the count tables in an equi-join on the gram key —
+    // the only corpus-sized shuffle — and the vocab constant rides a
+    // scalar broadcast. Docs with <2 tokens (incl. null text) surface
+    // with n_bigrams=0, avg_nll=null instead of vanishing.
+    QueryDef(
+      "q_lm_bigram",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toksDf = docs.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        val t = col("toks")
+        val grams = transform(sequence(lit(1), size(t) - 1), i =>
+          concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
+        val docBg = toksDf.filter(size(t) >= 2)
+          .select(col("doc_id"), explode(grams).as("gram"))
+        val c12 = docBg.groupBy("gram").agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy(substring_index(col("gram"), " ", 1).as("w1"))
+          .agg(sum("c12").as("c1"))
+        val vocab = toksDf.select(explode(t).as("w")).agg(countDistinct("w").as("v"))
+        val scored = docBg
+          .join(c12, Seq("gram"))
+          .join(broadcast(c1),
+            substring_index(col("gram"), " ", 1) === c1("w1"))
+          .crossJoin(broadcast(vocab))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("nb"),
+            avg(log(col("c1") + col("v")) - log(col("c12") + lit(1))).as("nll"))
+        docs.select("doc_id").join(scored, Seq("doc_id"), "left_outer")
+          .select(
+            col("doc_id"),
+            coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+            (round(col("nll"), 3) + lit(0.0)).as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+                   bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                                                 FOR i IN range(1, len(w))]) AS gram
+                          FROM t WHERE len(w) >= 2),
+                   c12 AS (SELECT gram, count(*) AS c12 FROM bg GROUP BY 1),
+                   c1 AS (SELECT split_part(gram, ' ', 1) AS w1,
+                                 CAST(sum(c12) AS BIGINT) AS c1
+                          FROM c12 GROUP BY 1),
+                   v AS (SELECT count(DISTINCT u.w1) AS v
+                         FROM (SELECT unnest(w) AS w1 FROM t) u),
+                   sc AS (SELECT doc_id, count(*) AS nb,
+                                 avg(ln(c1.c1 + v.v) - ln(c12.c12 + 1)) AS nll
+                          FROM bg
+                          JOIN c12 USING (gram)
+                          JOIN c1 ON split_part(bg.gram, ' ', 1) = c1.w1
+                          CROSS JOIN v
+                          GROUP BY 1)
+              SELECT d.doc_id AS doc_id, coalesce(sc.nb, 0) AS n_bigrams,
+                     round(sc.nll, 3) + 0 AS avg_nll
+              FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+              ORDER BY d.doc_id""")),
+
     // Weighted mixture sampling with EPOCH REPLICATION — the data-mixture
     // assembly step: each source gets a target rate (src0 upsampled 2.5×,
     // src1 downsampled to 0.25×, everything else 1×); a doc contributes
@@ -121,6 +183,44 @@ object CorpusQueries {
               SELECT source, count(DISTINCT doc_id) AS n_docs_sampled,
                      count(*) AS n_samples,
                      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_out
+              FROM kept GROUP BY 1 ORDER BY source""")),
+
+    // Temperature-scaled source mixing — the standard multi-source
+    // rebalancing recipe (stratum probability ∝ n^alpha with alpha=0.5,
+    // flattening toward uniform at constant corpus size). Unlike
+    // q_mix_weighted the rates are COMPUTED from the data — one
+    // dictionary-sized rollup, broadcast back — then the identical
+    // content-hash epoch replication applies. The oracle replays the
+    // rate arithmetic (rounded to 6 decimals on both sides) and the md5
+    // keep decisions exactly.
+    QueryDef(
+      "q_mix_temperature",
+      (s, d) =>
+        graft.pipeline.Mixture.sampleTemperature(
+            Tables.documents(s, d), "text", "source", alpha = 0.5)
+          .groupBy("source")
+          .agg(
+            (round(min(col("mix_rate")), 6) + lit(0.0)).as("rate"),
+            countDistinct(col("doc_id")).as("n_docs_sampled"),
+            count(lit(1)).as("n_samples"))
+          .orderBy("source"),
+      Some("""WITH cnt AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+                           FROM documents GROUP BY 1),
+                   tot AS (SELECT sum(n) AS nn, sum(pow(n, 0.5)) AS ww FROM cnt),
+                   r AS (SELECT source, round(pow(n, 0.5) / ww * nn / n, 6) AS rate
+                         FROM cnt CROSS JOIN tot),
+                   cfg AS (SELECT d.doc_id, d.text, d.source, r.rate
+                           FROM documents d JOIN r USING (source)),
+                   ep AS (SELECT doc_id, text, source, rate,
+                                 CAST(unnest(range(1, CAST(ceil(rate) AS BIGINT) + 1)) AS INT) AS epoch
+                          FROM cfg),
+                   kept AS (SELECT * FROM ep
+                            WHERE epoch <= floor(rate)
+                               OR substring(md5(text || '#' || epoch), 1, 4) <
+                                  lpad(lower(hex(CAST(floor((rate - floor(rate)) * 65536) AS BIGINT))), 4, '0'))
+              SELECT source, round(min(rate), 6) + 0 AS rate,
+                     count(DISTINCT doc_id) AS n_docs_sampled,
+                     count(*) AS n_samples
               FROM kept GROUP BY 1 ORDER BY source""")),
 
     // Hashing-trick document embedding (feature-hashing vectorizer):

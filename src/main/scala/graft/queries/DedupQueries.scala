@@ -389,6 +389,27 @@ object DedupQueries {
               JOIN norms na ON a_id = na.vec_id
               JOIN norms nb ON b_id = nb.vec_id
               WHERE dot / (na.nrm * nb.nrm) >= 0.4
-              ORDER BY a_id, b_id"""))
+              ORDER BY a_id, b_id""")),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): KMeans-cell
+    // blocking instead of LSH bands — the learned-structure sibling of
+    // q_dedup_embedding, sharing the session-cached IVF cell assignment
+    // with the ANN family (one KMeans fit serves both). Pairs are
+    // exact-cosine verified inside cells (precision exact by
+    // construction; cross-cell recall bounded in DedupSpec). rows-only:
+    // the KMeans assignment is not SQL-expressible.
+    QueryDef(
+      "q_dedup_semantic",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.dedup.SemanticDedup.pairs(e, threshold = 0.4, numCentroids = 16)
+          .groupBy("cell")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            countDistinct(col("b_id")).as("n_dropped"),
+            round(max(col("cos")), 4).as("max_cos"))
+          .orderBy("cell")
+      },
+      None)
   )
 }

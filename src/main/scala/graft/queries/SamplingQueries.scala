@@ -52,6 +52,37 @@ object SamplingQueries {
                  ORDER BY md5(text), doc_id LIMIT 50)
               ORDER BY doc_id""")),
 
+    // Per-stratum fixed-k deterministic sample — the distributed,
+    // MERGEABLE replacement for per-group reservoir sampling: the k
+    // lexicographically-smallest content-hash keys per language, selected
+    // with the bounded top_k_by_str heap (constant score → pure min-k on
+    // the key). Each map task keeps ≤ k keys per group, so only
+    // (groups × partitions × k) entries cross the shuffle — never a
+    // per-group sort window, never a full shuffle of the corpus. doc_id
+    // is zero-padded into the key so hash ties (exact duplicate texts)
+    // break identically in both engines.
+    QueryDef(
+      "q_sample_group_k",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("lang"),
+            concat(md5(col("text")), lit(":"),
+              lpad(col("doc_id").cast("string"), 10, "0")).as("key"))
+          .groupBy("lang")
+          .agg(graft.functions.VectorFns.topKByStr(lit(0.0), col("key"), 5).as("top"))
+          .select(col("lang"), posexplode(col("top")))
+          .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+            substring_index(col("col.key"), ":", -1).cast("long").as("doc_id"),
+            substring(col("col.key"), 1, 8).as("h8"))
+          .orderBy("lang", "rank"),
+      Some("""WITH r AS (SELECT lang, doc_id, md5(text) AS h,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(text), doc_id) AS rank
+                   FROM documents)
+              SELECT lang, CAST(rank AS INT) AS rank, doc_id,
+                     substring(h, 1, 8) AS h8
+              FROM r WHERE rank <= 5 ORDER BY lang, rank""")),
+
     // Concat-and-chunk sequence PACKING — the batch-assembly step of a
     // pretraining pipeline: documents are concatenated per language in a
     // deterministic content-hash order and chunked into fixed 512-token

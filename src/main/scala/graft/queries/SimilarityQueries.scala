@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
+import graft.functions.VectorFns
 import graft.similarity.{Ann, IvfAnn}
 
 /** §K similarity search — brute-force cosine top-k (DuckDB-verified) and
@@ -116,6 +117,49 @@ object SimilarityQueries {
                      count(*) AS n_vecs,
                      round(min(scale), 6) + 0 AS scale,
                      round(sum(abs_err) / sum(dim), 6) + 0 AS mean_abs_err
-              FROM err GROUP BY 1 ORDER BY label"""))
+              FROM err GROUP BY 1 ORDER BY label""")),
+
+    // Embedding-space outlier detection — the curation signal SemDeDup/
+    // prototype-pruning pipelines start from: distance to the class
+    // centroid. Centroids come from the O(dim)-state vector_avg aggregate
+    // (labels × partitions buffers on the shuffle, never a table row),
+    // broadcast back onto one scan; the 3 farthest vectors per label
+    // (lowest cosine to centroid) are selected with the bounded top_k_by
+    // heap, not a per-label sort window. Exact double math end-to-end —
+    // oracle recomputes centroid/cosine from unnested elements.
+    QueryDef(
+      "q_embed_outliers",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = e.groupBy("label")
+          .agg(VectorFns.vectorAvg(col("embedding")).as("centroid"))
+        e.join(broadcast(cents), Seq("label"))
+          .select(col("label"), col("vec_id"),
+            (VectorFns.dot(col("embedding"), col("centroid")) /
+              (VectorFns.norm(col("embedding")) * VectorFns.norm(col("centroid"))))
+              .as("cos"))
+          .groupBy("label")
+          .agg(VectorFns.topKBy(-col("cos"), col("vec_id"), 3).as("hits"))
+          .select(col("label"), posexplode(col("hits")).as(Seq("pos", "hit")))
+          .select(
+            col("label"), col("hit.cand_id").as("vec_id"),
+            (col("pos") + 1).as("rank"),
+            (round(-col("hit.sim"), 4) + lit(0.0)).as("cos"))
+          .orderBy("label", "rank")
+      },
+      Some("""WITH e AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS i,
+                                CAST(unnest(embedding) AS DOUBLE) AS v
+                         FROM embeddings),
+                   c AS (SELECT label, i, avg(v) AS cv FROM e GROUP BY 1, 2),
+                   d AS (SELECT e.label, e.vec_id, sum(e.v * c.cv) AS dot,
+                                sqrt(sum(e.v * e.v)) AS ne, sqrt(sum(c.cv * c.cv)) AS nc
+                         FROM e JOIN c ON e.label = c.label AND e.i = c.i
+                         GROUP BY 1, 2),
+                   ranked AS (SELECT label, vec_id, dot / (ne * nc) AS cos,
+                                     row_number() OVER (PARTITION BY label
+                                       ORDER BY dot / (ne * nc) ASC, vec_id) AS rank
+                              FROM d)
+              SELECT label, vec_id, rank, round(cos, 4) + 0 AS cos
+              FROM ranked WHERE rank <= 3 ORDER BY label, rank"""))
   )
 }

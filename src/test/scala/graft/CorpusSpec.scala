@@ -123,6 +123,38 @@ class CorpusSpec extends SparkSpec {
       out.select("doc_id", "epoch").except(again.select("doc_id", "epoch")).isEmpty)
   }
 
+  test("Mixture.sampleTemperature: flattens toward uniform at ~constant corpus size") {
+    // 300 docs in a dominant source, 50 + 30 in small ones
+    val docs = ((1 to 300).map(i => (i.toLong, s"big doc $i ${i * 13}", "big")) ++
+      (301 to 350).map(i => (i.toLong, s"mid doc $i ${i * 7}", "mid")) ++
+      (351 to 380).map(i => (i.toLong, s"small doc $i ${i * 3}", "small")))
+      .toDF("doc_id", "text", "source")
+    val out = Mixture.sampleTemperature(docs, "text", "source", alpha = 0.5)
+    val rates = out.groupBy("source").agg(min("mix_rate")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // alpha<1: dominant source downsampled, small sources upsampled
+    assert(rates("big") < 1.0, s"big rate ${rates("big")}")
+    assert(rates("small") > 1.0, s"small rate ${rates("small")}")
+    assert(rates("mid") > rates("big") && rates("mid") < rates("small"))
+    // Σ rate_s·n_s = N exactly, so the sampled size ≈ N (hash noise only)
+    val n = out.count().toDouble
+    assert(n > 380 * 0.85 && n < 380 * 1.15, s"sampled $n vs 380")
+    // deterministic under a different partitioning
+    val again = Mixture.sampleTemperature(
+      docs.repartition(7, col("doc_id")), "text", "source", alpha = 0.5)
+    assert(again.select("doc_id", "epoch").except(out.select("doc_id", "epoch")).isEmpty &&
+      out.select("doc_id", "epoch").except(again.select("doc_id", "epoch")).isEmpty)
+  }
+
+  test("Mixture.sampleTemperature: alpha=1 is the identity mixture (all rates 1)") {
+    val docs = ((1 to 40).map(i => (i.toLong, s"x $i", "a")) ++
+      (41 to 50).map(i => (i.toLong, s"y $i", "b")))
+      .toDF("doc_id", "text", "source")
+    val out = Mixture.sampleTemperature(docs, "text", "source", alpha = 1.0)
+    assert(out.count() === 50)
+    assert(out.select("mix_rate").distinct().collect().map(_.getDouble(0)).toSeq === Seq(1.0))
+  }
+
   test("SpanDedup: an exact duplicate document loses every span; first occurrence survives") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l"), // spans: [a..j], [k l]

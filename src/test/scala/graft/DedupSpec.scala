@@ -55,6 +55,34 @@ class DedupSpec extends SparkSpec {
     assert(got === truth, s"missed=${truth -- got} extra=${got -- truth}")
   }
 
+  test("semantic (cell-blocked) dedup: exact precision, bounded recall vs all-pairs") {
+    import graft.functions.VectorFns
+    val e = Tables.embeddings(spark, sfDir)
+    val v = e.select(col("vec_id"), col("embedding"),
+      VectorFns.norm(col("embedding")).as("nrm"))
+    val truth = v.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      .join(v.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm")),
+        col("a_id") < col("b_id"))
+      .withColumn("sim", VectorFns.dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("sim") >= 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val got = graft.dedup.SemanticDedup.pairs(e, threshold = 0.4, numCentroids = 8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every reported pair is exact-verified inside its cell → zero false positives
+    assert((got -- truth).isEmpty, s"false positives: ${got -- truth}")
+    // recall is the approximation (cross-cell pairs missed); on the random
+    // fixture cell-blocking is a blunt instrument — require a sanity floor,
+    // and document that real clustered corpora are where it earns its keep
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.2, s"recall $recall (got ${got.size} of ${truth.size})")
+    // keep() drops exactly the higher-id members of reported pairs
+    val kept = graft.dedup.SemanticDedup.keep(e, 0.4, numCentroids = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropped = got.map(_._2)
+    assert(kept === (v.select("vec_id").collect().map(_.getLong(0)).toSet -- dropped))
+  }
+
   test("embedding near-dup plan has no cartesian or nested-loop join") {
     val plan = graft.dedup.EmbeddingLsh
       .nearPairs(Tables.embeddings(spark, sfDir), "vec_id", "embedding", 0.4)

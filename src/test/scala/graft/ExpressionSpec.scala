@@ -12,6 +12,45 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
   */
 class ExpressionSpec extends SparkSpec {
 
+  test("vector_avg computes the exact element-wise mean and ignores null rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1, Some(Array(1.0f, 2.0f, 3.0f))),
+      (1, Some(Array(3.0f, 4.0f, 5.0f))),
+      (1, None),
+      (2, Some(Array(10.0f, 0.0f, -2.0f))))
+      .toDF("g", "v")
+    val out = df.groupBy("g").agg(VectorFns.vectorAvg(col("v")).as("c"))
+      .orderBy("g").collect()
+    assert(out(0).getSeq[Double](1) === Seq(2.0, 3.0, 4.0))
+    assert(out(1).getSeq[Double](1) === Seq(10.0, 0.0, -2.0))
+    // an all-null group yields null, not a zero vector
+    val empty = Seq((1, Option.empty[Array[Float]])).toDF("g", "v")
+      .groupBy("g").agg(VectorFns.vectorAvg(col("v")).as("c")).collect()
+    assert(empty(0).isNullAt(1))
+  }
+
+  test("vector_avg is partitioning-invariant on the fixture (merge path)") {
+    val e = graft.engine.Tables.embeddings(spark, sfDir)
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("label").agg(VectorFns.vectorAvg(col("embedding")).as("c"))
+        .orderBy("label").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(x => math.round(x * 1e10)))
+    assert(cents(e).toSeq === cents(e.repartition(13)).toSeq)
+  }
+
+  test("vector_dot handles double arrays on either side") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(0.5, 0.25))).toDF("f", "d")
+    val r = df.select(
+      VectorFns.dot(col("f"), col("d")).as("fd"),
+      VectorFns.dot(col("d"), col("d")).as("dd")).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.3125)
+  }
+
   test("TopKHeap keeps exactly the k best under (score desc, id asc)") {
     val rnd = new scala.util.Random(7)
     val entries = Seq.tabulate(500)(i => (rnd.nextDouble(), i.toLong))

@@ -31,9 +31,13 @@ class PlanLintSpec extends SparkSpec {
     *  - q_bm25 / q_domain_cap: the same scalar-N pattern — one
     *    single-row corpus-stats aggregate (N/avgdl/df…, resp. the
     *    total-docs row) broadcasts onto a per-doc/per-host table.
+    *  - q_lm_bigram: the single-row vocabulary-size aggregate broadcasts
+    *    onto the per-doc-bigram table (scalar-N pattern).
+    *  - q_mix_temperature: the single-row (N, Σn^α) totals broadcast onto
+    *    the dictionary-sized per-source counts to derive rates.
     */
   private val broadcastBoundedOk = Set("q_knn_brute", "q_ann_ivf", "q_tfidf_top",
-    "q_bm25", "q_domain_cap")
+    "q_bm25", "q_domain_cap", "q_lm_bigram", "q_mix_temperature")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk

@@ -93,6 +93,45 @@ class SqlInterfaceSpec extends SparkSpec {
     topStr.foreach(r => assert(r.getSeq[AnyRef](1).length <= 2))
   }
 
+  test("theta sketch family and vector_avg from SQL") {
+    Graft.registerTables(spark, sfDir)
+    // distinct users per event type via theta sketches, estimates exact
+    // below k, plus direct intersection of two cohort sketches
+    val row = spark.sql(
+      """WITH sk AS (SELECT
+           theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END, 1024) AS c,
+           theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END, 1024) AS p
+         FROM events)
+         SELECT theta_estimate(c) AS nc, theta_estimate(p) AS np,
+                theta_estimate(theta_intersect(c, p)) AS nboth,
+                theta_estimate(theta_union(c, p)) AS neither,
+                theta_estimate(theta_a_not_b(c, p)) AS nonly
+         FROM sk""").head()
+    val exact = graft.engine.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_set("event_type")).as("ts"))
+      .groupBy("ts").count().collect()
+      .map(r => r.getSeq[String](0).mkString("+") -> r.getLong(1)).toMap
+    val both = exact.getOrElse("click+purchase", 0L)
+    val conly = exact.getOrElse("click", 0L)
+    val ponly = exact.getOrElse("purchase", 0L)
+    // k=1024 exceeds the fixture cardinality, so every estimate is exact
+    assert(row.getLong(0) === conly + both)
+    assert(row.getLong(1) === ponly + both)
+    assert(row.getLong(2) === both)
+    assert(row.getLong(3) === conly + ponly + both)
+    assert(row.getLong(4) === conly)
+    // vector_avg centroid from SQL matches the Column API
+    val sqlC = spark.sql(
+      "SELECT label, vector_avg(embedding) AS c FROM embeddings GROUP BY label ORDER BY label")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+    val apiC = graft.engine.Tables.embeddings(spark, sfDir)
+      .groupBy("label").agg(graft.functions.VectorFns.vectorAvg(col("embedding")).as("c"))
+      .orderBy("label").collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+    assert(sqlC.toSeq === apiC.toSeq)
+  }
+
   test("joins and subqueries from SQL") {
     Graft.registerTables(spark, sfDir)
     val n = spark.sql(
