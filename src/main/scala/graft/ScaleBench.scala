@@ -132,8 +132,25 @@ object ScaleBench {
       val suspect = slopes.collect {
         case (n, sl) if t1(n) >= 0.05 && sl > copies * 1.3 => n -> sl
       }.sortBy(-_._2)
+      // Adjudicate each flag with DATA instead of prose: a time slope is
+      // only superlinear ENGINE behavior if the query's OUTPUT did not
+      // itself grow superlinearly (replicated fixtures can make the true
+      // answer quadratic — every copy's probe rows matching every copy's
+      // build rows — and no exact operator can be input-linear when the
+      // answer is). Report rows at both scales and the per-output-row
+      // time ratio alongside the flag.
+      val adjudicated = suspect.map { case (n, sl) =>
+        val fn = SparkEntry.queries(n)
+        val rows1 = fn(spark, dir1).count()
+        val rowsC = fn(spark, dirC).count()
+        val outGrowth = rowsC.toDouble / math.max(rows1, 1L)
+        val perRow = sl / outGrowth
+        (n, sl, rows1, rowsC, outGrowth, perRow)
+      }
       println(s"""{"metric":"scale_superlinear","copies":$copies,"threshold":${f3(copies * 1.3)},"flagged":{${
-        suspect.map { case (n, sl) => s"\"$n\":${f3(sl)}" }.mkString(",")}},"fixed_cost_skipped":[${
+        adjudicated.map { case (n, sl, r1, rC, og, pr) =>
+          s"""\"$n\":{"slope":${f3(sl)},"rows_1x":$r1,"rows_${copies}x":$rC,"output_growth":${f3(og)},"slope_per_output":${f3(pr)}}"""
+        }.mkString(",")}},"fixed_cost_skipped":[${
         fixedCost.map(n => s"\"$n\"").mkString(",")}]}""")
     }
     spark.stop()

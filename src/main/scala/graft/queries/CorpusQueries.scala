@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 
@@ -60,16 +59,18 @@ object CorpusQueries {
     // = ln(total_tokens) - mean(ln(count(w))) over the doc's token
     // occurrences — high score = rare-token-heavy (possibly noise), low =
     // common-token-heavy (possibly boilerplate). Shape at 100 TB: the
-    // vocab table is dictionary-sized, so the unpartitioned total-sum
-    // window runs over the VOCAB (bounded), never the corpus, and the
-    // score join broadcasts the vocab to a single corpus scan.
+    // corpus token total is a SCALAR aggregate broadcast onto the vocab
+    // (the q_tfidf_top N pattern — web-scale vocab never funnels through
+    // a single-partition window), and the score join broadcasts the vocab
+    // to a single corpus scan.
     QueryDef(
       "q_lm_quality",
       (s, d) => {
         val tok = Tables.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
-          .withColumn("ln_total", log(sum("cnt").over(Window.partitionBy())))
+        val freq0 = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+        val freq = freq0
+          .crossJoin(broadcast(freq0.agg(log(sum("cnt")).as("ln_total"))))
         tok.join(broadcast(freq), Seq("w"))
           .groupBy("doc_id")
           .agg(
@@ -374,8 +375,9 @@ object CorpusQueries {
     // (PMI = ln(p(ab) / (p(a)·p(b)))) become multi-word tokens for the
     // tokenizer. Shape at 100 TB: unigram and bigram counting are the two
     // scan-local explode+rollup passes (vocab / vocab²-bounded tables);
-    // the totals ride unpartitioned windows over those DICTIONARY-sized
-    // tables (never the corpus — the q_lm_quality pattern) and the
+    // the totals are SCALAR aggregates broadcast back onto those tables
+    // (ReuseExchange shares the rollup shuffle with the scalar branch —
+    // no single-partition window even at web-scale vocab) and the
     // unigram probabilities broadcast onto the bigram table twice. Both
     // engines compute identical IEEE doubles (int counts → same
     // divisions/log), so the rounded PMI ranking cannot drift.
@@ -384,18 +386,20 @@ object CorpusQueries {
       (s, d) => {
         val toks = Tables.documents(s, d)
           .select(split(lower(col("text")), " ").as("toks"))
-        val uni = toks.select(explode(col("toks")).as("w"))
+        val uni0 = toks.select(explode(col("toks")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("c_w"))
-          .withColumn("n_uni", sum("c_w").over(Window.partitionBy()))
+        val uni = uni0
+          .crossJoin(broadcast(uni0.agg(sum("c_w").as("n_uni"))))
         val t = col("toks")
-        val big = toks
+        val big0 = toks
           .filter(size(t) >= 2)
           .select(explode(transform(sequence(lit(1), size(t) - 1), i =>
             struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
             .as("g"))
           .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
           .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-          .withColumn("n_big", sum("c_ab").over(Window.partitionBy()))
+        val big = big0
+          .crossJoin(broadcast(big0.agg(sum("c_ab").as("n_big"))))
         big
           .join(broadcast(uni.select(col("w").as("w1"), col("c_w").as("c_a"),
             col("n_uni"))), Seq("w1"))

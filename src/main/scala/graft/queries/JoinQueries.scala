@@ -161,6 +161,27 @@ object JoinQueries {
                      round(sum(o_totalprice), 2) AS sum_price
               FROM iv JOIN orders
                 ON o_totalprice BETWEEN lo AND hi
-              GROUP BY 1 ORDER BY c_custkey"""))
+              GROUP BY 1 ORDER BY c_custkey""")),
+
+    // Fuzzy (edit-distance ≤ 1) self-join via symmetric-delete blocking
+    // (SymSpell): {s} ∪ deletes1(s) as equi-join keys — lev(a,b) ≤ 1
+    // GUARANTEES a shared key (spec property-checks the claim under
+    // arbitrary insert/delete/substitute mutations), then exact
+    // `levenshtein` verifies the candidates. Entity-resolution shape at
+    // 100 TB: scan-local key generation, bounded deletion-neighborhood
+    // buckets, no cartesian node — vs the O(n²) all-pairs edit scan the
+    // oracle runs on the (distinct-name) fixture.
+    QueryDef(
+      "q_fuzzy_join",
+      (s, d) =>
+        graft.dedup.FuzzyJoin.nearPairs(Tables.part(s, d), "p_name")
+          .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+          .orderBy("a_name", "b_name"),
+      Some("""WITH n AS (SELECT DISTINCT p_name FROM part)
+              SELECT a.p_name AS a_name, b.p_name AS b_name,
+                     CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+              FROM n a JOIN n b
+                ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 1
+              ORDER BY a_name, b_name"""))
   )
 }

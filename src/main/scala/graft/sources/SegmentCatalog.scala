@@ -67,14 +67,23 @@ object SegmentCatalog {
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
   /** Live data-file listing of the segment directory (file-count-sized,
-    * the same cost class as the scan planner's own listing).
+    * the same cost class as the scan planner's own listing). Recursive, so
+    * Hive-partitioned layouts (`dir/k=v/part-*.parquet`) are covered;
+    * metadata trees (`_manifest`, `_SUCCESS`, dotfiles) are skipped the
+    * same way Spark's own InMemoryFileIndex skips them.
     */
   private def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(path).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else if (name.endsWith(".parquet")) Seq(st.getPath.toString)
+        else Seq.empty
+      }
+    walk(path)
   }
 
   /** Range read through the manifest: plan the scan over only the files
@@ -107,6 +116,9 @@ object SegmentCatalog {
     if (toRead.isEmpty)
       spark.read.parquet(dir).filter(lit(false))
     else
-      spark.read.parquet(toRead: _*).filter(pred)
+      // basePath keeps Hive-style partition columns in the schema when the
+      // scan is planned over an explicit file list under a partitioned dir
+      // (harmless for flat layouts).
+      spark.read.option("basePath", dir).parquet(toRead: _*).filter(pred)
   }
 }

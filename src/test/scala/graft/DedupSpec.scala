@@ -55,6 +55,60 @@ class DedupSpec extends SparkSpec {
     assert(got === truth, s"missed=${truth -- got} extra=${got -- truth}")
   }
 
+  test("fuzzy join: symmetric-delete blocking is COMPLETE for edit distance 1") {
+    // pure form of the blocking claim: lev(a,b)<=1 => keys share a member
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def keys(s: String): Set[String] =
+      Set(s) ++ s.indices.map(i => s.substring(0, i) + s.substring(i + 1))
+    val base = Gen.chooseNum(0, 11).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val mutated = for {
+      s <- base
+      kind <- Gen.oneOf("ins", "del", "sub", "same")
+      pos <- Gen.chooseNum(0, math.max(0, s.length - 1))
+      c <- Gen.alphaLowerChar
+    } yield kind match {
+      case "ins" => (s, s.substring(0, pos) + c + s.substring(pos))
+      case "del" if s.nonEmpty => (s, s.substring(0, pos) + s.substring(pos + 1))
+      case "sub" if s.nonEmpty => (s, s.substring(0, pos) + c + s.substring(pos + 1))
+      case _ => (s, s)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500)
+        .withInitialSeed(org.scalacheck.rng.Seed(7L)),
+      Prop.forAll(mutated) { case (a, b) => (keys(a) & keys(b)).nonEmpty })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("fuzzy join equals the brute-force edit-distance-1 pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // seed strings plus systematic 1-edit variants and some far strings
+    val strs = (Seq("gear", "ring", "widget", "bolt", "anvil") ++
+      Seq("gearx", "ear", "rang", "wadget", "odd", "completely-different"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = strs.toDF("id", "name")
+    val got = graft.dedup.FuzzyJoin.nearPairs(df, "name")
+      .select("a_name", "b_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val names = strs.map(_._2).distinct
+    val truth = (for {
+      a <- names; b <- names
+      if a < b && levenshteinDist(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got === truth, s"missed=${truth -- got} extra=${got -- truth}")
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("semantic (cell-blocked) dedup: exact precision, bounded recall vs all-pairs") {
     import graft.functions.VectorFns
     val e = Tables.embeddings(spark, sfDir)

@@ -35,9 +35,13 @@ class PlanLintSpec extends SparkSpec {
     *    onto the per-doc-bigram table (scalar-N pattern).
     *  - q_mix_temperature: the single-row (N, Σn^α) totals broadcast onto
     *    the dictionary-sized per-source counts to derive rates.
+    *  - q_lm_quality / q_pmi_phrases: the single-row corpus-total
+    *    aggregates broadcast back onto the vocab / bigram count tables
+    *    (replacing what used to be an unpartitioned window there).
     */
   private val broadcastBoundedOk = Set("q_knn_brute", "q_ann_ivf", "q_tfidf_top",
-    "q_bm25", "q_domain_cap", "q_lm_bigram", "q_mix_temperature")
+    "q_bm25", "q_domain_cap", "q_lm_bigram", "q_mix_temperature",
+    "q_lm_quality", "q_pmi_phrases")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
@@ -105,6 +109,35 @@ class PlanLintSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"loop-invariant expensive expressions inside HOF lambdas: ${offenders.mkString("; ")}")
+  }
+
+  test("no registry query plans an unpartitioned window, save dictionary-sized exceptions") {
+    // Window.partitionBy() (no keys) / OVER (ORDER BY …) moves EVERY row
+    // to one partition — the "WindowExec: No Partition Defined" warning.
+    // Corpus-sized inputs must never take that shape (scalar agg +
+    // broadcast is the replacement — see q_domain_cap/q_lm_quality).
+    // Exceptions are sequential-by-definition windows over inputs bounded
+    // by a DIMENSION, not the corpus:
+    //  - q_gapfill_prev: carry-forward over the day dimension (≤ tens of
+    //    thousands of rows for decades of days);
+    //  - q_topn_others: final rank over the already-aggregated event_type
+    //    dictionary (one row per type).
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globalWindowOk = Set("q_gapfill_prev", "q_topn_others")
+    val offenders = Registry.all.flatMap { q =>
+      val global = q.run(spark, sfDir).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (global.nonEmpty && !globalWindowOk.contains(q.name)) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning single-partition windows: ${offenders.mkString(", ")}")
+    // the exceptions stay dictionary-sized (the justification above holds)
+    globalWindowOk.foreach { name =>
+      Registry.all.find(_.name == name).foreach { q =>
+        assert(q.run(spark, sfDir).count() <= 10000, s"$name no longer dictionary-sized")
+      }
+    }
   }
 
   test("allowlisted scalar cross joins really do combine single-row inputs") {

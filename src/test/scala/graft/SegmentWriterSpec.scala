@@ -109,6 +109,38 @@ class SegmentWriterSpec extends SparkSpec {
     assert(none.columns.toSeq === Seq("l_orderkey", "l_partkey", "l_quantity"))
   }
 
+  test("manifest prunedRead over a Hive-partitioned dir keeps partition columns and rows") {
+    import graft.sources.SegmentCatalog
+    val out = Files.createTempDirectory("manifest_part").toString
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    ord.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    SegmentCatalog.build(spark, out, Seq("o_custkey"))
+
+    val Row(cLo: Long, cHi: Long) = ord
+      .agg(min("o_custkey").cast("long"), max("o_custkey").cast("long")).head()
+    val narrow = (cLo, cLo + (cHi - cLo) / 10)
+
+    // the partition column survives the explicit-file-list scan (basePath)
+    val got = SegmentCatalog.prunedRead(spark, out, "o_custkey", narrow._1, narrow._2)
+    assert(got.columns.contains("o_orderstatus"), got.columns.mkString(","))
+
+    // per-partition-value rollup equals the direct filtered read
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").cast("long").as("s"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rollup(got) ===
+      rollup(ord.filter(col("o_custkey").between(narrow._1, narrow._2))))
+
+    // stale manifest + new partition dir: rows appear (unpruned), never lost
+    val extra = ord.filter(col("o_orderkey") % 97 === 0)
+    extra.withColumn("o_orderstatus", lit("Z"))
+      .write.mode("append").partitionBy("o_orderstatus").parquet(out)
+    val after = SegmentCatalog.prunedRead(spark, out, "o_custkey", cLo, cHi)
+    assert(after.filter(col("o_orderstatus") === "Z").count() === extra.count())
+  }
+
   test("interleaveBits is the exact Morton order") {
     val df = spark.range(0, 64).select(
       (col("id") / 8).cast("long").as("a"), (col("id") % 8).cast("long").as("b"))
