@@ -64,10 +64,20 @@ object IvfAnn {
 
   /** Query a materialized index: probes read ~nProbe/numCentroids of the
     * corpus via partition pruning on `cell`.
+    *
+    * Hot-swap safety: the session's shared FileStatusCache can hold the
+    * OLD file listing after the index path is re-materialized (overwrite
+    * deletes the old part files), which would fail — or silently
+    * short-read — the next probe. Refreshing the path first makes every
+    * call serve the index as it exists on disk NOW, so a serving stream
+    * (Realtime.annServe) picks up a rebuilt index on its next micro-batch.
+    * Cost: one file listing, the same class as planning the scan.
     */
   def knnIvfIndexed(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    spark.catalog.refreshByPath(s"$path/assigned")
+    spark.catalog.refreshByPath(s"$path/centroids")
     val assigned = spark.read.parquet(s"$path/assigned")
     val centroids = spark.read.parquet(s"$path/centroids")
     knnIvfOn(assigned, centroids, queries, k, nProbe)

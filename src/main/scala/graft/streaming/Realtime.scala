@@ -232,7 +232,9 @@ object Realtime {
     * (similarity.IvfAnn.materialize — cell-partitioned parquet, nProbe
     * directory pruning per probe). The stream side carries NO state: the
     * index is the state, lives on disk, and refreshes independently of
-    * the serving query (rebuild the path, batches pick it up). This is
+    * the serving query — knnIvfIndexed refreshes the path's cached file
+    * listing per call, so a rebuild lands on the NEXT micro-batch
+    * (spec-proven: the hot-swap test re-materializes mid-stream). This is
     * the retrieval-serving shape of the realtime flow — Pinot servers
     * answer queries from on-disk segments the ingestion side keeps
     * refreshing, reference: /root/reference/basics/Architecture.md

@@ -95,6 +95,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._1) === Set(0L, 1L, 2L, 3L))
   }
 
+  test("annServe picks up a rebuilt index on the next micro-batch (hot swap)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.similarity.IvfAnn
+    val e = graft.engine.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("annswap").toString
+    // v1 index: only even vec_ids; v2 index: only odd vec_ids — any
+    // answer row reveals which index generation served it
+    val v1 = e.filter(col("vec_id") % 2 === 0)
+    val v2 = e.filter(col("vec_id") % 2 === 1)
+    IvfAnn.materialize(v1, dir, numCentroids = 4)
+
+    val qVec = e.filter(col("vec_id") === 0).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])]
+    val results = scala.collection.mutable.Map[Long, Set[Long]]()
+    val q = Realtime.annServe(
+        input.toDF().toDF("vec_id", "embedding"), dir, k = 5, nProbe = 4) {
+      (out, id) =>
+        val cands = out.select("cand_id").collect().map(_.getLong(0)).toSet
+        results.synchronized { results(id) = cands }
+    }
+    try {
+      input.addData(qVec(0))
+      q.processAllAvailable()
+      // rebuild the index IN PLACE while the stream is running
+      IvfAnn.materialize(v2, dir, numCentroids = 4)
+      input.addData(qVec(0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(results.size === 2)
+    val batches = results.toSeq.sortBy(_._1).map(_._2)
+    assert(batches(0).nonEmpty && batches(0).forall(_ % 2 == 0),
+      s"batch 0 should serve the even-id v1 index, got ${batches(0)}")
+    assert(batches(1).nonEmpty && batches(1).forall(_ % 2 == 1),
+      s"batch 1 should serve the odd-id v2 index after the hot swap, got ${batches(1)}")
+  }
+
   test("kafka-wire-schema stream decodes and upserts like the batch path") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
