@@ -98,6 +98,7 @@ object ScaleBench {
         // work whose scaling we're here to measure.
         graft.queries.DedupQueries.invalidateCaches()
         graft.similarity.IvfAnn.invalidateIndexCache()
+        graft.similarity.Pq.invalidateCache()
         val t0 = System.nanoTime()
         try { fn(spark, dir).write.format("noop").mode("overwrite").save()
               Some((System.nanoTime() - t0) / 1e9) }
@@ -149,7 +150,7 @@ object ScaleBench {
       }
       println(s"""{"metric":"scale_superlinear","copies":$copies,"threshold":${f3(copies * 1.3)},"flagged":{${
         adjudicated.map { case (n, sl, r1, rC, og, pr) =>
-          s"""\"$n\":{"slope":${f3(sl)},"rows_1x":$r1,"rows_${copies}x":$rC,"output_growth":${f3(og)},"slope_per_output":${f3(pr)}}"""
+          s"""\"$n\":{"slope":${f3(sl)},"rows_1x":$r1,"rows_${copies}x":$rC,"output_growth":${f3(og)},"slope_per_output":${f3(pr)},"slope_per_input":${f3(sl / copies)}}"""
         }.mkString(",")}},"fixed_cost_skipped":[${
         fixedCost.map(n => s"\"$n\"").mkString(",")}]}""")
     }

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (Array(sfDir, outDir), only) = (args.take(2), args.drop(2).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Same engine-recommended session the bench measures (Graft.session
     // sets the nanos flag events.parquet needs and the graft extensions).
@@ -12,7 +12,12 @@ object Verify {
       master = s"local[$cpus]", shufflePartitions = cpus.toInt,
       appName = "graft-verify", extraConf = Map("spark.ui.enabled" -> "false"))
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional trailing args restrict the dump to named queries — a
+    // builder-side shortcut for spot-checking one oracle; the driver
+    // passes exactly two args and dumps everything.
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,0 +1,85 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank over a weighted edge list — the classic
+  * link-authority signal a web-crawl curation pipeline uses to weight
+  * domains (host-level PageRank is one of the quality features in
+  * CommonCrawl-derived corpus builds; cf. reference basics/Architecture.md
+  * on derived quality columns feeding ingestion-time filtering).
+  *
+  * Scale design (the same discipline as dedup/Clusters.scala):
+  *   - The graph stays an EDGE LIST — never an adjacency matrix, never
+  *     collected. Each iteration is exactly one equi-join (ranks ⋈ edges
+  *     on src) plus one hash aggregation (sum of weighted contributions
+  *     by dst), both shuffling on the node key: the shape AQE handles at
+  *     10⁸-host scale, with skew-split on mega-hubs.
+  *   - Out-weight normalization is computed ONCE before the loop, not per
+  *     iteration.
+  *   - Dangling mass (nodes with no out-edges — crawl frontier leaves) is
+  *     collected per iteration as a SCALAR aggregate and redistributed
+  *     through the teleport term, so total mass stays 1 without any
+  *     single-partition window. That scalar action doubles as the
+  *     materializer for the round's lazy localCheckpoint, which truncates
+  *     the otherwise per-round-doubling lineage (the Clusters.scala
+  *     lesson: analysis cost goes exponential before execution does).
+  *   - Fixed iteration count (deterministic output for a fixed input —
+  *     oracle-friendly); PageRank converges geometrically at rate d, so
+  *     ~20 rounds give 1e-2·d²⁰ ≈ 1e-4 accuracy; callers wanting a
+  *     tolerance loop can watch the returned delta of successive runs.
+  */
+object PageRank {
+
+  /** Ranks for every node of `edges` (columns: src, dst, weight — weight
+    * is the link multiplicity or any positive strength). Returns
+    * (host, rank) with Σ rank = 1.
+    */
+  def ranks(
+      edges: DataFrame,
+      iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e0 = edges.select(
+      col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"),
+      col("weight").cast("double").as("weight"))
+
+    val nodes = e0.select(col("src").as("host"))
+      .unionByName(e0.select(col("dst").as("host")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    // One scalar count for the teleport denominator — an aggregate over
+    // the (already small-schema) node set, not a data collect.
+    val n = nodes.count().toDouble
+
+    val outW = e0.groupBy("src").agg(sum("weight").as("out_w"))
+    val trans = e0.join(outW, "src")
+      .select(col("src"), col("dst"), (col("weight") / col("out_w")).as("p"))
+      .localCheckpoint(eager = false)
+
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var iter = 0
+    while (iter < iterations) {
+      // Mass sitting on dangling nodes (no outgoing edges) this round:
+      // redistributed uniformly via the teleport term. Scalar aggregate —
+      // also the action that materializes the previous round's lazy
+      // checkpoint.
+      val dangling = ranks.join(outW, ranks("host") === outW("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)))
+        .head().getDouble(0)
+      val inflow = trans.join(ranks, trans("src") === ranks("host"))
+        .groupBy(col("dst"))
+        .agg(sum(col("p") * col("rank")).as("inflow"))
+      ranks = nodes
+        .join(inflow, nodes("host") === inflow("dst"), "left_outer")
+        .select(
+          col("host"),
+          (lit((1.0 - damping) / n) + lit(damping * dangling / n) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .localCheckpoint(eager = false)
+      iter += 1
+    }
+    ranks
+  }
+}

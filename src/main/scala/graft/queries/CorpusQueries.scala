@@ -602,6 +602,78 @@ object CorpusQueries {
                      CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
                      round((count(*) - sum(CASE WHEN is_boiler THEN 1 ELSE 0 END))
                            / CAST(count(*) AS DOUBLE), 4) AS kept_ratio
-              FROM j GROUP BY 1 ORDER BY doc_id"""))
+              FROM j GROUP BY 1 ORDER BY doc_id""")),
+
+    // Host-graph PageRank — the link-authority curation signal (host-level
+    // PageRank is a standard quality feature over CommonCrawl-scale
+    // corpora). The fixture link graph is synthesized deterministically
+    // (doc in host A "links to" the host of doc (id²·13+7) mod N — the
+    // quadratic-residue map concentrates in-links on a few hosts, so the
+    // stationary distribution is genuinely non-uniform and a rank engine
+    // that degenerates to uniform hash-mismatches; in a real crawl the
+    // edge list comes from anchor hrefs); the ENGINE under test
+    // is graph/PageRank.ranks: per-iteration join+agg on the edge list,
+    // dangling mass as a scalar aggregate (never a global window), lazy
+    // localCheckpoint truncation. Oracle: the same 5 damped iterations
+    // unrolled as CTEs. Shape at 100 TB: host graph is ~10⁸ nodes / ~10¹⁰
+    // edges — every per-iteration stage shuffles on the node key only.
+    QueryDef(
+      "q_pagerank_hosts",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val nDocs = docs.count()
+        val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
+        val edges = docs.select(col("doc_id"), col("source").as("src"))
+          .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
+          .groupBy("src", "dst")
+          .agg(count(lit(1)).cast("double").as("weight"))
+        graft.graph.PageRank.ranks(edges, iterations = 5, damping = 0.85)
+          .select(col("host"), round(col("rank"), 6).as("rank"))
+          .orderBy("host")
+      },
+      Some("""WITH nd AS (SELECT count(*) AS c FROM documents),
+                   e0 AS (SELECT a.source AS src, b.source AS dst,
+                                 CAST(count(*) AS DOUBLE) AS w
+                          FROM documents a
+                          JOIN documents b
+                            ON b.doc_id = (a.doc_id * a.doc_id * 13 + 7) % (SELECT c FROM nd)
+                          GROUP BY 1, 2),
+                   hosts AS (SELECT src AS host FROM e0 UNION SELECT dst FROM e0),
+                   nh AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hosts),
+                   outw AS (SELECT src, sum(w) AS ow FROM e0 GROUP BY 1),
+                   e AS (SELECT e0.src, e0.dst, e0.w / outw.ow AS p
+                         FROM e0 JOIN outw ON e0.src = outw.src),
+                   r0 AS (SELECT host, 1.0 / (SELECT n FROM nh) AS rank FROM hosts),
+                   r1 AS (SELECT h.host, (1.0 - 0.85) / (SELECT n FROM nh)
+                                         + 0.85 * coalesce(i.fl, 0) AS rank
+                          FROM hosts h LEFT JOIN
+                            (SELECT e.dst, sum(e.p * r.rank) AS fl
+                             FROM e JOIN r0 r ON e.src = r.host GROUP BY 1) i
+                            ON h.host = i.dst),
+                   r2 AS (SELECT h.host, (1.0 - 0.85) / (SELECT n FROM nh)
+                                         + 0.85 * coalesce(i.fl, 0) AS rank
+                          FROM hosts h LEFT JOIN
+                            (SELECT e.dst, sum(e.p * r.rank) AS fl
+                             FROM e JOIN r1 r ON e.src = r.host GROUP BY 1) i
+                            ON h.host = i.dst),
+                   r3 AS (SELECT h.host, (1.0 - 0.85) / (SELECT n FROM nh)
+                                         + 0.85 * coalesce(i.fl, 0) AS rank
+                          FROM hosts h LEFT JOIN
+                            (SELECT e.dst, sum(e.p * r.rank) AS fl
+                             FROM e JOIN r2 r ON e.src = r.host GROUP BY 1) i
+                            ON h.host = i.dst),
+                   r4 AS (SELECT h.host, (1.0 - 0.85) / (SELECT n FROM nh)
+                                         + 0.85 * coalesce(i.fl, 0) AS rank
+                          FROM hosts h LEFT JOIN
+                            (SELECT e.dst, sum(e.p * r.rank) AS fl
+                             FROM e JOIN r3 r ON e.src = r.host GROUP BY 1) i
+                            ON h.host = i.dst),
+                   r5 AS (SELECT h.host, (1.0 - 0.85) / (SELECT n FROM nh)
+                                         + 0.85 * coalesce(i.fl, 0) AS rank
+                          FROM hosts h LEFT JOIN
+                            (SELECT e.dst, sum(e.p * r.rank) AS fl
+                             FROM e JOIN r4 r ON e.src = r.host GROUP BY 1) i
+                            ON h.host = i.dst)
+              SELECT host, round(rank, 6) AS rank FROM r5 ORDER BY host"""))
   )
 }

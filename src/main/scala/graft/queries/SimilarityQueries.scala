@@ -63,6 +63,21 @@ object SimilarityQueries {
       },
       None),
 
+    // Product-quantization ANN: each 64-float vector stored as 8 one-byte
+    // codes (32× memory), queries score via an asymmetric distance table
+    // — m lookups per candidate, no float vector touched at scan time.
+    // Rows-only; PqSpec bounds recall vs exact brute force and pins the
+    // compression claim.
+    QueryDef(
+      "q_ann_pq",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.similarity.Pq.knnPq(e.filter(col("vec_id") < 10), e, k = 3)
+          .select(col("q_id"), col("cand_id"), col("rank"), round(col("sim"), 4).as("sim"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     QueryDef(
       "q_ann_ivf",
       (s, d) => {

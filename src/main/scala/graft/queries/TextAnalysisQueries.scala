@@ -370,6 +370,69 @@ object TextAnalysisQueries {
             round(max("ratio"), 4).as("max_ratio"))
           .orderBy("source")
       },
-      None)
+      None),
+
+    // RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    // the maximal stopword-free token runs capped at 4 words (the
+    // standard RAKE candidate-length cap — uncapped runs degenerate to
+    // whole-document "phrases" on stopword-sparse text); each word scores
+    // degree/frequency over all phrase occurrences (degree = Σ length of
+    // phrases it appears in — co-occurrence weight), and a phrase scores
+    // the sum of its words' scores. Corpus-level top-15 keyphrases.
+    // Shape at 100 TB: phrase splitting is scan-local, the word-score
+    // table is VOCABULARY-sized (broadcast back onto the phrase rollup),
+    // and the only corpus-keyed shuffle is the groupBy(phrase) rollup —
+    // the q_ngram_top shape with a dictionary join on top. Fully
+    // SQL-expressible, so hash-verified end to end.
+    QueryDef(
+      "q_keywords_rake",
+      (s, d) => {
+        val stop = "\\b(?:a|the|of|and|in|to|is)\\b"
+        val occ = Tables.documents(s, d)
+          .select(explode(split(col("text"), stop)).as("p0"))
+          .select(trim(col("p0")).as("phrase"))
+          .filter(length(col("phrase")) > 0)
+          .withColumn("ws", split(col("phrase"), " "))
+          .withColumn("plen", size(col("ws")))
+          .filter(col("plen") <= 4)
+        val wordScore = occ
+          .select(explode(col("ws")).as("word"), col("plen"))
+          .groupBy("word")
+          .agg((sum("plen") / count(lit(1))).as("wscore"))
+        occ.groupBy("phrase")
+          .agg(count(lit(1)).as("n_occ"),
+            first(col("ws")).as("ws"),
+            first(col("plen")).as("n_words"))
+          .select(col("phrase"), col("n_occ"), col("n_words"),
+            explode(col("ws")).as("word"))
+          .join(broadcast(wordScore), "word")
+          .groupBy("phrase")
+          .agg(
+            first(col("n_occ")).as("n_occ"),
+            first(col("n_words")).as("n_words"),
+            round(sum("wscore"), 4).as("score"))
+          .orderBy(desc("score"), asc("phrase"))
+          .limit(15)
+      },
+      Some("""WITH ph0 AS (SELECT unnest(regexp_split_to_array(text,
+                                    '\b(?:a|the|of|and|in|to|is)\b')) AS p
+                           FROM documents),
+                   ph AS (SELECT trim(p) AS phrase FROM ph0
+                          WHERE trim(p) <> ''
+                            AND len(string_split(trim(p), ' ')) <= 4),
+                   wo AS (SELECT unnest(string_split(phrase, ' ')) AS word,
+                                 len(string_split(phrase, ' ')) AS plen
+                          FROM ph),
+                   wscore AS (SELECT word, sum(plen) / CAST(count(*) AS DOUBLE) AS wscore
+                              FROM wo GROUP BY 1),
+                   pstats AS (SELECT phrase, count(*) AS n_occ FROM ph GROUP BY 1),
+                   pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+                          FROM (SELECT DISTINCT phrase FROM ph)),
+                   ps AS (SELECT pw.phrase, round(sum(w.wscore), 4) AS score,
+                                 CAST(count(*) AS INT) AS n_words
+                          FROM pw JOIN wscore w USING (word) GROUP BY 1)
+              SELECT ps.phrase, s.n_occ, ps.n_words, ps.score
+              FROM ps JOIN pstats s USING (phrase)
+              ORDER BY score DESC, phrase LIMIT 15"""))
   )
 }

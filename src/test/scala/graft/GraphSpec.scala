@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.PageRank
+
+class GraphSpec extends SparkSpec {
+
+  private def edgeDf(edges: Seq[(String, String, Double)]) = {
+    import spark.implicits._
+    edges.toDF("src", "dst", "weight")
+  }
+
+  private def rankMap(edges: Seq[(String, String, Double)], iters: Int = 20) =
+    PageRank.ranks(edgeDf(edges), iterations = iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("pagerank conserves total mass to 1, including with dangling nodes") {
+    // c has no out-edges: its mass must recycle through the teleport term,
+    // not silently leak (the classic dangling-node bug).
+    val ranks = rankMap(Seq(("a", "b", 1.0), ("b", "c", 1.0)))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9,
+      s"mass ${ranks.values.sum} != 1")
+    assert(ranks.keySet == Set("a", "b", "c"))
+  }
+
+  test("pagerank on a symmetric cycle is uniform") {
+    val cycle = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0))
+    val ranks = rankMap(cycle)
+    ranks.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-9, s"rank $r"))
+  }
+
+  test("pagerank ranks the in-link magnet above the periphery") {
+    // star: everyone links to hub, hub links back to one spoke
+    val star = Seq(("s1", "hub", 1.0), ("s2", "hub", 1.0), ("s3", "hub", 1.0),
+      ("hub", "s1", 1.0))
+    val ranks = rankMap(star)
+    assert(ranks("hub") > ranks("s2") && ranks("hub") > ranks("s3"))
+    // s1 receives the hub's entire out-mass — above the unlinked spokes
+    assert(ranks("s1") > ranks("s2"))
+  }
+
+  test("pagerank matches the analytic two-node fixpoint") {
+    // a <-> b symmetric: fixpoint is exactly (0.5, 0.5); a one-way a -> b
+    // with damping d and N=2 has closed form r(a) = (1-d)/2 + d*r(b)... the
+    // symmetric case is the analytically-exact one, the asymmetric case is
+    // checked against an independently-iterated reference below.
+    val sym = rankMap(Seq(("a", "b", 1.0), ("b", "a", 1.0)))
+    assert(math.abs(sym("a") - 0.5) < 1e-9 && math.abs(sym("b") - 0.5) < 1e-9)
+
+    // independent scalar reference for a -> b (b dangling), d = 0.85, N = 2
+    var ra = 0.5; var rb = 0.5
+    for (_ <- 1 to 20) {
+      val dangling = rb // b has no out-edges
+      val t = 0.15 / 2 + 0.85 * dangling / 2
+      val (na, nb) = (t, t + 0.85 * ra)
+      ra = na; rb = nb
+    }
+    val one = rankMap(Seq(("a", "b", 1.0)))
+    assert(math.abs(one("a") - ra) < 1e-9, s"${one("a")} vs $ra")
+    assert(math.abs(one("b") - rb) < 1e-9, s"${one("b")} vs $rb")
+  }
+
+  test("pagerank iteration contracts geometrically at rate d") {
+    val edges = Seq(
+      ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+      ("d", "a", 1.0), ("d", "c", 3.0))
+    val r5 = rankMap(edges, iters = 5)
+    val r10 = rankMap(edges, iters = 10)
+    val r20 = rankMap(edges, iters = 20)
+    val r40 = rankMap(edges, iters = 40)
+    def maxDiff(a: Map[String, Double], b: Map[String, Double]) =
+      a.map { case (h, r) => math.abs(r - b(h)) }.max
+    val early = maxDiff(r5, r10)
+    val late = maxDiff(r20, r40)
+    // theory: |r_i - r_inf| <= C * 0.85^i, so the 20-vs-40 gap must sit
+    // under 0.85^20 and well under the 5-vs-10 gap (strict contraction)
+    assert(late <= math.pow(0.85, 20), s"late gap $late")
+    assert(late < early / 4, s"not contracting: $early -> $late")
+  }
+
+  test("q_pagerank_hosts sums to 1 and covers every host") {
+    val out = graft.queries.Registry.queries("q_pagerank_hosts")(spark, sfDir)
+      .collect()
+    val hosts = graft.engine.Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(out.length == hosts, s"${out.length} ranked vs $hosts hosts")
+    val mass = out.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"rounded mass $mass")
+  }
+}

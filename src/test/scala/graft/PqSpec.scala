@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.similarity.{Ann, Pq}
+
+class PqSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("PQ codes are m one-byte symbols — the 32x compression claim") {
+    val cb = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 8, kCodes = 16)
+    assert(cb.count() == 8 * 16)
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb, m = 8).collect()
+    assert(codes.length == emb.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 8, s"codes ${cs.length} != m")
+      assert(cs.forall(c => c >= 0 && c < 16), s"code out of byte range: $cs")
+    }
+  }
+
+  test("PQ shortlist + exact rerank recalls most exact top-k neighbors") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Ann.knnBruteForce(queries, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Pq.knnPq(queries, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"PQ+rerank recall@5 $recall over ${exact.size} pairs")
+  }
+
+  test("pure ADC (no rerank) still beats the random-candidate baseline by far") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Ann.knnBruteForce(queries, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Pq.knnPq(queries, emb, k = 5, rerankFactor = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    // 8x16 codes on 64-dim near-random vectors are coarse — lossy by
+    // design; the random baseline is k/N = 1%, so 15% proves the codes
+    // carry real signal even before the rerank stage.
+    assert(recall >= 0.15, s"ADC-only recall@5 $recall")
+  }
+
+  test("PQ approximate similarity tracks exact cosine") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Ann.knnBruteForce(queries, emb, k = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val approx = Pq.knnPq(queries, emb, k = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val common = exact.keySet.intersect(approx.keySet)
+    assert(common.nonEmpty)
+    val meanErr = common.toSeq.map(p => math.abs(exact(p) - approx(p))).sum / common.size
+    assert(meanErr < 0.2, s"mean |approx - exact| = $meanErr")
+  }
+
+  test("q_ann_pq returns ranked rows per query") {
+    val out = graft.queries.Registry.queries("q_ann_pq")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(2)).sorted.sameElements(1 to rows.length),
+        "ranks not contiguous from 1")
+    }
+  }
+}
