@@ -58,16 +58,29 @@ object PageRank {
       .select(col("src"), col("dst"), (col("weight") / col("out_w")).as("p"))
       .localCheckpoint(eager = false)
 
+    // Dangling nodes (no out-edges) are a STATIC set — detect them once.
+    // When there are none (the common host-graph case: every host that
+    // appears also links out), the per-iteration dangling-mass scalar job
+    // disappears entirely and the whole fixed-iteration chain runs as ONE
+    // job at the caller's action (lazy localCheckpoints still truncate
+    // the logical plan per round — they wrap the round in a LogicalRDD
+    // immediately; only the RDD lineage waits for the action).
+    val danglingNodes = nodes.join(outW, nodes("host") === outW("src"), "left_anti")
+      .localCheckpoint(eager = false)
+    val hasDangling = danglingNodes.limit(1).count() > 0
+
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var iter = 0
     while (iter < iterations) {
-      // Mass sitting on dangling nodes (no outgoing edges) this round:
-      // redistributed uniformly via the teleport term. Scalar aggregate —
-      // also the action that materializes the previous round's lazy
-      // checkpoint.
-      val dangling = ranks.join(outW, ranks("host") === outW("src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0)))
-        .head().getDouble(0)
+      // Mass sitting on dangling nodes this round: redistributed
+      // uniformly via the teleport term. Scalar aggregate — also the
+      // action that materializes the previous round's lazy checkpoint.
+      val dangling =
+        if (!hasDangling) 0.0
+        else ranks.join(danglingNodes.select(col("host").as("dhost")),
+            ranks("host") === col("dhost"))
+          .agg(coalesce(sum("rank"), lit(0.0)))
+          .head().getDouble(0)
       val inflow = trans.join(ranks, trans("src") === ranks("host"))
         .groupBy(col("dst"))
         .agg(sum(col("p") * col("rank")).as("inflow"))

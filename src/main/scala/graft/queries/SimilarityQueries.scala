@@ -78,6 +78,21 @@ object SimilarityQueries {
       },
       None),
 
+    // IVF+PQ composition (the FAISS IVFPQ deployment shape): KMeans cells
+    // bound WHICH vectors are scored, byte codes bound WHAT is read per
+    // vector, exact rerank touches only the shortlist. Rows-only; PqSpec
+    // asserts probe-all ≡ plain PQ and bounds recall at nProbe<cells.
+    QueryDef(
+      "q_ann_ivfpq",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.similarity.Pq.knnIvfPq(e.filter(col("vec_id") < 10), e, k = 3,
+            numCentroids = 16, nProbe = 4)
+          .select(col("q_id"), col("cand_id"), col("rank"), round(col("sim"), 4).as("sim"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     QueryDef(
       "q_ann_ivf",
       (s, d) => {

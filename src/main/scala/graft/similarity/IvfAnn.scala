@@ -108,17 +108,15 @@ object IvfAnn {
     knnIvfOn(assigned, centroids, queries, k, nProbe)
   }
 
-  /** Probe an already-built (cached or materialized) index. */
-  def knnIvfOn(
-      assigned: DataFrame, centroids: DataFrame,
-      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    // nProbe nearest centroids per query (euclidean, matching KMeans):
-    // |q-c|² = |q|² - 2·q·c + |c|²; |q|² is rank-invariant per query.
-    // top_k_by keeps the nProbe LOWEST distances (score = -distance).
-    val q = queries.select(
-      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      VectorFns.norm(col("embedding")).as("q_nrm"))
-    val probeCells = q.crossJoin(broadcast(centroids))
+  /** (q_id, cell) pairs: the nProbe nearest centroids per query
+    * (euclidean, matching KMeans): |q-c|² = |q|² - 2·q·c + |c|²; |q|² is
+    * rank-invariant per query. top_k_by keeps the nProbe LOWEST distances
+    * (score = -distance). Shared by the float path below and the PQ-coded
+    * path (Pq.knnIvfPq).
+    */
+  private[similarity] def probeCells(
+      q: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame =
+    q.crossJoin(broadcast(centroids))
       .withColumn("cell_dist",
         VectorFns.dot(col("centroid"), col("centroid")) -
           lit(2.0) * VectorFns.dot(col("q_emb"), col("centroid")))
@@ -126,7 +124,15 @@ object IvfAnn {
       .agg(VectorFns.topKBy(-col("cell_dist"), col("cell").cast("long"), nProbe).as("cells"))
       .select(col("q_id"), explode(col("cells.cand_id")).as("cell_l"))
       .withColumn("cell", col("cell_l").cast("int")).drop("cell_l")
-    val probes = probeCells.join(q, Seq("q_id"))
+
+  /** Probe an already-built (cached or materialized) index. */
+  def knnIvfOn(
+      assigned: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      VectorFns.norm(col("embedding")).as("q_nrm"))
+    val probes = probeCells(q, centroids, nProbe).join(q, Seq("q_id"))
 
     val c = assigned.select(
       col("cell"), col("vec_id").as("cand_id"), col("embedding").as("c_emb"),

@@ -133,12 +133,22 @@ object Pq {
       m: Int = 8, kCodes: Int = 16, seed: Long = 42L,
       rerankFactor: Int = 8): DataFrame = {
     val (codebooks, codes) = buildCached(corpus, "vec_id", "embedding", m, kCodes, seed)
-    val subDim = codebooks.select(size(col("cvec"))).head().getInt(0)
-    // Per-query ADC table: dtab[sub][cid] = dot(q_sub, centroid) — built
-    // from a tiny cross of (queries × m·kCodes centroids), broadcast back.
     val q = normalized(queries, "vec_id", "embedding")
       .select(col("vec_id").as("q_id"), col("nvec").as("qvec"))
-    val dtab = q.crossJoin(broadcast(codebooks))
+    val dtab = adcTable(q, codebooks)
+    // Scan-local scoring: m array lookups per (candidate, query).
+    val sims = codes.crossJoin(broadcast(dtab))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"), adcScore.as("sim"))
+    finishTopK(sims, q, corpus, k, rerankFactor)
+  }
+
+  /** Per-query ADC table: dtab[sub][cid] = dot(q_sub, centroid) — built
+    * from a tiny cross of (queries × m·kCodes centroids), broadcast back.
+    */
+  private def adcTable(q: DataFrame, codebooks: DataFrame): DataFrame = {
+    val subDim = codebooks.select(size(col("cvec"))).head().getInt(0)
+    q.crossJoin(broadcast(codebooks))
       .select(col("q_id"), col("sub"), col("cid"),
         VectorFns.dot(subSlice(col("qvec"), col("sub"), subDim), col("cvec"))
           .as("partial"))
@@ -148,14 +158,19 @@ object Pq {
       .groupBy(col("q_id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("ktab")))),
         s => s.getField("ktab")).as("dtab"))
-    // Scan-local scoring: m array lookups per (candidate, query).
-    val sims = codes.crossJoin(broadcast(dtab))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("cand_id"),
-        aggregate(
-          zip_with(col("codes"), col("dtab"),
-            (c, row) => element_at(row, c.cast("int") + 1)),
-          lit(0.0d), (acc, x) => acc + x).as("sim"))
+  }
+
+  /** Approximate similarity of a `codes` row against a `dtab` row. */
+  private def adcScore: Column =
+    aggregate(
+      zip_with(col("codes"), col("dtab"),
+        (c, row) => element_at(row, c.cast("int") + 1)),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Final top-k — pure ADC, or exact-cosine rerank of the shortlist. */
+  private def finishTopK(
+      sims: DataFrame, q: DataFrame, corpus: DataFrame,
+      k: Int, rerankFactor: Int): DataFrame =
     if (rerankFactor <= 1) Ann.selectTopK(sims, k)
     else {
       val shortlist = Ann.selectTopK(sims, k * rerankFactor)
@@ -167,5 +182,34 @@ object Pq {
           VectorFns.dot(col("nvec"), col("qvec")).as("sim"))
       Ann.selectTopK(exact, k)
     }
+
+  /** IVF+PQ (the FAISS IVFPQ composition — the shape a billion-vector
+    * deployment actually runs): coarse KMeans cells bound WHICH vectors
+    * are scored (probe nProbe cells per query), PQ codes bound WHAT is
+    * read per vector (m bytes, no floats), the ADC table bounds per-
+    * candidate work to m lookups, and the exact rerank touches only the
+    * k·factor shortlist. Corpus cost per query: |probed cells| · m byte
+    * lookups — independent of both corpus dimension and float width.
+    */
+  def knnIvfPq(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      numCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, kCodes: Int = 16, seed: Long = 42L,
+      rerankFactor: Int = 8): DataFrame = {
+    val (assigned, cellCentroids) = IvfAnn.buildIndexCached(corpus, numCentroids, seed)
+    val (codebooks, codes) = buildCached(corpus, "vec_id", "embedding", m, kCodes, seed)
+    val codesWithCell = codes.join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+    // Cell probing runs in the RAW embedding space (the IVF centroids are
+    // trained there); ADC runs in the normalized space (cosine).
+    val qRaw = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = IvfAnn.probeCells(qRaw, cellCentroids, nProbe)
+    val q = normalized(queries, "vec_id", "embedding")
+      .select(col("vec_id").as("q_id"), col("nvec").as("qvec"))
+    val dtab = adcTable(q, codebooks)
+    val sims = codesWithCell
+      .join(broadcast(probes.join(dtab, "q_id")), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"), adcScore.as("sim"))
+    finishTopK(sims, q, corpus, k, rerankFactor)
   }
 }

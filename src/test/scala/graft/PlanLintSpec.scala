@@ -38,14 +38,15 @@ class PlanLintSpec extends SparkSpec {
     *  - q_lm_quality / q_pmi_phrases: the single-row corpus-total
     *    aggregates broadcast back onto the vocab / bigram count tables
     *    (replacing what used to be an unpartitioned window there).
-    *  - q_ann_pq: the per-query ADC distance table (queries × m·kCodes
-    *    rows — broadcast class) crosses the codes scan, q_knn_brute's
-    *    shape with 32×-smaller per-row payload; the rerank stage joins
-    *    only the shortlist back to vectors.
+    *  - q_ann_pq / q_ann_ivfpq: the per-query ADC distance table
+    *    (queries × m·kCodes rows — broadcast class) crosses the codes
+    *    scan (resp. the probed-cells equi-join), q_knn_brute's shape
+    *    with 32×-smaller per-row payload; the rerank stage joins only
+    *    the shortlist back to vectors.
     */
   private val broadcastBoundedOk = Set("q_knn_brute", "q_ann_ivf", "q_tfidf_top",
     "q_bm25", "q_domain_cap", "q_lm_bigram", "q_mix_temperature",
-    "q_lm_quality", "q_pmi_phrases", "q_ann_pq")
+    "q_lm_quality", "q_pmi_phrases", "q_ann_pq", "q_ann_ivfpq")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk

@@ -55,6 +55,27 @@ class PqSpec extends SparkSpec {
     assert(meanErr < 0.2, s"mean |approx - exact| = $meanErr")
   }
 
+  test("IVFPQ probing every cell is identical to plain PQ") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val all = Pq.knnIvfPq(queries, emb, k = 3, numCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val plain = Pq.knnPq(queries, emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(all == plain, "probe-all IVFPQ diverged from plain PQ")
+  }
+
+  test("IVFPQ with partial probing still recalls most exact neighbors") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Ann.knnBruteForce(queries, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Pq.knnIvfPq(queries, emb, k = 5, numCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivfpq.contains).toDouble / exact.size
+    // probes half the cells AND quantizes — the compounding is the point;
+    // random baseline is 1%
+    assert(recall >= 0.3, s"IVFPQ recall@5 $recall")
+  }
+
   test("q_ann_pq returns ranked rows per query") {
     val out = graft.queries.Registry.queries("q_ann_pq")(spark, sfDir).collect()
     assert(out.nonEmpty)
