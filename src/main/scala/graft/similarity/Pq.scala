@@ -183,6 +183,42 @@ object Pq {
       Ann.selectTopK(exact, k)
     }
 
+  /** Materialize codebooks + codes next to the corpus segments (the
+    * deployment shape, like IvfAnn.materialize: train/encode ONCE at
+    * build, queries read bytes). Layout: `<path>/codebooks`, `<path>/codes`.
+    */
+  def materialize(
+      corpus: DataFrame, path: String,
+      m: Int = 8, kCodes: Int = 16, seed: Long = 42L): Unit = {
+    val cb = trainCodebooks(corpus, "vec_id", "embedding", m, kCodes, seed)
+    cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    encode(corpus, "vec_id", "embedding", cb, m)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Query a materialized PQ index. `corpus` supplies the float vectors
+    * for the rerank stage only — a per-query shortlist-sized point lookup
+    * in a deployment, never a corpus scan (pass rerankFactor = 1 for the
+    * pure-ADC, codes-only path). refreshByPath first, so a serving loop
+    * picks up a rebuilt index on its next batch (the IvfAnn hot-swap
+    * lesson).
+    */
+  def knnPqIndexed(
+      spark: SparkSession, path: String,
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      rerankFactor: Int = 8): DataFrame = {
+    spark.catalog.refreshByPath(s"$path/codebooks")
+    spark.catalog.refreshByPath(s"$path/codes")
+    val codebooks = spark.read.parquet(s"$path/codebooks")
+    val codes = spark.read.parquet(s"$path/codes")
+    val q = normalized(queries, "vec_id", "embedding")
+      .select(col("vec_id").as("q_id"), col("nvec").as("qvec"))
+    val sims = codes.crossJoin(broadcast(adcTable(q, codebooks)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"), adcScore.as("sim"))
+    finishTopK(sims, q, corpus, k, rerankFactor)
+  }
+
   /** IVF+PQ (the FAISS IVFPQ composition — the shape a billion-vector
     * deployment actually runs): coarse KMeans cells bound WHICH vectors
     * are scored (probe nProbe cells per query), PQ codes bound WHAT is

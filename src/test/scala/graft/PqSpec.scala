@@ -76,6 +76,17 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVFPQ recall@5 $recall")
   }
 
+  test("materialized PQ index serves identical results to the inline path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    Pq.materialize(emb, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val indexed = Pq.knnPqIndexed(spark, dir, queries, emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val inline = Pq.knnPq(queries, emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(indexed == inline, "indexed PQ diverged from inline PQ")
+  }
+
   test("q_ann_pq returns ranked rows per query") {
     val out = graft.queries.Registry.queries("q_ann_pq")(spark, sfDir).collect()
     assert(out.nonEmpty)
