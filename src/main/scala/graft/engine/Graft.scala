@@ -36,6 +36,11 @@ object Graft {
       // (RuntimeFilterSpec asserts the injection)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // read parquet timestamps written without isAdjustedToUTC as plain
+      // TIMESTAMP, not TIMESTAMP_NTZ — the session timezone is pinned to
+      // UTC above, so values are identical and epoch arithmetic
+      // (cast-to-bigint, unix_micros, RANGE window frames) stays legal
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -17,6 +17,9 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match Graft.session: NTZ-written parquet timestamps read as plain
+      // TIMESTAMP under the UTC session timezone (see Graft.scala)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
