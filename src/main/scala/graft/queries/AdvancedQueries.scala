@@ -242,6 +242,47 @@ object AdvancedQueries {
                      round(max(l_extendedprice), 2) AS hi
               FROM lineitem GROUP BY 1 ORDER BY bin""")),
 
+    // EQUI-DEPTH histogram (the quantile-bucket twin of the equal-width
+    // q_histogram family): bucket edges are the exact quartiles, so every
+    // bucket holds ~25% of the rows whatever the value skew — the layout
+    // Pinot's range index wants for balanced pruning, and the binning a
+    // training pipeline uses for difficulty/length strata. Scale shape:
+    // prices quantize to integer cents, the three edges come from the
+    // dictionary-histogram percentile operator (bounded aggregate state,
+    // never a per-group value map), land on exactly-representable
+    // quarter-cent doubles, and broadcast back onto one counting scan.
+    QueryDef(
+      "q_histogram_eqdepth",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(round(col("l_extendedprice") * 100).cast("long").as("c"),
+            lit(1).as("g"))
+        val edges = graft.operators.Percentiles.exact(
+          li, Seq("g"), Seq(("q1", "c", 0.25), ("q2", "c", 0.5), ("q3", "c", 0.75)))
+        li.crossJoin(broadcast(edges.drop("g")))
+          .withColumn("bucket",
+            when(col("c") <= col("q1"), 0)
+              .when(col("c") <= col("q2"), 1)
+              .when(col("c") <= col("q3"), 2)
+              .otherwise(3))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("cnt"),
+            round(min("c") / 100.0, 2).as("lo"),
+            round(max("c") / 100.0, 2).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                         FROM lineitem),
+                   e AS (SELECT quantile_cont(c, 0.25) AS q1,
+                                quantile_cont(c, 0.5) AS q2,
+                                quantile_cont(c, 0.75) AS q3 FROM c)
+              SELECT CASE WHEN c <= q1 THEN 0 WHEN c <= q2 THEN 1
+                          WHEN c <= q3 THEN 2 ELSE 3 END AS bucket,
+                     count(*) AS cnt,
+                     round(min(c) / 100.0, 2) AS lo,
+                     round(max(c) / 100.0, 2) AS hi
+              FROM c, e GROUP BY 1 ORDER BY bucket""")),
+
     // GAPFILL: dense daily time axis, zero-filled where no rows exist.
     // The axis is generated, not scanned — at 100 TB the fact side stays a
     // pruned aggregate and the (tiny) axis broadcasts.
@@ -880,6 +921,44 @@ object AdvancedQueries {
               LEFT JOIN t2 ON t1.user_id = t2.user_id
               LEFT JOIN t3 ON t1.user_id = t3.user_id
               GROUP BY 1 ORDER BY max_step""")),
+
+    // LAST-TOUCH attribution (the funnel family's revenue question: which
+    // channel gets credit for each conversion?). Every purchase is
+    // attributed to the user's most recent PRIOR non-purchase event type;
+    // purchases with no prior touch are 'direct'. One per-user window pass
+    // — the same single hash-partition shuffle as q_sessionize, per-row
+    // state is one carried string, no per-user event list. Ordering ties
+    // on ts break by event_id so the carried channel is deterministic
+    // under any partitioning on both engines.
+    QueryDef(
+      "q_attribution",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .withColumn("channel",
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum("value"), 2).as("revenue"))
+          .orderBy("channel")
+      },
+      Some("""WITH t AS (SELECT event_type, value,
+                                last_value(CASE WHEN event_type <> 'purchase'
+                                                THEN event_type END IGNORE NULLS)
+                                  OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND 1 PRECEDING) AS channel
+                         FROM events)
+              SELECT coalesce(channel, 'direct') AS channel,
+                     count(*) AS n_purchases,
+                     round(sum(value), 2) AS revenue
+              FROM t WHERE event_type = 'purchase'
+              GROUP BY 1 ORDER BY channel""")),
 
     // Time-RANGE window frames (RANGE BETWEEN INTERVAL ... PRECEDING): the
     // trailing-hour running metric over IRREGULAR event times — row-count

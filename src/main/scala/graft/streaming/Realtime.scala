@@ -20,6 +20,22 @@ final case class LatestState(
     last_value: Double,
     last_ts: java.sql.Timestamp)
 
+/** One attributed conversion: the purchase event plus its credited
+  * channel (the user's most recent prior non-purchase event type).
+  */
+final case class Attributed(
+    user_id: Long,
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    value: Double,
+    channel: String)
+
+/** Carried last-touch state per user: the newest non-purchase touch seen. */
+final case class TouchState(
+    touch_type: String,
+    touch_ts: java.sql.Timestamp,
+    touch_event_id: Long)
+
 /** Realtime ingestion — Pinot's realtime server consumes a stream and
   * serves fresh segments (reference: /root/reference/basics/
   * Architecture.md, realtime flow; /root/reference/Introduction.md:7
@@ -249,6 +265,48 @@ object Realtime {
           batch.sparkSession, indexPath, batch, k, nProbe), id)
       }
       .start()
+
+  /** Streaming last-touch attribution — the incremental form of the batch
+    * q_attribution rollup: every purchase is emitted once, credited to the
+    * user's most recent PRIOR non-purchase event type ('direct' when none).
+    * Per-user state is ONE carried touch (type, ts, event_id) — never an
+    * event list — so state size is |users|, the same bound as latestByKey.
+    *
+    * Ordering contract: within a micro-batch events process in the
+    * (ts, event_id) total order (the batch query's order), and a stored
+    * touch only advances to a NEWER (ts, event_id), so late touches never
+    * regress the state. Exact batch parity therefore holds under in-order
+    * delivery (StreamingSpec asserts it across batch splits); a touch
+    * arriving AFTER a purchase it should have credited cannot re-attribute
+    * the already-emitted row — the standard append-mode attribution
+    * trade-off, stated rather than hidden.
+    */
+  def lastTouchAttribution(events: Dataset[Event]): Dataset[Attributed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attributed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[TouchState]) =>
+          val ordered = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var touch = state.getOption
+          val out = Seq.newBuilder[Attributed]
+          ordered.foreach { e =>
+            if (e.event_type == "purchase") {
+              out += Attributed(userId, e.event_id, e.ts, e.value,
+                touch.map(_.touch_type).getOrElse("direct"))
+            } else {
+              val newer = touch.forall { t =>
+                val (et, tt) = (e.ts.getTime, t.touch_ts.getTime)
+                et > tt || (et == tt && e.event_id > t.touch_event_id)
+              }
+              if (newer) touch = Some(TouchState(e.event_type, e.ts, e.event_id))
+            }
+          }
+          touch.foreach(state.update)
+          out.result().iterator
+      }
+  }
 
   /** Streaming upsert: emits the new latest record for a key whenever it
     * changes (Pinot upsert table semantics, incremental form).

@@ -38,6 +38,9 @@ class PlanLintSpec extends SparkSpec {
     *  - q_lm_quality / q_pmi_phrases: the single-row corpus-total
     *    aggregates broadcast back onto the vocab / bigram count tables
     *    (replacing what used to be an unpartitioned window there).
+    *  - q_histogram_eqdepth: the single-row quartile-edges aggregate
+    *    (from the dictionary-histogram percentile operator) broadcasts
+    *    onto the counting scan (scalar-N pattern).
     *  - q_ann_pq / q_ann_ivfpq: the per-query ADC distance table
     *    (queries × m·kCodes rows — broadcast class) crosses the codes
     *    scan (resp. the probed-cells equi-join), q_knn_brute's shape
@@ -46,7 +49,8 @@ class PlanLintSpec extends SparkSpec {
     */
   private val broadcastBoundedOk = Set("q_knn_brute", "q_ann_ivf", "q_tfidf_top",
     "q_bm25", "q_domain_cap", "q_lm_bigram", "q_mix_temperature",
-    "q_lm_quality", "q_pmi_phrases", "q_ann_pq", "q_ann_ivfpq")
+    "q_lm_quality", "q_pmi_phrases", "q_ann_pq", "q_ann_ivfpq",
+    "q_histogram_eqdepth")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
@@ -127,8 +131,15 @@ class PlanLintSpec extends SparkSpec {
     //    thousands of rows for decades of days);
     //  - q_topn_others: final rank over the already-aggregated event_type
     //    dictionary (one row per type).
+    //  - q_histogram_eqdepth: the GLOBAL quartile pass — the group key is
+    //    a constant, so the histogram-ranking window in Percentiles.exact
+    //    folds to partitionBy(). Its input is the cents-value DICTIONARY
+    //    (bounded by the price domain, constant in corpus size — exactly
+    //    the state class of the partitioned stat passes in q_mad_outliers
+    //    / q_winsorize, minus their group keys), never corpus rows.
     import org.apache.spark.sql.execution.window.WindowExec
-    val globalWindowOk = Set("q_gapfill_prev", "q_topn_others")
+    val globalWindowOk = Set("q_gapfill_prev", "q_topn_others",
+      "q_histogram_eqdepth")
     val offenders = Registry.all.flatMap { q =>
       val global = q.run(spark, sfDir).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w

@@ -213,6 +213,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming last-touch attribution matches the batch window rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // Real event rows, in (ts, event_id) order, split mid-user across three
+    // micro-batches — the carried TouchState must bridge the splits.
+    val rows = graft.engine.Tables.events(spark, sfDir)
+      .filter(col("user_id") < 40)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    assert(rows.exists(_.event_type == "purchase"), "fixture has no purchases")
+
+    val input = MemoryStream[Event]
+    val q = Realtime.lastTouchAttribution(input.toDS())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("attr_out")
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("rev"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val batch = rows.toSeq.toDS()
+        .withColumn("channel",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("rev"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+      assert(streamed === batch,
+        s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
