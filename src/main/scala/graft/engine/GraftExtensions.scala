@@ -43,6 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       if (es.size > 1) SimHash64(es.head, longArg(es(1), "simhash64"))
       else SimHash64(es.head))
     register("image_dims", classOf[ImageDims])(es => ImageDims(es.head))
+    register("in_id_set", classOf[InIdSet])(es => InIdSet(es.head, es(1)))
     register("lsh_band_buckets", classOf[LshBandBuckets])(es =>
       LshBandBuckets(es.head,
         intArg(es(1), "lsh_band_buckets"), intArg(es(2), "lsh_band_buckets"),

@@ -46,4 +46,30 @@ object Salting {
       .groupBy(keys.map(col): _*)
       .agg(merge(metrics.head), metrics.tail.map(merge): _*)
   }
+
+  /** Skew-resistant shuffle join: the fact side's hot key is split into
+    * `saltBuckets` sub-keys (deterministic hash of the non-key columns —
+    * same retry-safety argument as saltedAgg above) and the dim side is
+    * replicated across every bucket, so a key holding 1/3 of a 100 TB
+    * fact lands on `saltBuckets` reducers instead of one. Result is
+    * row-identical to the plain join (every fact row still meets every
+    * matching dim row exactly once — dim replication is keyed, not
+    * sampled). Use when the dim is too large to broadcast AND the fact
+    * key is skewed; for broadcastable dims prefer `broadcast(dim)`, and
+    * note AQE's skew-join handles the sort-merge case adaptively — this
+    * operator is the explicit form for when AQE's split heuristics
+    * don't fire (e.g. a shuffle-hash join or pre-AQE-partitioned input).
+    */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, key: String,
+      saltBuckets: Int = 8): DataFrame = {
+    require(saltBuckets > 0)
+    val nonKey = fact.columns.toSeq.filterNot(_ == key)
+    val saltSrc = if (nonKey.nonEmpty) nonKey else fact.columns.toSeq
+    val salted = fact.withColumn("__salt",
+      pmod(hash(saltSrc.map(col(_)): _*), lit(saltBuckets)))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -1162,6 +1162,92 @@ object AdvancedQueries {
                      round(sum(least(greatest(CAST(c AS DOUBLE), lo), hi))
                            / count(*), 4) AS mean_wins_c
               FROM li JOIN lim USING (l_returnflag)
-              GROUP BY 1 ORDER BY l_returnflag"""))
+              GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // Skew-resistant SALTED JOIN — the join-side twin of q_salted_agg:
+    // l_returnflag has 3 values, so a plain shuffle join lands ~N/3 fact
+    // rows on single reducers; Salting.saltedJoin splits each hot key
+    // into 8 deterministic sub-keys and replicates the dim across them,
+    // and the result is row-identical to the unsalted join (oracle is the
+    // plain join). The fixture dim (per-flag averages) would broadcast in
+    // practice — the operator exists for the 10⁸-row dim that won't, and
+    // the comparison predicate rounds the average to 4 decimals on BOTH
+    // sides so the > comparison is bit-stable across engines.
+    QueryDef(
+      "q_salted_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+        val dim = li.groupBy("l_returnflag")
+          .agg(round(avg("l_extendedprice"), 4).as("flag_avg"))
+        graft.operators.Salting.saltedJoin(li, dim, "l_returnflag", saltBuckets = 8)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("l_extendedprice") > col("flag_avg"), 1L).otherwise(0L))
+              .as("n_above"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH dim AS (SELECT l_returnflag,
+                                  round(avg(l_extendedprice), 4) AS flag_avg
+                           FROM lineitem GROUP BY 1)
+              SELECT l.l_returnflag, count(*) AS n,
+                     CAST(sum(CASE WHEN l.l_extendedprice > d.flag_avg
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+              FROM lineitem l JOIN dim d USING (l_returnflag)
+              GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // One-scan COLUMN PROFILING — the stats surface Pinot serves from
+    // segment metadata (per-column cardinality / null count / min-max),
+    // computed as a single aggregate pass: the three exact
+    // count(DISTINCT)s share one scan via Catalyst's Expand (3× row
+    // expansion, partial-aggregated map-side — at 100 TB you'd flip the
+    // NDVs to approx_count_distinct and keep the identical shape), then
+    // `stack` unpivots the one stats row into a row per column. Min/max
+    // compare as strings only for columns whose string form is
+    // engine-stable (strings and integers here; doubles are excluded
+    // deliberately — their formatting differs across engines).
+    QueryDef(
+      "q_profile_stats",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        def nNull(c: String) =
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")
+        def ndv(c: String) = countDistinct(col(c)).as(s"ndv_$c")
+        def lo(c: String) = min(col(c)).cast("string").as(s"min_$c")
+        def hi(c: String) = max(col(c)).cast("string").as(s"max_$c")
+        val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+        o.agg(
+            count(lit(1)).as("n_rows"),
+            cols.flatMap(c => Seq[org.apache.spark.sql.Column](
+              nNull(c), ndv(c), lo(c), hi(c))): _*)
+          .select(col("n_rows"), expr(
+            "stack(3, " + cols.map(c =>
+              s"'$c', null_$c, ndv_$c, min_$c, max_$c").mkString(", ") +
+              ") AS (col_name, n_null, n_distinct, min_val, max_val)"))
+          .select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+          .orderBy("col_name")
+      },
+      Some("""SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
+                     CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                     count(DISTINCT o_orderstatus) AS n_distinct,
+                     CAST(min(o_orderstatus) AS VARCHAR) AS min_val,
+                     CAST(max(o_orderstatus) AS VARCHAR) AS max_val
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', count(*),
+                     CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     count(DISTINCT o_orderpriority),
+                     CAST(min(o_orderpriority) AS VARCHAR),
+                     CAST(max(o_orderpriority) AS VARCHAR)
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey', count(*),
+                     CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     count(DISTINCT o_custkey),
+                     CAST(min(o_custkey) AS VARCHAR),
+                     CAST(max(o_custkey) AS VARCHAR)
+              FROM orders
+              ORDER BY col_name"""))
   )
 }

@@ -674,6 +674,78 @@ object CorpusQueries {
                             (SELECT e.dst, sum(e.p * r.rank) AS fl
                              FROM e JOIN r4 r ON e.src = r.host GROUP BY 1) i
                             ON h.host = i.dst)
-              SELECT host, round(rank, 6) AS rank FROM r5 ORDER BY host"""))
+              SELECT host, round(rank, 6) AS rank FROM r5 ORDER BY host""")),
+
+    // BPE-style ADJACENT-PAIR statistics — the first step of tokenizer
+    // training (count every adjacent symbol pair, merge the most frequent):
+    // tokenize scan-locally, form the (tokᵢ, tokᵢ₊₁) pairs with a
+    // zero-shuffle zip of two array slices, and roll up. Shape at 100 TB:
+    // the only shuffle carries (pair, partial-count) rows — the pair
+    // vocabulary is bounded by seen-vocab², in practice Zipf-tiny next to
+    // the corpus — and the top-20 is a TakeOrderedAndProject, never a
+    // global sort. Ties broken (count desc, a, b) so the cut is
+    // deterministic on both engines.
+    QueryDef(
+      "q_bpe_pairs",
+      (s, d) =>
+        graft.engine.Tables.documents(s, d)
+          .select(expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+          .withColumn("n", size(col("toks")))
+          .filter(col("n") >= 2)
+          .select(explode(expr(
+            "zip_with(slice(toks, 1, n - 1), slice(toks, 2, n - 1), " +
+              "(a, b) -> struct(a, b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(20),
+      Some("""WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
+                         FROM documents),
+                   p AS (SELECT toks[i] AS a, toks[i+1] AS b
+                         FROM t, unnest(range(1, len(toks))) AS u(i))
+              SELECT a, b, count(*) AS cnt
+              FROM p GROUP BY 1, 2
+              ORDER BY cnt DESC, a, b LIMIT 20""")),
+
+    // PREFIX (truncated-duplicate) dedup — a crawl artifact the whole-text
+    // md5 of q_dedup_exact cannot see: the same page fetched twice with
+    // different truncation points is two different hashes but one document.
+    // Candidate key is a scan-local fingerprint of the first k prefix
+    // tokens (k=3 calibrates to the fixture's short synthetic docs so
+    // groups exist at sf0.001; production uses 16–32), then one group-by
+    // applies the KEEP-LONGEST policy with a deterministic (length,
+    // doc_id) tie-break — encoded arithmetically (n·10⁷ + doc_id) so both
+    // engines rank identically. Shape at 100 TB: exactly q_dedup_exact's —
+    // one hash-partition group-by on the fingerprint, no joins; a hot
+    // boilerplate prefix costs its own group only.
+    QueryDef(
+      "q_dedup_prefix",
+      (s, d) =>
+        graft.engine.Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+          .withColumn("n", size(col("toks")).cast("long"))
+          .filter(col("n") > 0)
+          .withColumn("fp", md5(concat_ws(" ", slice(col("toks"), 1, 3))))
+          .groupBy("fp")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            max("n").as("max_len"), min("n").as("min_len"),
+            max_by(col("doc_id"), col("n") * 10000000L + col("doc_id"))
+              .as("kept_doc"))
+          .filter(col("n_docs") > 1)
+          .orderBy("fp"),
+      Some("""WITH t AS (SELECT doc_id,
+                                regexp_extract_all(lower(text), '[a-z]+') AS toks
+                         FROM documents),
+                   s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+                                md5(array_to_string(toks[1:3], ' ')) AS fp
+                         FROM t WHERE len(toks) > 0),
+                   g AS (SELECT fp, count(*) AS n_docs,
+                                max(n) AS max_len, min(n) AS min_len,
+                                arg_max(doc_id, n * 10000000 + doc_id) AS kept_doc
+                         FROM s GROUP BY 1)
+              SELECT fp, n_docs, max_len, min_len, kept_doc
+              FROM g WHERE n_docs > 1 ORDER BY fp"""))
   )
 }

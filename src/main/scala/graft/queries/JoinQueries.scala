@@ -182,6 +182,38 @@ object JoinQueries {
                      CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
               FROM n a JOIN n b
                 ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 1
-              ORDER BY a_name, b_name"""))
+              ORDER BY a_name, b_name""")),
+
+    // Pinot ID_SET / IN_ID_SET: build a compact bloom id-set from the
+    // driving query (urgent orders), probe it SCAN-LOCALLY on the fact
+    // side, then exact-confirm with a semi-join. The bloom never misses a
+    // member, so the semi-join sees a superset and the final answer is
+    // exactly the plain semi-join's — but at 100 TB the fact rows that
+    // fail the probe never enter the join's shuffle at all (the id-set is
+    // KBs of plan state vs shuffling ~N fact rows; Spark's own runtime
+    // bloom filters do this opportunistically, ID_SET makes it a
+    // reusable, paste-able artifact as in Pinot's API). IdSetSpec bounds
+    // the fpp and proves the no-false-negative contract.
+    QueryDef(
+      "q_idset_filter",
+      (s, d) => {
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        val set = graft.operators.IdSet.build(
+          urgent, "o_orderkey", expectedItems = 100000L, fpp = 0.01)
+        Tables.lineitem(s, d)
+          .filter(graft.operators.IdSet.in(col("l_orderkey"), set))
+          .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+                     round(sum(l_quantity), 2) AS sum_qty
+              FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                   WHERE o_orderpriority = '1-URGENT')
+              GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }
