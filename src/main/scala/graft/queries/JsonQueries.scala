@@ -117,6 +117,33 @@ object JsonQueries {
               SELECT o_custkey, round(o_totalprice, 2) AS first_price,
                      o_orderstatus AS first_status,
                      CAST(n AS INT) AS n_orders
-              FROM r WHERE rn = 1 ORDER BY o_custkey"""))
+              FROM r WHERE rn = 1 ORDER BY o_custkey""")),
+
+    // JSON KEY DISCOVERY + per-key value profiling (Pinot's
+    // JSONEXTRACTKEY, taken one step further into the schema-inference
+    // pass a pipeline runs over semi-structured ingest): parse once into
+    // a map, explode keys WITH their values, and roll up per-key count /
+    // distinct / numeric min-max. One scan, one group-by whose
+    // cardinality is the key vocabulary (schema-sized, never row-sized);
+    // no per-key re-parsing of the JSON (the map is built once per row).
+    QueryDef(
+      "q_json_keys",
+      (s, d) =>
+        Tables.events(s, d)
+          .select(expr("explode(from_json(props, 'map<string,string>'))")
+            .as(Seq("key", "val")))
+          .select(col("key"), col("val").cast("long").as("v"))
+          .groupBy("key")
+          .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("n_vals"),
+            min("v").as("min_v"), max("v").as("max_v"))
+          .orderBy("key"),
+      Some("""WITH kv AS (SELECT unnest(json_keys(props)) AS key, props
+                          FROM events),
+                   v AS (SELECT key,
+                                CAST(json_extract(props, '$.' || key) AS BIGINT) AS v
+                         FROM kv)
+              SELECT key, count(*) AS n, count(DISTINCT v) AS n_vals,
+                     min(v) AS min_v, max(v) AS max_v
+              FROM v GROUP BY 1 ORDER BY key"""))
   )
 }

@@ -190,6 +190,93 @@ object SimilarityQueries {
                                        ORDER BY dot / (ne * nc) ASC, vec_id) AS rank
                               FROM d)
               SELECT label, vec_id, rank, round(cos, 4) + 0 AS cos
-              FROM ranked WHERE rank <= 3 ORDER BY label, rank"""))
+              FROM ranked WHERE rank <= 3 ORDER BY label, rank""")),
+
+    // Vector DISTANCE transform family (Pinot's VECTOR_SIMILARITY /
+    // l2/l1/cosine/inner-product functions): deterministic (a, a+50)
+    // pairing keeps the join an equi-join on a computed key — no pair
+    // explosion — and all four metrics come off one pass per pair. l2
+    // uses the codegen'd |a|²−2ab+|b|² expansion (three vector_dot calls,
+    // no intermediate array); l1 is the one genuinely element-wise metric
+    // (zip_with+aggregate HOF — nothing loop-invariant inside the
+    // lambda). Scan-local at any scale; rounding absorbs the ≤1e-12
+    // formula-vs-elementwise double drift.
+    QueryDef(
+      "q_vector_distance",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val a = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("a_id"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+        def dd(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+          VectorFns.dot(x, y)
+        a.join(b, col("b_id") === col("a_id") + 50)
+          .select(col("a_id"), col("b_id"),
+            round(sqrt(greatest(
+              dd(col("va"), col("va")) - lit(2.0) * dd(col("va"), col("vb"))
+                + dd(col("vb"), col("vb")), lit(0.0))), 6).as("l2"),
+            round(expr("aggregate(zip_with(va, vb, (x, y) -> " +
+              "abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (acc, z) -> acc + z)"),
+              6).as("l1"),
+            round(dd(col("va"), col("vb")) /
+              (sqrt(dd(col("va"), col("va"))) * sqrt(dd(col("vb"), col("vb")))), 6)
+              .as("cos_sim"),
+            round(dd(col("va"), col("vb")), 6).as("dot"))
+          .orderBy("a_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                         FROM embeddings)
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     round(list_distance(a.v, b.v), 6) AS l2,
+                     round(list_sum(list_transform(list_zip(a.v, b.v),
+                           x -> abs(x[1] - x[2]))), 6) AS l1,
+                     round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim,
+                     round(list_dot_product(a.v, b.v), 6) AS dot
+              FROM e a JOIN e b ON b.vec_id = a.vec_id + 50
+              WHERE a.vec_id < 20 ORDER BY a_id""")),
+
+    // Greedy k-center CORESET (farthest-point-first diverse sampling —
+    // the "pick k maximally-spread exemplars" curation op): the selected
+    // set is k·dim driver floats, each round is one scan-local distance
+    // fold plus a TakeOrdered(1) — k jobs, no N×N matrix (see
+    // similarity.Coreset). Oracle replays the same greedy walk as 5
+    // unrolled CTE levels with deterministic (dist desc, id) tie-breaks.
+    QueryDef(
+      "q_coreset_kcenter",
+      (s, d) =>
+        graft.similarity.Coreset.kCenters(
+            Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
+          .select(col("pick"), col("id").as("vec_id"),
+            (round(col("dist"), 4) + lit(0.0)).as("dist"))
+          .orderBy("pick"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                         FROM embeddings),
+                   s1 AS (SELECT vec_id, v FROM e
+                          WHERE vec_id = (SELECT min(vec_id) FROM e)),
+                   d1 AS (SELECT e.vec_id, e.v, list_distance(e.v, s1.v) AS md
+                          FROM e, s1),
+                   c2 AS (SELECT vec_id, v, md FROM d1
+                          ORDER BY md DESC, vec_id LIMIT 1),
+                   d2 AS (SELECT d1.vec_id, d1.v,
+                                 least(d1.md, list_distance(d1.v, c2.v)) AS md
+                          FROM d1, c2),
+                   c3 AS (SELECT vec_id, v, md FROM d2
+                          ORDER BY md DESC, vec_id LIMIT 1),
+                   d3 AS (SELECT d2.vec_id, d2.v,
+                                 least(d2.md, list_distance(d2.v, c3.v)) AS md
+                          FROM d2, c3),
+                   c4 AS (SELECT vec_id, v, md FROM d3
+                          ORDER BY md DESC, vec_id LIMIT 1),
+                   d4 AS (SELECT d3.vec_id, d3.v,
+                                 least(d3.md, list_distance(d3.v, c4.v)) AS md
+                          FROM d3, c4),
+                   c5 AS (SELECT vec_id, v, md FROM d4
+                          ORDER BY md DESC, vec_id LIMIT 1)
+              SELECT 1 AS pick, vec_id, 0.0 AS dist FROM s1
+              UNION ALL SELECT 2, vec_id, round(md, 4) + 0 FROM c2
+              UNION ALL SELECT 3, vec_id, round(md, 4) + 0 FROM c3
+              UNION ALL SELECT 4, vec_id, round(md, 4) + 0 FROM c4
+              UNION ALL SELECT 5, vec_id, round(md, 4) + 0 FROM c5
+              ORDER BY pick"""))
   )
 }

@@ -103,4 +103,34 @@ class SimilaritySpec extends SparkSpec {
     assert(r5 >= r3, s"recall must not drop with probes: $r3 -> $r5")
     assert(r5 > r1, s"probing 5 buckets should beat 1 on the fixture ($r1 -> $r5)")
   }
+
+  test("k-center coreset replays the naive greedy walk with deterministic ties") {
+    import spark.implicits._
+    // 2-D points embedded as float arrays; naive greedy is trivial to
+    // recompute driver-side
+    val pts = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(10f, 0f)), (4L, Array(0f, 10f)), (5L, Array(10f, 10f)),
+      (6L, Array(5f, 5f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val got = graft.similarity.Coreset.kCenters(df, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+
+    def dist(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum)
+    var sel = Vector(pts.head)
+    var expect = Vector((1, 0L, 0.0))
+    while (sel.size < 4) {
+      val (next, d) = pts.filterNot(p => sel.exists(_._1 == p._1))
+        .map(p => p -> sel.map(c => dist(p._2, c._2)).min)
+        .minBy { case (p, d) => (-d, p._1) } // max dist, tie → smaller id
+      sel = sel :+ next
+      expect = expect :+ ((sel.size, next._1, d))
+    }
+    assert(got.map(t => (t._1, t._2)).toSeq === expect.map(t => (t._1, t._2)))
+    got.zip(expect).foreach { case (g, e) => assert(math.abs(g._3 - e._3) < 1e-9) }
+    // selection-time distances never increase (greedy invariant)
+    val ds = got.map(_._3).drop(1)
+    assert(ds.zip(ds.drop(1)).forall { case (a, b) => b <= a + 1e-12 })
+  }
 }
