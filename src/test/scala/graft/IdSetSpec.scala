@@ -45,6 +45,18 @@ class IdSetSpec extends SparkSpec {
     assert(n === 100L)
   }
 
+  test("idset probe filters the fact scan below the confirm join") {
+    val df = graft.SparkEntry.queries("q_idset_filter")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val joinAt = plan.indexOf("Join")
+    val probeAt = plan.indexOf("in_id_set")
+    assert(joinAt >= 0 && probeAt >= 0, s"expected a join and the probe in:\n$plan")
+    // top-down print: the probe must sit BELOW the join (scan side), so
+    // non-member fact rows are dropped before the join's exchange
+    assert(probeAt > joinAt,
+      "in_id_set must filter the fact scan under the semi-join, not above it")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     import spark.implicits._
     // skewed fact: one key holds ~90% of rows
