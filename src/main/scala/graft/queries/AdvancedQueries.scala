@@ -345,6 +345,88 @@ object AdvancedQueries {
               FROM axis LEFT JOIN daily ON axis.day = daily.day
               ORDER BY day""")),
 
+    // GAPFILL with LINEAR interpolation — the third Pinot fill mode next
+    // to q_gapfill's zero fill and q_gapfill_prev's carry-forward: a
+    // missing bucket takes the straight line between its neighboring
+    // observed buckets (edge gaps stay null — there is nothing to
+    // interpolate toward). Two frame-bounded windows per series find the
+    // bracketing observations; every window is PARTITIONED by event_type
+    // and runs over the bucket axis (types × hours — dictionary-sized at
+    // any corpus scale; the raw-event reduction happened upstream in the
+    // hourly rollup). The per-type axis derives from the data (min..max
+    // observed hour), so no hardcoded range.
+    QueryDef(
+      "q_gapfill_linear",
+      (s, d) => {
+        // the hourly mean quantizes to integer cents FIRST (exact integer
+        // sum — identical on any engine and any summation order), so both
+        // engines interpolate from bit-identical inputs and the line is
+        // engine-exact; a raw double avg differs in the last ulp and can
+        // flip the output's 4th decimal across a rounding boundary
+        val hourly = Tables.events(s, d)
+          .filter(col("value") > 180)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg((sum(round(col("value") * 100).cast("long")) / count(lit(1)) / 100.0)
+            .as("v"))
+        val axis = hourly.groupBy("event_type")
+          .agg(min("hour").as("lo"), max("hour").as("hi"))
+          .select(col("event_type"),
+            explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+        val w = Window.partitionBy("event_type").orderBy("hour")
+        val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        axis.join(hourly, Seq("event_type", "hour"), "left_outer")
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+          .withColumn("ph",
+            last(when(col("v").isNotNull, col("hour")), ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+          .withColumn("nh",
+            first(when(col("v").isNotNull, col("hour")), ignoreNulls = true).over(wNext))
+          .select(col("event_type"), col("hour"),
+            // discretize to integer cents via floor(x·100 + 0.5): pure
+            // IEEE ops on bit-identical inputs — unlike round(x, n),
+            // whose decimal-string halfway semantics differ between
+            // engines exactly when the line crosses a .xxx5 boundary
+            floor(
+              when(col("v").isNotNull, col("v"))
+                .when(col("pv").isNotNull && col("nv").isNotNull,
+                  col("pv") + (col("nv") - col("pv")) *
+                    (col("hour").cast("long") - col("ph").cast("long")) /
+                    (col("nh").cast("long") - col("ph").cast("long")))
+                * 100 + 0.5).cast("long").as("filled_c"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                                       / count(*) / 100.0 AS v
+                              FROM events WHERE value > 180 GROUP BY 1, 2),
+                   bounds AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi
+                              FROM hourly GROUP BY 1),
+                   axis AS (SELECT event_type,
+                                   unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour
+                            FROM bounds),
+                   j AS (SELECT a.event_type, a.hour, h.v
+                         FROM axis a LEFT JOIN hourly h USING (event_type, hour)),
+                   wnd AS (SELECT event_type, hour, v,
+                            last_value(v IGNORE NULLS) OVER w1 AS pv,
+                            last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+                              OVER w1 AS ph,
+                            first_value(v IGNORE NULLS) OVER w2 AS nv,
+                            first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+                              OVER w2 AS nh
+                           FROM j
+                           WINDOW w1 AS (PARTITION BY event_type ORDER BY hour
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                                  w2 AS (PARTITION BY event_type ORDER BY hour
+                                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+              SELECT event_type, hour,
+                     CAST(floor((CASE WHEN v IS NOT NULL THEN v
+                                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                                THEN pv + (nv - pv) * (epoch(hour) - epoch(ph))
+                                     / (epoch(nh) - epoch(ph))
+                           END) * 100 + 0.5) AS BIGINT) AS filled_c
+              FROM wnd ORDER BY event_type, hour""")),
+
     // Linear-regression aggregation family (regr_slope / intercept / r2 /
     // count) — one-pass, mergeable moment accumulators, same partial-agg
     // shape as STDDEV/CORR. Oracle recomputes with DuckDB's regr_* family.

@@ -746,6 +746,43 @@ object CorpusQueries {
                                 arg_max(doc_id, n * 10000000 + doc_id) AS kept_doc
                          FROM s GROUP BY 1)
               SELECT fp, n_docs, max_len, min_len, kept_doc
-              FROM g WHERE n_docs > 1 ORDER BY fp"""))
+              FROM g WHERE n_docs > 1 ORDER BY fp""")),
+
+    // FILL-IN-THE-MIDDLE split prep (the FIM transformation code-LLM
+    // pipelines apply to a corpus slice: cut each doc into
+    // prefix/middle/suffix at deterministic points so training can
+    // reorder them PSM/SPM): split offsets derive from the doc id via
+    // integer arithmetic — reproducible under any partitioning, no RNG —
+    // and the oracle md5s each piece, so the substring arithmetic is
+    // hash-verified character-exact. Entirely scan-local: one projection,
+    // zero shuffle at any corpus size, the same shape q_chunk_docs
+    // proved flat at 10×.
+    QueryDef(
+      "q_fim_split",
+      (s, d) =>
+        graft.engine.Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+          .filter(col("n") >= 20)
+          .withColumn("a", lit(1L) + (col("doc_id") * 7919L) % expr("n div 3"))
+          .withColumn("m", lit(1L) + (col("doc_id") * 104729L) % expr("n div 3"))
+          .select(col("doc_id"),
+            col("a").as("n_prefix"), col("m").as("n_middle"),
+            (col("n") - col("a") - col("m")).as("n_suffix"),
+            md5(expr("substring(text, 1, CAST(a AS INT))")).as("md5_prefix"),
+            md5(expr("substring(text, CAST(a + 1 AS INT), CAST(m AS INT))")).as("md5_middle"),
+            md5(expr("substring(text, CAST(a + m + 1 AS INT))")).as("md5_suffix"))
+          .orderBy("doc_id"),
+      Some("""WITH s AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+                         FROM documents WHERE length(text) >= 20),
+                   p AS (SELECT doc_id, text, n,
+                                1 + (doc_id * 7919) % (n // 3) AS a,
+                                1 + (doc_id * 104729) % (n // 3) AS m
+                         FROM s)
+              SELECT doc_id, a AS n_prefix, m AS n_middle,
+                     n - a - m AS n_suffix,
+                     md5(substr(text, 1, CAST(a AS INT))) AS md5_prefix,
+                     md5(substr(text, CAST(a + 1 AS INT), CAST(m AS INT))) AS md5_middle,
+                     md5(substr(text, CAST(a + m + 1 AS INT))) AS md5_suffix
+              FROM p ORDER BY doc_id"""))
   )
 }

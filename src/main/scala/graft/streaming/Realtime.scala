@@ -112,6 +112,31 @@ object Realtime {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Windowed HEAVY-HITTER terms over a document stream: the
+    * `frequent_items` Misra–Gries aggregate running INSIDE Structured
+    * Streaming. The sketch was built mergeable for map-side partials —
+    * and a mergeable O(k) buffer is exactly the state shape incremental
+    * execution needs: each window's standing state is one k-entry
+    * summary, never the term dictionary, and micro-batch order cannot
+    * change the guarantee (counts are lower bounds with error ≤
+    * n/(k+1), split-invariance property-checked in SketchPropertySpec).
+    * Watermark bounds how long a window's sketch stays in the store.
+    */
+  def frequentTermsWindowed(
+      docs: DataFrame, textCol: String, tsCol: String,
+      k: Int = 8, windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol),
+        explode(array_remove(
+          graft.functions.TextShingles.wordTokens(col(textCol)), "")).as("term"))
+      .groupBy(window(col(tsCol), windowLength))
+      .agg(graft.functions.TextShingles.frequentItems(col("term"), k).as("top"))
+      .select(col("window.start").as("window_start"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("window_start"), col("pos"), col("t.item").as("term"))
+
   /** Streaming NEAR-dup suppression: drop documents whose 64-bit SimHash
     * signature was already seen within the watermark — catches
     * reformatted/whitespace-variant re-posts that exact-key dedup misses,

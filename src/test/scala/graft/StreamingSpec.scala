@@ -442,4 +442,39 @@ class StreamingSpec extends SparkSpec {
     assert(cubeState() === healthy)
     assert(spark.read.parquet(factPath).count() === 3)
   }
+
+  test("windowed frequent-terms sketch streams to the same top-k as batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = Realtime.frequentTermsWindowed(
+      input.toDF().toDF("doc_id", "ts", "text"), "text", "ts",
+      k = 4, windowLength = "1 hour")
+      .writeStream.format("memory").queryName("freq_out")
+      .outputMode("complete").start()
+    val docs = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:05:00"), "spark spark spark scan merge"),
+      (2L, Timestamp.valueOf("2024-01-01 00:15:00"), "spark scan scan join"),
+      (3L, Timestamp.valueOf("2024-01-01 00:25:00"), "merge merge spark join join"),
+      (4L, Timestamp.valueOf("2024-01-01 01:05:00"), "window window watermark"))
+    try {
+      // deliver across two micro-batches to force a sketch-state merge
+      input.addData(docs.take(2): _*)
+      stream.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      stream.processAllAvailable()
+      val streamed = spark.table("freq_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getString(2))).toSet
+      val batch = Realtime.frequentTermsWindowed(
+        docs.toDF("doc_id", "ts", "text").withColumn("ts", col("ts")),
+        "text", "ts", k = 4, windowLength = "1 hour")
+      // the same plan over the same rows as one batch: incremental sketch
+      // merges across micro-batches must not change the reported top-k
+      val expected = batch.collect()
+        .map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getString(2))).toSet
+      assert(streamed === expected)
+      assert(streamed.exists { case (w, _, t) => w.startsWith("2024-01-01 00:00") && t == "spark" })
+    } finally stream.stop()
+  }
 }
