@@ -1246,6 +1246,46 @@ object AdvancedQueries {
               FROM li JOIN lim USING (l_returnflag)
               GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // Rolling 7-day DISTINCT users (the DAU/WAU retention dashboard
+    // shape) via the scalable explode-into-windows decomposition: distinct
+    // (user, day) first — the only row-sized shuffle — then each user-day
+    // contributes itself to its 7 covering window-days SCAN-LOCALLY (7×
+    // fan-out of an already-reduced table), one distinct-agg per window
+    // day. The alternative — a `BETWEEN` range self-join of days × user-
+    // days — plans a nested loop and rescans user-days per day; this form
+    // is two equi-shuffles at any scale. The single-row max-day bound
+    // broadcasts (the allowlisted scalar-N pattern).
+    QueryDef(
+      "q_rolling_active",
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+          .distinct()
+        val bound = ud.agg(max("day").as("hi"))
+        ud.select(col("user_id"), col("day"),
+            explode(expr("sequence(day, day + interval 6 days, interval 1 day)"))
+              .as("wday"))
+          .join(broadcast(bound), col("wday") <= col("hi"))
+          .groupBy("wday")
+          .agg(
+            countDistinct(when(col("wday") === col("day"), col("user_id"))).as("dau"),
+            countDistinct("user_id").as("wau"))
+          .select(col("wday").as("day"), col("dau"), col("wau"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                          FROM events),
+                   hi AS (SELECT max(day) AS hi FROM ud),
+                   f AS (SELECT user_id, day,
+                                unnest(generate_series(day, day + INTERVAL '6 days',
+                                                       INTERVAL '1 day')) AS wday
+                         FROM ud)
+              SELECT wday AS day,
+                     count(DISTINCT CASE WHEN wday = f.day THEN user_id END) AS dau,
+                     count(DISTINCT user_id) AS wau
+              FROM f, hi WHERE wday <= hi.hi
+              GROUP BY 1 ORDER BY 1""")),
+
     // Skew-resistant SALTED JOIN — the join-side twin of q_salted_agg:
     // l_returnflag has 3 values, so a plain shuffle join lands ~N/3 fact
     // rows on single reducers; Salting.saltedJoin splits each hot key

@@ -50,7 +50,10 @@ class PlanLintSpec extends SparkSpec {
   private val broadcastBoundedOk = Set("q_knn_brute", "q_ann_ivf", "q_tfidf_top",
     "q_bm25", "q_domain_cap", "q_lm_bigram", "q_mix_temperature",
     "q_lm_quality", "q_pmi_phrases", "q_ann_pq", "q_ann_ivfpq",
-    "q_histogram_eqdepth")
+    "q_histogram_eqdepth",
+    // scalar-N pattern: the single-row max-day bound broadcasts onto the
+    // exploded window-day table; all heavy joins are equi-shuffles
+    "q_rolling_active")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
