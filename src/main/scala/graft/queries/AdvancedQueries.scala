@@ -251,6 +251,10 @@ object AdvancedQueries {
     // dictionary-histogram percentile operator (bounded aggregate state,
     // never a per-group value map), land on exactly-representable
     // quarter-cent doubles, and broadcast back onto one counting scan.
+    // The histogram the single ranking task sorts is DOMAIN-bounded, not
+    // corpus-bounded: distinct cents ≤ price-range·100 (~11M for TPC-H
+    // prices, ~200 MB of count rows) however many fact rows exist — the
+    // state that grows with the corpus stays in the mergeable rollup.
     QueryDef(
       "q_histogram_eqdepth",
       (s, d) => {
