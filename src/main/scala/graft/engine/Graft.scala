@@ -16,7 +16,6 @@ object Graft {
     val b0 = SparkSession.builder()
       .master(master)
       .appName(appName)
-    val s = extraConf.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -42,6 +41,10 @@ object Graft {
       // (cast-to-bigint, unix_micros, RANGE window frames) stays legal
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
+    // extraConf applies LAST so callers (and invariance harnesses — e.g.
+    // re-running the whole registry with AQE disabled) can override any
+    // engine default above
+    val s = extraConf.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
