@@ -33,6 +33,7 @@ object Coreset {
     require(k >= 1, "k-center needs k >= 1")
     val spark = points.sparkSession
     val base = points.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    require(!base.isEmpty, "k-center needs a non-empty point set")
 
     def dot(a: Column, b: Column): Column = graft.functions.VectorFns.dot(a, b)
     def distTo(center: Seq[Float], centerNorm2: Double): Column = {
@@ -55,12 +56,29 @@ object Coreset {
         distTo(vec, norm2)
       }
       val md = mins.reduce(least(_, _))
-      val next = base.select(col("id"), col("v"), md.as("md"))
+      // exclude already-selected ids: with duplicate points every
+      // remaining min-dist can be 0 and the deterministic (dist desc, id)
+      // tie-break would otherwise re-pick the same smallest id forever
+      val next = base
+        .filter(!col("id").isin(picks.map(_._1): _*))
+        .select(col("id"), col("v"), md.as("md"))
         .orderBy(col("md").desc, col("id"))
-        .limit(1).head()
-      picks = picks :+ ((next.getLong(0), next.getSeq[Float](1), next.getDouble(2)))
+        .limit(1).collect().headOption
+      next match {
+        case Some(r) =>
+          picks = picks :+ ((r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        case None =>
+          // fewer distinct ids than k: return what exists rather than loop
+          return buildResult(spark, picks)
+      }
     }
 
+    buildResult(spark, picks)
+  }
+
+  private def buildResult(
+      spark: org.apache.spark.sql.SparkSession,
+      picks: Vector[(Long, Seq[Float], Double)]): DataFrame = {
     val rows = picks.zipWithIndex.map { case ((id, _, d), i) => Row(i + 1, id, d) }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),

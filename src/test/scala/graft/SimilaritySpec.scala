@@ -133,4 +133,18 @@ class SimilaritySpec extends SparkSpec {
     val ds = got.map(_._3).drop(1)
     assert(ds.zip(ds.drop(1)).forall { case (a, b) => b <= a + 1e-12 })
   }
+
+  test("k-center never re-picks an id when all remaining distances are zero") {
+    import spark.implicits._
+    // three ids at only two distinct locations; k=3 must still return
+    // three DISTINCT ids (the zero-distance duplicate last), not loop on
+    // the deterministic tie-break
+    val pts = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0f, 0f)), (2L, Array(9f, 0f)))
+    val got = graft.similarity.Coreset.kCenters(
+      pts.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet === Set(0L, 1L, 2L))
+    assert(got.last._2 === 0.0, "the duplicate point joins at distance 0")
+  }
 }
