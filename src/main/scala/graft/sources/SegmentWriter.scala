@@ -157,6 +157,64 @@ object SegmentWriter {
     RetentionStats(dropped, kept, files)
   }
 
+  final case class RollupStats(
+      partitionsRolledUp: Long, rowsBefore: Long, rowsAfter: Long)
+
+  /** Age-based MERGE-ROLLUP — Pinot's minion MergeRollupTask (reference:
+    * /root/reference/basics/Architecture.md — minions rewrite older
+    * segments at coarser granularity so a long-retention table stays
+    * queryable without raw-row cost): partitions whose time-partition
+    * value sorts BELOW `cutoff` are re-aggregated — the raw time column
+    * collapses to `granularity` buckets and every metric pre-aggregates
+    * by SUM over `dims` (plus a `rollup_count` so COUNT/AVG remain
+    * answerable) — while partitions at/after the cutoff pass through raw
+    * with `rollup_count = 1`. Aggregate queries over the union are
+    * EXACTLY preserved (sum/count/avg — spec-asserted); raw-row lookups
+    * inside the rolled span are the traded-away capability, same
+    * contract as Pinot's task. Every column must be named as a dim or a
+    * metric (the task cannot guess how to merge an unlisted column).
+    *
+    * Shape at 100 TB: one partition-pruned scan each side, the rollup's
+    * group-by shuffles only the OLD slice, and the output keeps the same
+    * partition layout so readers and the retention manager are unchanged.
+    */
+  def mergeRollup(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, destPath: String,
+      timePartitionCol: String, cutoff: String,
+      timeCol: String, granularity: String,
+      dims: Seq[String], sumMetrics: Seq[String]): RollupStats = {
+    require(srcPath != destPath, "mergeRollup cannot overwrite its own input in-flight")
+    val df = spark.read.parquet(srcPath)
+    val named = (dims ++ sumMetrics ++ Seq(timeCol, timePartitionCol)).toSet
+    val unlisted = df.columns.filterNot(named.contains)
+    require(unlisted.isEmpty,
+      s"mergeRollup: columns ${unlisted.mkString(", ")} are neither dims nor metrics")
+    val isOld = col(timePartitionCol).cast("string") < lit(cutoff)
+    val old = df.filter(isOld)
+    val rowsBefore = old.count()
+    val outCols = (dims :+ timeCol) ++ sumMetrics ++ Seq("rollup_count", timePartitionCol)
+    val rolled = old
+      .groupBy((dims.map(col) :+ col(timePartitionCol)) :+
+        date_trunc(granularity, col(timeCol)).as(timeCol): _*)
+      .agg(count(lit(1)).as("rollup_count"),
+        sumMetrics.map(m => sum(m).as(m)): _*)
+      .select(outCols.map(col): _*)
+    val recent = df.filter(!isOld)
+      .withColumn("rollup_count", lit(1L))
+      .select(outCols.map(col): _*)
+    rolled.unionByName(recent)
+      .write.mode("overwrite").partitionBy(timePartitionCol).parquet(destPath)
+    // same staleness rule as compact: this is a rewrite
+    graft.queries.DedupQueries.invalidateCaches()
+    graft.similarity.IvfAnn.invalidateIndexCache()
+    val out = spark.read.parquet(destPath)
+    RollupStats(
+      old.select(timePartitionCol).distinct().count(),
+      rowsBefore,
+      out.filter(col(timePartitionCol).cast("string") < lit(cutoff)).count())
+  }
+
   /** Morton (Z-order) bit interleave of two pre-scaled long columns: bit i
     * of `a` lands at position 2i, bit i of `b` at 2i+1. Pure codegen'd
     * shift/mask expression tree — no UDF. Callers must scale both inputs

@@ -269,6 +269,54 @@ class SegmentWriterSpec extends SparkSpec {
     assert(back.agg(min(year(col("l_shipdate_year")))).head.getInt(0) === cutoffYear)
   }
 
+  test("merge-rollup coarsens old partitions and preserves sum/count/avg exactly") {
+    val src = Files.createTempDirectory("segments_rollup_src").toString
+    val dest = Files.createTempDirectory("segments_rollup_dest").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value"))
+    SegmentWriter.write(ev, src, SegmentWriter.Config(
+      partitionCols = Seq(SegmentWriter.derivedName("ts", "week")),
+      derivedTimeCols = Seq(("ts", "week"))))
+    val partCol = SegmentWriter.derivedName("ts", "week")
+    // derive cutoff via SQL cast — Row.toString on a timestamp appends
+    // ".0", which sorts differently than the engine-side CAST AS STRING
+    val weeks = spark.read.parquet(src)
+      .selectExpr(s"CAST(`$partCol` AS STRING)").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(weeks.length > 2, s"fixture needs multiple weeks: ${weeks.toSeq}")
+    val cutoff = weeks(weeks.length - 1) // roll up all but the last week
+
+    val stats = SegmentWriter.mergeRollup(
+      spark, src, dest, partCol, cutoff,
+      timeCol = "ts", granularity = "day",
+      dims = Seq("event_type"), sumMetrics = Seq("value"))
+    assert(stats.partitionsRolledUp === weeks.length - 1)
+    assert(stats.rowsAfter < stats.rowsBefore,
+      "daily rollup over hour-dense events must shrink the old slice")
+
+    val back = spark.read.parquet(dest)
+    // aggregate contract: per-type sum/count/avg over the union match raw
+    val got = back.groupBy("event_type")
+      .agg(sum("value").as("s"), sum("rollup_count").as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val raw = ev.groupBy("event_type")
+      .agg(sum("value").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.keySet === raw.keySet)
+    got.foreach { case (k, (s, n)) =>
+      assert(n === raw(k)._2, s"count drifted for $k")
+      assert(math.abs(s - raw(k)._1) < 1e-6, s"sum drifted for $k")
+    }
+    // the recent partition stays raw (one row per event, count 1)
+    val recent = back.filter(col(partCol).cast("string") >= cutoff)
+    assert(recent.agg(max("rollup_count")).head.getLong(0) === 1L)
+    assert(recent.count() ===
+      spark.read.parquet(src).filter(col(partCol).cast("string") >= cutoff).count())
+    // rolled rows collapsed to day buckets: every old-ts is day-truncated
+    val old = back.filter(col(partCol).cast("string") < cutoff)
+    assert(old.filter(col("ts") =!= date_trunc("day", col("ts"))).count() === 0L)
+  }
+
   test("scanStats reports files touched after partition pruning (numSegmentsQueried analog)") {
     val out = Files.createTempDirectory("segments_stats").toString
     val li = Tables.lineitem(spark, sfDir).withColumn("ship_year", year(col("l_shipdate")))
