@@ -11,6 +11,50 @@ import graft.operators.StarTree
 object StarTreeQueries {
 
   val defs: Seq[QueryDef] = Seq(
+    // End-to-end MERGE-ROLLUP serving under the hash gate: events write
+    // through the segment writer (week partitions), SegmentWriter
+    // .mergeRollup coarsens every week but the last to daily pre-aggs,
+    // and the day-level dashboard query runs over the UNION of rolled +
+    // raw partitions — the oracle aggregates the raw table, so the hash
+    // proves the lifecycle rewrite lost nothing. The metric is
+    // cents-quantized before the rollup: partial sums are integer-exact
+    // under ANY re-grouping, so rolled-then-summed equals raw-summed to
+    // the bit (a double metric would drift in the last ulp and flip
+    // round()'s 2nd decimal on boundary values).
+    QueryDef(
+      "q_rollup_agg",
+      (s, d) => {
+        import graft.sources.SegmentWriter
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val src = s"/tmp/graft_rollup_src_$tag"
+        val dest = s"/tmp/graft_rollup_dest_$tag"
+        val partCol = SegmentWriter.derivedName("ts", "week")
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("ts"),
+            round(col("value") * 100).cast("long").as("vc"))
+        SegmentWriter.write(ev, src, SegmentWriter.Config(
+          partitionCols = Seq(partCol),
+          derivedTimeCols = Seq(("ts", "week"))))
+        val weeks = s.read.parquet(src)
+          .selectExpr(s"CAST(`$partCol` AS STRING)").distinct()
+          .collect().map(_.getString(0)).sorted
+        SegmentWriter.mergeRollup(
+          s, src, dest, partCol, cutoff = weeks.last,
+          timeCol = "ts", granularity = "day",
+          dims = Seq("event_type"), sumMetrics = Seq("vc"))
+        s.read.parquet(dest)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg((sum("vc") / 100.0).as("sum_v"), sum("rollup_count").as("n"))
+          .select(col("event_type"), col("day"),
+            round(col("sum_v"), 2).as("sum_v"), col("n"))
+          .orderBy("event_type", "day")
+      },
+      Some("""SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                           / 100.0, 2) AS sum_v,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2 ORDER BY event_type, day""")),
+
     QueryDef(
       "q_startree_rollup",
       (s, d) => {
