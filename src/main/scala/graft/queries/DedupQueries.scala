@@ -410,6 +410,76 @@ object DedupQueries {
             round(max(col("cos")), 4).as("max_cos"))
           .orderBy("cell")
       },
-      None)
+      None),
+
+    // Leakage-safe train/valid/test SPLIT: hashing each DOCUMENT into a
+    // split leaks near-duplicates across the train/eval boundary (the
+    // contamination q_decontaminate exists to catch); hashing each
+    // near-dup CLUSTER keeps every member on one side by construction.
+    // group_id = the dedup cluster representative (min doc_id), falling
+    // back to the doc's own id for singletons; the split is the shared
+    // content-hash bucket (HashBuckets.md5Bucket — deterministic under
+    // any partitioning, retry, or cluster size) of that representative,
+    // 80/10/10. Scale shape: the cluster map is the already-audited
+    // CC output (corpus-pairs-sized, NOT corpus-sized) joined back once;
+    // everything else is scan-local + a 3-group rollup. SplitSpec asserts
+    // the invariant directly: no near-dup pair straddles two splits.
+    QueryDef(
+      "q_split_leakage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cl = clustersCached(s, d, 0.8)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        val b = graft.functions.HashBuckets.md5Bucket(col("group_id").cast("string"), 10)
+        docs.join(cl, Seq("doc_id"), "left_outer")
+          .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("split",
+            when(b < 8, "train").when(b === 8, "valid").otherwise("test"))
+          .groupBy("split")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("group_id")).as("n_groups"),
+            sum("doc_id").as("id_checksum"))
+          .orderBy("split")
+      },
+      Some("""WITH RECURSIVE
+                   docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+                   sh AS (SELECT doc_id,
+                          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                         FOR i IN range(1, len(w) - 1)]) AS s
+                          FROM docs WHERE len(w) >= 3),
+                   ex AS (SELECT doc_id, unnest(s) AS shg FROM sh),
+                   prs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                           FROM ex a JOIN ex b ON a.shg = b.shg AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                   sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+                   jp AS (SELECT a_id, b_id
+                          FROM prs p
+                          JOIN sizes sa ON p.a_id = sa.doc_id
+                          JOIN sizes sb ON p.b_id = sb.doc_id
+                          WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+                   edges AS (SELECT a_id AS u, b_id AS v FROM jp
+                             UNION SELECT b_id, a_id FROM jp),
+                   reach(u, v) AS (
+                     SELECT DISTINCT u, u FROM edges
+                     UNION
+                     SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+                   comp AS (SELECT u AS doc_id, min(v) AS cluster_id
+                            FROM reach GROUP BY u),
+                   grp AS (SELECT d.doc_id,
+                                  coalesce(c.cluster_id, d.doc_id) AS group_id
+                           FROM documents d
+                           LEFT JOIN comp c ON d.doc_id = c.doc_id),
+                   spl AS (SELECT doc_id, group_id,
+                                  CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 4))
+                                       AS INT) % 10 AS b
+                           FROM grp)
+              SELECT CASE WHEN b < 8 THEN 'train'
+                          WHEN b = 8 THEN 'valid'
+                          ELSE 'test' END AS split,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
+                     CAST(sum(doc_id) AS BIGINT) AS id_checksum
+              FROM spl GROUP BY 1 ORDER BY split"""))
   )
 }

@@ -235,6 +235,64 @@ object SimilarityQueries {
               FROM e a JOIN e b ON b.vec_id = a.vec_id + 50
               WHERE a.vec_id < 20 ORDER BY a_id""")),
 
+    // Lloyd's k-means (similarity.Kmeans): deterministic seeding (k
+    // smallest ids) + (d2, cid)-lexicographic assignment make a
+    // distributed clustering exactly SQL-replayable, so the DuckDB oracle
+    // unrolls the same two Lloyd iterations as CTE levels and
+    // hash-verifies sizes AND inertia. Scale shape: centroids are k·dim
+    // DRIVER doubles folded into the scan as literals — each iteration is
+    // one scan-local argmin pass (codegen'd vector_dot expansion, |p|²
+    // hoisted) plus a k-row vector_avg collect; no join, no shuffle wider
+    // than k×partitions O(dim) buffers. Assignment-flip margins on this
+    // fixture are ≥1e-4 — eight orders above cross-engine double drift —
+    // so the argmin is engine-stable (KmeansSpec pins determinism under
+    // repartition and the empty-cluster path).
+    QueryDef(
+      "q_kmeans",
+      (s, d) =>
+        graft.similarity.Kmeans.lloyd(
+            Tables.embeddings(s, d), "vec_id", "embedding", k = 4, iters = 2)
+          .groupBy("cid")
+          .agg(
+            count(lit(1)).as("n_points"),
+            (round(sum("d2"), 2) + lit(0.0)).as("inertia"),
+            (round(avg("d2"), 4) + lit(0.0)).as("avg_d2"))
+          .orderBy("cid"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   u AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+                         FROM e),
+                   seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                                      AS cid, v
+                             FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+                   su AS (SELECT cid, generate_subscripts(v, 1) AS i, unnest(v) AS cx
+                          FROM seeds),
+                   d1 AS (SELECT u.vec_id, su.cid,
+                                 sum((u.x - su.cx) * (u.x - su.cx)) AS dd
+                          FROM u JOIN su ON u.i = su.i GROUP BY 1, 2),
+                   a1 AS (SELECT vec_id, cid FROM (
+                            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dd, cid) AS rn FROM d1) WHERE rn = 1),
+                   c1 AS (SELECT a1.cid, u.i, avg(u.x) AS cx
+                          FROM u JOIN a1 USING (vec_id) GROUP BY 1, 2),
+                   d2 AS (SELECT u.vec_id, c1.cid,
+                                 sum((u.x - c1.cx) * (u.x - c1.cx)) AS dd
+                          FROM u JOIN c1 ON u.i = c1.i GROUP BY 1, 2),
+                   a2 AS (SELECT vec_id, cid FROM (
+                            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dd, cid) AS rn FROM d2) WHERE rn = 1),
+                   c2 AS (SELECT a2.cid, u.i, avg(u.x) AS cx
+                          FROM u JOIN a2 USING (vec_id) GROUP BY 1, 2),
+                   d3 AS (SELECT u.vec_id, c2.cid,
+                                 sum((u.x - c2.cx) * (u.x - c2.cx)) AS dd
+                          FROM u JOIN c2 ON u.i = c2.i GROUP BY 1, 2),
+                   a3 AS (SELECT vec_id, cid, dd FROM (
+                            SELECT vec_id, cid, dd, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dd, cid) AS rn FROM d3) WHERE rn = 1)
+              SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+                     round(sum(dd), 2) + 0 AS inertia,
+                     round(avg(dd), 4) + 0 AS avg_d2
+              FROM a3 GROUP BY 1 ORDER BY cid""")),
+
     // Greedy k-center CORESET (farthest-point-first diverse sampling —
     // the "pick k maximally-spread exemplars" curation op): the selected
     // set is k·dim driver floats, each round is one scan-local distance
@@ -277,6 +335,110 @@ object SimilarityQueries {
               UNION ALL SELECT 3, vec_id, round(md, 4) + 0 FROM c3
               UNION ALL SELECT 4, vec_id, round(md, 4) + 0 FROM c4
               UNION ALL SELECT 5, vec_id, round(md, 4) + 0 FROM c5
-              ORDER BY pick"""))
+              ORDER BY pick""")),
+
+    // Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack et al.
+    // 2009 — the standard way lexical+vector search engines merge their
+    // two rankings): arm 1 is the q_bm25 lexical scorer, arm 2 is
+    // scan-local cosine against one fixed query vector (vec_id 0); each
+    // arm keeps its top 20 via the k-bounded top_k_by heap (NO ranking
+    // window anywhere), fused as Σ 1/(60+rank). Ranks are computed from
+    // ROUNDED scores with id tie-breaks, so both engines derive identical
+    // integer ranks and the fused doubles match bit-for-bit. Scale shape:
+    // two scan-local passes + two 20-row arrays + a 40-row fuse — the
+    // corpus never shuffles (the bm25 stats row broadcasts, scalar-N
+    // pattern, lint-allowlisted).
+    QueryDef(
+      "q_hybrid_rrf",
+      (s, d) => {
+        val terms = Seq("table", "scan", "merge")
+        val k1 = 1.2
+        val b = 0.75
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val perDoc = toks.select(
+          col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+            terms.map(t =>
+              size(filter(col("toks"), w => w === lit(t))).cast("long").as(s"tf_$t")): _*)
+        val statAggs = count(lit(1)).as("n_docs") +: avg("dl").as("avgdl") +:
+          terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+        val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+        val score = terms.map { t =>
+          val tf = col(s"tf_$t").cast("double")
+          val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$t") + lit(0.5)) /
+            (col(s"df_$t") + lit(0.5)))
+          idf * (tf * lit(2.2)) /
+            (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+        }.reduce(_ + _)
+        val lex = perDoc.crossJoin(broadcast(stats))
+          .select(col("doc_id"), round(score, 4).as("sc"))
+          .filter(col("sc") > 0)
+          .agg(VectorFns.topKBy(col("sc"), col("doc_id"), 20).as("h"))
+          .select(posexplode(col("h")).as(Seq("pos", "hit")))
+          .select(col("hit.cand_id").as("doc_id"),
+            (lit(1.0) / (lit(61.0) + col("pos"))).as("c"))
+
+        val e = Tables.embeddings(s, d)
+        val qv = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+        val qn = math.sqrt(qv.foldLeft(0.0)((acc, x) => acc + x * x))
+        val dense = e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("doc_id"),
+            round(VectorFns.dot(col("embedding"), typedlit(qv)) /
+              (VectorFns.norm(col("embedding")) * lit(qn)), 4).as("sc"))
+          .agg(VectorFns.topKBy(col("sc"), col("doc_id"), 20).as("h"))
+          .select(posexplode(col("h")).as(Seq("pos", "hit")))
+          .select(col("hit.cand_id").as("doc_id"),
+            (lit(1.0) / (lit(61.0) + col("pos"))).as("c"))
+
+        lex.unionByName(dense)
+          .groupBy("doc_id")
+          .agg((round(sum("c"), 6) + lit(0.0)).as("rrf"),
+            count(lit(1)).as("n_arms"))
+          .orderBy(desc("rrf"), asc("doc_id"))
+          .limit(15)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                   perdoc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                                     CAST(len(list_filter(w, x -> x = 'table')) AS BIGINT) AS tf_table,
+                                     CAST(len(list_filter(w, x -> x = 'scan')) AS BIGINT) AS tf_scan,
+                                     CAST(len(list_filter(w, x -> x = 'merge')) AS BIGINT) AS tf_merge
+                              FROM t),
+                   stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                                    CAST(sum(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_table,
+                                    CAST(sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_scan,
+                                    CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge
+                             FROM perdoc),
+                   scored AS (SELECT doc_id,
+                                     round(
+                                       ln(1.0 + (n_docs - df_table + 0.5) / (df_table + 0.5))
+                                         * (CAST(tf_table AS DOUBLE) * 2.2)
+                                         / (CAST(tf_table AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+                                       ln(1.0 + (n_docs - df_scan + 0.5) / (df_scan + 0.5))
+                                         * (CAST(tf_scan AS DOUBLE) * 2.2)
+                                         / (CAST(tf_scan AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+                                       ln(1.0 + (n_docs - df_merge + 0.5) / (df_merge + 0.5))
+                                         * (CAST(tf_merge AS DOUBLE) * 2.2)
+                                         / (CAST(tf_merge AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                                       4) AS sc
+                              FROM perdoc CROSS JOIN stats),
+                   lexr AS (SELECT doc_id, rn FROM (
+                              SELECT doc_id, row_number() OVER (ORDER BY sc DESC, doc_id) AS rn
+                              FROM scored WHERE sc > 0) WHERE rn <= 20),
+                   qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                          WHERE vec_id = 0),
+                   den AS (SELECT e.vec_id AS doc_id,
+                                  round(list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]), qv.v), 4) AS sc
+                           FROM embeddings e, qv WHERE e.vec_id <> 0),
+                   denr AS (SELECT doc_id, rn FROM (
+                              SELECT doc_id, row_number() OVER (ORDER BY sc DESC, doc_id) AS rn
+                              FROM den) WHERE rn <= 20),
+                   contrib AS (SELECT doc_id, 1.0 / (60 + rn) AS c FROM lexr
+                               UNION ALL
+                               SELECT doc_id, 1.0 / (60 + rn) FROM denr)
+              SELECT doc_id, round(sum(c), 6) + 0 AS rrf,
+                     CAST(count(*) AS BIGINT) AS n_arms
+              FROM contrib GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 15"""))
   )
 }

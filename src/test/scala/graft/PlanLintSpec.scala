@@ -48,7 +48,7 @@ class PlanLintSpec extends SparkSpec {
     *    the shortlist back to vectors.
     */
   private val broadcastBoundedOk = Set("q_knn_brute", "q_ann_ivf", "q_tfidf_top",
-    "q_bm25", "q_domain_cap", "q_lm_bigram", "q_mix_temperature",
+    "q_bm25", "q_hybrid_rrf", "q_domain_cap", "q_lm_bigram", "q_mix_temperature",
     "q_lm_quality", "q_pmi_phrases", "q_ann_pq", "q_ann_ivfpq",
     "q_histogram_eqdepth",
     // scalar-N pattern: the single-row max-day bound broadcasts onto the
