@@ -439,6 +439,80 @@ object SimilarityQueries {
                                SELECT doc_id, 1.0 / (60 + rn) FROM denr)
               SELECT doc_id, round(sum(c), 6) + 0 AS rrf,
                      CAST(count(*) AS BIGINT) AS n_arms
-              FROM contrib GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 15"""))
+              FROM contrib GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 15""")),
+
+    // MMR diversity re-rank (similarity.Mmr, Carbonell & Goldstein 1998):
+    // the post-retrieval selector that stops near-duplicate hits from
+    // crowding a result set — greedy λ·rel − penalty·max-sim-to-picked
+    // over a cosine shortlist. Corpus-sized work is the shortlist
+    // TakeOrdered(20) only; the greedy walk runs on the driver over those
+    // 20 rows (Coreset's bounded-state class). Every compared value is
+    // rounded to 4 decimals with id tie-breaks first, so the DuckDB
+    // oracle replays the identical walk as 5 unrolled CTE picks.
+    QueryDef(
+      "q_topk_diverse",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val qv = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+        graft.similarity.Mmr.rerank(e, "vec_id", "embedding", qv,
+            nCand = 20, k = 5, lambda = 0.7, penalty = 0.3)
+          .select(col("pick"), col("id").as("vec_id"),
+            (col("rel") + lit(0.0)).as("rel"),
+            (col("score") + lit(0.0)).as("score"))
+          .orderBy("pick")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   qv AS (SELECT v FROM e WHERE vec_id = 0),
+                   cand AS (SELECT e.vec_id, e.v,
+                                   round(list_cosine_similarity(e.v, qv.v), 4) AS rel
+                            FROM e, qv
+                            ORDER BY rel DESC, e.vec_id LIMIT 20),
+                   sims AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                                   round(list_cosine_similarity(a.v, b.v), 4) AS s
+                            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+                   p1 AS (SELECT vec_id, rel, rel AS score FROM cand
+                          ORDER BY rel DESC, vec_id LIMIT 1),
+                   s2 AS (SELECT c.vec_id, c.rel,
+                                 0.7 * c.rel - 0.3 * max(s.s) AS score
+                          FROM cand c JOIN sims s ON s.a_id = c.vec_id
+                          WHERE s.b_id IN (SELECT vec_id FROM p1)
+                            AND c.vec_id NOT IN (SELECT vec_id FROM p1)
+                          GROUP BY c.vec_id, c.rel),
+                   p2 AS (SELECT vec_id, rel, score FROM s2
+                          ORDER BY score DESC, vec_id LIMIT 1),
+                   k2 AS (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2),
+                   s3 AS (SELECT c.vec_id, c.rel,
+                                 0.7 * c.rel - 0.3 * max(s.s) AS score
+                          FROM cand c JOIN sims s ON s.a_id = c.vec_id
+                          WHERE s.b_id IN (SELECT vec_id FROM k2)
+                            AND c.vec_id NOT IN (SELECT vec_id FROM k2)
+                          GROUP BY c.vec_id, c.rel),
+                   p3 AS (SELECT vec_id, rel, score FROM s3
+                          ORDER BY score DESC, vec_id LIMIT 1),
+                   k3 AS (SELECT vec_id FROM k2 UNION ALL SELECT vec_id FROM p3),
+                   s4 AS (SELECT c.vec_id, c.rel,
+                                 0.7 * c.rel - 0.3 * max(s.s) AS score
+                          FROM cand c JOIN sims s ON s.a_id = c.vec_id
+                          WHERE s.b_id IN (SELECT vec_id FROM k3)
+                            AND c.vec_id NOT IN (SELECT vec_id FROM k3)
+                          GROUP BY c.vec_id, c.rel),
+                   p4 AS (SELECT vec_id, rel, score FROM s4
+                          ORDER BY score DESC, vec_id LIMIT 1),
+                   k4 AS (SELECT vec_id FROM k3 UNION ALL SELECT vec_id FROM p4),
+                   s5 AS (SELECT c.vec_id, c.rel,
+                                 0.7 * c.rel - 0.3 * max(s.s) AS score
+                          FROM cand c JOIN sims s ON s.a_id = c.vec_id
+                          WHERE s.b_id IN (SELECT vec_id FROM k4)
+                            AND c.vec_id NOT IN (SELECT vec_id FROM k4)
+                          GROUP BY c.vec_id, c.rel),
+                   p5 AS (SELECT vec_id, rel, score FROM s5
+                          ORDER BY score DESC, vec_id LIMIT 1)
+              SELECT 1 AS pick, vec_id, rel + 0 AS rel, round(score, 4) + 0 AS score FROM p1
+              UNION ALL SELECT 2, vec_id, rel + 0, round(score, 4) + 0 FROM p2
+              UNION ALL SELECT 3, vec_id, rel + 0, round(score, 4) + 0 FROM p3
+              UNION ALL SELECT 4, vec_id, rel + 0, round(score, 4) + 0 FROM p4
+              UNION ALL SELECT 5, vec_id, rel + 0, round(score, 4) + 0 FROM p5
+              ORDER BY pick"""))
   )
 }
