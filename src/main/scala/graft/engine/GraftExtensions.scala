@@ -71,5 +71,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // transparent star-tree pre-aggregation (fires only on fact tables
     // registered in graft.plans.StarTreeCatalog)
     ext.injectOptimizerRule(session => new graft.plans.StarTreeRewriteRule(session))
+    // transparent timestamp-index rewrite (fires only on scans carrying
+    // SegmentWriter-derived granularity columns)
+    ext.injectOptimizerRule(session => new graft.plans.TimestampIndexRewriteRule(session))
   }
 }

@@ -158,6 +158,42 @@ object DateTimeQueries {
               SELECT user_id, CAST(len(vals) AS INT) AS n,
                      round(vals[-1], 4) + 0 AS last_v,
                      round(list_reduce(vals, (acc, x) -> 0.3*x + 0.7*acc), 4) + 0 AS ewma
-              FROM seq ORDER BY user_id"""))
+              FROM seq ORDER BY user_id""")),
+
+    // TIMESTAMP-index serving path (timestamp-index.md: Pinot rewrites
+    // datetrunc('DAY', ts) onto the pre-generated $ts$DAY column): the
+    // query writes events once per session through SegmentWriter with a
+    // derived ts_day column, then runs the SAME date_trunc group-by a
+    // user would write — plans.TimestampIndexRewrite transparently swaps
+    // the per-row truncation for the stored column (TimestampIndexSpec
+    // asserts the plan shape and filter pushdown; here the DuckDB oracle
+    // hash-pins that the rewritten path returns exactly the raw-events
+    // answer). At 100 TB the derived column carries row-group min/max
+    // stats — the reference's "range index on every granularity".
+    QueryDef(
+      "q_timestamp_rewrite",
+      (s, d) =>
+        s.read.parquet(tsSegment(s, d))
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
+          .orderBy("day"),
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS cnt,
+                     round(sum(value), 2) AS sum_val
+              FROM events GROUP BY 1 ORDER BY day"""))
   )
+
+  // Session-scoped timestamp-index segment (the in-session analog of the
+  // index Pinot materializes next to its segments): events written ONCE
+  // per (session, sfDir) with the ts_day derived column, reused across
+  // reps/queries.
+  private val tsSegCache =
+    scala.collection.concurrent.TrieMap[(org.apache.spark.sql.SparkSession, String), String]()
+  private def tsSegment(s: org.apache.spark.sql.SparkSession, d: String): String =
+    tsSegCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tsidx_q").toString
+      graft.sources.SegmentWriter.write(
+        Tables.events(s, d).select("event_id", "user_id", "ts", "value"), dir,
+        graft.sources.SegmentWriter.Config(derivedTimeCols = Seq(("ts", "day"))))
+      dir
+    })
 }
