@@ -105,16 +105,24 @@ object ScaleBench {
         catch { case e: Throwable =>
           System.err.println(s"[scale] $name FAILED at $dir: ${e.getMessage}"); None }
       }
-      name -> (if (times.isEmpty) Double.NaN else times.sorted.apply(times.size / 2))
+      // min for <=2 reps: with per-rep cold caches the fastest rep is
+      // still full work, and it excludes one-time MATERIALIZATION steps
+      // (q_startree_hll's cube build registers on rep 1 and serves from
+      // the cube after — the 1x median-of-3 already measures serving, so
+      // the Cx side must too or the build masquerades as a 12x slope).
+      name -> (if (times.isEmpty) Double.NaN
+               else if (times.size <= 2) times.min
+               else times.sorted.apply(times.size / 2))
     }.toMap
 
     def f3(v: Double) = "%.3f".format(v)
-    // Full mode runs every registry query, so the C× pass gets one rep
-    // (it runs AFTER the 1× pass, whose identical plan shapes have
-    // already paid codegen/JIT — the 1× side keeps median-of-3 since its
-    // short runs are the noisy denominator).
+    // Full mode runs every registry query, so the C× pass gets two reps
+    // (min-of-2: rep 1 pays any one-time materialization — cube build,
+    // index write — and rep 2 measures serving, matching what the 1×
+    // median-of-3 measures; the per-rep cache invalidation above keeps
+    // the QUERY work itself cold both reps).
     val t1 = timeAll(dir1, reps = 3)
-    val tC = timeAll(dirC, reps = if (full) 1 else 3)
+    val tC = timeAll(dirC, reps = if (full) 2 else 3)
     def line(scale: Int, t: Map[String, Double]) =
       s"""{"metric":"scale_times","scale":$scale,"queries":{${
         names.map(n => s"\"$n\":${f3(t(n))}").mkString(",")}}}"""

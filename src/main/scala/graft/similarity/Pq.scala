@@ -1,7 +1,5 @@
 package graft.similarity
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
@@ -55,9 +53,22 @@ object Pq {
   private def subSlice(vec: Column, sub: Column, subDim: Int): Column =
     slice(vec, sub * subDim + 1, lit(subDim))
 
-  /** Per-subspace codebooks: (sub, cid, cvec). One seeded KMeans fit per
-    * subspace (m fits over (d/m)-dim slices — each fit's centroid set is
-    * collected driver-side by MLlib, centroid count · subDim doubles).
+  /** Per-subspace codebooks: (sub, cid, cvec), trained by ONE joint Lloyd
+    * loop over all m subspaces at once (the `Kmeans.lloyd` discipline,
+    * generalized): the corpus explodes once into (sub, svec) slice rows,
+    * the m·kCodes centroids live on the DRIVER (m·kCodes·subDim doubles —
+    * for 8×16 over 64-dim, 1 KiB), and each iteration is ONE scan-local
+    * assignment pass (chained per-sub CASE so a row evaluates only its own
+    * subspace's kCodes candidates, |s|² hoisted) plus an m·kCodes-row
+    * `vector_avg` collect. maxIter iterations cost maxIter scans total —
+    * the previous per-subspace MLlib fits cost m independent fit loops
+    * (~m·maxIter jobs) over the same bytes, 8× the scheduling for the
+    * identical asymptotic work. Seeding is deterministic (each subspace
+    * seeds from the kCodes smallest-id slices), so codebooks — and
+    * therefore codes and ADC scores — are exactly reproducible across
+    * runs, sessions, and partitionings; `seed` remains in the signature
+    * for cache-key/API compatibility only. Empty cells keep their stale
+    * centroid (output arity is always m·kCodes, like Kmeans.lloyd).
     */
   def trainCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -68,17 +79,69 @@ object Pq {
     val dim = n.select(size(col("nvec"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
-    val rows = (0 until m).flatMap { sub =>
-      val sliced = n.select(
-        array_to_vector(subSlice(col("nvec"), lit(sub), subDim)).as("features"))
-      val model = new KMeans().setK(kCodes).setSeed(seed + sub)
-        .setMaxIter(maxIter).fit(sliced)
-      model.clusterCenters.zipWithIndex.map { case (c, cid) =>
-        (sub, cid, c.toArray)
+
+    val subRows = n
+      .select(col(idCol).cast("long").as("id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("nvec"))
+      .select(col("id"), col("sub"),
+        subSlice(col("nvec"), col("sub"), subDim).as("svec"))
+      .persist()
+    try {
+      // Deterministic seeds: the kCodes smallest ids' slices, per subspace
+      // (m·kCodes rows collected — broadcast-class, never corpus-sized).
+      val seedIds = subRows.select(col("id")).distinct()
+        .orderBy("id").limit(kCodes).collect().map(_.getLong(0))
+      require(seedIds.nonEmpty, "PQ training needs a non-empty corpus")
+      val idRank = seedIds.sorted.zipWithIndex.toMap
+      var cents: Map[(Int, Int), Seq[Double]] = subRows
+        .filter(col("id").isin(seedIds: _*)).collect()
+        .map(r => (r.getInt(1), idRank(r.getLong(0))) -> r.getSeq[Double](2))
+        .toMap
+      // Short corpora seed fewer than kCodes cells; pad by cycling so the
+      // codebook arity stays m·kCodes (duplicates merge to one live cell).
+      cents = (0 until m).flatMap { s =>
+        (0 until kCodes).map(c => (s, c) -> cents((s, c % idRank.size)))
+      }.toMap
+
+      def assigned(): DataFrame = {
+        val perSub = (0 until m).map { s =>
+          val cands = (0 until kCodes).map { c =>
+            val cv = cents((s, c))
+            val cc = cv.foldLeft(0.0)((acc, x) => acc + x * x)
+            struct(
+              (col("ss") - lit(2.0) * VectorFns.dot(col("svec"), typedlit(cv)) + lit(cc))
+                .as("d2"),
+              lit(c).as("cid"))
+          }
+          s -> array_min(array(cands: _*))
+        }
+        val best = perSub.tail.foldLeft(
+          when(col("sub") === perSub.head._1, perSub.head._2)) {
+          case (acc, (s, e)) => acc.when(col("sub") === s, e)
+        }
+        subRows
+          .withColumn("ss", VectorFns.dot(col("svec"), col("svec")))
+          .withColumn("best", best)
+          .select(col("sub"), col("best.cid").as("cid"), col("svec"))
       }
-    }
-    import spark.implicits._
-    rows.toDF("sub", "cid", "cvec")
+
+      var it = 0
+      while (it < maxIter) {
+        val updated = assigned()
+          .groupBy("sub", "cid")
+          .agg(VectorFns.vectorAvg(col("svec")).as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
+          .toMap
+        cents = cents.map { case (k, old) => k -> updated.getOrElse(k, old) }
+        it += 1
+      }
+      import spark.implicits._
+      cents.toSeq
+        .map { case ((s, c), v) => (s, c, v) }
+        .sortBy(t => (t._1, t._2))
+        .toDF("sub", "cid", "cvec")
+    } finally subRows.unpersist(blocking = false)
   }
 
   /** Encode every corpus vector as m codes: (id, codes array<int>). One
