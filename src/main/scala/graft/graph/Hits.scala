@@ -1,0 +1,69 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS (Kleinberg 1999) hub/authority scores over a weighted edge list —
+  * the complement to PageRank.ranks for link-graph curation: authorities
+  * are pages many good hubs point at, hubs are pages pointing at many
+  * good authorities. A crawl-corpus build uses the authority side as a
+  * quality prior and the hub side to find link farms (high hub, near-zero
+  * authority).
+  *
+  * Scale design mirrors PageRank.ranks exactly: the graph stays an edge
+  * list, each half-iteration is one equi-join (scores ⋈ edges on the
+  * incident key) plus one hash aggregation by the other key, the L1
+  * normalizer is a SCALAR aggregate (power iteration is direction-
+  * invariant to the normalization choice, and a sum avoids a second
+  * pass for the sqrt of squares), and every round ends in a lazy
+  * localCheckpoint so plan lineage stays flat across iterations. Fixed
+  * iteration count keeps the output deterministic and SQL-replayable.
+  */
+object Hits {
+
+  /** (host, auth, hub) for every node of `edges` (columns: src, dst,
+    * weight > 0), after `iterations` full auth→hub rounds; both score
+    * columns are L1-normalized (Σ = 1). Nodes with no in-edges get
+    * auth 0, no out-edges hub 0.
+    */
+  def hubsAndAuthorities(edges: DataFrame, iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e0 = edges.select(
+      col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"),
+      col("weight").cast("double").as("weight"))
+    val nodes = e0.select(col("src").as("host"))
+      .unionByName(e0.select(col("dst").as("host")))
+      .distinct()
+      .localCheckpoint(eager = false)
+
+    // Init hub ≡ 1: the first normalization rescales, so the constant
+    // (vs 1/n) never changes any later value.
+    var hub = nodes.withColumn("hub", lit(1.0))
+    var auth = nodes.withColumn("auth", lit(0.0))
+    var iter = 0
+    while (iter < iterations) {
+      val aRaw = e0.join(hub, e0("src") === hub("host"))
+        .groupBy(col("dst"))
+        .agg(sum(col("weight") * col("hub")).as("a"))
+      // Scalar L1 normalizer — also the action that materializes the
+      // previous round's lazy checkpoint (the PageRank dangling-mass
+      // pattern).
+      val aSum = aRaw.agg(coalesce(sum("a"), lit(0.0))).head().getDouble(0)
+      require(aSum > 0, "HITS: no authority mass — graph has no edges")
+      auth = nodes.join(aRaw, nodes("host") === aRaw("dst"), "left_outer")
+        .select(col("host"), (coalesce(col("a"), lit(0.0)) / lit(aSum)).as("auth"))
+        .localCheckpoint(eager = false)
+      val hRaw = e0.join(auth, e0("dst") === auth("host"))
+        .groupBy(col("src"))
+        .agg(sum(col("weight") * col("auth")).as("h"))
+      val hSum = hRaw.agg(coalesce(sum("h"), lit(0.0))).head().getDouble(0)
+      require(hSum > 0, "HITS: no hub mass — graph has no edges")
+      hub = nodes.join(hRaw, nodes("host") === hRaw("src"), "left_outer")
+        .select(col("host"), (coalesce(col("h"), lit(0.0)) / lit(hSum)).as("hub"))
+        .localCheckpoint(eager = false)
+      iter += 1
+    }
+    auth.join(hub, "host")
+  }
+}

@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** §A+ behavioral / statistical analytics over the events stream — the
+  * product-analytics family a Pinot deployment serves next to funnels and
+  * retention (reference capability class: multi-stage engine dashboards,
+  * basics/Architecture.md): cohort retention matrices, A/B significance
+  * tests, per-series forecasting, Markov path transitions, windowed
+  * anomaly detection, and market-basket co-occurrence.
+  *
+  * Scale discipline shared by every query here: one keyed shuffle to an
+  * entity-sized rollup (user / series / basket), then all remaining work
+  * runs over dictionary-sized aggregates (weeks × offsets, 5×5 transition
+  * cells, series × days). Nothing fans out wider than the input and no
+  * window runs unpartitioned.
+  */
+object BehaviorQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Cohort retention matrix (signup-week × week-offset): the classic
+    // product-analytics triangle. ONE user-keyed shuffle builds each
+    // user's (first week, distinct active weeks) in a single aggregate;
+    // exploding the per-user week set yields cell counts directly
+    // (the set is distinct per user, so count(*) IS count-distinct-users
+    // — no second distinct shuffle). The retention denominator comes from
+    // a window partitioned BY cohort — weeks are dictionary-sized at any
+    // corpus scale. Weeks are Monday-truncated in both engines, so the
+    // day difference is an exact multiple of 7.
+    QueryDef(
+      "q_cohort_matrix",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        val cells = ev.groupBy("user_id")
+          .agg(min("wk").as("cohort"), collect_set("wk").as("wks"))
+          .select(col("cohort"), explode(col("wks")).as("wk"))
+          .select(col("cohort"),
+            (datediff(col("wk"), col("cohort")) / 7).cast("int").as("wk_offset"))
+          .groupBy("cohort", "wk_offset")
+          .agg(count(lit(1)).as("n_users"))
+        val base = Window.partitionBy("cohort")
+        cells
+          .withColumn("retention",
+            round(col("n_users") /
+              max(when(col("wk_offset") === 0, col("n_users"))).over(base), 4) + lit(0.0))
+          .orderBy("cohort", "wk_offset")
+      },
+      Some("""WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                          FROM events),
+                   fu AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1),
+                   cnt AS (SELECT f.cohort,
+                                  CAST(date_diff('day', f.cohort, e.wk) // 7 AS INT)
+                                    AS wk_offset,
+                                  count(*) AS n_users
+                           FROM ev e JOIN fu f USING (user_id)
+                           GROUP BY 1, 2)
+              SELECT CAST(cohort AS TIMESTAMP) AS cohort, wk_offset, n_users,
+                     round(CAST(n_users AS DOUBLE) /
+                           max(CASE WHEN wk_offset = 0 THEN n_users END)
+                             OVER (PARTITION BY cohort), 4) + 0 AS retention
+              FROM cnt ORDER BY cohort, wk_offset""")),
+
+    // Welch's unequal-variance t-test between two event arms — the A/B
+    // significance read every metrics dashboard needs. Both engines
+    // derive mean and variance from the SAME primitives (n, Σx, Σx²) so
+    // the only cross-engine divergence is summation order, absorbed by
+    // the rounding; the whole query is one partial-aggregate scan
+    // folded to a single row (no shuffle wider than 2 groups).
+    QueryDef(
+      "q_ab_test",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_type"), col("value"))
+        val arms = ev.groupBy("event_type").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum("value").as("sx"),
+          sum(col("value") * col("value")).as("sxx"))
+        def pick(arm: String, c: String) =
+          max(when(col("event_type") === arm, col(c)))
+        val wide = arms.agg(
+          pick("click", "n").as("n1"), pick("click", "sx").as("sx1"),
+          pick("click", "sxx").as("sxx1"),
+          pick("view", "n").as("n2"), pick("view", "sx").as("sx2"),
+          pick("view", "sxx").as("sxx2"))
+        val m1 = col("sx1") / col("n1")
+        val m2 = col("sx2") / col("n2")
+        val v1 = (col("sxx1") - col("sx1") * col("sx1") / col("n1")) / (col("n1") - 1)
+        val v2 = (col("sxx2") - col("sx2") * col("sx2") / col("n2")) / (col("n2") - 1)
+        val se1 = v1 / col("n1")
+        val se2 = v2 / col("n2")
+        val t = (m1 - m2) / sqrt(se1 + se2)
+        val df = pow(se1 + se2, 2) /
+          (pow(se1, 2) / (col("n1") - 1) + pow(se2, 2) / (col("n2") - 1))
+        wide.select(
+          col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+          (round(m1, 4) + lit(0.0)).as("mean1"),
+          (round(m2, 4) + lit(0.0)).as("mean2"),
+          (round(v1, 4) + lit(0.0)).as("var1"),
+          (round(v2, 4) + lit(0.0)).as("var2"),
+          (round(t, 4) + lit(0.0)).as("t_stat"),
+          (round(df, 2) + lit(0.0)).as("df"))
+      },
+      Some("""WITH arms AS (SELECT event_type,
+                                   CAST(count(*) AS DOUBLE) AS n,
+                                   sum(value) AS sx, sum(value * value) AS sxx
+                            FROM events
+                            WHERE event_type IN ('click', 'view')
+                            GROUP BY 1),
+                   wide AS (SELECT
+                     max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+                     max(CASE WHEN event_type = 'click' THEN sx END) AS sx1,
+                     max(CASE WHEN event_type = 'click' THEN sxx END) AS sxx1,
+                     max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+                     max(CASE WHEN event_type = 'view' THEN sx END) AS sx2,
+                     max(CASE WHEN event_type = 'view' THEN sxx END) AS sxx2
+                   FROM arms),
+                   c AS (SELECT n1, n2,
+                                sx1 / n1 AS m1, sx2 / n2 AS m2,
+                                (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1,
+                                (sxx2 - sx2 * sx2 / n2) / (n2 - 1) AS v2
+                         FROM wide)
+              SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                     round(m1, 4) + 0 AS mean1, round(m2, 4) + 0 AS mean2,
+                     round(v1, 4) + 0 AS var1, round(v2, 4) + 0 AS var2,
+                     round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) + 0 AS t_stat,
+                     round(pow(v1 / n1 + v2 / n2, 2) /
+                           (pow(v1 / n1, 2) / (n1 - 1) +
+                            pow(v2 / n2, 2) / (n2 - 1)), 2) + 0 AS df
+              FROM c""")),
+
+    // Brown's double exponential smoothing per series (the one-knob
+    // trend forecaster): s1 folds the value sequence, s2 folds the
+    // RUNNING s1 sequence — both in ONE sequential struct-state
+    // `aggregate` HOF per user, the q_ewma shape with a two-field
+    // accumulator. Identical fold order in both engines (ts, event_id)
+    // makes the doubles bit-comparable before rounding; the oracle
+    // replays the recursion as a recursive CTE (the q_dedup_clusters
+    // precedent). Forecast(+1) = level + trend with level = 2·s1 − s2,
+    // trend = α/(1−α)·(s1 − s2). Scale: one user-keyed shuffle, then
+    // per-row array folds — series length bounded by per-user activity,
+    // never corpus-sized.
+    QueryDef(
+      "q_forecast_des",
+      (s, d) => {
+        val a = 0.3
+        val seq = Tables.events(s, d)
+          .filter(col("user_id") < 30)
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(
+            col("ts"), col("event_id"), col("value")))).as("seq"))
+          .withColumn("vals", transform(col("seq"), x => x.getField("value")))
+        val st = aggregate(
+          slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+          struct(element_at(col("vals"), 1).as("s1"),
+            element_at(col("vals"), 1).as("s2")),
+          (acc, x) => {
+            val s1n = lit(a) * x + lit(1 - a) * acc.getField("s1")
+            struct(s1n.as("s1"),
+              (lit(a) * s1n + lit(1 - a) * acc.getField("s2")).as("s2"))
+          })
+        seq.withColumn("st", st)
+          .select(
+            col("user_id"), size(col("vals")).as("n"),
+            (round(col("st.s1"), 4) + lit(0.0)).as("s1"),
+            (round(col("st.s2"), 4) + lit(0.0)).as("s2"),
+            (round(lit(2.0) * col("st.s1") - col("st.s2") +
+              (lit(a / (1 - a))) * (col("st.s1") - col("st.s2")), 4) + lit(0.0))
+              .as("forecast"))
+          .orderBy("user_id")
+      },
+      Some("""WITH RECURSIVE
+                   seq AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+                           FROM events WHERE user_id < 30 GROUP BY 1),
+                   t AS (SELECT user_id, generate_subscripts(vals, 1) AS i,
+                                unnest(vals) AS v
+                         FROM seq),
+                   nn AS (SELECT user_id, max(i) AS n FROM t GROUP BY 1),
+                   r AS (
+                     SELECT user_id, 1 AS i, v AS s1, v AS s2 FROM t WHERE i = 1
+                     UNION ALL
+                     SELECT t.user_id, r.i + 1,
+                            0.3 * t.v + 0.7 * r.s1,
+                            0.3 * (0.3 * t.v + 0.7 * r.s1) + 0.7 * r.s2
+                     FROM r JOIN t ON t.user_id = r.user_id AND t.i = r.i + 1)
+              SELECT r.user_id, CAST(nn.n AS INT) AS n,
+                     round(r.s1, 4) + 0 AS s1, round(r.s2, 4) + 0 AS s2,
+                     round(2.0 * r.s1 - r.s2 +
+                           (0.3 / 0.7) * (r.s1 - r.s2), 4) + 0 AS forecast
+              FROM r JOIN nn ON r.user_id = nn.user_id AND r.i = nn.n
+              ORDER BY r.user_id""")),
+
+    // First-order Markov transition matrix over per-user event paths:
+    // P(next type | current type). One user-partitioned LAG window pass
+    // (the q_user_paths shuffle), then everything downstream is the 5×5
+    // transition dictionary; the probability denominator is a window
+    // partitioned by the source state — dictionary-sized by definition.
+    QueryDef(
+      "q_markov_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            round(col("n") / sum("n").over(Window.partitionBy("from_type")), 4)
+              + lit(0.0))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+                                  lag(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+                           FROM events),
+                   c AS (SELECT prev AS from_type, event_type AS to_type,
+                                count(*) AS n
+                         FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+              SELECT from_type, to_type, n,
+                     round(CAST(n AS DOUBLE) /
+                           sum(n) OVER (PARTITION BY from_type), 4) + 0 AS p
+              FROM c ORDER BY from_type, to_type""")),
+
+    // Trailing-window anomaly detection on the per-type daily series:
+    // z-score of each day's total against the mean/stddev of the 7 prior
+    // days. Daily totals are cents-quantized BEFORE the window stats so
+    // both engines window over identical doubles (the parallel-sum last
+    // ulp can't leak into the |z| > 1.5 flag decision). The series table
+    // is dictionary-sized (types × days) — the window pass costs nothing
+    // at any fact scale; the fact table is touched exactly once.
+    QueryDef(
+      "q_anomaly_series",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg((round(sum("value"), 2) + lit(0.0)).as("v"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-7, -1)
+        daily
+          .withColumn("ma", avg("v").over(w))
+          .withColumn("sd", stddev_samp(col("v")).over(w))
+          .withColumn("n_win", count("v").over(w))
+          .filter(col("n_win") === 7 && col("sd") > 0)
+          .withColumn("z", (col("v") - col("ma")) / col("sd"))
+          .filter(abs(col("z")) > 1.5)
+          .select(col("event_type"), col("day"), col("v"),
+            (round(col("ma"), 2) + lit(0.0)).as("ma"),
+            (round(col("z"), 3) + lit(0.0)).as("z"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+                                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                                    round(sum(value), 2) + 0 AS v
+                             FROM events GROUP BY 1, 2),
+                   win AS (SELECT event_type, day, v,
+                                  avg(v) OVER w AS ma,
+                                  stddev_samp(v) OVER w AS sd,
+                                  count(v) OVER w AS n_win
+                           FROM daily
+                           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+              SELECT event_type, day, v, round(ma, 2) + 0 AS ma,
+                     round((v - ma) / sd, 3) + 0 AS z
+              FROM win
+              WHERE n_win = 7 AND sd > 0 AND abs((v - ma) / sd) > 1.5
+              ORDER BY event_type, day""")),
+
+    // Market-basket co-occurrence (the "frequently bought together"
+    // rollup): top part pairs sharing an order. The basket rollup is one
+    // orderkey-keyed shuffle into a sorted distinct-item array (TPC-H
+    // baskets are ≤7 items; a production run caps pathological baskets
+    // the way q_dedup_ngram_jaccard caps hot shingles); pair generation
+    // is then a scan-local index-lambda HOF — C(b,2) structs per basket,
+    // never a self-join of the fact table — and the final top-10 is a
+    // TakeOrdered over pair counts with full-order tie-breaks.
+    QueryDef(
+      "q_basket_pairs",
+      (s, d) => {
+        val baskets = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set("l_partkey")).as("items"))
+          .filter(size(col("items")) >= 2)
+        baskets
+          .select(explode(flatten(transform(col("items"), (x, i) =>
+            transform(
+              slice(col("items"), i + lit(2), size(col("items"))),
+              y => struct(x.as("a"), y.as("b")))))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("n_baskets"))
+          .orderBy(desc("n_baskets"), asc("a"), asc("b"))
+          .limit(10)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+                   p AS (SELECT a.l_partkey AS a, b.l_partkey AS b,
+                                count(*) AS n_baskets
+                         FROM li a JOIN li b
+                           ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+                         GROUP BY 1, 2)
+              SELECT a, b, n_baskets FROM p
+              ORDER BY n_baskets DESC, a, b LIMIT 10"""))
+  )
+}

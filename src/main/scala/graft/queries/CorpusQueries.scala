@@ -676,6 +676,59 @@ object CorpusQueries {
                             ON h.host = i.dst)
               SELECT host, round(rank, 6) AS rank FROM r5 ORDER BY host""")),
 
+    // HITS hub/authority over the SAME deterministic host graph as
+    // q_pagerank_hosts (graph.Hits): two full power-iteration rounds with
+    // scalar L1 normalizers — per round, one join+agg per direction, the
+    // PageRank shuffle shape exactly. The oracle unrolls both rounds as
+    // CTE levels; round(·, 6) absorbs parallel-sum ulp drift.
+    QueryDef(
+      "q_hits_hosts",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val nDocs = docs.count()
+        val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
+        val edges = docs.select(col("doc_id"), col("source").as("src"))
+          .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
+          .groupBy("src", "dst")
+          .agg(count(lit(1)).cast("double").as("weight"))
+        graft.graph.Hits.hubsAndAuthorities(edges, iterations = 2)
+          .select(col("host"),
+            (round(col("auth"), 6) + lit(0.0)).as("auth"),
+            (round(col("hub"), 6) + lit(0.0)).as("hub"))
+          .orderBy("host")
+      },
+      Some("""WITH nd AS (SELECT count(*) AS c FROM documents),
+                   e0 AS (SELECT a.source AS src, b.source AS dst,
+                                 CAST(count(*) AS DOUBLE) AS w
+                          FROM documents a
+                          JOIN documents b
+                            ON b.doc_id = (a.doc_id * a.doc_id * 13 + 7) % (SELECT c FROM nd)
+                          GROUP BY 1, 2),
+                   hosts AS (SELECT src AS host FROM e0 UNION SELECT dst FROM e0),
+                   a1r AS (SELECT e.dst, sum(e.w * 1.0) AS a
+                           FROM e0 e GROUP BY 1),
+                   a1 AS (SELECT h.host,
+                                 coalesce(r.a, 0) / (SELECT sum(a) FROM a1r) AS auth
+                          FROM hosts h LEFT JOIN a1r r ON h.host = r.dst),
+                   h1r AS (SELECT e.src, sum(e.w * a1.auth) AS hh
+                           FROM e0 e JOIN a1 ON e.dst = a1.host GROUP BY 1),
+                   h1 AS (SELECT h.host,
+                                 coalesce(r.hh, 0) / (SELECT sum(hh) FROM h1r) AS hub
+                          FROM hosts h LEFT JOIN h1r r ON h.host = r.src),
+                   a2r AS (SELECT e.dst, sum(e.w * h1.hub) AS a
+                           FROM e0 e JOIN h1 ON e.src = h1.host GROUP BY 1),
+                   a2 AS (SELECT h.host,
+                                 coalesce(r.a, 0) / (SELECT sum(a) FROM a2r) AS auth
+                          FROM hosts h LEFT JOIN a2r r ON h.host = r.dst),
+                   h2r AS (SELECT e.src, sum(e.w * a2.auth) AS hh
+                           FROM e0 e JOIN a2 ON e.dst = a2.host GROUP BY 1),
+                   h2 AS (SELECT h.host,
+                                 coalesce(r.hh, 0) / (SELECT sum(hh) FROM h2r) AS hub
+                          FROM hosts h LEFT JOIN h2r r ON h.host = r.src)
+              SELECT a2.host, round(a2.auth, 6) + 0 AS auth,
+                     round(h2.hub, 6) + 0 AS hub
+              FROM a2 JOIN h2 ON a2.host = h2.host ORDER BY a2.host""")),
+
     // BPE-style ADJACENT-PAIR statistics — the first step of tokenizer
     // training (count every adjacent symbol pair, merge the most frequent):
     // tokenize scan-locally, form the (tokᵢ, tokᵢ₊₁) pairs with a

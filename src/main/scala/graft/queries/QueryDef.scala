@@ -20,7 +20,7 @@ object Registry {
       TextQueries.defs ++ MultiValueQueries.defs ++ JoinQueries.defs ++
       UpsertQueries.defs ++ StarTreeQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextAnalysisQueries.defs ++ MultimodalQueries.defs ++
-      SamplingQueries.defs ++ CorpusQueries.defs
+      SamplingQueries.defs ++ CorpusQueries.defs ++ BehaviorQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -433,6 +433,65 @@ object TextAnalysisQueries {
                           FROM pw JOIN wscore w USING (word) GROUP BY 1)
               SELECT ps.phrase, s.n_occ, ps.n_words, ps.score
               FROM ps JOIN pstats s USING (phrase)
-              ORDER BY score DESC, phrase LIMIT 15"""))
+              ORDER BY score DESC, phrase LIMIT 15""")),
+
+    // Gopher-style duplicate-n-gram repetition (Rae et al. 2021 §A1.1:
+    // "fraction of tokens in duplicated n-grams" — the within-doc
+    // repetition gate q_repetition_ratio's duplicate-LINE fraction can't
+    // see). Trigrams form scan-locally (index-lambda over the token
+    // array — no joins to build n-grams), then ONE (doc, gram)-keyed
+    // rollup counts within-doc multiplicity; dup_frac = occurrences of
+    // non-unique trigrams / all trigrams, top_share = the modal
+    // trigram's share. Both are integer ratios — no float drift can move
+    // the ordering — and the top-15 cut breaks ties on doc_id. Shape at
+    // 100 TB: the shuffle carries (doc, gram) partial counts, ~doc-length
+    // bounded per doc; no corpus-wide vocabulary is built.
+    QueryDef(
+      "q_rep_ngram",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .withColumn("nt", size(col("t")))
+          .filter(col("nt") >= 3)
+        val grams = toks.select(col("doc_id"), explode(
+          transform(
+            slice(col("t"), lit(1), greatest(col("nt") - 2, lit(0))),
+            (x, i) => concat_ws(" ", x,
+              element_at(col("t"), i + lit(2)),
+              element_at(col("t"), i + lit(3))))).as("g"))
+        grams.groupBy("doc_id", "g")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(
+            sum("n").as("n_tri"),
+            sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_occ"),
+            max("n").as("top_n"))
+          .filter(col("n_tri") >= 10)
+          .select(col("doc_id"), col("n_tri"),
+            (round(col("dup_occ") / col("n_tri"), 4) + lit(0.0)).as("dup_frac"),
+            (round(col("top_n") / col("n_tri"), 4) + lit(0.0)).as("top_share"))
+          .orderBy(desc("dup_frac"), asc("doc_id"))
+          .limit(15)
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+                                  generate_subscripts(string_split(text, ' '), 1) AS i,
+                                  unnest(string_split(text, ' ')) AS w
+                           FROM documents),
+                   g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+                         FROM tok a
+                         JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                         JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+                   cnt AS (SELECT doc_id, g, count(*) AS n FROM g GROUP BY 1, 2),
+                   per AS (SELECT doc_id,
+                                  CAST(sum(n) AS BIGINT) AS n_tri,
+                                  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END)
+                                       AS BIGINT) AS dup_occ,
+                                  CAST(max(n) AS BIGINT) AS top_n
+                           FROM cnt GROUP BY 1)
+              SELECT doc_id, n_tri,
+                     round(CAST(dup_occ AS DOUBLE) / n_tri, 4) + 0 AS dup_frac,
+                     round(CAST(top_n AS DOUBLE) / n_tri, 4) + 0 AS top_share
+              FROM per WHERE n_tri >= 10
+              ORDER BY dup_frac DESC, doc_id LIMIT 15"""))
   )
 }
