@@ -36,6 +36,19 @@ final case class TouchState(
     touch_ts: java.sql.Timestamp,
     touch_event_id: Long)
 
+/** One completed per-(series, day) total — the unit the streaming anomaly
+  * detector consumes (emitted by an upstream windowedAgg at watermark
+  * close).
+  */
+final case class SeriesPoint(event_type: String, day: java.sql.Timestamp, v: Double)
+
+/** Trailing ring of the last N (epoch-ms day, value) pairs per series. */
+final case class SeriesRing(points: List[(Long, Double)])
+
+/** One emitted anomaly flag (matches the batch q_anomaly_series row). */
+final case class AnomalyFlag(
+    event_type: String, day: java.sql.Timestamp, v: Double, ma: Double, z: Double)
+
 /** Realtime ingestion — Pinot's realtime server consumes a stream and
   * serves fresh segments (reference: /root/reference/basics/
   * Architecture.md, realtime flow; /root/reference/Introduction.md:7
@@ -329,6 +342,57 @@ object Realtime {
             }
           }
           touch.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming trailing-window anomaly detection — the incremental form of
+    * the batch q_anomaly_series flags (the ThirdEye-style alerting read
+    * over a realtime table): input is the COMPLETED per-(series, day)
+    * totals an upstream windowedAgg emits once its watermark closes each
+    * day; per-series state is a ring of the last `window` (day, value)
+    * pairs — O(window) per series, never an event list. A day with a full
+    * trailing window computes z = (v − ma)/sd over the stored ring and
+    * emits when |z| > `zThreshold` (sd > 0), exactly the batch gate.
+    *
+    * Ordering contract (lastTouchAttribution's): within a micro-batch,
+    * days process in ascending (day) order; a day at-or-before the newest
+    * stored day is LATE — it is dropped, not retro-inserted (its window
+    * context is gone; append mode cannot recall emitted flags). In-order
+    * delivery therefore gives exact batch parity (StreamingSpec asserts
+    * it across micro-batch splits).
+    */
+  def anomalySeries(
+      daily: Dataset[SeriesPoint],
+      window: Int = 7,
+      zThreshold: Double = 1.5): Dataset[AnomalyFlag] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SeriesRing, AnomalyFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (series: String, batch: Iterator[SeriesPoint], state: GroupState[SeriesRing]) =>
+          var ring = state.getOption.map(_.points).getOrElse(List.empty)
+          val out = Seq.newBuilder[AnomalyFlag]
+          batch.toSeq.sortBy(_.day.getTime).foreach { p =>
+            val dayMs = p.day.getTime
+            if (ring.forall(_._1 < dayMs)) {
+              if (ring.length == window) {
+                val vs = ring.map(_._2)
+                val n = vs.length
+                val ma = vs.sum / n
+                val sd = math.sqrt(
+                  vs.map(v => (v - ma) * (v - ma)).sum / (n - 1))
+                if (sd > 0) {
+                  val z = (p.v - ma) / sd
+                  if (math.abs(z) > zThreshold)
+                    out += AnomalyFlag(series, p.day, p.v, ma, z)
+                }
+              }
+              ring = (ring :+ (dayMs, p.v)).takeRight(window)
+            } // else: late day — window context already advanced past it
+          }
+          state.update(SeriesRing(ring))
           out.result().iterator
       }
   }

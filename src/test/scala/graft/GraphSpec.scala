@@ -78,6 +78,54 @@ class GraphSpec extends SparkSpec {
     assert(late < early / 4, s"not contracting: $early -> $late")
   }
 
+  private def hitsMap(edges: Seq[(String, String, Double)], iters: Int = 20) =
+    graft.graph.Hits.hubsAndAuthorities(edgeDf(edges), iterations = iters)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+  test("hits: both score vectors are L1-normalized and cover every node") {
+    val h = hitsMap(Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)))
+    assert(h.keySet == Set("a", "b", "c"))
+    assert(math.abs(h.values.map(_._1).sum - 1.0) < 1e-9, "auth mass != 1")
+    assert(math.abs(h.values.map(_._2).sum - 1.0) < 1e-9, "hub mass != 1")
+  }
+
+  test("hits separates the link farm from the authority") {
+    // f1..f3 are a link farm: they point at the popular target but nothing
+    // points at them. HITS must give them hub > 0 and authority = 0, and
+    // the target authority ~1 — the separation PageRank alone cannot make.
+    val farm = Seq(("f1", "t", 1.0), ("f2", "t", 1.0), ("f3", "t", 1.0))
+    val h = hitsMap(farm)
+    assert(h("t")._1 > 0.999, s"target auth ${h("t")._1}")
+    Seq("f1", "f2", "f3").foreach { f =>
+      assert(h(f)._1 == 0.0, s"farm node $f has authority ${h(f)._1}")
+      assert(math.abs(h(f)._2 - 1.0 / 3) < 1e-9, s"farm hub ${h(f)._2}")
+    }
+    assert(h("t")._2 == 0.0, "sink target acquired hub mass")
+  }
+
+  test("hits matches the analytic bipartite fixpoint under weights") {
+    // two hubs with weighted edges to two authorities:
+    //   h1 -> a1 (w 2), h1 -> a2 (w 1), h2 -> a2 (w 1)
+    // power iteration converges to the principal eigenvector of A^T A /
+    // A A^T; verify against an independent scalar iteration.
+    var (ha, hb) = (1.0, 1.0)
+    var (aa, ab) = (0.0, 0.0)
+    for (_ <- 1 to 20) {
+      val (ra, rb) = (2.0 * ha, 1.0 * ha + 1.0 * hb)
+      val as = ra + rb
+      aa = ra / as; ab = rb / as
+      val (sa, sb) = (2.0 * aa + 1.0 * ab, 1.0 * ab)
+      val hs = sa + sb
+      ha = sa / hs; hb = sb / hs
+    }
+    val h = hitsMap(Seq(("h1", "a1", 2.0), ("h1", "a2", 1.0), ("h2", "a2", 1.0)))
+    assert(math.abs(h("a1")._1 - aa) < 1e-9, s"${h("a1")._1} vs $aa")
+    assert(math.abs(h("a2")._1 - ab) < 1e-9, s"${h("a2")._1} vs $ab")
+    assert(math.abs(h("h1")._2 - ha) < 1e-9, s"${h("h1")._2} vs $ha")
+    assert(math.abs(h("h2")._2 - hb) < 1e-9, s"${h("h2")._2} vs $hb")
+  }
+
   test("q_pagerank_hosts sums to 1 and covers every host") {
     val out = graft.queries.Registry.queries("q_pagerank_hosts")(spark, sfDir)
       .collect()

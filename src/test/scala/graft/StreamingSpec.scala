@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.streaming.{Event, Realtime}
+import graft.streaming.{Event, Realtime, SeriesPoint}
 
 class StreamingSpec extends SparkSpec {
 
@@ -476,5 +476,43 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === expected)
       assert(streamed.exists { case (w, _, t) => w.startsWith("2024-01-01 00:00") && t == "spark" })
     } finally stream.stop()
+  }
+
+  test("streaming anomaly flags match the batch q_anomaly_series rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The completed daily series (cents-quantized, like the batch query's
+    // pre-window rollup), in day order, split mid-series across three
+    // micro-batches — the carried ring must bridge the splits.
+    val daily = graft.engine.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg((round(sum("value"), 2) + lit(0.0)).as("v"))
+      .select(col("event_type"), col("day").cast("timestamp").as("day"), col("v"))
+      .as[SeriesPoint]
+    val rows = daily.collect().sortBy(p => (p.day.getTime, p.event_type))
+
+    val input = MemoryStream[SeriesPoint]
+    val q = Realtime.anomalySeries(input.toDS())
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("anom_out")
+        .select(col("event_type"), col("day"), col("v"),
+          round(col("ma"), 2).as("ma"), round(col("z"), 3).as("z"))
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+      val batch = graft.queries.Registry.queries("q_anomaly_series")(spark, sfDir)
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+      assert(batch.nonEmpty, "batch fixture produced no anomaly flags")
+      assert(streamed === batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
   }
 }
