@@ -39,31 +39,44 @@ object Percentiles {
       val hist = df.filter(col(valCol).isNotNull)
         .groupBy(grp :+ col(valCol).cast("double").as("__v"): _*)
         .agg(count(lit(1)).as("__cnt"))
-      val wOrd = Window.partitionBy(grpCols.map(col): _*).orderBy("__v")
-      val wAll = Window.partitionBy(grpCols.map(col): _*)
-      val cum = hist
-        .withColumn("__end", sum("__cnt").over(wOrd))
-        .withColumn("__start", col("__end") - col("__cnt"))
-        .withColumn("__n", sum("__cnt").over(wAll))
-      val aggs = ss.flatMap { case (name, _, p) =>
-        val h = (col("__n") - 1) * lit(p)
-        val lo = floor(h)
-        val hi = ceil(h)
-        Seq(
-          max(when(lo >= col("__start") && lo < col("__end"), col("__v"))).as(s"__lo_$name"),
-          max(when(hi >= col("__start") && hi < col("__end"), col("__v"))).as(s"__hi_$name"),
-          max(h).as(s"__h_$name"))
-      }
-      val out = ss.map { case (name, _, _) =>
-        (col(s"__lo_$name") +
-          (col(s"__h_$name") - floor(col(s"__h_$name"))) *
-            (col(s"__hi_$name") - col(s"__lo_$name"))).as(name)
-      }
-      cum.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
-        .select(grp ++ out: _*)
+      interpolate(hist, grpCols, ss.map { case (name, _, p) => (name, p) })
     }
     perValueCol.reduce { (a, b) => a.join(b, grpCols, "full_outer") }
       .select(grpCols.map(col) ++ specs.map(s => col(s._1)): _*)
+  }
+
+  /** Interpolated percentiles over an already-built value HISTOGRAM —
+    * columns `grpCols ++ (__v double, __cnt long)`, one row per distinct
+    * value per group. This is the piece pre-aggregated quantile state
+    * (StarTree hist metrics, materialized segment histograms) shares with
+    * the raw-scan path above: histograms merge by value-wise count
+    * addition, so the same ranking math serves both.
+    */
+  private[graft] def interpolate(
+      hist: DataFrame, grpCols: Seq[String], ss: Seq[(String, Double)]): DataFrame = {
+    val grp = grpCols.map(col)
+    val wOrd = Window.partitionBy(grpCols.map(col): _*).orderBy("__v")
+    val wAll = Window.partitionBy(grpCols.map(col): _*)
+    val cum = hist
+      .withColumn("__end", sum("__cnt").over(wOrd))
+      .withColumn("__start", col("__end") - col("__cnt"))
+      .withColumn("__n", sum("__cnt").over(wAll))
+    val aggs = ss.flatMap { case (name, p) =>
+      val h = (col("__n") - 1) * lit(p)
+      val lo = floor(h)
+      val hi = ceil(h)
+      Seq(
+        max(when(lo >= col("__start") && lo < col("__end"), col("__v"))).as(s"__lo_$name"),
+        max(when(hi >= col("__start") && hi < col("__end"), col("__v"))).as(s"__hi_$name"),
+        max(h).as(s"__h_$name"))
+    }
+    val out = ss.map { case (name, _) =>
+      (col(s"__lo_$name") +
+        (col(s"__h_$name") - floor(col(s"__h_$name"))) *
+          (col(s"__hi_$name") - col(s"__lo_$name"))).as(name)
+    }
+    cum.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
+      .select(grp ++ out: _*)
   }
 
   /** All percentiles over ONE column, returned long-form:

@@ -100,6 +100,63 @@ object StarTree {
       factPath, dims, sumMetrics, cubePath, distinctMetrics)
   }
 
+  /** QUANTILE-in-star-tree (Pinot's PERCENTILE sketch metric family,
+    * configuration-reference/schema.md sketch metrics): per cell, a value
+    * HISTOGRAM of a dictionary-encoded (integral) metric, stored as
+    * value-sorted (v, cnt) struct rows. Histograms merge by value-wise
+    * count addition — losslessly, unlike t-digest — so EXACT interpolated
+    * percentiles roll up from the cube the way sums do. State per cell is
+    * O(distinct values), which is what "dictionary-encoded metric" means:
+    * cents-quantized money, durations in ms, sizes in bytes — bounded
+    * domains, not raw continuous doubles (require() enforces the integral
+    * type so a continuous column can't silently build an N-row histogram).
+    */
+  def buildHistCube(df: DataFrame, dims: Seq[String], metric: String): DataFrame = {
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+        .contains(df.schema(metric).dataType),
+      s"hist metric $metric must be integral (dictionary-encoded); " +
+        "quantize (e.g. to cents) before building")
+    df.filter(col(metric).isNotNull)
+      .groupBy((dims :+ metric).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(dims.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(metric).cast("long").as("v"), col("cnt").as("cnt"))))
+        .as(s"hist_$metric"))
+  }
+
+  /** Merge two hist cubes (incremental-refresh path): explode to
+    * (dims, v) count rows, add, re-collect — cube-sized work only.
+    */
+  def mergeHistCubes(
+      a: DataFrame, b: DataFrame, dims: Seq[String], metric: String): DataFrame =
+    a.unionByName(b)
+      .select(dims.map(col) :+ explode(col(s"hist_$metric")).as("h"): _*)
+      .groupBy(dims.map(col) :+ col("h.v").as("v"): _*)
+      .agg(sum("h.cnt").as("cnt"))
+      .groupBy(dims.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("v"), col("cnt"))))
+        .as(s"hist_$metric"))
+
+  /** Answer exact interpolated percentiles over a dim SUBSET from the
+    * hist cube: per-value counts add across the rolled-up cells, then the
+    * dictionary-histogram ranking math (Percentiles.interpolate — the
+    * same code path q_percentile_dict verifies against quantile_cont)
+    * runs on the merged histogram. The fact table is never rescanned.
+    * `specs` = (outputName, percentile in [0,1]).
+    */
+  def percentileRollup(
+      cube: DataFrame, dims: Seq[String], metric: String,
+      specs: Seq[(String, Double)]): DataFrame = {
+    val hist = cube
+      .select(dims.map(col) :+ explode(col(s"hist_$metric")).as("h"): _*)
+      .groupBy(dims.map(col) :+ col("h.v").cast("double").as("__v"): _*)
+      .agg(sum("h.cnt").as("__cnt"))
+    Percentiles.interpolate(hist, dims, specs)
+  }
+
   /** Build + persist the cube and make it transparent: any eligible
     * SUM/COUNT/AVG/MIN/MAX (and, with `distinctMetrics`,
     * approx_count_distinct) group-by over `factPath` is answered from the

@@ -149,6 +149,36 @@ object StarTreeQueries {
                      round(sum(l_extendedprice) / count(l_extendedprice), 2) AS avg_price,
                      count(*) AS cnt
               FROM lineitem WHERE l_linestatus = 'F'
-              GROUP BY 1 ORDER BY l_returnflag"""))
+              GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // PERCENTILE served from the star-tree (Pinot's percentile sketch
+    // metric family): the cube stores a per-cell value HISTOGRAM of the
+    // cents-quantized price (dictionary-encoded metric — bounded state);
+    // the query rolls the (returnflag, linestatus) cells up to returnflag
+    // by value-wise count addition and runs the dictionary-histogram
+    // interpolation on the MERGED histogram. Histogram merge is lossless
+    // (unlike a t-digest), so the oracle is the exact quantile_cont over
+    // the raw table — the hash proves pre-aggregation lost nothing.
+    QueryDef(
+      "q_percentile_cube",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+        val cube = StarTree.buildHistCube(
+          li, dims = Seq("l_returnflag", "l_linestatus"), metric = "cents")
+        StarTree.percentileRollup(cube, dims = Seq("l_returnflag"),
+            metric = "cents", specs = Seq(("p50", 0.5), ("p95", 0.95)))
+          .select(col("l_returnflag"),
+            (round(col("p50") / 100.0, 4) + lit(0.0)).as("p50"),
+            (round(col("p95") / 100.0, 4) + lit(0.0)).as("p95"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH c AS (SELECT l_returnflag,
+                                CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                         FROM lineitem)
+              SELECT l_returnflag,
+                     round(quantile_cont(cents, 0.5) / 100.0, 4) + 0 AS p50,
+                     round(quantile_cont(cents, 0.95) / 100.0, 4) + 0 AS p95
+              FROM c GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }

@@ -298,4 +298,45 @@ class StarTreeSpec extends SparkSpec {
         s"duplicate exprIds across rewritten branches: $ids")
     } finally StarTreeCatalog.clear()
   }
+
+  test("hist-cube percentiles equal the raw-scan dictionary percentiles") {
+    val li = graft.engine.Tables.lineitem(spark, sfDir)
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+    val cube = StarTree.buildHistCube(
+      li, dims = Seq("l_returnflag", "l_linestatus"), metric = "cents")
+    val served = StarTree.percentileRollup(cube, Seq("l_returnflag"), "cents",
+        Seq(("p50", 0.5), ("p95", 0.95)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val raw = graft.operators.Percentiles.exact(li, Seq("l_returnflag"),
+        Seq(("p50", "cents", 0.5), ("p95", "cents", 0.95)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(served.keySet == raw.keySet)
+    served.foreach { case (k, (a, b)) =>
+      assert(a == raw(k)._1 && b == raw(k)._2,
+        s"$k: cube ($a, $b) vs raw ${raw(k)}")
+    }
+  }
+
+  test("hist-cube merge of split halves equals the single-build cube") {
+    val li = graft.engine.Tables.lineitem(spark, sfDir)
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+    val dims = Seq("l_returnflag")
+    val whole = StarTree.buildHistCube(li, dims, "cents")
+    val merged = StarTree.mergeHistCubes(
+      StarTree.buildHistCube(li.filter(col("l_orderkey") % 2 === 0), dims, "cents"),
+      StarTree.buildHistCube(li.filter(col("l_orderkey") % 2 === 1), dims, "cents"),
+      dims, "cents")
+    val a = whole.select(col("l_returnflag"), to_json(col("hist_cents")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = merged.select(col("l_returnflag"), to_json(col("hist_cents")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a == b, "incremental hist merge diverged from single build")
+  }
+
+  test("hist cube refuses a continuous (non-integral) metric") {
+    val li = graft.engine.Tables.lineitem(spark, sfDir)
+    intercept[IllegalArgumentException] {
+      StarTree.buildHistCube(li, Seq("l_returnflag"), "l_extendedprice")
+    }
+  }
 }
