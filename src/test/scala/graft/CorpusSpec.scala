@@ -276,4 +276,55 @@ class CorpusSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getString(1)).toMap
     assert(run(docs.repartition(17)) === run(docs.coalesce(1)))
   }
+
+  test("TermIndex: stored sketch sums are sound lower bounds within the MG guarantee") {
+    import graft.pipeline.TermIndex
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("termindex").toString
+    val kWidth = 64
+    TermIndex.materialize(docs, "text", col("source"), dir, k = kWidth)
+
+    val trueCounts = docs
+      .select(explode(array_remove(
+        graft.functions.TextShingles.wordTokens(col("text")), "")).as("t"))
+      .groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = trueCounts.values.sum
+    val slack = n.toDouble / (kWidth + 1)
+
+    // k wider than shards × sketch width, so the cut drops nothing and
+    // assertion (b) sees every stored term
+    val indexed = TermIndex.topTermsIndexed(spark, dir, k = 4096)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(indexed.nonEmpty)
+    assert(TermIndex.totalTerms(spark, dir) === n)
+    // (a) every reported count is a lower bound within n/(k'+1) of truth
+    indexed.foreach { case (term, lb) =>
+      val t = trueCounts(term)
+      assert(lb <= t, s"$term: reported $lb above true $t")
+      assert(t - lb <= slack, s"$term: understated by ${t - lb} > $slack")
+    }
+    // (b) no term heavier than n/(k'+1) can be missing from the index
+    trueCounts.filter(_._2 > slack).keys.foreach { term =>
+      assert(indexed.contains(term), s"heavy term $term missing from index")
+    }
+  }
+
+  test("TermIndex: a re-materialized index serves fresh counts on the next call") {
+    import graft.pipeline.TermIndex
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("termindex_swap").toString
+    TermIndex.materialize(docs.filter(col("doc_id") % 2 === 0), "text",
+      col("source"), dir)
+    val half = TermIndex.topTermsIndexed(spark, dir, k = 5)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    TermIndex.materialize(docs, "text", col("source"), dir)
+    val full = TermIndex.topTermsIndexed(spark, dir, k = 5)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val common = half.keySet.intersect(full.keySet)
+    assert(common.nonEmpty, "no overlapping heavy terms across the swap")
+    common.foreach { t =>
+      assert(full(t) > half(t), s"$t: full-corpus count ${full(t)} !> ${half(t)}")
+    }
+  }
 }
