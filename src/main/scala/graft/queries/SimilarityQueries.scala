@@ -293,6 +293,89 @@ object SimilarityQueries {
                      round(avg(dd), 4) + 0 AS avg_d2
               FROM a3 GROUP BY 1 ORDER BY cid""")),
 
+    // Cluster TOPIC LABELING (BERTopic's c-TF-IDF, Grootendorst 2022):
+    // k-means cells over the embedding space get human-readable labels
+    // from the documents they contain — tf(t, c) · ln(1 + A/f_t) with A
+    // the mean tokens per class and f_t the cross-class term frequency.
+    // The exact-replayable Kmeans.lloyd assignment makes the WHOLE
+    // composition hash-verifiable: the oracle replays the two Lloyd
+    // iterations (q_kmeans's CTE) then the c-TF-IDF arithmetic. Shape at
+    // 100 TB: assignment is scan-local against driver centroids, the
+    // doc join is one id-keyed equi-join, tf/f_t are vocabulary-sized
+    // rollups, the scalar A broadcasts (scalar-N pattern), and per-class
+    // top-5 terms come off the bounded string heap — no vocab window.
+    QueryDef(
+      "q_cluster_topics",
+      (s, d) => {
+        val assign = graft.similarity.Kmeans.lloyd(
+            Tables.embeddings(s, d), "vec_id", "embedding", k = 4, iters = 2)
+          .select(col("id").as("doc_id"), col("cid"))
+        val toks = Tables.documents(s, d)
+          .join(assign, "doc_id")
+          .select(col("cid"), explode(
+            expr("filter(split(lower(text), ' '), w -> length(w) >= 3)")).as("w"))
+        val tf = toks.groupBy("cid", "w").agg(count(lit(1)).as("tf"))
+        val ft = tf.groupBy("w").agg(sum("tf").as("ft"))
+        val a = tf.agg(
+          (sum("tf").cast("double") / countDistinct("cid")).as("A"))
+        tf.join(ft, "w").crossJoin(broadcast(a))
+          .withColumn("score",
+            round(col("tf") * log(lit(1.0) + col("A") / col("ft")), 4) + lit(0.0))
+          .groupBy("cid")
+          .agg(graft.functions.VectorFns.topKByStr(col("score"), col("w"), 5).as("top"))
+          .select(col("cid"), posexplode(col("top")))
+          .select(col("cid"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.key").as("term"), (col("col.score") + lit(0.0)).as("score"))
+          .orderBy("cid", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                   u AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+                         FROM e),
+                   seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                                      AS cid, v
+                             FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+                   su AS (SELECT cid, generate_subscripts(v, 1) AS i, unnest(v) AS cx
+                          FROM seeds),
+                   d1 AS (SELECT u.vec_id, su.cid,
+                                 sum((u.x - su.cx) * (u.x - su.cx)) AS dd
+                          FROM u JOIN su ON u.i = su.i GROUP BY 1, 2),
+                   a1 AS (SELECT vec_id, cid FROM (
+                            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dd, cid) AS rn FROM d1) WHERE rn = 1),
+                   c1 AS (SELECT a1.cid, u.i, avg(u.x) AS cx
+                          FROM u JOIN a1 USING (vec_id) GROUP BY 1, 2),
+                   d2 AS (SELECT u.vec_id, c1.cid,
+                                 sum((u.x - c1.cx) * (u.x - c1.cx)) AS dd
+                          FROM u JOIN c1 ON u.i = c1.i GROUP BY 1, 2),
+                   a2 AS (SELECT vec_id, cid FROM (
+                            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dd, cid) AS rn FROM d2) WHERE rn = 1),
+                   c2 AS (SELECT a2.cid, u.i, avg(u.x) AS cx
+                          FROM u JOIN a2 USING (vec_id) GROUP BY 1, 2),
+                   d3 AS (SELECT u.vec_id, c2.cid,
+                                 sum((u.x - c2.cx) * (u.x - c2.cx)) AS dd
+                          FROM u JOIN c2 ON u.i = c2.i GROUP BY 1, 2),
+                   a3 AS (SELECT vec_id, cid FROM (
+                            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dd, cid) AS rn FROM d3) WHERE rn = 1),
+                   tok AS (SELECT a3.cid,
+                                  unnest(list_filter(string_split(lower(doc.text), ' '),
+                                                     w -> len(w) >= 3)) AS w
+                           FROM documents doc JOIN a3 ON doc.doc_id = a3.vec_id),
+                   tf AS (SELECT cid, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+                   ftab AS (SELECT w, sum(tf) AS ft FROM tf GROUP BY 1),
+                   aa AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT cid) AS A
+                          FROM tf),
+                   sc AS (SELECT tf.cid, tf.w,
+                                 round(tf.tf * ln(1.0 + aa.A / ftab.ft), 4) + 0 AS score
+                          FROM tf JOIN ftab USING (w) CROSS JOIN aa),
+                   rk AS (SELECT cid, w, score,
+                                 row_number() OVER (PARTITION BY cid
+                                   ORDER BY score DESC, w) AS rank
+                          FROM sc)
+              SELECT cid, CAST(rank AS INT) AS rank, w AS term, score
+              FROM rk WHERE rank <= 5 ORDER BY cid, rank""")),
+
     // Greedy k-center CORESET (farthest-point-first diverse sampling —
     // the "pick k maximally-spread exemplars" curation op): the selected
     // set is k·dim driver floats, each round is one scan-local distance

@@ -53,7 +53,10 @@ class PlanLintSpec extends SparkSpec {
     "q_histogram_eqdepth",
     // scalar-N pattern: the single-row max-day bound broadcasts onto the
     // exploded window-day table; all heavy joins are equi-shuffles
-    "q_rolling_active")
+    "q_rolling_active",
+    // scalar-N pattern: the single-row mean-tokens-per-class aggregate
+    // broadcasts onto the vocabulary-sized c-TF-IDF score table
+    "q_cluster_topics")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
