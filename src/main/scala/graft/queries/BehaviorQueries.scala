@@ -304,6 +304,106 @@ object BehaviorQueries {
                           AND a.l_partkey < b.l_partkey
                          GROUP BY 1, 2)
               SELECT a, b, n_baskets FROM p
-              ORDER BY n_baskets DESC, a, b LIMIT 10"""))
+              ORDER BY n_baskets DESC, a, b LIMIT 10""")),
+
+    // Funnel TIME-TO-CONVERT by signup-week cohort: how fast do signups
+    // become purchases, and does it drift across cohorts? Per user, one
+    // aggregate pass yields (first signup, first purchase AFTER it);
+    // delays quantize to integer MINUTES (exact microsecond arithmetic,
+    // then floor-division — engine-stable), so the per-cohort median/p90
+    // run on the dictionary-histogram percentile operator: bounded
+    // aggregate state, never a per-cohort value-set reducer. Every
+    // window is cohort-partitioned.
+    QueryDef(
+      "q_funnel_time",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val perUser = ev
+          .filter(col("event_type").isin("signup", "purchase"))
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+          .filter(col("first_signup").isNotNull)
+          .withColumn("cohort", date_trunc("week", col("first_signup")))
+          .withColumn("delay_min",
+            when(col("first_purchase") >= col("first_signup"),
+              floor((unix_micros(col("first_purchase")) -
+                unix_micros(col("first_signup"))) / 60000000L)))
+        val quantiles = graft.operators.Percentiles.exact(
+          perUser.filter(col("delay_min").isNotNull), Seq("cohort"),
+          Seq(("med_min", "delay_min", 0.5), ("p90_min", "delay_min", 0.9)))
+        val counts = perUser.groupBy("cohort").agg(
+          count(lit(1)).as("n_signups"),
+          sum(when(col("delay_min").isNotNull, 1L).otherwise(0L)).as("n_converted"))
+        counts.join(quantiles, Seq("cohort"), "left")
+          .select(col("cohort"), col("n_signups"), col("n_converted"),
+            (round(col("n_converted") / col("n_signups"), 4) + lit(0.0)).as("cvr"),
+            (round(col("med_min"), 2) + lit(0.0)).as("med_min"),
+            (round(col("p90_min"), 2) + lit(0.0)).as("p90_min"))
+          .orderBy("cohort")
+      },
+      Some("""WITH pu AS (SELECT user_id,
+                                 min(CASE WHEN event_type = 'signup' THEN ts END)
+                                   AS first_signup,
+                                 min(CASE WHEN event_type = 'purchase' THEN ts END)
+                                   AS first_purchase
+                          FROM events
+                          WHERE event_type IN ('signup', 'purchase')
+                          GROUP BY 1),
+                   du AS (SELECT date_trunc('week', first_signup) AS cohort,
+                                 CASE WHEN first_purchase >= first_signup THEN
+                                   (epoch_us(first_purchase) - epoch_us(first_signup))
+                                     // 60000000 END AS delay_min
+                          FROM pu WHERE first_signup IS NOT NULL)
+              SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+                     count(*) AS n_signups,
+                     CAST(sum(CASE WHEN delay_min IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_converted,
+                     round(CAST(sum(CASE WHEN delay_min IS NOT NULL THEN 1 ELSE 0 END)
+                                AS DOUBLE) / count(*), 4) + 0 AS cvr,
+                     round(quantile_cont(delay_min, 0.5), 2) + 0 AS med_min,
+                     round(quantile_cont(delay_min, 0.9), 2) + 0 AS p90_min
+              FROM du GROUP BY 1 ORDER BY cohort""")),
+
+    // Activity STREAKS (gaps-and-islands): distribution of users' longest
+    // runs of consecutive active days. The island anchor is the classic
+    // (day-number − row_number) trick — consecutive days share an anchor
+    // — computed in one user-partitioned window pass over the distinct
+    // (user, day) rollup; everything after is per-user-bounded then a
+    // dictionary-sized (streak length) histogram.
+    QueryDef(
+      "q_streaks",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("dayn")
+        val days = Tables.events(s, d)
+          .select(col("user_id"),
+            (unix_micros(date_trunc("day", col("ts"))) / 86400000000L)
+              .cast("long").as("dayn"))
+          .distinct()
+        days
+          .withColumn("anchor", col("dayn") - row_number().over(w))
+          .groupBy("user_id", "anchor")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(max("len").as("max_streak"))
+          .groupBy("max_streak")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("max_streak")
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id,
+                                   epoch_us(date_trunc('day', ts)) // 86400000000
+                                     AS dayn
+                            FROM events),
+                   isl AS (SELECT user_id,
+                                  dayn - row_number() OVER (PARTITION BY user_id
+                                                            ORDER BY dayn) AS anchor
+                           FROM days),
+                   runs AS (SELECT user_id, anchor, count(*) AS len
+                            FROM isl GROUP BY 1, 2),
+                   mx AS (SELECT user_id, max(len) AS max_streak
+                          FROM runs GROUP BY 1)
+              SELECT max_streak, count(*) AS n_users
+              FROM mx GROUP BY 1 ORDER BY max_streak"""))
   )
 }
