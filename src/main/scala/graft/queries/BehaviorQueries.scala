@@ -366,6 +366,77 @@ object BehaviorQueries {
                      round(quantile_cont(delay_min, 0.9), 2) + 0 AS p90_min
               FROM du GROUP BY 1 ORDER BY cohort""")),
 
+    // POSITION-BASED multi-touch attribution (q_attribution's last-touch
+    // rule, upgraded to the first/last 50-50 split every marketing stack
+    // offers next to it): each purchase credits half its value to the
+    // user's FIRST prior touch and half to the LAST — full credit when
+    // they coincide, 'direct' when none exist. Both endpoints come from
+    // ONE user-partitioned window pass (min/max over (ts, event_id,
+    // type) structs — aggregate-over-window, so nulls drop and the
+    // (ts, event_id) total order rides inside the struct comparison);
+    // credits explode to ≤2 rows per purchase, then a dictionary-sized
+    // channel rollup.
+    QueryDef(
+      "q_attribution_position",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val touch = when(col("event_type") =!= "purchase",
+          struct(col("ts"), col("event_id"), col("event_type")))
+        val seq = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .withColumn("first_t", min(touch).over(w))
+          .withColumn("last_t", max(touch).over(w))
+          .filter(col("event_type") === "purchase")
+        val credits = seq.select(col("value"), explode(
+          when(col("first_t").isNull,
+            array(struct(lit("direct").as("channel"), lit(1.0).as("w"))))
+            .when(col("first_t") === col("last_t"),
+              array(struct(col("first_t.event_type").as("channel"),
+                lit(1.0).as("w"))))
+            .otherwise(array(
+              struct(col("first_t.event_type").as("channel"), lit(0.5).as("w")),
+              struct(col("last_t.event_type").as("channel"), lit(0.5).as("w")))))
+          .as("c"))
+        credits
+          .groupBy(col("c.channel").as("channel"))
+          .agg(
+            (round(sum(col("c.w") * col("value")), 2) + lit(0.0)).as("revenue"),
+            (round(sum(col("c.w")), 1) + lit(0.0)).as("n_credits"))
+          .orderBy("channel")
+      },
+      Some("""WITH seq AS (SELECT user_id, ts, event_id, event_type, value,
+                                  min(CASE WHEN event_type <> 'purchase' THEN
+                                        struct_pack(ts := ts, eid := event_id,
+                                                    t := event_type) END)
+                                    OVER w AS first_t,
+                                  max(CASE WHEN event_type <> 'purchase' THEN
+                                        struct_pack(ts := ts, eid := event_id,
+                                                    t := event_type) END)
+                                    OVER w AS last_t
+                           FROM events
+                           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)),
+                   p AS (SELECT * FROM seq WHERE event_type = 'purchase'),
+                   credits AS (
+                     SELECT 'direct' AS channel, 1.0 AS w, value FROM p
+                     WHERE first_t IS NULL
+                     UNION ALL
+                     SELECT first_t.t, 1.0, value FROM p
+                     WHERE first_t IS NOT NULL AND first_t = last_t
+                     UNION ALL
+                     SELECT first_t.t, 0.5, value FROM p
+                     WHERE first_t IS NOT NULL AND first_t <> last_t
+                     UNION ALL
+                     SELECT last_t.t, 0.5, value FROM p
+                     WHERE first_t IS NOT NULL AND first_t <> last_t)
+              SELECT channel,
+                     round(sum(w * value), 2) + 0 AS revenue,
+                     round(sum(w), 1) + 0 AS n_credits
+              FROM credits GROUP BY 1 ORDER BY channel""")),
+
     // Activity STREAKS (gaps-and-islands): distribution of users' longest
     // runs of consecutive active days. The island anchor is the classic
     // (day-number − row_number) trick — consecutive days share an anchor
