@@ -492,6 +492,90 @@ object TextAnalysisQueries {
                      round(CAST(dup_occ AS DOUBLE) / n_tri, 4) + 0 AS dup_frac,
                      round(CAST(top_n AS DOUBLE) / n_tri, 4) + 0 AS top_share
               FROM per WHERE n_tri >= 10
-              ORDER BY dup_frac DESC, doc_id LIMIT 15"""))
+              ORDER BY dup_frac DESC, doc_id LIMIT 15""")),
+
+    // Flesch reading-ease scoring (readability gates sit next to the
+    // Gopher/C4 quality gates in corpus curation): sentences = non-empty
+    // [.!?]-splits, syllables = vowel-group runs — both engines count
+    // with the same regex so the heuristic is deterministic. One codegen
+    // scan per doc, dictionary-sized per-lang rollup.
+    QueryDef(
+      "q_readability",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("n_words",
+            size(expr("filter(split(text, ' '), w -> w <> '')")).cast("double"))
+          .withColumn("n_sents",
+            size(expr("filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0)"))
+              .cast("double"))
+          .withColumn("n_syl",
+            size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+              .cast("double"))
+          .filter(col("n_words") > 0 && col("n_sents") > 0)
+          .withColumn("flesch",
+            lit(206.835) - lit(1.015) * (col("n_words") / col("n_sents")) -
+              lit(84.6) * (col("n_syl") / col("n_words")))
+        docs.groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            (round(avg("flesch"), 2) + lit(0.0)).as("avg_flesch"),
+            (round(min("flesch"), 2) + lit(0.0)).as("min_flesch"),
+            (round(max("flesch"), 2) + lit(0.0)).as("max_flesch"))
+          .orderBy("lang")
+      },
+      Some("""WITH f AS (SELECT lang,
+                     CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                          AS DOUBLE) AS n_words,
+                     CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                          x -> len(trim(x)) > 0)) AS DOUBLE) AS n_sents,
+                     CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                          AS DOUBLE) AS n_syl
+                   FROM documents),
+                   sc AS (SELECT lang,
+                                 206.835 - 1.015 * (n_words / n_sents)
+                                         - 84.6 * (n_syl / n_words) AS flesch
+                          FROM f WHERE n_words > 0 AND n_sents > 0)
+              SELECT lang, count(*) AS n_docs,
+                     round(avg(flesch), 2) + 0 AS avg_flesch,
+                     round(min(flesch), 2) + 0 AS min_flesch,
+                     round(max(flesch), 2) + 0 AS max_flesch
+              FROM sc GROUP BY 1 ORDER BY lang""")),
+
+    // Zipf-slope fit of the term-frequency distribution — the one-number
+    // corpus health check (natural text sits near slope −1; synthetic or
+    // template-heavy corpora drift off). The top-100 ranking comes off
+    // the bounded string heap (posexplode order IS the rank — no
+    // vocabulary-sized window anywhere), then regr_slope over
+    // (ln rank, ln count) is a 100-row scalar aggregate.
+    QueryDef(
+      "q_zipf_slope",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(explode(expr(
+            "filter(split(lower(text), ' '), w -> w <> '')")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .agg(graft.functions.VectorFns.topKByStr(
+            col("cnt").cast("double"), col("w"), 100).as("top"))
+          .select(posexplode(col("top")))
+          .select((col("pos") + 1).cast("double").as("rank"),
+            col("col.score").as("cnt"))
+        counts.agg(
+          count(lit(1)).as("n_terms"),
+          (round(expr("regr_slope(ln(cnt), ln(rank))"), 4) + lit(0.0)).as("zipf_slope"),
+          (round(expr("regr_r2(ln(cnt), ln(rank))"), 4) + lit(0.0)).as("r2"))
+      },
+      Some("""WITH c AS (SELECT w, count(*) AS cnt
+                         FROM (SELECT unnest(list_filter(
+                                 string_split(lower(text), ' '), x -> x <> '')) AS w
+                               FROM documents)
+                         GROUP BY 1),
+                   top AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w)
+                                       AS DOUBLE) AS rank,
+                                  CAST(cnt AS DOUBLE) AS cnt
+                           FROM c ORDER BY cnt DESC, w LIMIT 100)
+              SELECT count(*) AS n_terms,
+                     round(regr_slope(ln(cnt), ln(rank)), 4) + 0 AS zipf_slope,
+                     round(regr_r2(ln(cnt), ln(rank)), 4) + 0 AS r2
+              FROM top"""))
   )
 }
