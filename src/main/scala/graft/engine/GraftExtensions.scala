@@ -74,5 +74,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // transparent timestamp-index rewrite (fires only on scans carrying
     // SegmentWriter-derived granularity columns)
     ext.injectOptimizerRule(session => new graft.plans.TimestampIndexRewriteRule(session))
+    // transparent json-index rewrite (fires only on scans carrying
+    // SegmentWriter-derived extracted-path columns)
+    ext.injectOptimizerRule(session => new graft.plans.JsonIndexRewriteRule(session))
   }
 }

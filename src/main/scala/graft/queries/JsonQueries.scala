@@ -144,6 +144,45 @@ object JsonQueries {
                          FROM kv)
               SELECT key, count(*) AS n, count(DISTINCT v) AS n_vals,
                      min(v) AS min_v, max(v) AS max_v
-              FROM v GROUP BY 1 ORDER BY key"""))
+              FROM v GROUP BY 1 ORDER BY key""")),
+
+    // JSON-INDEX serving path (json-index.md: configured paths are
+    // flattened at ingestion and predicates answered from the index):
+    // events write once per session through SegmentWriter with
+    // derivedJsonCols = ("props", "$.k"); the query then runs the SAME
+    // get_json_object filter+group a user writes on the raw table, and
+    // plans.JsonIndexRewrite transparently swaps every extraction for
+    // the stored props__k column (JsonIndexSpec asserts the parse is
+    // gone from the plan and the filter reaches the parquet scan; the
+    // DuckDB oracle hash-pins that the rewritten path returns exactly
+    // the raw-events answer).
+    QueryDef(
+      "q_json_index_rewrite",
+      (s, d) =>
+        s.read.parquet(jsonSegment(s, d))
+          .filter(get_json_object(col("props"), "$.k").cast("int") >= 50)
+          .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
+          .orderBy("k"),
+      Some("""WITH e AS (SELECT CAST(nullif(regexp_extract(props, '"k": ?(-?\d+)', 1),
+                                            '') AS INT) AS k, value
+                         FROM events)
+              SELECT k, count(*) AS cnt, round(sum(value), 2) AS sum_val
+              FROM e WHERE k >= 50 GROUP BY 1 ORDER BY k"""))
   )
+
+  // Session-scoped json-index segment (the in-session analog of the
+  // flattened columns Pinot materializes next to its segments): events
+  // written ONCE per (session, sfDir) with the props__k derived column,
+  // reused across reps/queries.
+  private val jsonSegCache =
+    scala.collection.concurrent.TrieMap[(org.apache.spark.sql.SparkSession, String), String]()
+  private def jsonSegment(s: org.apache.spark.sql.SparkSession, d: String): String =
+    jsonSegCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_jsonidx_q").toString
+      graft.sources.SegmentWriter.write(
+        Tables.events(s, d).select("event_id", "props", "value"), dir,
+        graft.sources.SegmentWriter.Config(derivedJsonCols = Seq(("props", "$.k"))))
+      dir
+    })
 }

@@ -35,6 +35,15 @@ object SegmentWriter {
         * as partition columns.
         */
       derivedTimeCols: Seq[(String, String)] = Seq.empty,
+      /** JSON-index analog (reference: /root/reference/basics/indexing/
+        * json-index.md — Pinot flattens configured JSON paths into
+        * indexed posting lists so JSON predicates never parse documents
+        * at query time): (jsonCol, '$.path') pairs become stored STRING
+        * columns with parquet min/max stats, and
+        * plans.JsonIndexRewriteRule transparently redirects matching
+        * `get_json_object` calls onto them.
+        */
+      derivedJsonCols: Seq[(String, String)] = Seq.empty,
       /** Parquet codec — zstd: better ratio than snappy at comparable
         * decode speed, which at 100 TB is mostly an IO-bytes win.
         */
@@ -44,9 +53,23 @@ object SegmentWriter {
   def derivedName(timeCol: String, granularity: String): String =
     s"${timeCol}_$granularity"
 
+  /** Derived-column name for a (jsonCol, path) pair: '$.user.id' over
+    * `props` → `props__user_id` (path chars outside [A-Za-z0-9] fold to
+    * '_', so the mapping is total and collision-resistant for the
+    * dotted-path shapes the json-index supports).
+    */
+  def derivedJsonName(jsonCol: String, path: String): String = {
+    val p = path.stripPrefix("$").stripPrefix(".")
+      .map(c => if (c.isLetterOrDigit) c else '_')
+    s"${jsonCol}__$p"
+  }
+
   def write(df0: DataFrame, path: String, cfg: Config): Unit = {
-    val df = cfg.derivedTimeCols.foldLeft(df0) { case (acc, (c, g)) =>
+    val dfT = cfg.derivedTimeCols.foldLeft(df0) { case (acc, (c, g)) =>
       acc.withColumn(derivedName(c, g), date_trunc(g, col(c)))
+    }
+    val df = cfg.derivedJsonCols.foldLeft(dfT) { case (acc, (c, p)) =>
+      acc.withColumn(derivedJsonName(c, p), get_json_object(col(c), p))
     }
     val repartitioned =
       if (cfg.partitionCols.nonEmpty)
