@@ -281,6 +281,57 @@ object Realtime {
     } finally batch.unpersist()
   }
 
+  /** Streaming QUANTILE-cube maintenance — the hist-metric twin of
+    * `cubeRefreshSink`: each micro-batch's value histogram folds into the
+    * materialized per-cell histograms (StarTree.mergeHistCubes — counts
+    * add value-wise, losslessly), so `StarTree.percentileRollup` serves
+    * EXACT percentiles over everything ingested so far without ever
+    * rescanning history. Same at-least-once replay guards as the sum
+    * cube: batch-id-keyed archive subdirs + full rebuild on re-delivery.
+    * The metric must be dictionary-encoded (integral — enforced by
+    * buildHistCube) or per-cell state would grow with rows, not values.
+    */
+  def histCubeRefreshSink(
+      stream: DataFrame, factPath: String, cubePath: String,
+      dims: Seq[String], metric: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processHistCubeBatch(batch, id, factPath, cubePath, dims, metric)
+      }
+      .start()
+
+  private[graft] def processHistCubeBatch(
+      batch: DataFrame, id: Long, factPath: String, cubePath: String,
+      dims: Seq[String], metric: String): Unit = {
+    import graft.operators.StarTree
+    val spark = batch.sparkSession
+    batch.persist()
+    try {
+      if (batch.isEmpty) ()
+      else {
+        val hc = spark.sparkContext.hadoopConfiguration
+        val batchDir = new org.apache.hadoop.fs.Path(s"$factPath/batch_id=$id")
+        val replay = batchDir.getFileSystem(hc).exists(batchDir)
+        batch.write.mode("overwrite").parquet(batchDir.toString)
+        val cp = new org.apache.hadoop.fs.Path(cubePath)
+        val cubeExists = cp.getFileSystem(hc).exists(cp)
+        val next =
+          if (!cubeExists) StarTree.buildHistCube(batch, dims, metric)
+          else if (replay)
+            StarTree.buildHistCube(spark.read.parquet(factPath), dims, metric)
+          else StarTree.mergeHistCubes(
+            spark.read.parquet(cubePath),
+            StarTree.buildHistCube(batch, dims, metric), dims, metric)
+        // materialize before the overwrite so reading and rewriting the
+        // same path cannot race (the refreshIncremental discipline)
+        next.localCheckpoint(true).write.mode("overwrite").parquet(cubePath)
+      }
+    } finally batch.unpersist()
+  }
+
   /** Streaming ANN serving: each micro-batch of query vectors
     * (vec_id, embedding) probes the MATERIALIZED IVF index
     * (similarity.IvfAnn.materialize — cell-partitioned parquet, nProbe

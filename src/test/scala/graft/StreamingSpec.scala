@@ -478,6 +478,41 @@ class StreamingSpec extends SparkSpec {
     } finally stream.stop()
   }
 
+  test("streaming hist-cube refresh serves exact percentiles over all ingested batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Percentiles, StarTree}
+    val root = java.nio.file.Files.createTempDirectory("graft_histcube_s").toString
+    val (factPath, cubePath) = (s"$root/fact", s"$root/cube")
+    val rows = graft.engine.Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(String, Long)].collect()
+
+    val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, id) =>
+      Realtime.processHistCubeBatch(
+        chunk.toSeq.toDF("event_type", "cents"), id.toLong,
+        factPath, cubePath, Seq("event_type"), "cents")
+    }
+    def served() = StarTree.percentileRollup(
+        spark.read.parquet(cubePath), Seq("event_type"), "cents",
+        Seq(("p50", 0.5), ("p90", 0.9)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val expected = Percentiles.exact(
+        rows.toSeq.toDF("event_type", "cents"), Seq("event_type"),
+        Seq(("p50", "cents", 0.5), ("p90", "cents", 0.9)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(served() === expected, "cube-served percentiles diverged from batch")
+
+    // at-least-once replay: re-delivering batch 1 must not double-count
+    Realtime.processHistCubeBatch(
+      chunks(1).toSeq.toDF("event_type", "cents"), 1L,
+      factPath, cubePath, Seq("event_type"), "cents")
+    assert(served() === expected, "replayed batch double-counted into the cube")
+  }
+
   test("streaming anomaly flags match the batch q_anomaly_series rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
