@@ -131,4 +131,37 @@ class TextSearchSpec extends SparkSpec {
     assert(preds(2L) === "de")
     assert(preds(3L) === "fr")
   }
+
+  test("inverted text index answers AND/OR searches identically to the raw scan") {
+    import graft.sources.TextIndex
+    val corpus = graft.engine.Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_textidx").toString
+    TextIndex.materialize(corpus, "doc_id", "text", dir)
+    val terms = Seq("table", "scan")
+    def raw(all: Boolean) = {
+      val preds = terms.map(t => TextSearch.textContains(col("text"), t))
+      corpus.filter(if (all) preds.reduce(_ && _) else preds.reduce(_ || _))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    def indexed(all: Boolean) =
+      TextIndex.searchIndexed(spark, dir, terms, requireAll = all)
+        .collect().map(_.getLong(0)).toSet
+    assert(indexed(all = true) === raw(all = true))
+    assert(indexed(all = false) === raw(all = false))
+    assert(indexed(all = true).nonEmpty, "AND fixture matched nothing")
+    assert(indexed(all = false).size > indexed(all = true).size)
+  }
+
+  test("posting-list probes push the term filter down to the parquet scan") {
+    import graft.sources.TextIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_textidx_pd").toString
+    TextIndex.materialize(graft.engine.Tables.documents(spark, sfDir),
+      "doc_id", "text", dir)
+    val df = TextIndex.searchIndexed(spark, dir, Seq("table", "scan"))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [In(term"),
+      s"term probe did not reach the scan:\n$physical")
+    assert(!physical.toLowerCase.contains("text#"),
+      "query-time plan still reads the text column")
+  }
 }
