@@ -111,8 +111,36 @@ object TextQueries {
       Some("""SELECT doc_id FROM documents
               WHERE list_contains(string_split(lower(text), ' '), 'table')
                 AND list_contains(string_split(lower(text), ' '), 'scan')
+              ORDER BY doc_id""")),
+
+    // PHRASE search from the POSITIONAL posting index (the Lucene phrase
+    // path of native-text-index.md): only the two probed posting lists
+    // are read, docs intersect by join, and adjacency verifies via a
+    // scan-local position-chain HOF — no text column in the plan. The
+    // raw-scan oracle hash-proves the positional index lossless.
+    QueryDef(
+      "q_text_index_phrase",
+      (s, d) =>
+        graft.sources.TextIndex
+          .searchPhraseIndexed(s, textPosIdx(s, d), Seq("table", "hash"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                         FROM documents)
+              SELECT doc_id FROM t
+              WHERE len([i FOR i IN range(1, len(w))
+                         IF w[i] = 'table' AND w[i+1] = 'hash']) > 0
               ORDER BY doc_id"""))
   )
+
+  private val textPosIdxCache =
+    scala.collection.concurrent.TrieMap[(org.apache.spark.sql.SparkSession, String), String]()
+  private def textPosIdx(s: org.apache.spark.sql.SparkSession, d: String): String =
+    textPosIdxCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_textposidx_q").toString
+      graft.sources.TextIndex.materializeWithPositions(
+        Tables.documents(s, d), "doc_id", "text", dir)
+      dir
+    })
 
   // Session-scoped inverted-index build (the in-session analog of the
   // text index Pinot materializes next to its segments): built ONCE per

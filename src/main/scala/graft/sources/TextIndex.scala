@@ -37,6 +37,48 @@ object TextIndex {
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(path)
 
+  /** Build the POSITIONAL posting table at `path` — (term, doc_id,
+    * positions) with 0-based token positions, the Lucene-style layout
+    * phrase queries need. Positions come from one posexplode pass (empty
+    * tokens keep their slot so adjacency survives), then the same
+    * term-distributed (term, doc_id)-sorted layout as `materialize`.
+    */
+  def materializeWithPositions(
+      docs: DataFrame, idCol: String, textCol: String, path: String): Unit =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .repartition(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(path)
+
+  /** PHRASE search over a positional index: doc_ids where the exact
+    * token sequence `phrase` occurs. Reads only the |phrase| probed
+    * posting lists, joins them by doc (each join shrinks the candidate
+    * set), then verifies adjacency with a scan-local position-chain HOF:
+    * a start position survives if every following term has position
+    * start+i. No text is read; cost scales with the rarest term's
+    * posting list.
+    */
+  def searchPhraseIndexed(
+      spark: SparkSession, path: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "need a non-empty phrase")
+    spark.catalog.refreshByPath(path)
+    val idx = spark.read.parquet(path)
+    val parts = phrase.map(_.toLowerCase).zipWithIndex.map { case (t, i) =>
+      idx.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"__p$i"))
+    }
+    val joined = parts.reduce(_.join(_, "doc_id"))
+    val chain = (1 until phrase.size).foldLeft(col("__p0")) { (acc, i) =>
+      filter(acc, p => array_contains(col(s"__p$i"), p + i))
+    }
+    joined.filter(size(chain) > 0).select("doc_id")
+  }
+
   /** Posting-list search: doc_ids containing ALL (`requireAll=true`) or
     * ANY of `terms`. refreshByPath first so a serving loop sees a
     * re-materialized index on its next call (the IvfAnn hot-swap lesson).

@@ -152,6 +152,25 @@ class TextSearchSpec extends SparkSpec {
     assert(indexed(all = false).size > indexed(all = true).size)
   }
 
+  test("positional index phrase search matches the raw textMatch phrase scan") {
+    import graft.sources.TextIndex
+    val corpus = graft.engine.Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_textidx_pos").toString
+    TextIndex.materializeWithPositions(corpus, "doc_id", "text", dir)
+    val indexed = TextIndex.searchPhraseIndexed(spark, dir, Seq("table", "hash"))
+      .collect().map(_.getLong(0)).toSet
+    val raw = corpus.filter(TextSearch.textMatch(col("text"), "\"table hash\""))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed === raw)
+    assert(indexed.nonEmpty, "phrase fixture matched nothing")
+    // a phrase hit is necessarily a hit for the AND of its terms
+    val dirAnd = java.nio.file.Files.createTempDirectory("graft_textidx_and").toString
+    TextIndex.materialize(corpus, "doc_id", "text", dirAnd)
+    val andSet = TextIndex.searchIndexed(spark, dirAnd, Seq("table", "hash"))
+      .collect().map(_.getLong(0)).toSet
+    assert(indexed.subsetOf(andSet), "phrase matched a doc missing a term")
+  }
+
   test("posting-list probes push the term filter down to the parquet scan") {
     import graft.sources.TextIndex
     val dir = java.nio.file.Files.createTempDirectory("graft_textidx_pd").toString
