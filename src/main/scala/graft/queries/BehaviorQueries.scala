@@ -437,6 +437,99 @@ object BehaviorQueries {
                      round(sum(w), 1) + 0 AS n_credits
               FROM credits GROUP BY 1 ORDER BY channel""")),
 
+    // RFM customer segmentation (recency / frequency / monetary quartile
+    // scores → named segments): one user-keyed rollup computes the three
+    // metrics — recency in whole days against the scalar corpus max-day
+    // (broadcast, scalar-N pattern), frequency as an event count,
+    // monetary QUANTIZED to ten-dollar units so every metric is integral
+    // and its quartile edges land on exactly-representable quarter
+    // values (the q_mad_outliers discipline — no cross-engine boundary
+    // flips). Edges come from the dictionary-histogram percentile
+    // operator in one pass over all three metrics and broadcast back;
+    // scoring and the segment CASE chain are identical expressions in
+    // both engines.
+    QueryDef(
+      "q_rfm_segments",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val maxDay = ev.agg(max(date_trunc("day", col("ts"))).as("max_day"))
+        val rfm = ev.groupBy("user_id")
+          .agg(
+            max(date_trunc("day", col("ts"))).as("last_day"),
+            count(lit(1)).as("f"),
+            floor(sum("value") / 10.0).cast("long").as("m"))
+          .crossJoin(broadcast(maxDay))
+          .select(col("user_id"),
+            datediff(col("max_day"), col("last_day")).cast("long").as("r"),
+            col("f"), col("m"))
+          .withColumn("g", lit(1))
+        val edges = graft.operators.Percentiles.exact(rfm, Seq("g"),
+          Seq(("r25", "r", 0.25), ("r50", "r", 0.5), ("r75", "r", 0.75),
+            ("f25", "f", 0.25), ("f50", "f", 0.5), ("f75", "f", 0.75),
+            ("m25", "m", 0.25), ("m50", "m", 0.5), ("m75", "m", 0.75)))
+        def up(c: String, q: String) =
+          lit(1) + when(col(c) > col(s"${q}25"), 1).otherwise(0) +
+            when(col(c) > col(s"${q}50"), 1).otherwise(0) +
+            when(col(c) > col(s"${q}75"), 1).otherwise(0)
+        val scored = rfm.join(broadcast(edges), "g")
+          .withColumn("rs", lit(5) - up("r", "r"))
+          .withColumn("fs", up("f", "f"))
+          .withColumn("ms", up("m", "m"))
+          .withColumn("segment",
+            when(col("rs") >= 3 && col("fs") >= 3 && col("ms") >= 3, "champion")
+              .when(col("rs") <= 2 && col("fs") >= 3, "at_risk")
+              .when(col("fs") >= 3, "loyal")
+              .when(col("ms") >= 3, "big_spender")
+              .when(col("rs") >= 3, "recent")
+              .otherwise("hibernating"))
+        scored.groupBy("segment")
+          .agg(
+            count(lit(1)).as("n_users"),
+            (round(avg("r"), 2) + lit(0.0)).as("avg_r"),
+            (round(avg("f"), 2) + lit(0.0)).as("avg_f"),
+            (round(avg("m"), 2) + lit(0.0)).as("avg_m"))
+          .orderBy("segment")
+      },
+      Some("""WITH mx AS (SELECT max(date_trunc('day', ts)) AS max_day FROM events),
+                   rfm AS (SELECT user_id,
+                                  CAST(date_diff('day',
+                                    max(date_trunc('day', ts)),
+                                    (SELECT max_day FROM mx)) AS BIGINT) AS r,
+                                  count(*) AS f,
+                                  CAST(floor(sum(value) / 10.0) AS BIGINT) AS m
+                           FROM events GROUP BY 1),
+                   e AS (SELECT quantile_cont(r, 0.25) AS r25, quantile_cont(r, 0.5) AS r50,
+                                quantile_cont(r, 0.75) AS r75,
+                                quantile_cont(f, 0.25) AS f25, quantile_cont(f, 0.5) AS f50,
+                                quantile_cont(f, 0.75) AS f75,
+                                quantile_cont(m, 0.25) AS m25, quantile_cont(m, 0.5) AS m50,
+                                quantile_cont(m, 0.75) AS m75
+                         FROM rfm),
+                   sc AS (SELECT user_id, r, f, m,
+                                 5 - (1 + CASE WHEN r > e.r25 THEN 1 ELSE 0 END
+                                        + CASE WHEN r > e.r50 THEN 1 ELSE 0 END
+                                        + CASE WHEN r > e.r75 THEN 1 ELSE 0 END) AS rs,
+                                 1 + CASE WHEN f > e.f25 THEN 1 ELSE 0 END
+                                   + CASE WHEN f > e.f50 THEN 1 ELSE 0 END
+                                   + CASE WHEN f > e.f75 THEN 1 ELSE 0 END AS fs,
+                                 1 + CASE WHEN m > e.m25 THEN 1 ELSE 0 END
+                                   + CASE WHEN m > e.m50 THEN 1 ELSE 0 END
+                                   + CASE WHEN m > e.m75 THEN 1 ELSE 0 END AS ms
+                          FROM rfm CROSS JOIN e),
+                   seg AS (SELECT r, f, m,
+                                  CASE WHEN rs >= 3 AND fs >= 3 AND ms >= 3 THEN 'champion'
+                                       WHEN rs <= 2 AND fs >= 3 THEN 'at_risk'
+                                       WHEN fs >= 3 THEN 'loyal'
+                                       WHEN ms >= 3 THEN 'big_spender'
+                                       WHEN rs >= 3 THEN 'recent'
+                                       ELSE 'hibernating' END AS segment
+                           FROM sc)
+              SELECT segment, count(*) AS n_users,
+                     round(avg(r), 2) + 0 AS avg_r,
+                     round(avg(f), 2) + 0 AS avg_f,
+                     round(avg(m), 2) + 0 AS avg_m
+              FROM seg GROUP BY 1 ORDER BY segment""")),
+
     // Activity STREAKS (gaps-and-islands): distribution of users' longest
     // runs of consecutive active days. The island anchor is the classic
     // (day-number − row_number) trick — consecutive days share an anchor

@@ -56,7 +56,10 @@ class PlanLintSpec extends SparkSpec {
     "q_rolling_active",
     // scalar-N pattern: the single-row mean-tokens-per-class aggregate
     // broadcasts onto the vocabulary-sized c-TF-IDF score table
-    "q_cluster_topics")
+    "q_cluster_topics",
+    // scalar-N pattern twice: the single-row corpus max-day and the
+    // single-row quartile-edge table broadcast onto the per-user rollup
+    "q_rfm_segments")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
@@ -143,9 +146,14 @@ class PlanLintSpec extends SparkSpec {
     //    (bounded by the price domain, constant in corpus size — exactly
     //    the state class of the partitioned stat passes in q_mad_outliers
     //    / q_winsorize, minus their group keys), never corpus rows.
+    //  - q_rfm_segments: the same GLOBAL quartile pass as
+    //    q_histogram_eqdepth, over the r/f/m VALUE dictionaries (day
+    //    offsets, per-user counts, ten-dollar spend units — bounded by
+    //    their domains, not by user count; the metrics are quantized
+    //    integral for exactly this reason).
     import org.apache.spark.sql.execution.window.WindowExec
     val globalWindowOk = Set("q_gapfill_prev", "q_topn_others",
-      "q_histogram_eqdepth")
+      "q_histogram_eqdepth", "q_rfm_segments")
     val offenders = Registry.all.flatMap { q =>
       val global = q.run(spark, sfDir).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
