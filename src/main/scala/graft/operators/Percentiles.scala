@@ -79,6 +79,37 @@ object Percentiles {
       .select(grp ++ out: _*)
   }
 
+  /** DISCRETE percentiles (percentile_disc / Pinot PERCENTILEEST
+    * semantics: the smallest DATA VALUE whose cumulative share reaches p
+    * — never interpolated). Same dictionary-histogram shape as `exact`:
+    * the heavy pass is the partial-aggregating (group, value) count, the
+    * pick is one conditional aggregate over the histogram — the value
+    * whose cumulative interval contains rank ⌈p·n⌉.
+    */
+  def discrete(df: DataFrame, grpCols: Seq[String], specs: Seq[(String, String, Double)]): DataFrame = {
+    require(grpCols.nonEmpty && specs.nonEmpty, "need grouping columns and percentile specs")
+    val grp = grpCols.map(col)
+    val perValueCol = specs.groupBy(_._2).toSeq.map { case (valCol, ss) =>
+      val hist = df.filter(col(valCol).isNotNull)
+        .groupBy(grp :+ col(valCol).cast("double").as("__v"): _*)
+        .agg(count(lit(1)).as("__cnt"))
+      val wOrd = Window.partitionBy(grpCols.map(col): _*).orderBy("__v")
+      val wAll = Window.partitionBy(grpCols.map(col): _*)
+      val cum = hist
+        .withColumn("__end", sum("__cnt").over(wOrd))
+        .withColumn("__start", col("__end") - col("__cnt"))
+        .withColumn("__n", sum("__cnt").over(wAll))
+      val aggs = ss.map { case (name, _, p) =>
+        // 0-based rank of the picked element: ⌈p·n⌉ − 1 (p = 0 → first)
+        val r = greatest(ceil(col("__n") * lit(p)) - 1, lit(0.0))
+        max(when(r >= col("__start") && r < col("__end"), col("__v"))).as(name)
+      }
+      cum.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
+    }
+    perValueCol.reduce { (a, b) => a.join(b, grpCols, "full_outer") }
+      .select(grpCols.map(col) ++ specs.map(s => col(s._1)): _*)
+  }
+
   /** All percentiles over ONE column, returned long-form:
     * (grpCols…, pos, q) with pos = index into `ps` — the multi-quantile
     * PERCENTILE shape.

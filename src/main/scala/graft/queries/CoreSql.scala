@@ -281,6 +281,30 @@ object CoreSql {
                      round(quantile_cont(l_quantity, 0.99), 2) AS p99_qty
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // PERCENTILE_DISC semantics (the smallest DATA VALUE reaching
+    // cumulative share p — what Pinot's PERCENTILEEST returns, never an
+    // interpolated number): same dictionary-histogram shape as
+    // q_percentile_dict, the pick is one conditional aggregate at rank
+    // ⌈p·n⌉. Oracle = DuckDB quantile_disc.
+    QueryDef(
+      "q_percentile_disc",
+      (s, d) =>
+        graft.operators.Percentiles.discrete(
+          Tables.lineitem(s, d), Seq("l_returnflag"),
+          Seq(("d50_price", "l_extendedprice", 0.5),
+            ("d90_price", "l_extendedprice", 0.9),
+            ("d99_price", "l_extendedprice", 0.99)))
+          .select(col("l_returnflag"),
+            round(col("d50_price"), 2).as("d50_price"),
+            round(col("d90_price"), 2).as("d90_price"),
+            round(col("d99_price"), 2).as("d99_price"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     round(quantile_disc(l_extendedprice, 0.5), 2) AS d50_price,
+                     round(quantile_disc(l_extendedprice, 0.9), 2) AS d90_price,
+                     round(quantile_disc(l_extendedprice, 0.99), 2) AS d99_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // BIG_DECIMAL metric aggregation (schema.md:48: BIG_DECIMAL is a
     // first-class metric type): money math in DECIMAL is EXACT — the sums
     // here are penny-accurate regardless of row count or add order, where

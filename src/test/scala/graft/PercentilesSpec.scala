@@ -53,4 +53,21 @@ class PercentilesSpec extends SparkSpec {
     assert(out.map(_.getInt(1)).toSeq === Seq(0, 1, 2))
     assert(out.map(_.getDouble(2)).toSeq === Seq(1.0, 26.0, 101.0))
   }
+
+  test("discrete picks actual data values at the ceil-rank, incl. p=0 and p=1") {
+    import spark.implicits._
+    // 4 values with duplicates: cumulative shares 0.25/0.75/1.0
+    val df = Seq(("g", 10.0), ("g", 20.0), ("g", 20.0), ("g", 30.0)).toDF("g", "v")
+    val out = Percentiles.discrete(df, Seq("g"),
+      Seq(("p0", "v", 0.0), ("p25", "v", 0.25), ("p50", "v", 0.5),
+        ("p75", "v", 0.75), ("p100", "v", 1.0))).collect().head
+    assert(out.getDouble(1) === 10.0) // p=0 → first element
+    assert(out.getDouble(2) === 10.0) // ceil(.25·4)=1 → 1st
+    assert(out.getDouble(3) === 20.0) // ceil(.5·4)=2 → 2nd
+    assert(out.getDouble(4) === 20.0) // ceil(.75·4)=3 → 3rd
+    assert(out.getDouble(5) === 30.0) // p=1 → last
+    // never interpolates: every output is one of the input values
+    val vals = Set(10.0, 20.0, 30.0)
+    (1 to 5).foreach(i => assert(vals.contains(out.getDouble(i))))
+  }
 }
