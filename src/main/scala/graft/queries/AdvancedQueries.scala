@@ -1374,6 +1374,88 @@ object AdvancedQueries {
                      CAST(min(o_custkey) AS VARCHAR),
                      CAST(max(o_custkey) AS VARCHAR)
               FROM orders
-              ORDER BY col_name"""))
+              ORDER BY col_name""")),
+
+    // IQR / Tukey-fence outliers — the third member of the robust-outlier
+    // family (z-score: moment stats; MAD: median absolute deviation; here:
+    // quartile fences q25 − 1.5·IQR / q75 + 1.5·IQR). Same scale
+    // discipline as q_mad_outliers: values quantize to integer cents so
+    // the quartiles come from the dictionary-histogram percentile
+    // operator (bounded (group, value) aggregate state, any number of
+    // reducers — never the built-in's per-group value map), and every
+    // stat is EXACT in binary: interpolated quartiles of integers are
+    // quarter-integers and 1.5×IQR an eighth-integer, all exactly
+    // representable doubles, so the fence comparisons cannot drift
+    // across engines. Stats are dictionary-sized and broadcast back
+    // onto one counting scan.
+    QueryDef(
+      "q_iqr_outliers",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"))
+        val q = graft.operators.Percentiles.exact(
+          ev, Seq("event_type"), Seq(("q25", "c", 0.25), ("q75", "c", 0.75)))
+          .withColumn("lo_fence", col("q25") - (col("q75") - col("q25")) * 1.5)
+          .withColumn("hi_fence", col("q75") + (col("q75") - col("q25")) * 1.5)
+        ev.join(broadcast(q), "event_type")
+          .groupBy("event_type")
+          .agg(
+            (first("q25") / 100).as("q25"), (first("q75") / 100).as("q75"),
+            count(lit(1)).as("n_events"),
+            sum(when(col("c") < col("lo_fence") || col("c") > col("hi_fence"),
+              1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+                                CAST(round(value * 100) AS BIGINT) AS c
+                         FROM events),
+                   q AS (SELECT event_type,
+                                quantile_cont(c, 0.25) AS q25,
+                                quantile_cont(c, 0.75) AS q75
+                         FROM e GROUP BY 1)
+              SELECT e.event_type,
+                     any_value(q.q25) / 100 AS q25,
+                     any_value(q.q75) / 100 AS q75,
+                     count(*) AS n_events,
+                     CAST(sum(CASE WHEN e.c < q.q25 - (q.q75 - q.q25) * 1.5
+                                     OR e.c > q.q75 + (q.q75 - q.q25) * 1.5
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+              FROM e JOIN q USING (event_type)
+              GROUP BY 1 ORDER BY event_type""")),
+
+    // NTILE — the bucket-assignment window function (Pinot window family).
+    // NTILE(4) deals each priority's orders into four near-equal quartile
+    // buckets (first n % 4 buckets get the extra row); ordering ties
+    // break on o_orderkey so bucket membership is deterministic on both
+    // engines. The window partitions by o_orderpriority (5 keys × ~N/5
+    // rows — a real per-group sort, the operator's honest cost; at 100 TB
+    // the equivalent rank comes from the dictionary-histogram cumulative
+    // counts the way q_rfm_segments scores quartiles without sorting raw
+    // rows). Output aggregates to the (priority, tile) dictionary.
+    QueryDef(
+      "q_ntile",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("tile", ntile(4).over(w))
+          .groupBy("o_orderpriority", "tile")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(min("o_totalprice"), 2).as("lo_price"),
+            round(max("o_totalprice"), 2).as("hi_price"))
+          .orderBy("o_orderpriority", "tile")
+      },
+      Some("""WITH t AS (SELECT o_orderpriority, o_totalprice,
+                                ntile(4) OVER (PARTITION BY o_orderpriority
+                                               ORDER BY o_totalprice, o_orderkey)
+                                  AS tile
+                         FROM orders)
+              SELECT o_orderpriority, tile, count(*) AS n_orders,
+                     round(min(o_totalprice), 2) AS lo_price,
+                     round(max(o_totalprice), 2) AS hi_price
+              FROM t GROUP BY 1, 2 ORDER BY o_orderpriority, tile"""))
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 
@@ -836,6 +837,108 @@ object CorpusQueries {
                      md5(substr(text, 1, CAST(a AS INT))) AS md5_prefix,
                      md5(substr(text, CAST(a + 1 AS INT), CAST(m AS INT))) AS md5_middle,
                      md5(substr(text, CAST(a + m + 1 AS INT))) AS md5_suffix
-              FROM p ORDER BY doc_id"""))
+              FROM p ORDER BY doc_id""")),
+
+    // LENGTH-BUCKET batching stats — the padding-efficiency planning pass
+    // a training pipeline runs before batching: deal each document into a
+    // fixed power-of-two sequence-length ladder (the smallest bucket that
+    // holds it; over-cap docs truncate into the top bucket) and measure
+    // per-bucket doc count, token mass, and the padding waste a
+    // pad-to-bucket batcher would burn. The ladder is an explicit CASE on
+    // both engines — never float log2, whose ceil at exact powers of two
+    // is representation-dependent. Entirely scan-local until the final
+    // 8-key rollup: one projection + one dictionary-sized groupBy at any
+    // corpus size.
+    QueryDef(
+      "q_length_buckets",
+      (s, d) => {
+        val ladder = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+        val docs = graft.engine.Tables.documents(s, d)
+          .select(size(split(col("text"), " ")).cast("long").as("n"))
+        val bucket = ladder.init.reverse
+          .foldLeft(lit(ladder.last)) { (acc, b) =>
+            when(col("n") <= b, lit(b)).otherwise(acc)
+          }
+        docs.withColumn("bucket", bucket)
+          .withColumn("kept", least(col("n"), col("bucket")))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("kept").as("n_tokens"),
+            sum(col("bucket") - col("kept")).as("n_padding"),
+            sum(col("n") - col("kept")).as("n_truncated"),
+            round(sum(col("bucket") - col("kept")).cast("double") /
+              (count(lit(1)) * col("bucket")), 6).as("waste_frac"))
+          .orderBy("bucket")
+      },
+      Some("""WITH s AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                         FROM documents),
+                   b AS (SELECT n,
+                                CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                                     WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                                     WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                                     WHEN n <= 1024 THEN 1024 ELSE 2048 END AS bucket,
+                                least(n, CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                                     WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                                     WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                                     WHEN n <= 1024 THEN 1024 ELSE 2048 END) AS kept
+                         FROM s)
+              SELECT bucket, count(*) AS n_docs,
+                     CAST(sum(kept) AS BIGINT) AS n_tokens,
+                     CAST(sum(bucket - kept) AS BIGINT) AS n_padding,
+                     CAST(sum(n - kept) AS BIGINT) AS n_truncated,
+                     round(CAST(sum(bucket - kept) AS DOUBLE)
+                           / (count(*) * bucket), 6) AS waste_frac
+              FROM b GROUP BY 1 ORDER BY bucket""")),
+
+    // NUCLEUS (top-p) VOCABULARY coverage — the tokenizer-planning
+    // question "how many vocabulary entries cover 90% of corpus token
+    // mass?": rank tokens by count, mark each with its cumulative-mass
+    // prefix, and keep the minimal p=0.9 prefix. Scale shape: the only
+    // corpus-sized stage is the (token, count) rollup (map-side combined);
+    // ranking runs on a TakeOrderedAndProject shortlist bounded by a
+    // CONSTANT (K=200 — a nucleus that needs more than K entries means
+    // raising K, a config change, not a plan change), so the running-sum
+    // window sees ≤K rows. The corpus total broadcasts as the scalar-N
+    // crossJoin pattern. Cumulative shares are a deterministic-order sum
+    // of the same integers on both engines — one division at the end, no
+    // drift; the window itself runs on the K-row shortlist, never corpus
+    // rows (PlanLint exemption documents this bound).
+    QueryDef(
+      "q_top_p_vocab",
+      (s, d) => {
+        val toks = graft.engine.Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val counts = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        val total = counts.agg(sum("cnt").as("tot"))
+        val top = counts.orderBy(desc("cnt"), asc("w")).limit(200)
+        val w = Window.orderBy(desc("cnt"), asc("w"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        top.crossJoin(broadcast(total))
+          .withColumn("cum", sum("cnt").over(w))
+          .withColumn("rank", count(lit(1)).over(w).cast("int"))
+          .filter((col("cum") - col("cnt")).cast("double") < col("tot") * 0.9)
+          .select(col("rank"), col("w"), col("cnt"),
+            round(col("cum").cast("double") / col("tot"), 6).as("cum_share"))
+          .orderBy("rank")
+      },
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+                   c AS (SELECT w, count(*) AS cnt FROM t WHERE w <> '' GROUP BY 1),
+                   tot AS (SELECT sum(cnt) AS tot FROM c),
+                   top AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 200),
+                   r AS (SELECT w, cnt,
+                                sum(cnt) OVER (ORDER BY cnt DESC, w
+                                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS cum,
+                                CAST(count(*) OVER (ORDER BY cnt DESC, w
+                                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS INT) AS rank
+                         FROM top)
+              SELECT rank, w, cnt,
+                     round(CAST(cum AS DOUBLE) / tot.tot, 6) AS cum_share
+              FROM r, tot WHERE CAST(cum - cnt AS DOUBLE) < tot.tot * 0.9
+              ORDER BY rank"""))
   )
 }

@@ -324,6 +324,109 @@ object MultimodalQueries {
       Some("""SELECT doc_id,
                      CAST(400 + (doc_id % 8) * 200 AS INT) AS detected_hz,
                      CAST(400 + (doc_id % 8) * 200 AS INT) AS true_hz
-              FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id"""))
+              FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""")),
+
+    // Per-channel pixel statistics — the NORMALIZATION pass an image
+    // training pipeline runs over a corpus (channel means feed the
+    // (x−μ)/σ input transform). Every PNG goes through the full
+    // encode → decode loop and the per-channel sums are integer-exact;
+    // the oracle recomputes each mean from the pixel synthesis formula
+    // ((id·31+i) mod 256 at channel-strided offsets), so a channel-order
+    // swap, stride bug, or sign error on the unsigned bytes
+    // hash-mismatches. One batched decode pass, dictionary-sized output.
+    QueryDef(
+      "q_image_stats",
+      (s, d) => {
+        import s.implicits._
+        mediaItems(s, d)
+          .filter(col("kind") === "image")
+          .map { m =>
+            val img = MediaCodec.decodePng(m.bytes).get
+            val sums = new Array[Long](3)
+            var i = 0
+            while (i < img.rgb.length) {
+              sums(i % 3) += img.rgb(i) & 0xff
+              i += 1
+            }
+            val n = (img.width * img.height).toDouble
+            def r4(x: Double) = math.rint(x * 10000) / 10000 + 0.0
+            (m.media_id, img.width, img.height,
+              r4(sums(0) / n), r4(sums(1) / n), r4(sums(2) / n))
+          }
+          .toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
+          .orderBy("doc_id")
+      },
+      Some("""WITH img AS (SELECT doc_id,
+                                  CAST(1 + doc_id % 8 AS INT) AS width,
+                                  CAST(1 + doc_id % 5 AS INT) AS height
+                           FROM documents WHERE doc_id % 3 = 0),
+                   px AS (SELECT doc_id, width, height,
+                                 unnest(generate_series(
+                                   0, width * height - 1)) AS j
+                          FROM img),
+                   ch AS (SELECT doc_id, width, height,
+                                 avg((doc_id * 31 + 3 * j) % 256) AS mr,
+                                 avg((doc_id * 31 + 3 * j + 1) % 256) AS mg,
+                                 avg((doc_id * 31 + 3 * j + 2) % 256) AS mb
+                          FROM px GROUP BY 1, 2, 3)
+              SELECT doc_id, width, height,
+                     round(mr, 4) + 0 AS mean_r,
+                     round(mg, 4) + 0 AS mean_g,
+                     round(mb, 4) + 0 AS mean_b
+              FROM ch ORDER BY doc_id""")),
+
+    // Energy-based VOICE-ACTIVITY gating — the silence-trim pass an audio
+    // training pipeline runs before feature extraction: fixed 64-sample
+    // frames over the decoded PCM stream, a frame is ACTIVE when its
+    // sum-of-squares reaches 64·512² (RMS ≥ 512 — expressed as the
+    // integer inequality so both engines compare exact sums, zero
+    // floating-point drift). The trailing partial frame is dropped on
+    // both sides. The oracle replays the sample-synthesis ramp
+    // ((id·7+i) mod 2048 − 1024) per frame, so a byte-order swap or
+    // off-by-one sample walk flips frame energies and hash-mismatches.
+    QueryDef(
+      "q_audio_vad",
+      (s, d) => {
+        import s.implicits._
+        mediaItems(s, d)
+          .filter(col("kind") === "audio")
+          .map { m =>
+            val a = MediaCodec.decodeWav(m.bytes).get
+            val ns = a.data.length / 2
+            val nf = ns / 64
+            var active = 0
+            var f = 0
+            while (f < nf) {
+              var e = 0L
+              var i = f * 64
+              while (i < (f + 1) * 64) {
+                val v = ((a.data(2 * i) & 0xff) | (a.data(2 * i + 1) << 8))
+                  .toShort.toLong
+                e += v * v
+                i += 1
+              }
+              if (e >= 64L * 512 * 512) active += 1
+              f += 1
+            }
+            (m.media_id, nf, active)
+          }
+          .toDF("doc_id", "n_frames", "n_active")
+          .orderBy("doc_id")
+      },
+      Some("""WITH a AS (SELECT doc_id,
+                                (100 + doc_id % 50) * (1 + doc_id % 2) AS ns
+                         FROM documents WHERE doc_id % 3 = 1),
+                   idx AS (SELECT doc_id,
+                                  unnest(generate_series(
+                                    0, (ns // 64) * 64 - 1)) AS i
+                           FROM a),
+                   fr AS (SELECT doc_id, i // 64 AS f,
+                                 sum(((doc_id * 7 + i) % 2048 - 1024)
+                                     * ((doc_id * 7 + i) % 2048 - 1024)) AS e
+                          FROM idx GROUP BY 1, 2)
+              SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+                     CAST(sum(CASE WHEN e >= 16777216 THEN 1 ELSE 0 END) AS INT)
+                       AS n_active
+              FROM fr GROUP BY 1 ORDER BY doc_id"""))
   )
 }

@@ -596,6 +596,53 @@ object SimilarityQueries {
               UNION ALL SELECT 3, vec_id, rel + 0, round(score, 4) + 0 FROM p3
               UNION ALL SELECT 4, vec_id, rel + 0, round(score, 4) + 0 FROM p4
               UNION ALL SELECT 5, vec_id, rel + 0, round(score, 4) + 0 FROM p5
-              ORDER BY pick"""))
+              ORDER BY pick""")),
+
+    // kNN CLASSIFICATION — the label-propagation use of the vector index
+    // (auto-tagging new documents from their embedded neighbors): each
+    // held-out query vector takes the MAJORITY label of its k=5 nearest
+    // labeled neighbors by cosine, ties broken toward the smaller label
+    // so the vote is deterministic. Plan shape is exactly q_knn_brute's
+    // broadcast-bounded probe (queries broadcast, one scan of the labeled
+    // corpus, per-query bounded heap) plus a shortlist-sized label join
+    // and a 10-row vote rollup — nothing new shuffles at corpus scale.
+    QueryDef(
+      "q_knn_classify",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val labeled = e.filter(col("vec_id") >= 10)
+        val hits = Ann.knnBruteForce(e.filter(col("vec_id") < 10), labeled, k = 5)
+        hits.join(labeled.select(col("vec_id").as("cand_id"), col("label")), "cand_id")
+          .groupBy("q_id", "label")
+          .agg(count(lit(1)).as("votes"))
+          .groupBy("q_id")
+          .agg(
+            max_by(col("label"), col("votes") * 1000L - col("label")).as("pred_label"),
+            max("votes").as("n_votes"))
+          .orderBy("q_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                                CAST(unnest(embedding) AS DOUBLE) AS v
+                         FROM embeddings),
+                   norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+                   dots AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+                                   sum(a.v * b.v) AS dot
+                            FROM e a JOIN e b ON a.i = b.i
+                            WHERE a.vec_id < 10 AND b.vec_id >= 10
+                            GROUP BY 1, 2),
+                   ranked AS (SELECT q_id, cand_id,
+                              row_number() OVER (PARTITION BY q_id
+                                ORDER BY dot / (nq.nrm * nc.nrm) DESC, cand_id) AS rank
+                              FROM dots
+                              JOIN norms nq ON q_id = nq.vec_id
+                              JOIN norms nc ON cand_id = nc.vec_id),
+                   votes AS (SELECT r.q_id, emb.label, count(*) AS votes
+                             FROM ranked r
+                             JOIN embeddings emb ON emb.vec_id = r.cand_id
+                             WHERE r.rank <= 5 GROUP BY 1, 2)
+              SELECT q_id,
+                     arg_max(label, votes * 1000 - label) AS pred_label,
+                     max(votes) AS n_votes
+              FROM votes GROUP BY 1 ORDER BY q_id"""))
   )
 }

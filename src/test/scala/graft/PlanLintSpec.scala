@@ -59,7 +59,14 @@ class PlanLintSpec extends SparkSpec {
     "q_cluster_topics",
     // scalar-N pattern twice: the single-row corpus max-day and the
     // single-row quartile-edge table broadcast onto the per-user rollup
-    "q_rfm_segments")
+    "q_rfm_segments",
+    // scalar-N pattern: the single-row corpus token total broadcasts
+    // onto the K=200 vocabulary shortlist
+    "q_top_p_vocab",
+    // q_knn_brute's broadcast-probe shape: the bounded query set
+    // broadcasts over the labeled corpus scan; the vote stages join a
+    // shortlist of k rows per query
+    "q_knn_classify")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
@@ -152,8 +159,12 @@ class PlanLintSpec extends SparkSpec {
     //    their domains, not by user count; the metrics are quantized
     //    integral for exactly this reason).
     import org.apache.spark.sql.execution.window.WindowExec
+    //  - q_top_p_vocab: the cumulative-mass running sum — its input is a
+    //    TakeOrderedAndProject shortlist bounded by the CONSTANT K=200,
+    //    never corpus rows (the corpus-sized stage is the map-side-
+    //    combined token rollup upstream of the limit).
     val globalWindowOk = Set("q_gapfill_prev", "q_topn_others",
-      "q_histogram_eqdepth", "q_rfm_segments")
+      "q_histogram_eqdepth", "q_rfm_segments", "q_top_p_vocab")
     val offenders = Registry.all.flatMap { q =>
       val global = q.run(spark, sfDir).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
