@@ -120,4 +120,35 @@ object Percentiles {
     wide.select(grpCols.map(col) :+
       posexplode(array(named.map(n => col(n._1)): _*)).as(Seq("pos", "q")): _*)
   }
+
+  /** WEIGHTED discrete percentiles: the smallest data value whose
+    * cumulative WEIGHT reaches p·W (each row counts `weightCol` times —
+    * the quantity-weighted median of a price, the token-weighted median
+    * of a quality score). Identical plan shape to `discrete` with the
+    * histogram's count replaced by a weight sum: the heavy pass is still
+    * one partial-aggregating (group, value) rollup, the pick one
+    * conditional aggregate over the dictionary-sized histogram. Integral
+    * weights keep every cumulative comparison integer-exact.
+    */
+  def weightedDiscrete(
+      df: DataFrame, grpCols: Seq[String], valCol: String, weightCol: String,
+      specs: Seq[(String, Double)]): DataFrame = {
+    require(grpCols.nonEmpty && specs.nonEmpty, "need grouping columns and percentile specs")
+    val grp = grpCols.map(col)
+    val hist = df.filter(col(valCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(grp :+ col(valCol).cast("double").as("__v"): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__cnt"))
+    val wOrd = Window.partitionBy(grpCols.map(col): _*).orderBy("__v")
+    val wAll = Window.partitionBy(grpCols.map(col): _*)
+    val cum = hist
+      .withColumn("__end", sum("__cnt").over(wOrd))
+      .withColumn("__start", col("__end") - col("__cnt"))
+      .withColumn("__n", sum("__cnt").over(wAll))
+    val aggs = specs.map { case (name, p) =>
+      val r = greatest(ceil(col("__n") * lit(p)) - 1, lit(0.0))
+      max(when(r >= col("__start") && r < col("__end"), col("__v"))).as(name)
+    }
+    cum.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
+      .select(grp ++ specs.map(s => col(s._1)): _*)
+  }
 }

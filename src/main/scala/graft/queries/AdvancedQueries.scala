@@ -771,6 +771,62 @@ object AdvancedQueries {
       },
       None),
 
+    // Sketch-estimated JACCARD similarity between user cohorts — the
+    // audience-overlap matrix a dashboard renders across all segment
+    // pairs, answered from the same per-segment theta sketches
+    // q_theta_setops maintains (J = |A∩B| / |A∪B|, both estimated from
+    // the merged KMV state — inexpressible with HLL alone, which cannot
+    // intersect). The pairwise join runs on the 5-row per-type sketch
+    // dictionary, never raw rows; rows-only by design, ThetaSketchSpec
+    // bounds every estimate against the exact Jaccard.
+    QueryDef(
+      "q_theta_jaccard",
+      (s, d) => {
+        import graft.functions.SketchFns._
+        val sk = Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(thetaSketch(col("user_id"), 256).as("sk"))
+        val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+        val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+        a.join(b, col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"),
+            round(
+              thetaEstimate(thetaIntersect(col("ska"), col("skb"))) /
+                thetaEstimate(thetaUnion(col("ska"), col("skb"))), 4)
+              .as("jaccard_est"))
+          .orderBy("type_a", "type_b")
+      },
+      None),
+
+    // BENFORD first-digit profile — the data-quality screen forensic
+    // auditing runs over a money column (organically-generated amounts
+    // follow log-uniform first digits; fabricated ones don't). One
+    // scan-local digit projection + a 9-key rollup; the share divides by
+    // the single-row total via the scalar-N broadcast pattern. All
+    // counts integer-exact; the share is one division, rounded
+    // identically on both engines.
+    QueryDef(
+      "q_benford",
+      (s, d) => {
+        val digits = Tables.orders(s, d)
+          .select(substring(floor(col("o_totalprice")).cast("long")
+            .cast("string"), 1, 1).as("digit"))
+        val counts = digits.groupBy("digit").agg(count(lit(1)).as("n_orders"))
+        val total = counts.agg(sum("n_orders").as("tot"))
+        counts.crossJoin(broadcast(total))
+          .select(col("digit"), col("n_orders"),
+            round(col("n_orders").cast("double") / col("tot"), 6).as("share"))
+          .orderBy("digit")
+      },
+      Some("""WITH dg AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                             AS VARCHAR), 1, 1) AS digit
+                          FROM orders),
+                   c AS (SELECT digit, count(*) AS n_orders FROM dg GROUP BY 1),
+                   t AS (SELECT sum(n_orders) AS tot FROM c)
+              SELECT digit, n_orders,
+                     round(CAST(n_orders AS DOUBLE) / tot, 6) AS share
+              FROM c, t ORDER BY digit""")),
+
     // Anomaly pre-filter (the ThirdEye-style use in Introduction.md):
     // per-type z-scores against broadcast per-type stats; stats round to
     // 6 decimals on both sides so threshold comparisons are engine-stable.

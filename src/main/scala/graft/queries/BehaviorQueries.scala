@@ -568,6 +568,50 @@ object BehaviorQueries {
                    mx AS (SELECT user_id, max(len) AS max_streak
                           FROM runs GROUP BY 1)
               SELECT max_streak, count(*) AS n_users
-              FROM mx GROUP BY 1 ORDER BY max_streak"""))
+              FROM mx GROUP BY 1 ORDER BY max_streak""")),
+
+    // TIME-DECAYED customer value (recency-weighted LTV — the ranking a
+    // growth dashboard uses where plain revenue overweights long-churned
+    // spenders): each purchase decays by half per 7-day age bucket,
+    // capped at 2⁻¹⁰. The weights are EXACT negative powers of two and
+    // amounts quantize to integer cents, so every decayed term — and
+    // therefore the sum, in ANY accumulation order — is an exact multiple
+    // of 2⁻¹⁰ cents: bit-identical across engines and partitionings
+    // with no rounding trick needed. The single-row corpus max-day
+    // broadcasts (scalar-N pattern); everything else is one scan and one
+    // per-user rollup.
+    QueryDef(
+      "q_ltv_decay",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("user_id") < 50)
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("c"))
+        val hi = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .agg(max(date_trunc("day", col("ts"))).as("hi"))
+        ev.crossJoin(broadcast(hi))
+          .withColumn("k", least(floor(datediff(col("hi"), col("day")) / 7),
+            lit(10)).cast("int"))
+          .withColumn("dc", col("c").cast("double") * pow(lit(0.5), col("k")))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            round(sum("c") / 100.0, 2).as("revenue"),
+            round(sum("dc") / 100.0, 2).as("ltv_decayed"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, date_trunc('day', ts) AS day,
+                                CAST(round(value * 100) AS BIGINT) AS c
+                         FROM events WHERE event_type = 'purchase'),
+                   hi AS (SELECT max(day) AS hi FROM e),
+                   w AS (SELECT user_id, c,
+                                c * power(0.5, least(
+                                  date_diff('day', day, hi.hi) // 7, 10)) AS dc
+                         FROM e, hi WHERE user_id < 50)
+              SELECT user_id, count(*) AS n_purchases,
+                     round(sum(c) / 100.0, 2) AS revenue,
+                     round(sum(dc) / 100.0, 2) AS ltv_decayed
+              FROM w GROUP BY 1 ORDER BY user_id"""))
   )
 }

@@ -305,6 +305,43 @@ object CoreSql {
                      round(quantile_disc(l_extendedprice, 0.99), 2) AS d99_price
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // WEIGHTED percentile — each row counts `weight` times (the
+    // quantity-weighted median price: "the price at which half the UNITS
+    // ship", not half the line items). Same dictionary-histogram
+    // discipline as q_percentile_disc with the count replaced by an
+    // integral weight sum: one partial-aggregating (group, value) rollup,
+    // cumulative-weight comparisons integer-exact, the pick a conditional
+    // aggregate over the dictionary — no per-group value map anywhere.
+    // The oracle expresses the same semantics as the min value whose
+    // cumulative weight reaches p·W.
+    QueryDef(
+      "q_percentile_weighted",
+      (s, d) =>
+        graft.operators.Percentiles.weightedDiscrete(
+          Tables.lineitem(s, d), Seq("l_returnflag"),
+          "l_extendedprice", "l_quantity",
+          Seq(("w25_price", 0.25), ("w50_price", 0.5), ("w90_price", 0.9)))
+          .select(col("l_returnflag"),
+            round(col("w25_price"), 2).as("w25_price"),
+            round(col("w50_price"), 2).as("w50_price"),
+            round(col("w90_price"), 2).as("w90_price"))
+          .orderBy("l_returnflag"),
+      Some("""WITH h AS (SELECT l_returnflag, l_extendedprice AS v,
+                                sum(CAST(l_quantity AS BIGINT)) AS w
+                         FROM lineitem
+                         WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+                         GROUP BY 1, 2),
+                   c AS (SELECT l_returnflag, v,
+                                sum(w) OVER (PARTITION BY l_returnflag
+                                             ORDER BY v) AS cum,
+                                sum(w) OVER (PARTITION BY l_returnflag) AS tot
+                         FROM h)
+              SELECT l_returnflag,
+                     round(min(CASE WHEN cum >= 0.25 * tot THEN v END), 2) AS w25_price,
+                     round(min(CASE WHEN cum >= 0.5 * tot THEN v END), 2) AS w50_price,
+                     round(min(CASE WHEN cum >= 0.9 * tot THEN v END), 2) AS w90_price
+              FROM c GROUP BY 1 ORDER BY l_returnflag""")),
+
     // BIG_DECIMAL metric aggregation (schema.md:48: BIG_DECIMAL is a
     // first-class metric type): money math in DECIMAL is EXACT — the sums
     // here are penny-accurate regardless of row count or add order, where

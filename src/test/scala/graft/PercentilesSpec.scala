@@ -70,4 +70,25 @@ class PercentilesSpec extends SparkSpec {
     val vals = Set(10.0, 20.0, 30.0)
     (1 to 5).foreach(i => assert(vals.contains(out.getDouble(i))))
   }
+
+  test("weightedDiscrete: unit weights reduce to discrete; weights shift the pick") {
+    import spark.implicits._
+    val df = Seq(("g", 10.0, 1L), ("g", 20.0, 1L), ("g", 20.0, 1L), ("g", 30.0, 1L))
+      .toDF("g", "v", "w")
+    val unit = Percentiles.weightedDiscrete(df, Seq("g"), "v", "w",
+      Seq(("p25", 0.25), ("p50", 0.5), ("p100", 1.0))).collect().head
+    val disc = Percentiles.discrete(df, Seq("g"),
+      Seq(("p25", "v", 0.25), ("p50", "v", 0.5), ("p100", "v", 1.0))).collect().head
+    (1 to 3).foreach(i => assert(unit.getDouble(i) === disc.getDouble(i)))
+
+    // one heavy row dominates: 10.0 carries 90 of 93 units of weight, so
+    // every percentile up to p=0.9 picks it even though it is 1 of 4 rows
+    val wdf = Seq(("g", 10.0, 90L), ("g", 20.0, 1L), ("g", 25.0, 1L), ("g", 30.0, 1L))
+      .toDF("g", "v", "w")
+    val out = Percentiles.weightedDiscrete(wdf, Seq("g"), "v", "w",
+      Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))).collect().head
+    assert(out.getDouble(1) === 10.0)
+    assert(out.getDouble(2) === 10.0) // rank ceil(.9·93)−1 = 83 < 90 → heavy value
+    assert(out.getDouble(3) === 30.0) // rank ceil(.99·93)−1 = 92 → last unit of weight
+  }
 }

@@ -66,7 +66,16 @@ class PlanLintSpec extends SparkSpec {
     // q_knn_brute's broadcast-probe shape: the bounded query set
     // broadcasts over the labeled corpus scan; the vote stages join a
     // shortlist of k rows per query
-    "q_knn_classify")
+    "q_knn_classify",
+    // dictionary × dictionary: the pairwise `<` join runs on the per-type
+    // SKETCH table (one row per event type), never raw rows
+    "q_theta_jaccard",
+    // scalar-N pattern: the single-row digit total broadcasts onto the
+    // 9-key digit rollup
+    "q_benford",
+    // scalar-N pattern: the single-row corpus max-day broadcasts onto the
+    // purchase scan to derive decay ages
+    "q_ltv_decay")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk

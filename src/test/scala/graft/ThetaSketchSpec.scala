@@ -110,4 +110,22 @@ class ThetaSketchSpec extends SparkSpec {
     assert(rel(est.getLong(est.fieldIndex("n_both")), nBoth) <= 0.25)
     assert(rel(est.getLong(est.fieldIndex("n_only_1996")), nOnly) <= 0.25)
   }
+
+  test("q_theta_jaccard estimates bound the exact cohort Jaccard per pair") {
+    import graft.queries.Registry
+    val ev = Tables.events(spark, sfDir).select("event_type", "user_id")
+    val cohorts = ev.collect().groupBy(_.getString(0))
+      .map { case (t, rows) => t -> rows.map(_.getLong(1)).toSet }
+    val rows = Registry.queries("q_theta_jaccard")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (cohorts(r.getString(0)), cohorts(r.getString(1)))
+      val exact = a.intersect(b).size.toDouble / a.union(b).size
+      val est = r.getDouble(2)
+      // intersection error dominates (scales with union's theta); the
+      // ratio of two estimates gets an additive bound, not relative
+      assert(math.abs(est - exact) <= 0.25,
+        s"${r.getString(0)}/${r.getString(1)}: est=$est exact=$exact")
+    }
+  }
 }
