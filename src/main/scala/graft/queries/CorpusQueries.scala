@@ -939,6 +939,61 @@ object CorpusQueries {
               SELECT rank, w, cnt,
                      round(CAST(cum AS DOUBLE) / tot.tot, 6) AS cum_share
               FROM r, tot WHERE CAST(cum - cnt AS DOUBLE) < tot.tot * 0.9
-              ORDER BY rank"""))
+              ORDER BY rank""")),
+
+    // SOURCE-OVERLAP matrix — the corpus-composition health check a
+    // mixture designer runs before weighting sources (two "different"
+    // sources with high shingle Jaccard are the same crawl twice;
+    // weighting them independently double-counts). EXACT pairwise
+    // Jaccard over per-source DISTINCT 3-gram shingle sets: the only
+    // corpus-sized shuffle is the (source, shingle) distinct rollup; the
+    // shingle self-join fans out ≤ C(sources, 2) rows per shingle (the
+    // source dictionary bounds it, never document count), and everything
+    // downstream is the pair dictionary. Same 64-bit shingle hashing as
+    // the dedup family (collisions ~n²/2⁶⁴ — the established oracle
+    // assumption).
+    QueryDef(
+      "q_source_overlap",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("source"),
+            explode(graft.functions.TextShingles.shingleHashes(col("text"), 3))
+              .as("g"))
+          .distinct()
+        val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+        val pairs = sh.as("a")
+          .join(sh.as("b"),
+            col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))),
+            "source_a")
+          .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))),
+            "source_b")
+          .select(col("source_a"), col("source_b"), col("inter"),
+            round(col("inter") / (col("na") + col("nb") - col("inter")), 4)
+              .as("jaccard"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH docs AS (SELECT source, string_split(lower(text), ' ') AS w
+                            FROM documents),
+                   sh0 AS (SELECT source,
+                                  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   FOR i IN range(1, len(w) - 1)] AS s
+                           FROM docs WHERE len(w) >= 3),
+                   ex AS (SELECT DISTINCT source, unnest(s) AS shg FROM sh0),
+                   sizes AS (SELECT source, count(*) AS n FROM ex GROUP BY 1),
+                   pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                                    count(*) AS inter
+                             FROM ex a JOIN ex b
+                               ON a.shg = b.shg AND a.source < b.source
+                             GROUP BY 1, 2)
+              SELECT source_a, source_b, inter,
+                     round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+              FROM pairs p
+              JOIN sizes sa ON p.source_a = sa.source
+              JOIN sizes sb ON p.source_b = sb.source
+              ORDER BY source_a, source_b"""))
   )
 }

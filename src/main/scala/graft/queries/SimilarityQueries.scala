@@ -643,6 +643,58 @@ object SimilarityQueries {
               SELECT q_id,
                      arg_max(label, votes * 1000 - label) AS pred_label,
                      max(votes) AS n_votes
-              FROM votes GROUP BY 1 ORDER BY q_id"""))
+              FROM votes GROUP BY 1 ORDER BY q_id""")),
+
+    // HARD-NEGATIVE mining — the contrastive-training prep step a
+    // retrieval pipeline runs over its labeled corpus: for each anchor,
+    // the top-3 most-similar vectors with a DIFFERENT label (the
+    // negatives a model most needs to push away; easy random negatives
+    // teach it nothing). q_knn_brute's broadcast-probe shape with the
+    // label-mismatch predicate fused into the probe join and the same
+    // bounded top-k heap — one labeled-corpus scan, no extra shuffle.
+    QueryDef(
+      "q_hard_negatives",
+      (s, d) => {
+        import graft.functions.VectorFns
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 10).select(
+          col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), VectorFns.norm(col("embedding")).as("q_nrm"))
+        val c = e.filter(col("vec_id") >= 10).select(
+          col("vec_id").as("cand_id"), col("label").as("c_label"),
+          col("embedding").as("c_emb"), VectorFns.norm(col("embedding")).as("c_nrm"))
+        broadcast(q).join(c, col("q_label") =!= col("c_label"))
+          .withColumn("sim",
+            VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+          .groupBy("q_id")
+          .agg(VectorFns.topKBy(col("sim"), col("cand_id"), 3).as("hits"))
+          .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+          .select(col("q_id"), (col("pos") + 1).as("rank"),
+            col("hit.cand_id").as("neg_id"),
+            (round(col("hit.sim"), 4) + lit(0.0)).as("sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                                CAST(unnest(embedding) AS DOUBLE) AS v
+                         FROM embeddings),
+                   norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+                   dots AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+                                   sum(a.v * b.v) AS dot
+                            FROM e a JOIN e b ON a.i = b.i
+                            JOIN embeddings qa ON qa.vec_id = a.vec_id
+                            JOIN embeddings qb ON qb.vec_id = b.vec_id
+                            WHERE a.vec_id < 10 AND b.vec_id >= 10
+                              AND qa.label <> qb.label
+                            GROUP BY 1, 2),
+                   ranked AS (SELECT q_id, cand_id,
+                                     dot / (nq.nrm * nc.nrm) AS sim_raw,
+                              row_number() OVER (PARTITION BY q_id
+                                ORDER BY dot / (nq.nrm * nc.nrm) DESC, cand_id) AS rank
+                              FROM dots
+                              JOIN norms nq ON q_id = nq.vec_id
+                              JOIN norms nc ON cand_id = nc.vec_id)
+              SELECT q_id, CAST(rank AS INT) AS rank, cand_id AS neg_id,
+                     round(sim_raw, 4) + 0 AS sim
+              FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
   )
 }

@@ -75,7 +75,10 @@ class PlanLintSpec extends SparkSpec {
     "q_benford",
     // scalar-N pattern: the single-row corpus max-day broadcasts onto the
     // purchase scan to derive decay ages
-    "q_ltv_decay")
+    "q_ltv_decay",
+    // q_knn_brute's broadcast-probe shape with the label-mismatch
+    // predicate fused into the probe join
+    "q_hard_negatives")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
