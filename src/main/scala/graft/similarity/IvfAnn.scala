@@ -83,6 +83,47 @@ object IvfAnn {
     knnIvfOn(assigned, centroids, queries, k, nProbe)
   }
 
+  /** Assign a batch to EXISTING centroids: nearest cell by euclidean
+    * distance (|v−c|² = |v|² − 2·v·c + |c|²; |v|² is argmin-invariant per
+    * vector), ties broken toward the smaller cell id so assignment is
+    * deterministic. The centroid table broadcasts (dictionary-sized);
+    * the batch is one scan + one per-vector rollup.
+    */
+  def assignCells(batch: DataFrame, centroids: DataFrame): DataFrame = {
+    val cols = batch.columns
+    batch.crossJoin(broadcast(centroids))
+      .withColumn("__cell_dist",
+        VectorFns.dot(col("centroid"), col("centroid")) -
+          lit(2.0) * VectorFns.dot(col("embedding"), col("centroid")))
+      .groupBy("vec_id")
+      .agg(min_by(
+        struct(cols.map(col) :+ col("cell"): _*),
+        struct(col("__cell_dist"), col("cell"))).as("__r"))
+      .select(col("__r.*"))
+  }
+
+  /** INCREMENTAL index maintenance — the daily-ingest shape (same
+    * discipline as the dedup band index / TF-IDF DF index / LM vocab):
+    * only the NEW batch is assigned, against the centroids already on
+    * disk — no re-clustering, no touch of existing cell files — and the
+    * rows append under their Hive cell partitions, so partition pruning
+    * keeps holding for probes. Centroids drift as the corpus grows; the
+    * scheduled full `materialize` rebuild re-centers them (kept separate
+    * on purpose: re-centering rewrites every cell file).
+    */
+  def appendToIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame): Unit = {
+    spark.catalog.refreshByPath(s"$path/centroids")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    assignCells(batch, centroids)
+      .repartition(col("cell")).write.mode("append")
+      .partitionBy("cell").parquet(s"$path/assigned")
+    // serving streams re-list per probe (knnIvfIndexed refreshes), but
+    // refresh eagerly so same-session readers never see the stale listing
+    spark.catalog.refreshByPath(s"$path/assigned")
+  }
+
   /** cell-assigned corpus + centroid table (centroid_id, centroid float[]). */
   def buildIndex(corpus: DataFrame, numCentroids: Int, seed: Long = 42L)
       : (DataFrame, DataFrame) = {

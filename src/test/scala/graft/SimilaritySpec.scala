@@ -69,6 +69,49 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), plan)
   }
 
+  test("incremental appendToIndex: probe-all parity, no lost rows, pruning intact") {
+    val e = Tables.embeddings(spark, sfDir)
+    val base = e.filter(col("vec_id") % 5 =!= 0)
+    val batch = e.filter(col("vec_id") % 5 === 0 && col("vec_id") >= 5)
+    val qs = e.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_incr").toString
+    IvfAnn.materialize(base, dir, numCentroids = 8)
+    IvfAnn.appendToIndex(spark, dir, batch)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+
+    // no lost or duplicated rows: the index now holds exactly base ∪ batch
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    assert(assigned.count() === base.count() + batch.count())
+    val served = assigned.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(batch.collect().map(_.getLong(0)).toSet.subsetOf(served),
+      "appended batch rows missing from the index")
+
+    // probe-all parity: with nProbe = numCentroids the incremental index
+    // must answer exactly like a single-pass assignment of the same rows
+    // against the same centroids (cell placement cannot hide results)
+    val refDir = java.nio.file.Files.createTempDirectory("ivf_ref").toString
+    IvfAnn.assignCells(base.unionByName(batch), centroids)
+      .repartition(col("cell")).write.partitionBy("cell").parquet(s"$refDir/assigned")
+    val fromIndex = IvfAnn.knnIvfIndexed(spark, dir, qs, k = 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val reference = IvfAnn.knnIvfOn(
+      spark.read.parquet(s"$refDir/assigned"), centroids, qs, k = 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromIndex === reference)
+
+    // the appended layout still prunes cell directories on partial probes
+    val plan = IvfAnn.knnIvfIndexed(spark, dir, qs, k = 3, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+
+    // assignCells is deterministic (distance/cell tie-break is total)
+    val a1 = IvfAnn.assignCells(batch, centroids)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val a2 = IvfAnn.assignCells(batch.repartition(7), centroids)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a1 === a2)
+  }
+
   test("ivf ann recalls a useful fraction of brute-force neighbors") {
     val e = Tables.embeddings(spark, sfDir)
     val qs = e.filter(col("vec_id") < 10)
