@@ -994,6 +994,26 @@ object CorpusQueries {
               FROM pairs p
               JOIN sizes sa ON p.source_a = sa.source
               JOIN sizes sb ON p.source_b = sb.source
-              ORDER BY source_a, source_b"""))
+              ORDER BY source_a, source_b""")),
+
+    // BPE TOKENIZER TRAINING — the full merge-learning loop (Sennrich et
+    // al. 2016), not just the pair statistics of q_bpe_pairs: 8 merge
+    // rounds over the word HISTOGRAM (the one corpus-sized pass; the loop
+    // itself is dictionary-sized — see pipeline/Bpe.scala for the 100 TB
+    // argument). Output is the learned merge table, deterministic under
+    // any partitioning via the (count desc, a, b) tie-break. Rows-only by
+    // design — the merge sequence is a trained artifact no single SQL
+    // expression reproduces; BpeSpec replays the exact sequence against
+    // an independent in-memory reference trainer and pins the greedy
+    // left-to-right merge semantics.
+    QueryDef(
+      "q_bpe_train",
+      (s, d) => {
+        val (merges, _) = graft.pipeline.Bpe.train(
+          graft.engine.Tables.documents(s, d), "text", k = 8)
+        import s.implicits._
+        merges.toDF("step", "a", "b", "pair_cnt").orderBy("step")
+      },
+      None)
   )
 }

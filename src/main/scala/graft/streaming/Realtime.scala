@@ -332,6 +332,52 @@ object Realtime {
     } finally batch.unpersist()
   }
 
+  /** Streaming DISTINCT-COUNT cube via theta sketches — the
+    * distinct-metric member of the cube-sink family, with a STRONGER
+    * replay story than either sibling: KMV union is SET-idempotent
+    * (re-merging the hashes of an already-folded batch changes nothing),
+    * so an at-least-once re-delivery needs no batch-id bookkeeping and
+    * no rebuild path — the delta folds unconditionally, every time.
+    * State per dim cell is O(k) regardless of ingested volume, and the
+    * folded sketches keep the FULL set algebra: union/intersect/a-not-b
+    * across cells still work on the materialized cube.
+    */
+  def thetaCubeRefreshSink(
+      stream: DataFrame, cubePath: String,
+      dims: Seq[String], valueCol: String, k: Int,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processThetaBatch(batch, cubePath, dims, valueCol, k)
+      }
+      .start()
+
+  private[graft] def processThetaBatch(
+      batch: DataFrame, cubePath: String,
+      dims: Seq[String], valueCol: String, k: Int): Unit = {
+    import graft.functions.SketchFns._
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val mini = batch.groupBy(dims.map(col): _*)
+      .agg(thetaSketch(col(valueCol), k).as("sk"))
+    val cp = new org.apache.hadoop.fs.Path(cubePath)
+    val exists = cp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cp)
+    val next =
+      if (!exists) mini
+      else {
+        val old = spark.read.parquet(cubePath)
+          .withColumnRenamed("sk", "sk_old")
+        old.join(mini.withColumnRenamed("sk", "sk_new"), dims, "full_outer")
+          .select(dims.map(col) :+
+            when(col("sk_old").isNull, col("sk_new"))
+              .when(col("sk_new").isNull, col("sk_old"))
+              .otherwise(thetaUnion(col("sk_old"), col("sk_new"))).as("sk"): _*)
+      }
+    next.localCheckpoint(true).write.mode("overwrite").parquet(cubePath)
+  }
+
   /** Streaming ANN serving: each micro-batch of query vectors
     * (vec_id, embedding) probes the MATERIALIZED IVF index
     * (similarity.IvfAnn.materialize — cell-partitioned parquet, nProbe
