@@ -93,4 +93,25 @@ object Bpe {
     }
     (merges.result(), dict)
   }
+
+  /** ENCODE the corpus with a trained dictionary — per-group subword
+    * statistics (token counts before/after, compression ratio). The
+    * insight that keeps this one-shuffle at 100 TB: encoding statistics
+    * never need per-token rewriting of the corpus — each word's encoded
+    * length is already in the trained dictionary, so the corpus pass is
+    * a plain (group, word) rollup and the dictionary broadcasts onto it.
+    */
+  def encodeStats(docs: DataFrame, textCol: String, groupCol: String,
+      dict: DataFrame): DataFrame =
+    docs.select(col(groupCol),
+        explode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy(groupCol, "word").agg(count(lit(1)).as("n"))
+      .join(broadcast(dict.select(col("word"), size(col("syms")).as("n_syms"))), "word")
+      .groupBy(groupCol)
+      .agg(
+        sum("n").as("n_words"),
+        sum(col("n") * (length(col("word")) + 1)).as("n_char_syms"),
+        sum(col("n") * col("n_syms")).as("n_bpe_syms"),
+        round(sum(col("n") * col("n_syms")).cast("double") /
+          sum(col("n") * (length(col("word")) + 1)), 6).as("compression"))
 }

@@ -1014,6 +1014,24 @@ object CorpusQueries {
         import s.implicits._
         merges.toDF("step", "a", "b", "pair_cnt").orderBy("step")
       },
+      None),
+
+    // BPE ENCODING statistics — the apply side of q_bpe_train (train →
+    // encode is the whole tokenizer story): per-source subword counts and
+    // compression after the 8 learned merges. Encoding stats never need
+    // per-token corpus rewriting: each word's encoded length lives in the
+    // trained dictionary, so the corpus pass is one (source, word) rollup
+    // with the dictionary broadcast onto it. Rows-only (the numbers
+    // derive from the trained artifact); BpeSpec recomputes the exact
+    // same totals from the independent reference trainer's dictionary.
+    QueryDef(
+      "q_bpe_encode",
+      (s, d) => {
+        val docs = graft.engine.Tables.documents(s, d)
+        val (_, dict) = graft.pipeline.Bpe.train(docs, "text", k = 8)
+        graft.pipeline.Bpe.encodeStats(docs, "text", "source", dict)
+          .orderBy("source")
+      },
       None)
   )
 }

@@ -15,7 +15,8 @@ class BpeSpec extends SparkSpec {
   /** Plain-Scala reference BPE (word-histogram form of Sennrich et al.):
     * no Spark, no sharing with the production code path.
     */
-  private def refTrain(words: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+  private def refTrain(words: Map[String, Long], k: Int)
+      : (Seq[(String, String, Long)], Map[Vector[String], Long]) = {
     var dict: Map[Vector[String], Long] =
       words.map { case (w, c) => (w.map(_.toString).toVector :+ "</w>") -> c }
     val out = Seq.newBuilder[(String, String, Long)]
@@ -44,14 +45,14 @@ class BpeSpec extends SparkSpec {
         step += 1
       }
     }
-    out.result()
+    (out.result(), dict)
   }
 
   test("distributed trainer reproduces the reference merge sequence on the corpus") {
     val docs = Tables.documents(spark, sfDir)
     val words = Bpe.wordCounts(docs, "text").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val expected = refTrain(words, 8)
+    val (expected, _) = refTrain(words, 8)
     val (got, finalDict) = Bpe.train(docs, "text", 8)
     assert(got.map { case (_, a, b, c) => (a, b, c) } === expected)
     // steps number 1..k in order
@@ -70,6 +71,33 @@ class BpeSpec extends SparkSpec {
       .filter(col("p.a") === la && col("p.b") === lb)
       .count()
     assert(leftover === 0L, s"unmerged ($la, $lb) pairs remain")
+  }
+
+  test("encodeStats totals equal the reference dictionary's arithmetic") {
+    val docs = Tables.documents(spark, sfDir)
+    val words = Bpe.wordCounts(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (_, refDict) = refTrain(words, 8)
+    // reference: word → encoded length (the sequence spells the word)
+    val refLen: Map[String, Int] =
+      refDict.keys.map(syms => syms.mkString("").stripSuffix("</w>") -> syms.length).toMap
+    // expected per-source totals from a driver-side word walk
+    val perSource = docs.select(col("source"), col("text")).collect()
+      .flatMap { r =>
+        "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).map(w => (r.getString(0), w))
+      }
+    val expected = perSource.groupBy(_._1).map { case (src, ws) =>
+      val nWords = ws.length.toLong
+      val charSyms = ws.map { case (_, w) => (w.length + 1).toLong }.sum
+      val bpeSyms = ws.map { case (_, w) => refLen(w).toLong }.sum
+      src -> ((nWords, charSyms, bpeSyms))
+    }
+    val (_, dict) = Bpe.train(docs, "text", 8)
+    val got = Bpe.encodeStats(docs, "text", "source", dict).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // merges only ever shrink the encoding
+    got.values.foreach { case (_, chars, bpe) => assert(bpe <= chars && bpe > 0) }
   }
 
   test("trainer is partitioning-invariant") {
