@@ -76,18 +76,28 @@ object ScaleBench {
       master = s"local[$cpus]", shufflePartitions = cpus.toInt,
       appName = "graft-scalebench", extraConf = Map("spark.ui.enabled" -> "false"))
 
-    val root = s"/tmp/graft_scale_p${ProcessHandle.current().pid()}"
+    // Builder-side reruns: SPARK_GRAFT_SCALE_REUSE points at a previous
+    // run's root (skips synthesis); SPARK_GRAFT_SCALE_ONLY=csv restricts
+    // full mode to named queries (time stragglers added after a sweep
+    // without paying the whole registry again).
+    val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE")
+    val root = reuse.getOrElse(s"/tmp/graft_scale_p${ProcessHandle.current().pid()}")
     val dir1 = s"$root/x1"
     val dirC = s"$root/x$copies"
-    if (full) {
-      synthesizeAll(spark, baseDir, dir1, 1)
-      synthesizeAll(spark, baseDir, dirC, copies)
-    } else {
-      synthesize(spark, baseDir, dir1, 1)
-      synthesize(spark, baseDir, dirC, copies)
+    if (reuse.isEmpty) {
+      if (full) {
+        synthesizeAll(spark, baseDir, dir1, 1)
+        synthesizeAll(spark, baseDir, dirC, copies)
+      } else {
+        synthesize(spark, baseDir, dir1, 1)
+        synthesize(spark, baseDir, dirC, copies)
+      }
     }
 
-    val names = if (full) SparkEntry.queries.keys.toSeq.sorted else QueryNames
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(',').toSet)
+    val names =
+      (if (full) SparkEntry.queries.keys.toSeq.sorted else QueryNames)
+        .filter(n => only.forall(_.contains(n)))
 
     def timeAll(dir: String, reps: Int): Map[String, Double] = names.map { name =>
       val fn = SparkEntry.queries.getOrElse(name,

@@ -1432,6 +1432,73 @@ object AdvancedQueries {
               FROM orders
               ORDER BY col_name""")),
 
+    // INTERVAL-UNION coverage — the interval-algebra workhorse behind
+    // "time actually active" metrics (overlapping sessions must not
+    // double-count): per user, merge overlapping [start, end) intervals
+    // into islands with ONE user-partitioned window pass (an interval
+    // starts a new island iff it begins after the running max end), then
+    // sum island extents. Every quantity is integer microseconds —
+    // zero float drift — and ordering ties break on event_id, so island
+    // boundaries are engine-stable. Interval length derives from the
+    // value column deterministically (value HOURS — long enough that the
+    // fixture's events genuinely overlap: ~2700 intervals merge to ~80
+    // islands, so the merge logic is exercised, not vacuous).
+    QueryDef(
+      "q_interval_overlap",
+      (s, d) => {
+        val iv = Tables.events(s, d)
+          .filter(col("user_id") < 40 && col("value") > 0)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("st"),
+            (unix_micros(col("ts")) +
+              round(col("value") * 3600000000L).cast("long")).as("en"))
+        val w = Window.partitionBy("user_id").orderBy("st", "en", "event_id")
+        val islands = iv
+          .withColumn("pmax",
+            max("en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_isl",
+            when(col("pmax").isNull || col("st") > col("pmax"), 1L).otherwise(0L))
+          .withColumn("isl", sum("new_isl").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        islands.groupBy("user_id", "isl")
+          .agg(count(lit(1)).as("n_iv"),
+            (max("en") - min("st")).as("len_us"))
+          .groupBy("user_id")
+          .agg(
+            sum("n_iv").as("n_intervals"),
+            count(lit(1)).as("n_islands"),
+            sum("len_us").as("covered_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (SELECT user_id, event_id,
+                                 epoch_us(ts) AS st,
+                                 epoch_us(ts) + CAST(round(value * 3600000000) AS BIGINT)
+                                   AS en
+                          FROM events WHERE user_id < 40 AND value > 0),
+                   m AS (SELECT user_id, st, en,
+                                max(en) OVER (PARTITION BY user_id
+                                              ORDER BY st, en, event_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS pmax
+                         FROM iv),
+                   f AS (SELECT user_id, st, en,
+                                CASE WHEN pmax IS NULL OR st > pmax
+                                     THEN 1 ELSE 0 END AS new_isl
+                         FROM m),
+                   g AS (SELECT user_id, st, en,
+                                sum(new_isl) OVER (PARTITION BY user_id
+                                                   ORDER BY st, en
+                                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND CURRENT ROW) AS isl
+                         FROM f),
+                   isl AS (SELECT user_id, isl, count(*) AS n_iv,
+                                  max(en) - min(st) AS len_us
+                           FROM g GROUP BY 1, 2)
+              SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+                     count(*) AS n_islands,
+                     CAST(sum(len_us) AS BIGINT) AS covered_us
+              FROM isl GROUP BY 1 ORDER BY user_id""")),
+
     // IQR / Tukey-fence outliers — the third member of the robust-outlier
     // family (z-score: moment stats; MAD: median absolute deviation; here:
     // quartile fences q25 − 1.5·IQR / q75 + 1.5·IQR). Same scale

@@ -996,6 +996,92 @@ object CorpusQueries {
               JOIN sizes sb ON p.source_b = sb.source
               ORDER BY source_a, source_b""")),
 
+    // DATASET CARD — the per-source release summary a corpus pipeline
+    // prints alongside the data (docs, token/char mass, language spread,
+    // length envelope): one scan, one dictionary-sized rollup, every
+    // number integer-exact or rounded identically on both engines. The
+    // NDV is exact here (language dictionary); at 100 TB the same shape
+    // takes approx_count_distinct (the q_profile_stats note).
+    QueryDef(
+      "q_dataset_card",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("source"), col("lang"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("toks").as("n_tokens"),
+            sum("n_chars").as("n_chars"),
+            countDistinct("lang").as("n_langs"),
+            min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"),
+            round(avg("n_chars"), 2).as("avg_chars"))
+          .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+                     CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                     count(DISTINCT lang) AS n_langs,
+                     min(n_chars) AS min_chars,
+                     max(n_chars) AS max_chars,
+                     round(avg(n_chars), 2) AS avg_chars
+              FROM documents GROUP BY 1 ORDER BY source""")),
+
+    // SOURCE-DIVERGENCE matrix — q_source_overlap's distributional twin:
+    // Jensen–Shannon divergence between per-source unigram distributions
+    // (overlap sees shared SHINGLES; JS sees shifted token FREQUENCIES —
+    // two sources can share every word yet have drifted topic mix, which
+    // is what mixture reweighting actually responds to). The JS sum
+    // decomposes so only the INTERSECTION vocabulary needs joining:
+    // one-sided tokens contribute p·ln2 in closed form via the
+    // intersection mass (JS = ½[Σ∩ p·ln(2p/(p+q)) + (1−mass_p)·ln2] +
+    // symmetric). Corpus-sized work is one (source, token) rollup;
+    // the pairwise join runs on the per-source token dictionaries.
+    QueryDef(
+      "q_source_divergence",
+      (s, d) => {
+        val ln2 = math.log(2.0)
+        val c = Tables.documents(s, d)
+          .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        val tot = c.groupBy("source").agg(sum("c").as("tot"))
+        val p = c.join(broadcast(tot), "source")
+          .select(col("source"), col("w"), (col("c") / col("tot")).as("p"))
+        val a = p.select(col("source").as("source_a"), col("w"), col("p").as("pa"))
+        val b = p.select(col("source").as("source_b"), col("w"), col("p").as("pb"))
+        a.join(b, Seq("w")).filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(
+            sum(col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))))
+              .as("sa"),
+            sum(col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+              .as("sb"),
+            sum("pa").as("ma"), sum("pb").as("mb"))
+          .select(col("source_a"), col("source_b"),
+            round((col("sa") + (lit(1.0) - col("ma")) * ln2) * 0.5 +
+              (col("sb") + (lit(1.0) - col("mb")) * ln2) * 0.5, 6).as("js_nats"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+                         FROM documents),
+                   c AS (SELECT source, w, count(*) AS c
+                         FROM t WHERE w <> '' GROUP BY 1, 2),
+                   tot AS (SELECT source, sum(c) AS tot FROM c GROUP BY 1),
+                   p AS (SELECT c.source, c.w, CAST(c.c AS DOUBLE) / tot.tot AS p
+                         FROM c JOIN tot USING (source)),
+                   j AS (SELECT a.source AS source_a, b.source AS source_b,
+                                sum(a.p * ln(2.0 * a.p / (a.p + b.p))) AS sa,
+                                sum(b.p * ln(2.0 * b.p / (a.p + b.p))) AS sb,
+                                sum(a.p) AS ma, sum(b.p) AS mb
+                         FROM p a JOIN p b
+                           ON a.w = b.w AND a.source < b.source
+                         GROUP BY 1, 2)
+              SELECT source_a, source_b,
+                     round((sa + (1.0 - ma) * ln(2.0)) * 0.5 +
+                           (sb + (1.0 - mb) * ln(2.0)) * 0.5, 6) AS js_nats
+              FROM j ORDER BY source_a, source_b""")),
+
     // BPE TOKENIZER TRAINING — the full merge-learning loop (Sennrich et
     // al. 2016), not just the pair statistics of q_bpe_pairs: 8 merge
     // rounds over the word HISTOGRAM (the one corpus-sized pass; the loop
