@@ -20,7 +20,8 @@ object Registry {
       TextQueries.defs ++ MultiValueQueries.defs ++ JoinQueries.defs ++
       UpsertQueries.defs ++ StarTreeQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextAnalysisQueries.defs ++ MultimodalQueries.defs ++
-      SamplingQueries.defs ++ CorpusQueries.defs ++ BehaviorQueries.defs
+      SamplingQueries.defs ++ CorpusQueries.defs ++ BehaviorQueries.defs ++
+      FeatureQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

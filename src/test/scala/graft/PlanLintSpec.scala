@@ -78,7 +78,13 @@ class PlanLintSpec extends SparkSpec {
     "q_ltv_decay",
     // q_knn_brute's broadcast-probe shape with the label-mismatch
     // predicate fused into the probe join
-    "q_hard_negatives")
+    "q_hard_negatives",
+    // scalar-N pattern: the single-row global prior broadcasts onto the
+    // category dictionary
+    "q_target_encode",
+    // scalar-N pattern: the single-row corpus max-day broadcasts onto the
+    // event scan to derive the data-relative cut
+    "q_split_temporal")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
