@@ -214,6 +214,60 @@ object JoinQueries {
               FROM lineitem
               WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                    WHERE o_orderpriority = '1-URGENT')
-              GROUP BY 1 ORDER BY l_returnflag"""))
+              GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // SIX-TABLE STAR JOIN (the TPC-H Q5 shape — local-supplier revenue by
+    // nation): the multi-stage join showcase. Plan economics at 100 TB:
+    // region/nation/supplier/customer are DIMENSIONS — Catalyst
+    // broadcasts them (and AQE re-plans if stats surprise), so the only
+    // row-sized shuffle is lineitem⋈orders on orderkey; the
+    // c_nationkey = s_nationkey local-supplier predicate rides the
+    // broadcast side for free. Revenue accumulates in DECIMAL (exact,
+    // order-independent — the q_decimal_agg discipline), so a six-table
+    // double-sum can't drift between engines.
+    QueryDef(
+      "q_star_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,4)")))
+            .as("rev"))
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+          .select("o_orderkey", "o_custkey")
+        val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        val n = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+        val r = Tables.region(s, d)
+          .filter(col("r_name") === "ASIA").select("r_regionkey")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum("rev").cast("decimal(30,6)").cast("string").as("revenue"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, count(*) AS n_items,
+                     CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                   (1 - CAST(l_discount AS DECIMAL(18,4))))
+                               AS DECIMAL(30,6)) AS VARCHAR) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+                           AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1 ORDER BY n_name"""))
   )
 }
