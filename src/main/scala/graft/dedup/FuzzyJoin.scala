@@ -35,6 +35,8 @@ object FuzzyJoin {
         col("a.k") === col("b.k") && col("a.name") < col("b.name"))
       .select(col("a.name").as("a_name"), col("b.name").as("b_name"))
       .distinct()
-      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
+      // bounded 3-arg levenshtein: banded O(k·n) DP with early exit
+      // (returns -1 past the threshold) instead of the full O(n·m) table
+      .filter(levenshtein(col("a_name"), col("b_name"), 1) >= 0)
   }
 }

@@ -179,7 +179,42 @@ object DateTimeQueries {
           .orderBy("day"),
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS cnt,
                      round(sum(value), 2) AS sum_val
-              FROM events GROUP BY 1 ORDER BY day"""))
+              FROM events GROUP BY 1 ORDER BY day""")),
+
+    // Week-over-week PERCENT CHANGE — the delta column every trend
+    // dashboard renders next to a timeseries: weekly per-type revenue,
+    // each week compared to the type's previous week via one lag window
+    // over the (type, week) DICTIONARY (the corpus-sized work is the
+    // weekly rollup; the window input is bounded by types × weeks).
+    // Weekly sums round to 2 decimals BEFORE the ratio on both engines,
+    // so the derived percentage divides identical numbers.
+    QueryDef(
+      "q_percent_change",
+      (s, d) => {
+        val wk = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("week", col("ts")).as("week"))
+          .agg(round(sum("value"), 2).as("rev"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("week")
+        wk.withColumn("prev", lag("rev", 1).over(w))
+          .filter(col("prev").isNotNull && col("prev") =!= 0.0)
+          .select(col("event_type"), col("week"), col("rev"),
+            round((col("rev") - col("prev")) / col("prev") * 100, 4)
+              .as("pct_change"))
+          .orderBy("event_type", "week")
+      },
+      Some("""WITH wk AS (SELECT event_type,
+                                 CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+                                 round(sum(value), 2) AS rev
+                          FROM events GROUP BY 1, 2),
+                   l AS (SELECT event_type, week, rev,
+                                lag(rev, 1) OVER (PARTITION BY event_type
+                                                  ORDER BY week) AS prev
+                         FROM wk)
+              SELECT event_type, week, rev,
+                     round((rev - prev) / prev * 100, 4) AS pct_change
+              FROM l WHERE prev IS NOT NULL AND prev <> 0
+              ORDER BY event_type, week"""))
   )
 
   // Session-scoped timestamp-index segment (the in-session analog of the
