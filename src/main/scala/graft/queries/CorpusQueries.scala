@@ -996,6 +996,72 @@ object CorpusQueries {
               JOIN sizes sb ON p.source_b = sb.source
               ORDER BY source_a, source_b""")),
 
+    // LABEL-PROPAGATION communities over the host graph — the third
+    // member of the graph family (PageRank: importance; HITS: hub/
+    // authority; LPA: community structure). Fixed-round SYNCHRONOUS
+    // updates with a (count desc, label asc) tie-break make the result
+    // deterministic under any partitioning (async LPA is run-order
+    // chaos); the oracle unrolls the same three rounds as CTE levels.
+    // Per round: one edge⋈label equi-join + dictionary-sized mode
+    // aggregates — the PageRank shuffle shape.
+    QueryDef(
+      "q_communities",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val nDocs = docs.count()
+        val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
+        val edges = docs.select(col("doc_id"), col("source").as("src"))
+          .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
+          .select("src", "dst")
+        graft.graph.LabelProp.propagate(edges, rounds = 3)
+          .groupBy(col("lab").as("community"))
+          .agg(count(lit(1)).as("n_hosts"), min("node").as("first_host"),
+            max("node").as("last_host"))
+          .orderBy("community")
+      },
+      Some("""WITH nd AS (SELECT count(*) AS c FROM documents),
+                   e0 AS (SELECT DISTINCT a.source AS src, b.source AS dst
+                          FROM documents a
+                          JOIN documents b
+                            ON b.doc_id = (a.doc_id * a.doc_id * 13 + 7) % (SELECT c FROM nd)),
+                   ue AS (SELECT src, dst FROM e0
+                          UNION SELECT dst, src FROM e0),
+                   nodes AS (SELECT DISTINCT src AS node FROM ue),
+                   l0 AS (SELECT node, node AS lab FROM nodes),
+                   g1 AS (SELECT ue.dst AS node, l.lab, count(*) AS cnt
+                          FROM ue JOIN l0 l ON ue.src = l.node GROUP BY 1, 2),
+                   p1 AS (SELECT node, lab FROM (
+                            SELECT node, lab, row_number() OVER (
+                              PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+                            FROM g1) WHERE rn = 1),
+                   l1 AS (SELECT n.node, coalesce(p1.lab, l0.lab) AS lab
+                          FROM nodes n
+                          LEFT JOIN p1 ON n.node = p1.node
+                          JOIN l0 ON n.node = l0.node),
+                   g2 AS (SELECT ue.dst AS node, l.lab, count(*) AS cnt
+                          FROM ue JOIN l1 l ON ue.src = l.node GROUP BY 1, 2),
+                   p2 AS (SELECT node, lab FROM (
+                            SELECT node, lab, row_number() OVER (
+                              PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+                            FROM g2) WHERE rn = 1),
+                   l2 AS (SELECT n.node, coalesce(p2.lab, l1.lab) AS lab
+                          FROM nodes n
+                          LEFT JOIN p2 ON n.node = p2.node
+                          JOIN l1 ON n.node = l1.node),
+                   g3 AS (SELECT ue.dst AS node, l.lab, count(*) AS cnt
+                          FROM ue JOIN l2 l ON ue.src = l.node GROUP BY 1, 2),
+                   p3 AS (SELECT node, lab FROM (
+                            SELECT node, lab, row_number() OVER (
+                              PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+                            FROM g3) WHERE rn = 1),
+                   l3 AS (SELECT n.node, coalesce(p3.lab, l2.lab) AS lab
+                          FROM nodes n
+                          LEFT JOIN p3 ON n.node = p3.node
+                          JOIN l2 ON n.node = l2.node)
+              SELECT lab AS community, count(*) AS n_hosts,
+                     min(node) AS first_host, max(node) AS last_host
+              FROM l3 GROUP BY 1 ORDER BY community""")),
+
     // DATASET CARD — the per-source release summary a corpus pipeline
     // prints alongside the data (docs, token/char mass, language spread,
     // length envelope): one scan, one dictionary-sized rollup, every

@@ -214,7 +214,62 @@ object DateTimeQueries {
               SELECT event_type, week, rev,
                      round((rev - prev) / prev * 100, 4) AS pct_change
               FROM l WHERE prev IS NOT NULL AND prev <> 0
-              ORDER BY event_type, week"""))
+              ORDER BY event_type, week""")),
+
+    // SEASONAL DECOMPOSITION (trend + day-of-week seasonal + residual —
+    // the classic additive split a timeseries dashboard overlays): daily
+    // revenue in INTEGER CENTS, centered 7-day trend kept as the exact
+    // 7-day SUM (so detrended = 7·rev − trend7 stays integer — no 1/7
+    // division ever happens), day-of-week seasonal as the average of
+    // those integers (exact integer sum, ONE deterministic division,
+    // rounded identically). Every window runs over the DAY DICTIONARY
+    // (a few thousand rows for years of data), never raw events — the
+    // corpus-sized work is the daily rollup (PlanLint exemption
+    // documents the sequential-by-definition time axis).
+    QueryDef(
+      "q_seasonal_decompose",
+      (s, d) => {
+        val day = Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(round(sum("value") * 100).cast("long").as("rev_c"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        val trended = day
+          .withColumn("trend7_c", sum("rev_c").over(w.rowsBetween(-3, 3)))
+          .withColumn("n7", count(lit(1)).over(w.rowsBetween(-3, 3)))
+          .filter(col("n7") === 7)
+          .withColumn("det_c", col("rev_c") * 7 - col("trend7_c"))
+          .withColumn("dow", dayofweek(col("day")) - 1)
+        val seasonal = trended.groupBy("dow")
+          .agg(round(avg("det_c"), 4).as("seasonal_c"))
+        trended.join(broadcast(seasonal), "dow")
+          .select(col("day"), col("rev_c"), col("trend7_c"),
+            col("det_c"), col("dow"),
+            col("seasonal_c"),
+            round(col("det_c") - col("seasonal_c"), 4).as("resid_c"))
+          .orderBy("day")
+      },
+      Some("""WITH day AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                                  CAST(round(sum(value) * 100) AS BIGINT) AS rev_c
+                           FROM events GROUP BY 1),
+                   t AS (SELECT day, rev_c,
+                                sum(rev_c) OVER (ORDER BY day
+                                                 ROWS BETWEEN 3 PRECEDING
+                                                 AND 3 FOLLOWING) AS trend7_c,
+                                count(*) OVER (ORDER BY day
+                                               ROWS BETWEEN 3 PRECEDING
+                                               AND 3 FOLLOWING) AS n7
+                         FROM day),
+                   f AS (SELECT day, rev_c, trend7_c,
+                                rev_c * 7 - trend7_c AS det_c,
+                                date_part('dow', day) AS dow
+                         FROM t WHERE n7 = 7),
+                   se AS (SELECT dow, round(avg(det_c), 4) AS seasonal_c
+                          FROM f GROUP BY 1)
+              SELECT day, rev_c, trend7_c, det_c, CAST(f.dow AS INT) AS dow,
+                     seasonal_c,
+                     round(det_c - seasonal_c, 4) AS resid_c
+              FROM f JOIN se ON f.dow = se.dow
+              ORDER BY day"""))
   )
 
   // Session-scoped timestamp-index segment (the in-session analog of the

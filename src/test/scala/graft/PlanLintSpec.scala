@@ -181,8 +181,13 @@ class PlanLintSpec extends SparkSpec {
     //    TakeOrderedAndProject shortlist bounded by the CONSTANT K=200,
     //    never corpus rows (the corpus-sized stage is the map-side-
     //    combined token rollup upstream of the limit).
+    //  - q_seasonal_decompose: the centered-trend window over the DAY
+    //    dictionary (a few thousand rows for years of data; the
+    //    corpus-sized work is the daily rollup upstream) — the time axis
+    //    is sequential by definition, same class as q_gapfill_prev.
     val globalWindowOk = Set("q_gapfill_prev", "q_topn_others",
-      "q_histogram_eqdepth", "q_rfm_segments", "q_top_p_vocab")
+      "q_histogram_eqdepth", "q_rfm_segments", "q_top_p_vocab",
+      "q_seasonal_decompose")
     val offenders = Registry.all.flatMap { q =>
       val global = q.run(spark, sfDir).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
