@@ -1062,6 +1062,74 @@ object CorpusQueries {
                      min(node) AS first_host, max(node) AS last_host
               FROM l3 GROUP BY 1 ORDER BY community""")),
 
+    // TRIANGLE COUNTING over the host graph — the clustering-structure
+    // member of the graph family (dense triangle neighborhoods = tightly
+    // interlinked site clusters; link farms light up here before they do
+    // in PageRank). Canonical a<b<c edge orientation counts each
+    // triangle exactly once via two equi-joins on the deduped undirected
+    // edge list — never a cross join; at web scale the same plan runs
+    // with degree-ordered orientation (orient each edge toward the
+    // higher-degree endpoint) so the join fan-out is bounded by
+    // arboricity, a pure relabeling of this exact query. Per-host
+    // participation explodes each triangle to its three corners.
+    QueryDef(
+      "q_triangles",
+      (s, d) => {
+        // ring + chord host graph (host k links k+1 and k+2 mod n): the
+        // quadratic doc-formula graph the PageRank family uses is
+        // triangle-FREE at fixture scale, which would make this query
+        // vacuous; rank arithmetic over the host dictionary guarantees
+        // every consecutive triple closes a triangle.
+        val hosts = Tables.documents(s, d).select(col("source")).distinct()
+        val n = hosts.count()
+        val w = org.apache.spark.sql.expressions.Window.orderBy("source")
+        val ids = hosts.withColumn("id", row_number().over(w) - 1)
+        val raw = ids.select(col("id"),
+            explode(array((col("id") + 1) % n, (col("id") + 2) % n)).as("id2"))
+          .join(ids.select(col("id").as("i1"), col("source").as("src")),
+            col("id") === col("i1"))
+          .join(ids.select(col("id").as("i2"), col("source").as("dst")),
+            col("id2") === col("i2"))
+          .select("src", "dst")
+        val ue = raw.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val tri = ue.as("e1")
+          .join(ue.as("e2"), col("e1.b") === col("e2.a"))
+          .join(ue.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        tri.select(explode(array(col("x"), col("y"), col("z"))).as("host"))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_triangles"))
+          .orderBy("host")
+      },
+      Some("""WITH hosts AS (SELECT DISTINCT source FROM documents),
+                   nh AS (SELECT count(*) AS n FROM hosts),
+                   ids AS (SELECT source,
+                                  row_number() OVER (ORDER BY source) - 1 AS id
+                           FROM hosts),
+                   e0 AS (SELECT a.source AS src, b.source AS dst
+                          FROM ids a
+                          JOIN ids b ON b.id = (a.id + 1) % (SELECT n FROM nh)
+                          UNION ALL
+                          SELECT a.source, b.source
+                          FROM ids a
+                          JOIN ids b ON b.id = (a.id + 2) % (SELECT n FROM nh)),
+                   ue AS (SELECT DISTINCT least(src, dst) AS a,
+                                          greatest(src, dst) AS b
+                          FROM e0 WHERE src <> dst),
+                   tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                           FROM ue e1
+                           JOIN ue e2 ON e1.b = e2.a
+                           JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b),
+                   corners AS (SELECT x AS host FROM tri
+                               UNION ALL SELECT y FROM tri
+                               UNION ALL SELECT z FROM tri)
+              SELECT host, count(*) AS n_triangles
+              FROM corners GROUP BY 1 ORDER BY host""")),
+
     // DATASET CARD — the per-source release summary a corpus pipeline
     // prints alongside the data (docs, token/char mass, language spread,
     // length envelope): one scan, one dictionary-sized rollup, every

@@ -185,9 +185,12 @@ class PlanLintSpec extends SparkSpec {
     //    dictionary (a few thousand rows for years of data; the
     //    corpus-sized work is the daily rollup upstream) — the time axis
     //    is sequential by definition, same class as q_gapfill_prev.
+    //  - q_triangles: the row_number id assignment over the HOST
+    //    dictionary (one row per distinct source) — bounded by host
+    //    cardinality, never documents.
     val globalWindowOk = Set("q_gapfill_prev", "q_topn_others",
       "q_histogram_eqdepth", "q_rfm_segments", "q_top_p_vocab",
-      "q_seasonal_decompose")
+      "q_seasonal_decompose", "q_triangles")
     val offenders = Registry.all.flatMap { q =>
       val global = q.run(spark, sfDir).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
