@@ -268,6 +268,94 @@ object JoinQueries {
               WHERE r_name = 'ASIA'
                 AND o_orderdate >= TIMESTAMP '1996-01-01'
                 AND o_orderdate < TIMESTAMP '1998-01-01'
-              GROUP BY 1 ORDER BY n_name"""))
+              GROUP BY 1 ORDER BY n_name""")),
+
+    // TOP UNSHIPPED ORDERS (the TPC-H Q3 shape — shipping-backlog
+    // triage): revenue of orders taken before the cut whose lineitems
+    // ship after it, top 10. Decimal revenue (exact, order-independent);
+    // the top-10 is a TakeOrderedAndProject over the aggregated orders —
+    // never a global sort; ties break on o_orderkey so the cut is
+    // deterministic on both engines.
+    QueryDef(
+      "q_top_orders",
+      (s, d) => {
+        val cut = "1998-01-01"
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit(cut))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit(cut))
+          .select(col("l_orderkey"),
+            (col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,4)")))
+              .as("rev"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum("rev").cast("decimal(30,6)").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast("date").cast("string").as("o_orderdate"),
+            col("o_orderpriority"), col("revenue").cast("string").as("revenue"))
+      },
+      Some("""SELECT o_orderkey,
+                     CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+                     o_orderpriority,
+                     CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                   (1 - CAST(l_discount AS DECIMAL(18,4))))
+                               AS DECIMAL(30,6)) AS VARCHAR) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderdate < TIMESTAMP '1998-01-01'
+                AND l_shipdate > TIMESTAMP '1998-01-01'
+              GROUP BY 1, 2, 3
+              ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           (1 - CAST(l_discount AS DECIMAL(18,4)))) DESC,
+                       o_orderkey
+              LIMIT 10""")),
+
+    // RETURNED-REVENUE customers (the TPC-H Q10 shape — the churn-risk
+    // report: who returned the most money?): lineitems flagged 'R' joined
+    // through orders to customers, nation broadcast for display, top 20
+    // by lost revenue. Same decimal/TakeOrdered discipline as
+    // q_top_orders; the only row-sized shuffle is lineitem⋈orders.
+    QueryDef(
+      "q_returns_by_customer",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,4)")))
+              .as("rev"))
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+        val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(count(lit(1)).as("n_returned_items"),
+            sum("rev").cast("decimal(30,6)").as("lost_revenue"))
+          .orderBy(col("lost_revenue").desc, col("c_custkey"))
+          .limit(20)
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            col("n_returned_items"),
+            col("lost_revenue").cast("string").as("lost_revenue"))
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+                     count(*) AS n_returned_items,
+                     CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                   (1 - CAST(l_discount AS DECIMAL(18,4))))
+                               AS DECIMAL(30,6)) AS VARCHAR) AS lost_revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE l_returnflag = 'R'
+              GROUP BY 1, 2, 3
+              ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           (1 - CAST(l_discount AS DECIMAL(18,4)))) DESC,
+                       c_custkey
+              LIMIT 20"""))
   )
 }
