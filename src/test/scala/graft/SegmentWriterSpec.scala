@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.sources.SegmentWriter
+import graft.sources.{DenormView, SegmentWriter}
 
 class SegmentWriterSpec extends SparkSpec {
 
@@ -328,5 +328,37 @@ class SegmentWriterSpec extends SparkSpec {
     assert(all.head.filesRead > pruned.head.filesRead,
       s"pruning did not reduce files: ${all.head} vs ${pruned.head}")
     assert(pruned.head.bytesRead < all.head.bytesRead)
+  }
+
+  test("denormalized view refreshes O(batch): incremental build equals the full join") {
+    import org.apache.spark.sql.functions.col
+    val dim = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, sfDir)
+    val base = cust.filter(col("c_custkey") % 5 =!= 0)
+    val batch = cust.filter(col("c_custkey") % 5 === 0)
+    val path = Files.createTempDirectory("denorm").toString + "/view"
+    DenormView.materialize(base, dim, "c_nationkey", path)
+    val filesAfterBuild = new java.io.File(path)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    DenormView.refreshIncremental(spark, path, batch, dim, "c_nationkey")
+
+    // parity: incremental view ≡ the one-shot full join
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("c_custkey", "c_name", "n_name").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(canon(DenormView.read(spark, path)) ===
+      canon(cust.join(dim, "c_nationkey")))
+
+    // the refresh APPENDED files — it did not rewrite the existing view
+    val filesAfterRefresh = new java.io.File(path)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfterRefresh > filesAfterBuild,
+      "refresh rewrote the view instead of appending")
+
+    // queries join nothing at read time: the plan is a pure scan
+    val plan = DenormView.read(spark, path)
+      .filter(col("n_name") === "CHINA").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
   }
 }
