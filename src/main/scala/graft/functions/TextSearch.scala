@@ -98,48 +98,81 @@ object TextSearch {
       case c => c.toString
     }
 
-  /** TEXT_MATCH(col, query): AND/OR/NOT of terms, prefixes, phrases,
-    * `term~N` fuzzy (edit-distance ≤ N) and `/regex/` whole-token regex
-    * terms (AND binds tighter than OR; NOT prefixes a single term).
+  /** TEXT_MATCH(col, query): full boolean queries over terms, prefixes,
+    * phrases, `term~N` fuzzy (edit-distance ≤ N), `/regex/` whole-token
+    * regex terms and PARENTHESIZED groups — `(a OR b) AND NOT (c OR d)`.
+    * Precedence: NOT > AND (and adjacency = implicit AND, the Lucene
+    * MUST-ish default this surface has always used) > OR. Parsed by a
+    * recursive-descent parser into one composed Column predicate — the
+    * whole query stays a codegen'd scan expression, no UDF.
     * Reference: /root/reference/basics/indexing/text-search-support.md:22
-    * (phrase, term, regex, fuzzy and composite query families).
+    * (phrase, term, regex, fuzzy and composite/grouped query families).
     */
   def textMatch(text: Column, query: String): Column = {
-    // lex: quoted phrases (with optional ~slop suffix) are single tokens
-    val lexed = "\"[^\"]*\"(?:~\\d+)?|\\S+".r.findAllIn(query).toList
-    val orGroups = splitOn(lexed, "OR")
-    orGroups
-      .map { group =>
-        splitOn(group, "AND")
-          .map(terms => andGroup(text, terms))
-          .reduce(_ && _)
+    // lex: quoted phrases (with optional ~slop) and /regex/ terms are
+    // single tokens even when they contain parens; bare parens delimit
+    // groups; everything else splits on whitespace and parens.
+    val lexed =
+      "\"[^\"]*\"(?:~\\d+)?|/[^/]*/|\\(|\\)|[^\\s()]+".r.findAllIn(query).toList
+    val p = new BoolParser(text, lexed)
+    val res = p.parseOr()
+    require(p.atEnd, s"trailing tokens in TEXT_MATCH query: $query")
+    res
+  }
+
+  /** Recursive-descent boolean parser over the lexed token list. */
+  private final class BoolParser(text: Column, tokens: List[String]) {
+    private var rest: List[String] = tokens
+    def atEnd: Boolean = rest.isEmpty
+    private def peek: Option[String] = rest.headOption
+    private def advance(): String = { val h = rest.head; rest = rest.tail; h }
+
+    def parseOr(): Column = {
+      var acc = parseAnd()
+      while (peek.exists(_.equalsIgnoreCase("OR"))) {
+        advance()
+        acc = acc || parseAnd()
       }
-      .reduce(_ || _)
-  }
-
-  private def andGroup(text: Column, terms: List[String]): Column = {
-    val preds = scala.collection.mutable.ListBuffer[Column]()
-    var negateNext = false
-    terms.foreach {
-      case t if t.equalsIgnoreCase("NOT") => negateNext = !negateNext
-      case t =>
-        val p = termPredicate(text, t)
-        preds += (if (negateNext) !p else p)
-        negateNext = false
+      acc
     }
-    require(preds.nonEmpty, "empty term group in TEXT_MATCH query")
-    preds.reduce(_ && _)
-  }
 
-  private def splitOn(ts: List[String], op: String): List[List[String]] = {
-    val out = scala.collection.mutable.ListBuffer[List[String]]()
-    var cur = scala.collection.mutable.ListBuffer[String]()
-    ts.foreach {
-      case t if t.equalsIgnoreCase(op) =>
-        if (cur.nonEmpty) { out += cur.toList; cur = scala.collection.mutable.ListBuffer() }
-      case t => cur += t
+    private def startsPrimary(t: String): Boolean =
+      !t.equalsIgnoreCase("OR") && !t.equalsIgnoreCase("AND") && t != ")"
+
+    private def parseAnd(): Column = {
+      var acc = parseNot()
+      var continue = true
+      while (continue) {
+        peek match {
+          case Some(t) if t.equalsIgnoreCase("AND") =>
+            advance(); acc = acc && parseNot()
+          case Some(t) if startsPrimary(t) => // implicit AND by adjacency
+            acc = acc && parseNot()
+          case _ => continue = false
+        }
+      }
+      acc
     }
-    if (cur.nonEmpty) out += cur.toList
-    out.toList
+
+    private def parseNot(): Column =
+      peek match {
+        case Some(t) if t.equalsIgnoreCase("NOT") => advance(); !parseNot()
+        case _ => parsePrimary()
+      }
+
+    private def parsePrimary(): Column =
+      peek match {
+        case Some("(") =>
+          advance()
+          val inner = parseOr()
+          require(peek.contains(")"), "unbalanced parentheses in TEXT_MATCH query")
+          advance()
+          inner
+        case Some(t) if startsPrimary(t) =>
+          advance(); termPredicate(text, t)
+        case other =>
+          throw new IllegalArgumentException(
+            s"expected term or group in TEXT_MATCH query, found $other")
+      }
   }
 }

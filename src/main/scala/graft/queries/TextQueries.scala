@@ -34,6 +34,26 @@ object TextQueries {
                  OR contains(' ' || lower(text) || ' ', ' table scan ')
               ORDER BY doc_id""")),
 
+    // PARENTHESIZED boolean TEXT_MATCH — Lucene-style grouped queries
+    // ((a OR b) AND NOT (c OR d)): the recursive-descent parser composes
+    // the whole group tree into ONE codegen'd scan predicate; precedence
+    // NOT > AND/adjacency > OR, overridden by parens. The oracle expands
+    // the identical boolean structure over the same tokenization.
+    QueryDef(
+      "q_text_match_grouped",
+      (s, d) =>
+        Tables.documents(s, d)
+          .filter(TextSearch.textMatch(col("text"),
+            "(spark OR scan) AND NOT (\"slow query\" OR merge)"))
+          .select("doc_id", "lang")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+              WHERE (list_contains(string_split(lower(text), ' '), 'spark')
+                     OR list_contains(string_split(lower(text), ' '), 'scan'))
+                AND NOT (contains(' ' || lower(text) || ' ', ' slow query ')
+                         OR list_contains(string_split(lower(text), ' '), 'merge'))
+              ORDER BY doc_id""")),
+
     // Fuzzy (edit-distance) + whole-token regex TEXT_MATCH terms —
     // text-search-support.md:22's remaining query families. `scann~1`
     // tolerates one edit ("scan", "scans", ...); `/col.+n/` is an anchored

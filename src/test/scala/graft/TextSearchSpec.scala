@@ -44,6 +44,27 @@ class TextSearchSpec extends SparkSpec {
     assert(ids(TextSearch.textMatch(col("text"), "NOT quick AND NOT spark")) === Set.empty)
   }
 
+  test("textMatch parenthesized groups override precedence") {
+    // without parens: OR is lowest → quick OR (spark AND table)
+    assert(ids(TextSearch.textMatch(col("text"), "quick OR spark AND table"))
+      === Set(1L, 3L, 4L))
+    // with parens: (quick OR spark) AND table
+    assert(ids(TextSearch.textMatch(col("text"), "(quick OR spark) AND table"))
+      === Set(3L, 4L))
+    // NOT over a group
+    assert(ids(TextSearch.textMatch(col("text"), "quick AND NOT (fox OR index)"))
+      === Set.empty)
+    assert(ids(TextSearch.textMatch(col("text"), "scan AND NOT (fox OR sql)"))
+      === Set(3L))
+    // nesting and implicit AND by adjacency inside a group
+    assert(ids(TextSearch.textMatch(col("text"), "((table scan) OR (brown fox))"))
+      === Set(1L, 3L, 4L))
+    // unbalanced parens are rejected loudly
+    intercept[IllegalArgumentException] {
+      TextSearch.textMatch(col("text"), "(quick OR spark AND table")
+    }
+  }
+
   test("textMatch prefix wildcard") {
     assert(ids(TextSearch.textMatch(col("text"), "jump*")) === Set(1L))
     assert(ids(TextSearch.textMatch(col("text"), "sca* AND table")) === Set(3L, 4L))
