@@ -108,30 +108,52 @@ object TextSearch {
     * Reference: /root/reference/basics/indexing/text-search-support.md:22
     * (phrase, term, regex, fuzzy and composite/grouped query families).
     */
-  def textMatch(text: Column, query: String): Column = {
+  def textMatch(text: Column, query: String): Column =
+    compile(text, parseQuery(query))
+
+  /** Parsed TEXT_MATCH query tree — also consumed by
+    * graft.sources.TextIndex.searchBool, which evaluates the same tree
+    * as posting-list set algebra instead of a scan predicate.
+    */
+  sealed trait QNode
+  final case class QTerm(raw: String) extends QNode
+  final case class QAnd(l: QNode, r: QNode) extends QNode
+  final case class QOr(l: QNode, r: QNode) extends QNode
+  final case class QNot(c: QNode) extends QNode
+
+  /** Parse the boolean query grammar to a tree. */
+  def parseQuery(query: String): QNode = {
     // lex: quoted phrases (with optional ~slop) and /regex/ terms are
     // single tokens even when they contain parens; bare parens delimit
     // groups; everything else splits on whitespace and parens.
     val lexed =
       "\"[^\"]*\"(?:~\\d+)?|/[^/]*/|\\(|\\)|[^\\s()]+".r.findAllIn(query).toList
-    val p = new BoolParser(text, lexed)
+    val p = new BoolParser(lexed)
     val res = p.parseOr()
     require(p.atEnd, s"trailing tokens in TEXT_MATCH query: $query")
     res
   }
 
+  /** Compile a query tree to one scan predicate Column. */
+  def compile(text: Column, n: QNode): Column = n match {
+    case QTerm(raw) => termPredicate(text, raw)
+    case QAnd(l, r) => compile(text, l) && compile(text, r)
+    case QOr(l, r) => compile(text, l) || compile(text, r)
+    case QNot(c) => !compile(text, c)
+  }
+
   /** Recursive-descent boolean parser over the lexed token list. */
-  private final class BoolParser(text: Column, tokens: List[String]) {
+  private final class BoolParser(tokens: List[String]) {
     private var rest: List[String] = tokens
     def atEnd: Boolean = rest.isEmpty
     private def peek: Option[String] = rest.headOption
     private def advance(): String = { val h = rest.head; rest = rest.tail; h }
 
-    def parseOr(): Column = {
+    def parseOr(): QNode = {
       var acc = parseAnd()
       while (peek.exists(_.equalsIgnoreCase("OR"))) {
         advance()
-        acc = acc || parseAnd()
+        acc = QOr(acc, parseAnd())
       }
       acc
     }
@@ -139,28 +161,28 @@ object TextSearch {
     private def startsPrimary(t: String): Boolean =
       !t.equalsIgnoreCase("OR") && !t.equalsIgnoreCase("AND") && t != ")"
 
-    private def parseAnd(): Column = {
+    private def parseAnd(): QNode = {
       var acc = parseNot()
       var continue = true
       while (continue) {
         peek match {
           case Some(t) if t.equalsIgnoreCase("AND") =>
-            advance(); acc = acc && parseNot()
+            advance(); acc = QAnd(acc, parseNot())
           case Some(t) if startsPrimary(t) => // implicit AND by adjacency
-            acc = acc && parseNot()
+            acc = QAnd(acc, parseNot())
           case _ => continue = false
         }
       }
       acc
     }
 
-    private def parseNot(): Column =
+    private def parseNot(): QNode =
       peek match {
-        case Some(t) if t.equalsIgnoreCase("NOT") => advance(); !parseNot()
+        case Some(t) if t.equalsIgnoreCase("NOT") => advance(); QNot(parseNot())
         case _ => parsePrimary()
       }
 
-    private def parsePrimary(): Column =
+    private def parsePrimary(): QNode =
       peek match {
         case Some("(") =>
           advance()
@@ -169,7 +191,7 @@ object TextSearch {
           advance()
           inner
         case Some(t) if startsPrimary(t) =>
-          advance(); termPredicate(text, t)
+          advance(); QTerm(t)
         case other =>
           throw new IllegalArgumentException(
             s"expected term or group in TEXT_MATCH query, found $other")

@@ -138,6 +138,28 @@ object TextQueries {
     // are read, docs intersect by join, and adjacency verifies via a
     // scan-local position-chain HOF — no text column in the plan. The
     // raw-scan oracle hash-proves the positional index lossless.
+    // BOOLEAN query served from the posting index — the same parsed
+    // TEXT_MATCH tree q_text_match_grouped compiles to a scan predicate,
+    // evaluated instead as posting-list set algebra (AND = semi-join of
+    // doc sets, OR = union, NOT = anti-join against the corpus id
+    // universe, phrases = the position-chain join). No text column in
+    // the plan; the raw-scan oracle hash-proves the index evaluation
+    // equivalent.
+    QueryDef(
+      "q_text_index_bool",
+      (s, d) =>
+        graft.sources.TextIndex.searchBool(
+          s, textPosIdx(s, d),
+          graft.functions.TextSearch.parseQuery(
+            "(spark OR scan) AND NOT \"slow query\""),
+          Tables.documents(s, d).select(col("doc_id")))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id FROM documents
+              WHERE (list_contains(string_split(lower(text), ' '), 'spark')
+                     OR list_contains(string_split(lower(text), ' '), 'scan'))
+                AND NOT contains(' ' || lower(text) || ' ', ' slow query ')
+              ORDER BY doc_id""")),
+
     QueryDef(
       "q_text_index_phrase",
       (s, d) =>

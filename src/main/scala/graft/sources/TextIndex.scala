@@ -32,22 +32,27 @@ object TextIndex {
     docs
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(array_remove(
-          split(lower(col(textCol)), " "), ""))).as("term"))
+          split(lower(col(textCol)), "\\s+"), ""))).as("term"))
       .repartition(col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(path)
 
   /** Build the POSITIONAL posting table at `path` — (term, doc_id,
     * positions) with 0-based token positions, the Lucene-style layout
-    * phrase queries need. Positions come from one posexplode pass (empty
-    * tokens keep their slot so adjacency survives), then the same
+    * phrase queries need. Tokenization normalizes whitespace RUNS
+    * (`\s+`, the TEXT_CONTAINS / textMatch-phrase convention — a
+    * single-space split would leave empty interior slots and break
+    * adjacency across multi-space runs, diverging from the scan path's
+    * padded() normalization; the only possible empty token is a leading
+    * one, whose removal shifts every position uniformly and so never
+    * changes a position-chain difference). Then the same
     * term-distributed (term, doc_id)-sorted layout as `materialize`.
     */
   def materializeWithPositions(
       docs: DataFrame, idCol: String, textCol: String, path: String): Unit =
     docs
       .select(col(idCol).as("doc_id"),
-        posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "term")))
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "term")))
       .filter(col("term") =!= "")
       .groupBy("term", "doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
@@ -77,6 +82,48 @@ object TextIndex {
       filter(acc, p => array_contains(col(s"__p$i"), p + i))
     }
     joined.filter(size(chain) > 0).select("doc_id")
+  }
+
+  /** BOOLEAN search over a POSITIONAL index: evaluate a parsed
+    * TEXT_MATCH tree (graft.functions.TextSearch.parseQuery — the same
+    * grammar the scan path compiles) as posting-list SET ALGEBRA:
+    * exact terms probe one posting list, quoted phrases run the
+    * position-chain join, AND intersects by semi-join, OR unions,
+    * NOT subtracts from the caller-supplied doc universe (the corpus id
+    * set — the index alone cannot see term-less documents, which a
+    * scan-side NOT would match). Wildcard/fuzzy/regex/proximity terms
+    * are scan-family predicates and are rejected loudly — Pinot's split
+    * too: the native text index serves term/phrase/boolean, everything
+    * else scans.
+    */
+  def searchBool(
+      spark: SparkSession, path: String,
+      node: graft.functions.TextSearch.QNode,
+      universe: DataFrame): DataFrame = {
+    import graft.functions.TextSearch._
+    spark.catalog.refreshByPath(path)
+    val idx = spark.read.parquet(path)
+    val Phrase = "\"([^\"]*)\"".r
+    def eval(n: QNode): DataFrame = n match {
+      case QTerm(raw) =>
+        raw.toLowerCase match {
+          case Phrase(p) =>
+            val ws = p.split("\\s+").filter(_.nonEmpty).toSeq
+            if (ws.isEmpty) universe.select(col("doc_id")).limit(0)
+            else if (ws.size == 1) idx.filter(col("term") === ws.head)
+              .select("doc_id").distinct()
+            else searchPhraseIndexed(spark, path, ws)
+          case t =>
+            require(!t.exists("*?~/".contains(_)),
+              s"term '$t' needs the scan path (wildcard/fuzzy/regex are not index-servable)")
+            idx.filter(col("term") === t).select("doc_id").distinct()
+        }
+      case QAnd(l, r) => eval(l).join(eval(r), Seq("doc_id"), "left_semi")
+      case QOr(l, r) => eval(l).union(eval(r)).distinct()
+      case QNot(c) =>
+        universe.select(col("doc_id")).join(eval(c), Seq("doc_id"), "left_anti")
+    }
+    eval(node).distinct()
   }
 
   /** Posting-list search: doc_ids containing ALL (`requireAll=true`) or

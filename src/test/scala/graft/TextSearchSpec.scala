@@ -65,6 +65,31 @@ class TextSearchSpec extends SparkSpec {
     }
   }
 
+  test("index-served boolean trees equal the raw textMatch scan") {
+    val dir = java.nio.file.Files.createTempDirectory("txtbool").toString
+    graft.sources.TextIndex.materializeWithPositions(docs(), "id", "text", dir)
+    val universe = docs().select(col("id").as("doc_id"))
+    def idxIds(q: String): Set[Long] =
+      graft.sources.TextIndex.searchBool(
+        spark, dir, TextSearch.parseQuery(q), universe)
+        .collect().map(_.getLong(0)).toSet
+    def scanIds(q: String): Set[Long] =
+      ids(TextSearch.textMatch(col("text"), q))
+    Seq(
+      "(quick OR spark) AND table",
+      "quick OR spark AND table",
+      "scan AND NOT (fox OR sql)",
+      "NOT (quick OR spark)",
+      "\"table scan\" OR fox",
+      "(\"table scan\" AND NOT sql) OR jumps").foreach { q =>
+      assert(idxIds(q) === scanIds(q), s"index/scan divergence for: $q")
+    }
+    // scan-family terms are rejected loudly, never silently mis-served
+    intercept[IllegalArgumentException] {
+      idxIds("qui*")
+    }
+  }
+
   test("textMatch prefix wildcard") {
     assert(ids(TextSearch.textMatch(col("text"), "jump*")) === Set(1L))
     assert(ids(TextSearch.textMatch(col("text"), "sca* AND table")) === Set(3L, 4L))
