@@ -77,5 +77,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // transparent json-index rewrite (fires only on scans carrying
     // SegmentWriter-derived extracted-path columns)
     ext.injectOptimizerRule(session => new graft.plans.JsonIndexRewriteRule(session))
+    // transparent text-index rewrite (fires only on scans carrying
+    // SegmentWriter-derived token-array columns)
+    ext.injectOptimizerRule(session => new graft.plans.TermIndexRewriteRule(session))
   }
 }

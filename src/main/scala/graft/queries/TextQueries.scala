@@ -160,6 +160,28 @@ object TextQueries {
                 AND NOT contains(' ' || lower(text) || ' ', ' slow query ')
               ORDER BY doc_id""")),
 
+    // TRANSPARENT text-index rewrite (plans.TermIndexRewrite): the query
+    // is written against the RAW text column — the optimizer serves the
+    // textMatch predicates from the SegmentWriter-stored token array
+    // (tokenize-once-at-ingest, native-text-index.md), so no per-row
+    // lower+split and no document bodies in the scan. The raw-scan
+    // oracle hash-pins result equivalence; TermIndexSpec pins the plan
+    // shape and the rule-off parity.
+    QueryDef(
+      "q_text_index_rewrite",
+      (s, d) =>
+        s.read.parquet(termSegment(s, d))
+          .filter(graft.functions.TextSearch.textMatch(col("text"),
+            "(spark OR scan) AND NOT merge"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS cnt FROM documents
+              WHERE (list_contains(string_split(lower(text), ' '), 'spark')
+                     OR list_contains(string_split(lower(text), ' '), 'scan'))
+                AND NOT list_contains(string_split(lower(text), ' '), 'merge')
+              GROUP BY 1 ORDER BY lang""")),
+
     QueryDef(
       "q_text_index_phrase",
       (s, d) =>
@@ -173,6 +195,21 @@ object TextQueries {
                          IF w[i] = 'table' AND w[i+1] = 'hash']) > 0
               ORDER BY doc_id"""))
   )
+
+  // Session-scoped term-index segment (the in-session analog of the
+  // tokenized terms Pinot stores next to its segments): documents written
+  // ONCE per (session, sfDir) with the text__terms array, reused across
+  // reps/queries.
+  private val termSegCache =
+    scala.collection.concurrent.TrieMap[(org.apache.spark.sql.SparkSession, String), String]()
+  private def termSegment(s: org.apache.spark.sql.SparkSession, d: String): String =
+    termSegCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_termidx_q").toString
+      graft.sources.SegmentWriter.write(
+        Tables.documents(s, d).select("doc_id", "text", "lang"), dir,
+        graft.sources.SegmentWriter.Config(derivedTermCols = Seq("text")))
+      dir
+    })
 
   private val textPosIdxCache =
     scala.collection.concurrent.TrieMap[(org.apache.spark.sql.SparkSession, String), String]()

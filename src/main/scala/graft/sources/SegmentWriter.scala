@@ -44,6 +44,16 @@ object SegmentWriter {
         * `get_json_object` calls onto them.
         */
       derivedJsonCols: Seq[(String, String)] = Seq.empty,
+      /** Text-index analog (reference: /root/reference/basics/indexing/
+        * native-text-index.md — Pinot tokenizes text columns at INGEST so
+        * TEXT_CONTAINS never re-tokenizes documents at query time): each
+        * listed text column gains a stored `<col>__terms` array of its
+        * distinct lowercase whitespace-run tokens. The
+        * TermIndexRewriteRule then serves textContains predicates from
+        * the stored array — the per-row split+lower disappears from the
+        * query plan.
+        */
+      derivedTermCols: Seq[String] = Seq.empty,
       /** Parquet codec — zstd: better ratio than snappy at comparable
         * decode speed, which at 100 TB is mostly an IO-bytes win.
         */
@@ -58,6 +68,9 @@ object SegmentWriter {
     * '_', so the mapping is total and collision-resistant for the
     * dotted-path shapes the json-index supports).
     */
+  /** Stored token-array column name for the text-index analog. */
+  def derivedTermsName(textCol: String): String = s"${textCol}__terms"
+
   def derivedJsonName(jsonCol: String, path: String): String = {
     val p = path.stripPrefix("$").stripPrefix(".")
       .map(c => if (c.isLetterOrDigit) c else '_')
@@ -68,8 +81,12 @@ object SegmentWriter {
     val dfT = cfg.derivedTimeCols.foldLeft(df0) { case (acc, (c, g)) =>
       acc.withColumn(derivedName(c, g), date_trunc(g, col(c)))
     }
-    val df = cfg.derivedJsonCols.foldLeft(dfT) { case (acc, (c, p)) =>
+    val dfJ = cfg.derivedJsonCols.foldLeft(dfT) { case (acc, (c, p)) =>
       acc.withColumn(derivedJsonName(c, p), get_json_object(col(c), p))
+    }
+    val df = cfg.derivedTermCols.foldLeft(dfJ) { case (acc, c) =>
+      acc.withColumn(derivedTermsName(c),
+        array_distinct(array_remove(split(lower(col(c)), "\\s+"), "")))
     }
     val repartitioned =
       if (cfg.partitionCols.nonEmpty)
