@@ -378,6 +378,29 @@ object Realtime {
     next.localCheckpoint(true).write.mode("overwrite").parquet(cubePath)
   }
 
+  /** Streaming DENORMALIZED ingest — Pinot's realtime lookup join: each
+    * micro-batch of fact rows resolves its dimension columns ON INGEST
+    * (broadcast dim join, DenormView.refreshIncremental — O(batch),
+    * existing view files untouched) so the queryable view never joins at
+    * read time. The dim re-reads per batch, so a slowly-changing
+    * dimension takes effect on the NEXT micro-batch and each fact row
+    * permanently carries the dim as of its own arrival — the
+    * denormalized contract (history is never rewritten).
+    */
+  def denormIngestSink(
+      stream: DataFrame, dim: () => DataFrame, key: String,
+      viewPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.DenormView.refreshIncremental(
+            batch.sparkSession, viewPath, batch, dim(), key)
+      }
+      .start()
+
   /** Streaming ANN serving: each micro-batch of query vectors
     * (vec_id, embedding) probes the MATERIALIZED IVF index
     * (similarity.IvfAnn.materialize — cell-partitioned parquet, nProbe

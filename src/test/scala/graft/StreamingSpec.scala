@@ -485,6 +485,38 @@ class StreamingSpec extends SparkSpec {
     assert(row.getLong(1) === 10L)
   }
 
+  test("streaming denormalized ingest resolves dims per batch, history never rewritten") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("denorm_stream").toString
+    val viewPath = s"$base/view"
+    // slowly-changing dimension: swapped between micro-batches
+    @volatile var dimRows = Seq((0L, "tier-bronze"), (1L, "tier-silver"))
+    def dim() = dimRows.toDF("tier_key", "tier_name")
+    val input = MemoryStream[(Long, Long)]
+    val stream = Realtime.denormIngestSink(
+      input.toDF().toDF("event_id", "tier_key"), () => dim(), "tier_key",
+      viewPath, s"$base/ckpt")
+    try {
+      input.addData((1L, 0L), (2L, 1L))
+      stream.processAllAvailable()
+      dimRows = Seq((0L, "tier-gold"), (1L, "tier-silver"))
+      input.addData((3L, 0L))
+      stream.processAllAvailable()
+      val view = graft.sources.DenormView.read(spark, viewPath)
+        .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[String]("tier_name")))
+        .toMap
+      // row 1 keeps the dim AS OF its ingest; row 3 sees the updated dim
+      assert(view === Map(1L -> "tier-bronze", 2L -> "tier-silver", 3L -> "tier-gold"))
+      // and the queryable view joins nothing at read time
+      val plan = graft.sources.DenormView.read(spark, viewPath)
+        .filter(col("tier_name") === "tier-gold")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), plan)
+    } finally stream.stop()
+  }
+
   test("windowed frequent-terms sketch streams to the same top-k as batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
