@@ -58,6 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("vector_avg", classOf[VectorAvgAgg])(es => VectorAvgAgg(es.head))
     register("theta_sketch_agg", classOf[ThetaSketchAgg])(es =>
       ThetaSketchAgg(es.head, intArg(es(1), "theta_sketch_agg")))
+    register("theta_union_agg", classOf[ThetaUnionAgg])(es =>
+      ThetaUnionAgg(es.head, intArg(es(1), "theta_union_agg")))
     register("theta_estimate", classOf[ThetaEstimate])(es => ThetaEstimate(es.head))
     register("theta_union", classOf[ThetaUnion])(es => ThetaUnion(es.head, es(1)))
     register("theta_intersect", classOf[ThetaIntersect])(es =>

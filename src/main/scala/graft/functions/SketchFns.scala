@@ -17,6 +17,15 @@ object SketchFns {
     ColumnBridge.column(
       ThetaSketchAgg(ColumnBridge.expression(value), k).toAggregateExpression())
 
+  /** Merge PRE-BUILT sketch blobs (the cube-rollup aggregate): KMV union
+    * keeps the k smallest hashes, which is grouping-invariant — a union
+    * of cell sketches is BYTE-identical to the sketch built directly
+    * over the united rows (spec-pinned).
+    */
+  def thetaUnionAgg(sketch: Column, k: Int = 4096): Column =
+    ColumnBridge.column(
+      ThetaUnionAgg(ColumnBridge.expression(sketch), k).toAggregateExpression())
+
   def thetaEstimate(sketch: Column): Column =
     ColumnBridge.column(ThetaEstimate(ColumnBridge.expression(sketch)))
 

@@ -140,6 +140,58 @@ case class ThetaSketchAgg(
   override def prettyName: String = "theta_sketch_agg"
 }
 
+/** `theta_union_agg(sketch, k)` — merge PRE-BUILT sketch blobs into one:
+  * the rollup aggregate that makes sketch CUBES servable (Pinot stores
+  * theta sketches as aggregated star-tree metrics for exactly this —
+  * any coarser grouping unions the cell sketches instead of rescanning
+  * raw rows). Mergeable O(k) state; when every input sketch is untrimmed
+  * the union is EXACTLY the sketch of the united inputs (same hash set),
+  * which the spec pins.
+  */
+case class ThetaUnionAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ThetaState] with UnaryLike[Expression] {
+
+  require(k >= 16, s"theta_union_agg requires k >= 16, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"theta_union_agg requires binary sketches, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): ThetaState = new ThetaState(k)
+
+  override def update(buffer: ThetaState, input: InternalRow): ThetaState = {
+    val v = child.eval(input)
+    if (v != null) buffer.mergeFrom(ThetaState.deserialize(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(buffer: ThetaState, other: ThetaState): ThetaState = {
+    buffer.mergeFrom(other)
+    buffer
+  }
+
+  override def eval(buffer: ThetaState): Any = buffer.serialized
+  override def serialize(buffer: ThetaState): Array[Byte] = buffer.serialized
+  override def deserialize(bytes: Array[Byte]): ThetaState = ThetaState.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ThetaUnionAgg =
+    copy(child = newChild)
+  override def prettyName: String = "theta_union_agg"
+}
+
 /** `theta_estimate(sketch)` → rounded distinct-count estimate (bigint). */
 case class ThetaEstimate(child: Expression)
   extends UnaryExpression with CodegenFallback {

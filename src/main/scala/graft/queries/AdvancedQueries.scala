@@ -771,6 +771,31 @@ object AdvancedQueries {
       },
       None),
 
+    // SKETCH CUBE rollup — theta sketches as pre-aggregated cube metrics
+    // (Pinot's DISTINCTCOUNTTHETASKETCH star-tree metric): per-(type, day)
+    // CELL sketches roll up to per-type distinct-user estimates by
+    // UNIONING blobs (theta_union_agg), never rescanning raw rows — and
+    // because KMV union keeps the k smallest hashes, the rollup is
+    // grouping-invariant: the unioned sketch is byte-identical to one
+    // built directly over the raw group (spec-pinned), so cube-served
+    // estimates EQUAL raw-scan estimates, not merely approximate them.
+    // Rows-only by the family's convention (the estimate itself is
+    // approximate); the oracle-exact twin is q_distinctcount.
+    QueryDef(
+      "q_theta_cube",
+      (s, d) => {
+        import graft.functions.SketchFns._
+        val cells = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(thetaSketch(col("user_id"), 256).as("sk"))
+        cells.groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_cells"),
+            thetaEstimate(thetaUnionAgg(col("sk"), 256)).as("distinct_users"))
+          .orderBy("event_type")
+      },
+      None),
+
     // Sketch-estimated JACCARD similarity between user cohorts — the
     // audience-overlap matrix a dashboard renders across all segment
     // pairs, answered from the same per-segment theta sketches

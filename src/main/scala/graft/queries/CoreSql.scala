@@ -342,6 +342,45 @@ object CoreSql {
                      round(min(CASE WHEN cum >= 0.9 * tot THEN v END), 2) AS w90_price
               FROM c GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // INVERSE percentile (PERCENTILE_RANK): given a value, what fraction
+    // of the distribution sits at or below it — the dual of the
+    // percentile family above (mid-rank convention: ties count half, so
+    // rank(T) + rank(-T) is symmetric). Values quantize to integer cents
+    // so the < / = splits are exact on both engines; one conditional
+    // aggregate pass per group, no sort anywhere.
+    QueryDef(
+      "q_percentile_rank",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            round(col("l_quantity") * 100).cast("long").as("c"))
+        def rankAt(t: Long) = round(
+          (sum(when(col("c") < t, 1L).otherwise(0L)) +
+            sum(when(col("c") === t, 1L).otherwise(0L)) / lit(2.0)) /
+            count(lit(1)), 6)
+        li.groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            rankAt(1000L).as("pr_10"),
+            rankAt(2500L).as("pr_25"),
+            rankAt(4500L).as("pr_45"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH li AS (SELECT l_returnflag,
+                                 CAST(round(l_quantity * 100) AS BIGINT) AS c
+                          FROM lineitem)
+              SELECT l_returnflag, count(*) AS n,
+                     round((sum(CASE WHEN c < 1000 THEN 1 ELSE 0 END)
+                            + sum(CASE WHEN c = 1000 THEN 1 ELSE 0 END) / 2.0)
+                           / count(*), 6) AS pr_10,
+                     round((sum(CASE WHEN c < 2500 THEN 1 ELSE 0 END)
+                            + sum(CASE WHEN c = 2500 THEN 1 ELSE 0 END) / 2.0)
+                           / count(*), 6) AS pr_25,
+                     round((sum(CASE WHEN c < 4500 THEN 1 ELSE 0 END)
+                            + sum(CASE WHEN c = 4500 THEN 1 ELSE 0 END) / 2.0)
+                           / count(*), 6) AS pr_45
+              FROM li GROUP BY 1 ORDER BY l_returnflag""")),
+
     // BIG_DECIMAL metric aggregation (schema.md:48: BIG_DECIMAL is a
     // first-class metric type): money math in DECIMAL is EXACT — the sums
     // here are penny-accurate regardless of row count or add order, where

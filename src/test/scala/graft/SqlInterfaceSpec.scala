@@ -122,6 +122,14 @@ class SqlInterfaceSpec extends SparkSpec {
     assert(row.getLong(2) === both)
     assert(row.getLong(3) === conly + ponly + both)
     assert(row.getLong(4) === conly)
+    // theta_union_agg from SQL: cell sketches roll up to the same exact
+    // click-user count (the cube-rollup aggregate)
+    val rolled = spark.sql(
+      """WITH cells AS (SELECT date_trunc('day', ts) AS day,
+                               theta_sketch_agg(user_id, 1024) AS sk
+                        FROM events WHERE event_type = 'click' GROUP BY 1)
+         SELECT theta_estimate(theta_union_agg(sk, 1024)) FROM cells""").head()
+    assert(rolled.getLong(0) === conly + both)
     // vector_avg centroid from SQL matches the Column API
     val sqlC = spark.sql(
       "SELECT label, vector_avg(embedding) AS c FROM embeddings GROUP BY label ORDER BY label")

@@ -111,6 +111,33 @@ class ThetaSketchSpec extends SparkSpec {
     assert(rel(est.getLong(est.fieldIndex("n_only_1996")), nOnly) <= 0.25)
   }
 
+  test("cube rollup: union of cell sketches is byte-identical to the direct sketch") {
+    val ev = Tables.events(spark, sfDir)
+    val cells = ev
+      .groupBy(col("event_type"), expr("date_trunc('day', ts)").as("day"))
+      .agg(thetaSketch(col("user_id"), 64).as("sk"))
+    val rolled = cells.groupBy("event_type")
+      .agg(thetaUnionAgg(col("sk"), 64).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val direct = ev.groupBy("event_type")
+      .agg(thetaSketch(col("user_id"), 64).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(rolled.keySet === direct.keySet)
+    // k=64 forces trimming on the fixture, so this pins the strong
+    // KMV invariant: k-smallest-of-union == k-smallest, regardless of
+    // how the rows were grouped into cells first
+    rolled.foreach { case (t, sk) => assert(sk === direct(t), s"cube rollup differs for $t") }
+    // and the registry query serves plausible estimates from the cells
+    val est = graft.queries.Registry.queries("q_theta_cube")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (t, e) =>
+      val rel = math.abs(e - exact(t)).toDouble / math.max(exact(t), 1L)
+      assert(rel <= 0.13, s"$t: est=$e exact=${exact(t)}")
+    }
+  }
+
   test("q_theta_jaccard estimates bound the exact cohort Jaccard per pair") {
     import graft.queries.Registry
     val ev = Tables.events(spark, sfDir).select("event_type", "user_id")
