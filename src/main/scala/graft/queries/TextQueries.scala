@@ -182,6 +182,97 @@ object TextQueries {
                 AND NOT list_contains(string_split(lower(text), ' '), 'merge')
               GROUP BY 1 ORDER BY lang""")),
 
+    // SNIPPET/HIGHLIGHT extraction — the search-results presentation
+    // pass (show ±3 tokens around the first hit): one scan-local
+    // array_position + slice per document, no shuffle beyond the final
+    // ORDER BY; character-exact against the oracle's identical list
+    // arithmetic.
+    QueryDef(
+      "q_text_highlight",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            split(lower(col("text")), "\\s+").as("toks"))
+          .withColumn("pos", array_position(col("toks"), "merge"))
+          .filter(col("pos") > 0)
+          .select(col("doc_id"), col("pos").cast("int").as("pos"),
+            concat_ws(" ", slice(col("toks"),
+              greatest(col("pos") - 3, lit(1)).cast("int"), lit(7))).as("snippet"))
+          .orderBy("doc_id")
+          .limit(100),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                         FROM documents),
+                   p AS (SELECT doc_id, toks,
+                                list_position(toks, 'merge') AS pos
+                         FROM t)
+              SELECT doc_id, CAST(pos AS INT) AS pos,
+                     array_to_string(toks[greatest(pos - 3, 1):
+                                          greatest(pos - 3, 1) + 6], ' ')
+                       AS snippet
+              FROM p WHERE pos > 0 ORDER BY doc_id LIMIT 100""")),
+
+    // PREFIX AUTOCOMPLETE — search-as-you-type completion from the term
+    // dictionary: terms starting with the typed prefix ranked by corpus
+    // frequency, deterministic (count desc, term) top-10 via
+    // TakeOrderedAndProject. The only corpus-sized stage is the term
+    // rollup; at scale this serves from the materialized posting index's
+    // per-term counts instead (same dictionary, already on disk).
+    QueryDef(
+      "q_autocomplete",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+          .filter(col("term").startsWith("s"))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term"))
+          .limit(10),
+      Some("""SELECT term, count(*) AS cnt
+              FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+                    FROM documents)
+              WHERE term LIKE 's%'
+              GROUP BY 1 ORDER BY cnt DESC, term LIMIT 10""")),
+
+    // SPELL CORRECTION ("did you mean") — map OOV query tokens to their
+    // nearest vocabulary term: candidates within edit distance 1 via the
+    // bounded 3-arg levenshtein against the DICTIONARY (never documents —
+    // the vocab is Zipf-tiny next to the corpus, so the probe×vocab
+    // comparison is dictionary×constant), ranked by corpus frequency with
+    // ties toward the lexicographically larger term (a total order, so
+    // the pick is deterministic on both engines). The oracle replays the
+    // same levenshtein-≤1 argmax.
+    QueryDef(
+      "q_spellcheck",
+      (s, d) => {
+        import s.implicits._
+        val vocab = Tables.documents(s, d)
+          .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+        val queries = Seq("scann", "mergee", "tabel", "sparc").toDF("q")
+        queries.join(broadcast(vocab),
+            levenshtein(col("q"), col("term"), 1) >= 0)
+          .groupBy("q")
+          .agg(
+            max_by(col("term"), struct(col("cnt"), col("term"))).as("suggestion"),
+            max(struct(col("cnt"), col("term"))).getField("cnt").as("cnt"),
+            count(lit(1)).as("n_candidates"))
+          .orderBy("q")
+      },
+      Some("""WITH v AS (SELECT term, count(*) AS cnt
+                         FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+                               FROM documents)
+                         WHERE term <> '' GROUP BY 1),
+                   q AS (SELECT unnest(['scann', 'mergee', 'tabel', 'sparc']) AS q),
+                   c AS (SELECT q.q, v.term, v.cnt
+                         FROM q JOIN v ON levenshtein(q.q, v.term) <= 1),
+                   r AS (SELECT q, term, cnt,
+                                row_number() OVER (PARTITION BY q
+                                  ORDER BY cnt DESC, term DESC) AS rn,
+                                count(*) OVER (PARTITION BY q) AS n_candidates
+                         FROM c)
+              SELECT q, term AS suggestion, cnt, n_candidates
+              FROM r WHERE rn = 1 ORDER BY q""")),
+
     QueryDef(
       "q_text_index_phrase",
       (s, d) =>

@@ -84,7 +84,10 @@ class PlanLintSpec extends SparkSpec {
     "q_target_encode",
     // scalar-N pattern: the single-row corpus max-day broadcasts onto the
     // event scan to derive the data-relative cut
-    "q_split_temporal")
+    "q_split_temporal",
+    // constant query-token set × broadcast Zipf-tiny vocabulary — the
+    // levenshtein probe never touches documents
+    "q_spellcheck")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
