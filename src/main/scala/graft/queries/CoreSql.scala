@@ -342,6 +342,55 @@ object CoreSql {
                      round(min(CASE WHEN cum >= 0.9 * tot THEN v END), 2) AS w90_price
               FROM c GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // DECILE BAND assignment — percentiles applied back to rows (which
+    // decile is each event in?): the nine within-type decile edges come
+    // from the dictionary-histogram operator (bounded state), broadcast
+    // back, and each row's band is 1 + |edges ≤ value| — a pure
+    // conditional sum, no per-row sort or window. Integer cents vs
+    // quarter-integer interpolated edges keep every comparison exact on
+    // both engines; output is the (type, band) dictionary.
+    QueryDef(
+      "q_decile_bands",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"))
+        val edges = graft.operators.Percentiles.exact(
+          ev, Seq("event_type"),
+          (1 to 9).map(i => (s"q$i", "c", i / 10.0)))
+        val band = (1 to 9).map(i =>
+          when(col("c") >= col(s"q$i"), 1).otherwise(0))
+          .reduce(_ + _) + lit(1)
+        ev.join(broadcast(edges), "event_type")
+          .withColumn("band", band)
+          .groupBy("event_type", "band")
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy("event_type", "band")
+      },
+      Some("""WITH e AS (SELECT event_type,
+                                CAST(round(value * 100) AS BIGINT) AS c
+                         FROM events),
+                   ed AS (SELECT event_type,
+                                 quantile_cont(c, 0.1) AS q1, quantile_cont(c, 0.2) AS q2,
+                                 quantile_cont(c, 0.3) AS q3, quantile_cont(c, 0.4) AS q4,
+                                 quantile_cont(c, 0.5) AS q5, quantile_cont(c, 0.6) AS q6,
+                                 quantile_cont(c, 0.7) AS q7, quantile_cont(c, 0.8) AS q8,
+                                 quantile_cont(c, 0.9) AS q9
+                          FROM e GROUP BY 1)
+              SELECT e.event_type,
+                     1 + (CASE WHEN c >= q1 THEN 1 ELSE 0 END)
+                       + (CASE WHEN c >= q2 THEN 1 ELSE 0 END)
+                       + (CASE WHEN c >= q3 THEN 1 ELSE 0 END)
+                       + (CASE WHEN c >= q4 THEN 1 ELSE 0 END)
+                       + (CASE WHEN c >= q5 THEN 1 ELSE 0 END)
+                       + (CASE WHEN c >= q6 THEN 1 ELSE 0 END)
+                       + (CASE WHEN c >= q7 THEN 1 ELSE 0 END)
+                       + (CASE WHEN c >= q8 THEN 1 ELSE 0 END)
+                       + (CASE WHEN c >= q9 THEN 1 ELSE 0 END) AS band,
+                     count(*) AS n_events
+              FROM e JOIN ed USING (event_type)
+              GROUP BY 1, 2 ORDER BY event_type, band""")),
+
     // INVERSE percentile (PERCENTILE_RANK): given a value, what fraction
     // of the distribution sits at or below it — the dual of the
     // percentile family above (mid-rank convention: ties count half, so

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.functions.GeoFns
@@ -146,6 +147,58 @@ object TransformQueries {
               SELECT c_mktsegment, count(*) AS cnt, round(avg(dist_km), 2) AS avg_dist
               FROM dists WHERE dist_km <= 8000.0
               GROUP BY 1 ORDER BY c_mktsegment""")),
+
+    // GEO kNN — the "3 nearest depots per customer" logistics question:
+    // the bounded query set probes the broadcast supplier DICTIONARY
+    // (suppliers are a dimension — the q_knn_brute economics with
+    // haversine instead of cosine), ranked (distance, suppkey) so ties
+    // are total-ordered on both engines. At corpus-scale query sets the
+    // same plan swaps the window for the bounded top-k heap and the
+    // probe for the grid-cell equi-join (q_geo_join's layout).
+    QueryDef(
+      "q_geo_knn",
+      (s, d) => {
+        val q = Tables.customer(s, d)
+          .filter(col("c_custkey") < 30)
+          .withColumn("lat", (col("c_custkey") % 180) - 90 + lit(0.5))
+          .withColumn("lon", ((col("c_custkey") * 7) % 360) - 180 + lit(0.5))
+          .select(col("c_custkey"), col("lat"), col("lon"))
+        val sup = Tables.supplier(s, d)
+          .withColumn("s_lat", ((col("s_suppkey") * 13) % 180) - 90 + lit(0.5))
+          .withColumn("s_lon", ((col("s_suppkey") * 29) % 360) - 180 + lit(0.5))
+          .select(col("s_suppkey"), col("s_lat"), col("s_lon"))
+        val w = Window.partitionBy("c_custkey")
+          .orderBy(asc("dist_km"), asc("s_suppkey"))
+        q.crossJoin(broadcast(sup))
+          .withColumn("dist_km",
+            GeoFns.haversineKm(col("lat"), col("lon"), col("s_lat"), col("s_lon")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("c_custkey"), col("rank"), col("s_suppkey"),
+            round(col("dist_km"), 2).as("dist_km"))
+          .orderBy("c_custkey", "rank")
+      },
+      Some("""WITH q AS (SELECT c_custkey,
+                                (c_custkey % 180) - 90 + 0.5 AS lat,
+                                ((c_custkey * 7) % 360) - 180 + 0.5 AS lon
+                         FROM customer WHERE c_custkey < 30),
+                   s AS (SELECT s_suppkey,
+                                ((s_suppkey * 13) % 180) - 90 + 0.5 AS s_lat,
+                                ((s_suppkey * 29) % 360) - 180 + 0.5 AS s_lon
+                         FROM supplier),
+                   dd AS (SELECT q.c_custkey, s.s_suppkey,
+                                 2 * 6371.0088 * asin(sqrt(
+                                   pow(sin(radians(s_lat - lat) / 2), 2) +
+                                   cos(radians(lat)) * cos(radians(s_lat)) *
+                                   pow(sin(radians(s_lon - lon) / 2), 2))) AS dist_km
+                          FROM q, s),
+                   r AS (SELECT c_custkey, s_suppkey, dist_km,
+                                row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY dist_km, s_suppkey) AS rank
+                         FROM dd)
+              SELECT c_custkey, CAST(rank AS INT) AS rank, s_suppkey,
+                     round(dist_km, 2) AS dist_km
+              FROM r WHERE rank <= 3 ORDER BY c_custkey, rank""")),
 
     // Geospatial RADIUS JOIN via grid-cell bucketing (geohash-analog):
     // customers land in one 10°-cell; each supplier probes its 3x3

@@ -87,7 +87,10 @@ class PlanLintSpec extends SparkSpec {
     "q_split_temporal",
     // constant query-token set × broadcast Zipf-tiny vocabulary — the
     // levenshtein probe never touches documents
-    "q_spellcheck")
+    "q_spellcheck",
+    // bounded query set × broadcast supplier DIMENSION (the q_knn_brute
+    // economics with haversine)
+    "q_geo_knn")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
