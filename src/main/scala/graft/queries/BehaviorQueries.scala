@@ -570,6 +570,99 @@ object BehaviorQueries {
               SELECT max_streak, count(*) AS n_users
               FROM mx GROUP BY 1 ORDER BY max_streak""")),
 
+    // POPULATION-STABILITY-INDEX drift (the ML-monitoring screen between
+    // a reference window and the current one: PSI = Σ (q−p)·ln(q/p) over
+    // value bands; > 0.2 conventionally flags retraining). The corpus
+    // splits at its own temporal midpoint (integer-microsecond arithmetic
+    // on the scalar min/max row — data-relative, no wall clock); band
+    // edges are the REFERENCE half's deciles from the dictionary-
+    // histogram operator, broadcast back over one counting scan per
+    // half; bands empty on either side are excluded by the same rule on
+    // both engines. Everything is integer counts until the final
+    // share-ratio logs.
+    QueryDef(
+      "q_psi_drift",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), unix_micros(col("ts")).as("us"),
+            round(col("value") * 100).cast("long").as("c"))
+        val mid = ev.agg(min("us").as("lo_us"), max("us").as("hi_us"))
+          .select(expr("(lo_us + hi_us) div 2").as("mid_us"))
+        val halves = ev.crossJoin(broadcast(mid))
+          .withColumn("half", when(col("us") <= col("mid_us"), "ref").otherwise("cur"))
+        val edges0 = graft.operators.Percentiles.exact(
+          halves.filter(col("half") === "ref"), Seq("event_type"),
+          (1 to 9).map(i => (s"q$i", "c", i / 10.0)))
+        // interpolated edges carry engine-specific last-ulp fuzz (the two
+        // engines interpolate in different operation orders); rounding to
+        // 4 decimals BEFORE the band comparisons makes the cut points
+        // bit-identical on both sides
+        val edges = edges0.select(col("event_type") +:
+          (1 to 9).map(i => round(col(s"q$i"), 4).as(s"q$i")): _*)
+        val band = (1 to 9).map(i =>
+          when(col("c") >= col(s"q$i"), 1).otherwise(0)).reduce(_ + _) + lit(1)
+        val counts = halves.join(broadcast(edges), "event_type")
+          .withColumn("band", band)
+          .groupBy("event_type", "band")
+          .agg(
+            sum(when(col("half") === "ref", 1L).otherwise(0L)).as("n_ref"),
+            sum(when(col("half") === "cur", 1L).otherwise(0L)).as("n_cur"))
+        val totals = counts.groupBy("event_type")
+          .agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+        counts.join(broadcast(totals), "event_type")
+          .filter(col("n_ref") > 0 && col("n_cur") > 0)
+          .withColumn("p", col("n_ref") / col("t_ref"))
+          .withColumn("q", col("n_cur") / col("t_cur"))
+          .groupBy("event_type")
+          .agg(
+            first("t_ref").as("n_ref"), first("t_cur").as("n_cur"),
+            round(sum((col("q") - col("p")) * log(col("q") / col("p"))), 6)
+              .as("psi"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+                                CAST(round(value * 100) AS BIGINT) AS c
+                         FROM events),
+                   m AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM e),
+                   h AS (SELECT event_type, c,
+                                CASE WHEN us <= m.mid_us THEN 'ref'
+                                     ELSE 'cur' END AS half
+                         FROM e, m),
+                   ed AS (SELECT event_type,
+                                 round(quantile_cont(c, 0.1), 4) AS q1, round(quantile_cont(c, 0.2), 4) AS q2,
+                                 round(quantile_cont(c, 0.3), 4) AS q3, round(quantile_cont(c, 0.4), 4) AS q4,
+                                 round(quantile_cont(c, 0.5), 4) AS q5, round(quantile_cont(c, 0.6), 4) AS q6,
+                                 round(quantile_cont(c, 0.7), 4) AS q7, round(quantile_cont(c, 0.8), 4) AS q8,
+                                 round(quantile_cont(c, 0.9), 4) AS q9
+                          FROM h WHERE half = 'ref' GROUP BY 1),
+                   b AS (SELECT h.event_type, h.half,
+                                1 + (CASE WHEN c >= q1 THEN 1 ELSE 0 END)
+                                  + (CASE WHEN c >= q2 THEN 1 ELSE 0 END)
+                                  + (CASE WHEN c >= q3 THEN 1 ELSE 0 END)
+                                  + (CASE WHEN c >= q4 THEN 1 ELSE 0 END)
+                                  + (CASE WHEN c >= q5 THEN 1 ELSE 0 END)
+                                  + (CASE WHEN c >= q6 THEN 1 ELSE 0 END)
+                                  + (CASE WHEN c >= q7 THEN 1 ELSE 0 END)
+                                  + (CASE WHEN c >= q8 THEN 1 ELSE 0 END)
+                                  + (CASE WHEN c >= q9 THEN 1 ELSE 0 END) AS band
+                         FROM h JOIN ed USING (event_type)),
+                   ct AS (SELECT event_type, band,
+                                 sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+                                 sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS n_cur
+                          FROM b GROUP BY 1, 2),
+                   tt AS (SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+                          FROM ct GROUP BY 1)
+              SELECT ct.event_type,
+                     CAST(any_value(t_ref) AS BIGINT) AS n_ref,
+                     CAST(any_value(t_cur) AS BIGINT) AS n_cur,
+                     round(sum((CAST(n_cur AS DOUBLE) / t_cur
+                                - CAST(n_ref AS DOUBLE) / t_ref)
+                               * ln((CAST(n_cur AS DOUBLE) / t_cur)
+                                    / (CAST(n_ref AS DOUBLE) / t_ref))), 6) AS psi
+              FROM ct JOIN tt USING (event_type)
+              WHERE n_ref > 0 AND n_cur > 0
+              GROUP BY 1 ORDER BY event_type""")),
+
     // TIME-DECAYED customer value (recency-weighted LTV — the ranking a
     // growth dashboard uses where plain revenue overweights long-churned
     // spenders): each purchase decays by half per 7-day age bucket,

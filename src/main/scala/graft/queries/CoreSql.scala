@@ -355,9 +355,14 @@ object CoreSql {
         val ev = Tables.events(s, d)
           .select(col("event_type"),
             round(col("value") * 100).cast("long").as("c"))
-        val edges = graft.operators.Percentiles.exact(
+        val edges0 = graft.operators.Percentiles.exact(
           ev, Seq("event_type"),
           (1 to 9).map(i => (s"q$i", "c", i / 10.0)))
+        // round the interpolated edges before comparing: the engines
+        // interpolate in different operation orders, so an edge landing
+        // near an integer cent carries engine-specific last-ulp fuzz
+        val edges = edges0.select(col("event_type") +:
+          (1 to 9).map(i => round(col(s"q$i"), 4).as(s"q$i")): _*)
         val band = (1 to 9).map(i =>
           when(col("c") >= col(s"q$i"), 1).otherwise(0))
           .reduce(_ + _) + lit(1)
@@ -371,11 +376,11 @@ object CoreSql {
                                 CAST(round(value * 100) AS BIGINT) AS c
                          FROM events),
                    ed AS (SELECT event_type,
-                                 quantile_cont(c, 0.1) AS q1, quantile_cont(c, 0.2) AS q2,
-                                 quantile_cont(c, 0.3) AS q3, quantile_cont(c, 0.4) AS q4,
-                                 quantile_cont(c, 0.5) AS q5, quantile_cont(c, 0.6) AS q6,
-                                 quantile_cont(c, 0.7) AS q7, quantile_cont(c, 0.8) AS q8,
-                                 quantile_cont(c, 0.9) AS q9
+                                 round(quantile_cont(c, 0.1), 4) AS q1, round(quantile_cont(c, 0.2), 4) AS q2,
+                                 round(quantile_cont(c, 0.3), 4) AS q3, round(quantile_cont(c, 0.4), 4) AS q4,
+                                 round(quantile_cont(c, 0.5), 4) AS q5, round(quantile_cont(c, 0.6), 4) AS q6,
+                                 round(quantile_cont(c, 0.7), 4) AS q7, round(quantile_cont(c, 0.8), 4) AS q8,
+                                 round(quantile_cont(c, 0.9), 4) AS q9
                           FROM e GROUP BY 1)
               SELECT e.event_type,
                      1 + (CASE WHEN c >= q1 THEN 1 ELSE 0 END)

@@ -90,7 +90,10 @@ class PlanLintSpec extends SparkSpec {
     "q_spellcheck",
     // bounded query set × broadcast supplier DIMENSION (the q_knn_brute
     // economics with haversine)
-    "q_geo_knn")
+    "q_geo_knn",
+    // scalar-N pattern: the single-row temporal midpoint broadcasts onto
+    // the event scan to split the halves
+    "q_psi_drift")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
