@@ -107,6 +107,33 @@ class BpeSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("mergePair equals a reference greedy merge on arbitrary symbol runs (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val spark2 = spark
+    import spark2.implicits._
+    def refMerge(syms: List[String], a: String, b: String): List[String] = {
+      val out = List.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val sym = Gen.oneOf("a", "b", "ab", "x")
+    val prop = Prop.forAll(Gen.listOf(sym), sym, sym) { (syms, a, b) =>
+      val got = Seq(Tuple1(syms)).toDF("syms")
+        .select(Bpe.mergePair(org.apache.spark.sql.functions.col("syms"), a, b).as("m"))
+        .head().getSeq[String](0).toList
+      got == refMerge(syms, a, b)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(80)
+        .withInitialSeed(org.scalacheck.rng.Seed(47L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("mergePair is greedy left-to-right and respects word boundaries") {
     val spark2 = spark
     import spark2.implicits._

@@ -91,4 +91,29 @@ class PercentilesSpec extends SparkSpec {
     assert(out.getDouble(2) === 10.0) // rank ceil(.9·93)−1 = 83 < 90 → heavy value
     assert(out.getDouble(3) === 30.0) // rank ceil(.99·93)−1 = 92 → last unit of weight
   }
+
+  test("weightedDiscrete ≡ discrete over the weight-expanded rows (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val spark2 = spark
+    import spark2.implicits._
+    val row = for {
+      v <- Gen.chooseNum(0, 20)
+      w <- Gen.chooseNum(1L, 5L)
+    } yield (v.toDouble, w)
+    val prop = Prop.forAll(Gen.nonEmptyListOf(row), Gen.chooseNum(0.0, 1.0)) {
+      (rows, p) =>
+        val df = rows.map { case (v, w) => ("g", v, w) }.toDF("g", "v", "w")
+        val weighted = Percentiles.weightedDiscrete(
+          df, Seq("g"), "v", "w", Seq(("q", p))).head().getDouble(1)
+        val expanded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(("g", v)) }
+          .toDF("g", "v")
+        val plain = Percentiles.discrete(
+          expanded, Seq("g"), Seq(("q", "v", p))).head().getDouble(1)
+        weighted == plain
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40)
+        .withInitialSeed(org.scalacheck.rng.Seed(47L)), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
