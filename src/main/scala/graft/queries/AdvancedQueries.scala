@@ -957,6 +957,58 @@ object AdvancedQueries {
                      min(ts) AS sess_start, round(sum(value), 2) AS sess_value
               FROM sess GROUP BY 1, 2 ORDER BY user_id, sess_id""")),
 
+    // SESSION QUALITY metrics — the engagement dashboard on top of
+    // q_sessionize's decomposition (bounce rate / depth / duration):
+    // same single per-user window pass to session ids, a per-session
+    // rollup, then everything folds to ONE summary row. Durations are
+    // exact integer microseconds; rates are one division of exact
+    // integer counts, rounded identically.
+    QueryDef(
+      "q_session_metrics",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        val sess = Tables.events(s, d)
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+          .withColumn("sess_id", sum("new_sess")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess_id")
+          .agg(count(lit(1)).as("n_events"),
+            (unix_micros(max("ts")) - unix_micros(min("ts"))).as("dur_us"))
+        sess.agg(
+          count(lit(1)).as("n_sessions"),
+          countDistinct("user_id").as("n_users"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+          round(sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("bounce_rate"),
+          round(sum("n_events").cast("double") / count(lit(1)), 4).as("avg_depth"),
+          sum("dur_us").as("total_dur_us"))
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, ts,
+                     lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                   FROM events),
+                   marks AS (SELECT *, CASE WHEN prev_ts IS NULL
+                                  OR epoch(ts) - epoch(prev_ts) > 1800
+                               THEN 1 ELSE 0 END AS new_sess FROM g),
+                   sess AS (SELECT *, sum(new_sess) OVER
+                              (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+                            FROM marks),
+                   per AS (SELECT user_id, sess_id, count(*) AS n_events,
+                                  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+                           FROM sess GROUP BY 1, 2)
+              SELECT count(*) AS n_sessions,
+                     count(DISTINCT user_id) AS n_users,
+                     CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bounces,
+                     round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                           / count(*), 6) AS bounce_rate,
+                     round(CAST(sum(n_events) AS DOUBLE) / count(*), 4) AS avg_depth,
+                     CAST(sum(dur_us) AS BIGINT) AS total_dur_us
+              FROM per""")),
+
     // GROUPING SETS / CUBE: every dim-combination rollup in ONE pass
     // (Expand + single aggregate) — the query-side analog of the
     // star-tree's multi-combination pre-aggregation; at 100 TB one Expand
@@ -1116,6 +1168,41 @@ object AdvancedQueries {
       Some("""WITH t AS (SELECT event_type, value,
                                 last_value(CASE WHEN event_type <> 'purchase'
                                                 THEN event_type END IGNORE NULLS)
+                                  OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND 1 PRECEDING) AS channel
+                         FROM events)
+              SELECT coalesce(channel, 'direct') AS channel,
+                     count(*) AS n_purchases,
+                     round(sum(value), 2) AS revenue
+              FROM t WHERE event_type = 'purchase'
+              GROUP BY 1 ORDER BY channel""")),
+
+    // FIRST-touch attribution — the acquisition-side complement of
+    // q_attribution's last-touch (which channel FIRST brought the user
+    // who later purchased?): the same one-window shuffle with
+    // first()/ignoreNulls over the unbounded-preceding frame; per-row
+    // state is one carried string, never an event list.
+    QueryDef(
+      "q_attribution_first",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .withColumn("channel",
+            first(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum("value"), 2).as("revenue"))
+          .orderBy("channel")
+      },
+      Some("""WITH t AS (SELECT event_type, value,
+                                first_value(CASE WHEN event_type <> 'purchase'
+                                                 THEN event_type END IGNORE NULLS)
                                   OVER (PARTITION BY user_id
                                         ORDER BY ts, event_id
                                         ROWS BETWEEN UNBOUNDED PRECEDING
