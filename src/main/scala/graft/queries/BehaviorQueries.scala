@@ -663,6 +663,46 @@ object BehaviorQueries {
               WHERE n_ref > 0 AND n_cur > 0
               GROUP BY 1 ORDER BY event_type""")),
 
+    // PARETO revenue concentration — "what share of revenue comes from
+    // the whale decile?": per-user revenue rolls up entity-sized, the
+    // p90 cut comes from the dictionary-histogram operator over
+    // integer-cent user revenues (never a global user sort), rounded
+    // on both sides against interpolation fuzz (the q_psi_drift
+    // lesson), and the shares are one broadcast-scalar division. Users
+    // AT the cut count into the top bucket on both engines (an exact
+    // >= on the rounded edge).
+    QueryDef(
+      "q_pareto_revenue",
+      (s, d) => {
+        val per = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(round(sum("value") * 100).cast("long").as("rev_c"))
+        val cut = graft.operators.Percentiles.exact(
+          per.withColumn("g", lit(1)), Seq("g"), Seq(("p90", "rev_c", 0.9)))
+          .select(round(col("p90"), 4).as("p90"))
+        per.crossJoin(broadcast(cut))
+          .agg(
+            count(lit(1)).as("n_users"),
+            sum(when(col("rev_c") >= col("p90"), 1L).otherwise(0L)).as("n_top"),
+            round(sum(when(col("rev_c") >= col("p90"), col("rev_c"))
+              .otherwise(0L)).cast("double") / sum("rev_c"), 6).as("top_rev_share"),
+            round(first("p90") / 100, 2).as("cut_rev"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+                                  CAST(round(sum(value) * 100) AS BIGINT) AS rev_c
+                           FROM events WHERE event_type = 'purchase'
+                           GROUP BY 1),
+                   cut AS (SELECT round(quantile_cont(rev_c, 0.9), 4) AS p90
+                           FROM per)
+              SELECT count(*) AS n_users,
+                     CAST(sum(CASE WHEN rev_c >= p90 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_top,
+                     round(CAST(sum(CASE WHEN rev_c >= p90 THEN rev_c ELSE 0 END)
+                                AS DOUBLE) / sum(rev_c), 6) AS top_rev_share,
+                     round(any_value(p90) / 100, 2) AS cut_rev
+              FROM per, cut""")),
+
     // TIME-DECAYED customer value (recency-weighted LTV — the ranking a
     // growth dashboard uses where plain revenue overweights long-churned
     // spenders): each purchase decays by half per 7-day age bucket,

@@ -216,6 +216,32 @@ object DateTimeQueries {
               FROM l WHERE prev IS NOT NULL AND prev <> 0
               ORDER BY event_type, week""")),
 
+    // Day-of-week × hour ACTIVITY HEATMAP — the usage-rhythm dashboard
+    // tile: one scan-local (dow, hour) projection + a ≤168-cell rollup
+    // with exact counts; share divides by the scalar total (broadcast).
+    QueryDef(
+      "q_dow_hour_heatmap",
+      (s, d) => {
+        val cells = Tables.events(s, d)
+          .select((dayofweek(col("ts")) - 1).as("dow"),
+            hour(col("ts")).as("hr"))
+          .groupBy("dow", "hr")
+          .agg(count(lit(1)).as("n_events"))
+        val tot = cells.agg(sum("n_events").as("tot"))
+        cells.crossJoin(broadcast(tot))
+          .select(col("dow"), col("hr"), col("n_events"),
+            round(col("n_events") / col("tot"), 6).as("share"))
+          .orderBy("dow", "hr")
+      },
+      Some("""WITH c AS (SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+                                CAST(date_part('hour', ts) AS INT) AS hr,
+                                count(*) AS n_events
+                         FROM events GROUP BY 1, 2),
+                   t AS (SELECT sum(n_events) AS tot FROM c)
+              SELECT dow, hr, n_events,
+                     round(CAST(n_events AS DOUBLE) / tot, 6) AS share
+              FROM c, t ORDER BY dow, hr""")),
+
     // SEASONAL DECOMPOSITION (trend + day-of-week seasonal + residual —
     // the classic additive split a timeseries dashboard overlays): daily
     // revenue in INTEGER CENTS, centered 7-day trend kept as the exact

@@ -93,7 +93,13 @@ class PlanLintSpec extends SparkSpec {
     "q_geo_knn",
     // scalar-N pattern: the single-row temporal midpoint broadcasts onto
     // the event scan to split the halves
-    "q_psi_drift")
+    "q_psi_drift",
+    // scalar-N pattern: the single-row activity total broadcasts onto the
+    // ≤168-cell heatmap rollup
+    "q_dow_hour_heatmap",
+    // scalar-N pattern: the single-row p90 cut broadcasts onto the
+    // entity-sized per-user revenue rollup
+    "q_pareto_revenue")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
@@ -197,9 +203,13 @@ class PlanLintSpec extends SparkSpec {
     //  - q_triangles: the row_number id assignment over the HOST
     //    dictionary (one row per distinct source) — bounded by host
     //    cardinality, never documents.
+    //  - q_pareto_revenue: q_histogram_eqdepth's GLOBAL quartile class —
+    //    the constant-group histogram window runs over the user-revenue
+    //    CENTS dictionary (bounded by the spend domain, like the RFM
+    //    metrics), never raw rows.
     val globalWindowOk = Set("q_gapfill_prev", "q_topn_others",
       "q_histogram_eqdepth", "q_rfm_segments", "q_top_p_vocab",
-      "q_seasonal_decompose", "q_triangles")
+      "q_seasonal_decompose", "q_triangles", "q_pareto_revenue")
     val offenders = Registry.all.flatMap { q =>
       val global = q.run(spark, sfDir).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
