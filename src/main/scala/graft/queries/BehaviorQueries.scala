@@ -677,7 +677,7 @@ object BehaviorQueries {
         val per = Tables.events(s, d)
           .filter(col("event_type") === "purchase")
           .groupBy("user_id")
-          .agg(round(sum("value") * 100).cast("long").as("rev_c"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("rev_c"))
         val cut = graft.operators.Percentiles.exact(
           per.withColumn("g", lit(1)), Seq("g"), Seq(("p90", "rev_c", 0.9)))
           .select(round(col("p90"), 4).as("p90"))
@@ -690,7 +690,7 @@ object BehaviorQueries {
             round(first("p90") / 100, 2).as("cut_rev"))
       },
       Some("""WITH per AS (SELECT user_id,
-                                  CAST(round(sum(value) * 100) AS BIGINT) AS rev_c
+                                  sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
                            FROM events WHERE event_type = 'purchase'
                            GROUP BY 1),
                    cut AS (SELECT round(quantile_cont(rev_c, 0.9), 4) AS p90

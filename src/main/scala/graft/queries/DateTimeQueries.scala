@@ -255,9 +255,12 @@ object DateTimeQueries {
     QueryDef(
       "q_seasonal_decompose",
       (s, d) => {
+        // Per-row cents BEFORE the sum: round(double-SUM) is boundary-
+        // fragile under accumulation reordering (r8 driver hash-FAIL);
+        // summing per-row longs is integer-exact under ANY order.
         val day = Tables.events(s, d)
           .groupBy(date_trunc("day", col("ts")).as("day"))
-          .agg(round(sum("value") * 100).cast("long").as("rev_c"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("rev_c"))
         val w = org.apache.spark.sql.expressions.Window.orderBy("day")
         val trended = day
           .withColumn("trend7_c", sum("rev_c").over(w.rowsBetween(-3, 3)))
@@ -265,8 +268,10 @@ object DateTimeQueries {
           .filter(col("n7") === 7)
           .withColumn("det_c", col("rev_c") * 7 - col("trend7_c"))
           .withColumn("dow", dayofweek(col("day")) - 1)
+        // explicit exact-long-sum / count (not avg) so both engines
+        // perform the identical single IEEE division before rounding
         val seasonal = trended.groupBy("dow")
-          .agg(round(avg("det_c"), 4).as("seasonal_c"))
+          .agg(round(sum("det_c").cast("double") / count(lit(1)), 4).as("seasonal_c"))
         trended.join(broadcast(seasonal), "dow")
           .select(col("day"), col("rev_c"), col("trend7_c"),
             col("det_c"), col("dow"),
@@ -275,7 +280,7 @@ object DateTimeQueries {
           .orderBy("day")
       },
       Some("""WITH day AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                                  CAST(round(sum(value) * 100) AS BIGINT) AS rev_c
+                                  sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
                            FROM events GROUP BY 1),
                    t AS (SELECT day, rev_c,
                                 sum(rev_c) OVER (ORDER BY day
@@ -289,7 +294,8 @@ object DateTimeQueries {
                                 rev_c * 7 - trend7_c AS det_c,
                                 date_part('dow', day) AS dow
                          FROM t WHERE n7 = 7),
-                   se AS (SELECT dow, round(avg(det_c), 4) AS seasonal_c
+                   se AS (SELECT dow, round(CAST(sum(det_c) AS DOUBLE) / count(*), 4)
+                                        AS seasonal_c
                           FROM f GROUP BY 1)
               SELECT day, rev_c, trend7_c, det_c, CAST(f.dow AS INT) AS dow,
                      seasonal_c,
