@@ -66,6 +66,13 @@ object Bpe {
   /** Train `k` merges. Returns the learned merge table rows
     * (step, a, b, pair_cnt) and the final symbol dictionary
     * (word, cnt, syms).
+    *
+    * OWNERSHIP: the returned dictionary is left `persist()`ed (round r+1
+    * of any downstream use must not replay the merge chain); the CALLER
+    * owns its lifecycle — either `unpersist()` it when done or memoize
+    * one instance per (session, input) the way the registry wrappers do
+    * (CorpusQueries.bpeCache), so repeated invocations cannot leak one
+    * cached plan each.
     */
   def train(docs: DataFrame, textCol: String, k: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {

@@ -1587,19 +1587,19 @@ object AdvancedQueries {
                                  epoch_us(ts) + CAST(round(value * 3600000000) AS BIGINT)
                                    AS en
                           FROM events WHERE user_id < 40 AND value > 0),
-                   m AS (SELECT user_id, st, en,
+                   m AS (SELECT user_id, event_id, st, en,
                                 max(en) OVER (PARTITION BY user_id
                                               ORDER BY st, en, event_id
                                               ROWS BETWEEN UNBOUNDED PRECEDING
                                               AND 1 PRECEDING) AS pmax
                          FROM iv),
-                   f AS (SELECT user_id, st, en,
+                   f AS (SELECT user_id, event_id, st, en,
                                 CASE WHEN pmax IS NULL OR st > pmax
                                      THEN 1 ELSE 0 END AS new_isl
                          FROM m),
                    g AS (SELECT user_id, st, en,
                                 sum(new_isl) OVER (PARTITION BY user_id
-                                                   ORDER BY st, en
+                                                   ORDER BY st, en, event_id
                                                    ROWS BETWEEN UNBOUNDED PRECEDING
                                                    AND CURRENT ROW) AS isl
                          FROM f),

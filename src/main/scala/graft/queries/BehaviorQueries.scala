@@ -402,7 +402,10 @@ object BehaviorQueries {
         credits
           .groupBy(col("c.channel").as("channel"))
           .agg(
-            (round(sum(col("c.w") * col("value")), 2) + lit(0.0)).as("revenue"),
+            // half-credit × cents = 0.005 grid — exactly boundary-capable
+            // at 2 dp; per-row exact mills, scalar division at the end
+            (round(sum(round(col("c.w") * col("value") * 1000).cast("long"))
+              / 1000.0, 2) + lit(0.0)).as("revenue"),
             (round(sum(col("c.w")), 1) + lit(0.0)).as("n_credits"))
           .orderBy("channel")
       },
@@ -433,7 +436,8 @@ object BehaviorQueries {
                      SELECT last_t.t, 0.5, value FROM p
                      WHERE first_t IS NOT NULL AND first_t <> last_t)
               SELECT channel,
-                     round(sum(w * value), 2) + 0 AS revenue,
+                     round(CAST(sum(CAST(round(w * value * 1000) AS BIGINT))
+                                AS BIGINT) / 1000.0, 2) + 0 AS revenue,
                      round(sum(w), 1) + 0 AS n_credits
               FROM credits GROUP BY 1 ORDER BY channel""")),
 

@@ -94,11 +94,17 @@ object CoreSql {
             round(avg("l_extendedprice"), 2).as("avg_price"),
             min("l_quantity").as("min_qty"),
             max("l_quantity").as("max_qty"),
-            round(sum(col("l_extendedprice") * col("l_discount")), 2).as("disc_rev")),
+            // price×discount values live on a 1e-4 grid, so their true sum
+            // CAN sit exactly on a half-cent rounding boundary — quantize
+            // per row to exact 1e-4-units longs (order-immune), then one
+            // identical scalar division+round on both engines
+            round(sum(round(col("l_extendedprice") * col("l_discount") * 10000)
+              .cast("long")) / 10000.0, 2).as("disc_rev")),
       Some("""SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
                      round(avg(l_extendedprice), 2) AS avg_price,
                      min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-                     round(sum(l_extendedprice * l_discount), 2) AS disc_rev
+                     round(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                                         AS BIGINT)) AS BIGINT) / 10000.0, 2) AS disc_rev
               FROM lineitem""")),
 
     QueryDef(
@@ -106,8 +112,11 @@ object CoreSql {
       (s, d) => aggGroupBy(s, d),
       Some("""SELECT l_returnflag, l_linestatus,
                      round(sum(l_quantity), 2) AS sum_qty,
-                     round(sum(l_extendedprice), 2) AS sum_base,
-                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+                     round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                                AS BIGINT) / 100.0, 2) AS sum_base,
+                     round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                               * 10000) AS BIGINT))
+                                AS BIGINT) / 10000.0, 2) AS sum_disc,
                      round(avg(l_quantity), 2) AS avg_qty,
                      count(*) AS cnt
               FROM lineitem
@@ -558,8 +567,14 @@ object CoreSql {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        // per-row cents: l_extendedprice is cent-exact, so the long sum is
+        // the SAME value computed order-immune (scale-proof money rollup)
+        round(sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0, 2)
+          .as("sum_base"),
+        // price×(1−discount) lives on a 1e-4 grid (boundary-capable at 2
+        // dp) — per-row 1e-4-units longs, one scalar division at the end
+        round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")) / 10000.0, 2).as("sum_disc"),
         round(avg("l_quantity"), 2).as("avg_qty"),
         count(lit(1)).as("cnt"))
       .filter(col("cnt") > 10)

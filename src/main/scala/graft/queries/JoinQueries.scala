@@ -44,12 +44,17 @@ object JoinQueries {
           .agg(
             countDistinct(col("o_orderkey")).as("n_orders"),
             count(lit(1)).as("n_lines"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+            // 1e-4-grid product sums are boundary-capable at 2 dp: per-row
+            // exact longs, one identical scalar division on both engines
+            round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 10000).cast("long")) / 10000.0, 2).as("revenue"))
           .orderBy("o_orderpriority")
       },
       Some("""SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
                      count(*) AS n_lines,
-                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                     round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                               * 10000) AS BIGINT)) AS BIGINT)
+                           / 10000.0, 2) AS revenue
               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
               WHERE o_orderdate >= TIMESTAMP '1996-01-01'
               GROUP BY 1 ORDER BY o_orderpriority""")),
