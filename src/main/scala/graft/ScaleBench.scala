@@ -52,7 +52,11 @@ object ScaleBench {
     // round-7 curation family: quality gates (scan-local, expected ~flat),
     // boilerplate span df-strip (span rollup + broadcast-back), domain
     // capping (dictionary rollup + broadcast predicate).
-    "q_quality_gates", "q_boilerplate_strip", "q_domain_cap")
+    "q_quality_gates", "q_boilerplate_strip", "q_domain_cap",
+    // round-9 quadratic-consumer shortlist (the 30× three-point check):
+    // embedding clustering, Lloyd k-means, k-center coreset — each had a
+    // benign >C× slope at 10× whose true exponent only shows further out.
+    "q_dedup_embedding_clusters", "q_kmeans", "q_coreset_kcenter")
 
   /** The registry's q_dedup_embedding runs the fixture-calibrated
     * threshold 0.4, where ~0.4% of RANDOM pairs qualify — so the true-pair

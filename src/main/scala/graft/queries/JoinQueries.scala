@@ -141,21 +141,31 @@ object JoinQueries {
                 ON l.user_id = r.user_id AND l.ts >= r.ts
               ORDER BY l.event_id""")),
 
-    // Interval (range) join with NO shared key: orders priced inside
-    // per-customer bands, via bucket decomposition (RangeJoin) — an
-    // equi-join on the band bucket + exact BETWEEN filter, never a
-    // nested-loop. Bands are synthesized deterministically on both sides.
+    // Interval (range) join with NO shared key: per-customer price-band
+    // order statistics via the range-AGGREGATION decomposition (RangeJoin.
+    // intervalAggJoin): points pre-aggregate into a bucket dictionary,
+    // intervals consume interior buckets' partials WHOLESALE and check
+    // points only in their ≤2 edge buckets — the point×interval pair
+    // explosion (every point here sits inside ~n·len/domain bands, so
+    // pair counts grow with density even when the answer doesn't) never
+    // materializes. The band width self-tunes to interval length/density
+    // stats. Order values quantize to per-row cents so bucket partials
+    // recombine exactly in any decomposition (bit-identical to DuckDB's
+    // direct BETWEEN aggregate). No nested-loop anywhere.
     QueryDef(
       "q_range_join",
       (s, d) => {
-        val points = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        val points = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
         val intervals = Tables.customer(s, d)
           .select(col("c_custkey"),
             ((col("c_custkey") * 137) % 400000).cast("double").as("lo"))
           .withColumn("hi", col("lo") + 5000.0)
-        RangeJoin.intervalJoin(points, intervals, "o_totalprice", "lo", "hi", w = 5000.0)
-          .groupBy("c_custkey")
-          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+        RangeJoin.intervalAggJoin(points, intervals,
+            "o_totalprice", "lo", "hi", sumCols = Seq("cents"))
+          .select(col("c_custkey"), col("n_points").as("n_orders"),
+            round(col("sum_cents") / 100.0, 2).as("sum_price"))
           .orderBy("c_custkey")
       },
       Some("""WITH iv AS (SELECT c_custkey,
@@ -163,7 +173,8 @@ object JoinQueries {
                      CAST((c_custkey * 137) % 400000 AS DOUBLE) + 5000.0 AS hi
                    FROM customer)
               SELECT c_custkey, count(*) AS n_orders,
-                     round(sum(o_totalprice), 2) AS sum_price
+                     round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                AS BIGINT) / 100.0, 2) AS sum_price
               FROM iv JOIN orders
                 ON o_totalprice BETWEEN lo AND hi
               GROUP BY 1 ORDER BY c_custkey""")),

@@ -46,4 +46,64 @@ class JoinOperatorsSpec extends SparkSpec {
     assert(got === naive)
     assert(naive === Set((1L, 10L), (2L, 11L), (2L, 12L), (3L, 12L)))
   }
+
+  test("adaptive interval join equals the naive BETWEEN join (outliers, uncoverable points)") {
+    import spark.implicits._
+    // mixed lengths incl. one long outlier; points far outside the covered
+    // domain exercise the broadcast bucket-dictionary prune
+    val points = Seq((1L, 3.0), (2L, 7.5), (3L, 12.0), (4L, 25.0),
+      (5L, -50.0), (6L, 1e6), (7L, 19.9))
+      .toDF("p_id", "v")
+    val intervals = Seq((10L, 0.0, 5.0), (11L, 5.0, 10.0), (12L, 7.0, 20.0),
+      (13L, 2.0, 2.5), (14L, -10.0, 90.0))
+      .toDF("i_id", "lo", "hi")
+    val got = RangeJoin.intervalJoinAuto(points, intervals, "v", "lo", "hi")
+      .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(intervals)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+    assert(naive.contains((7L, 12L)) && !naive.exists(_._1 == 6L))
+  }
+
+  test("interval-aggregation join equals the naive BETWEEN join + groupBy") {
+    import spark.implicits._
+    // dense coverage (every point in several bands), a sub-bucket
+    // interval, an empty band (must be absent), negative values, and
+    // duplicate point values — the decomposition's edge inventory
+    val points = (1L to 60L).map(i => (i, (i % 30).toDouble - 5.0, (i % 30) - 5L))
+      .toDF("p_id", "v", "cents")
+    val intervals = Seq(
+      (10L, 0.0, 20.0), (11L, -5.0, 25.0), (12L, 3.0, 3.4),
+      (13L, 100.0, 200.0), (14L, 17.0, 18.0), (15L, -100.0, -50.0))
+      .toDF("i_id", "lo", "hi")
+    val got = RangeJoin.intervalAggJoin(
+        points, intervals, "v", "lo", "hi", sumCols = Seq("cents"))
+      .select("i_id", "n_points", "sum_cents").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val naive = points.crossJoin(intervals)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy("i_id")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === naive)
+    assert(!got.contains(13L) && !got.contains(15L),
+      "empty bands must be absent (inner-join semantics)")
+    assert(got(11L)._1 === 60L, "full-coverage band counts every point")
+  }
+
+  test("adaptive width shrinks with interval density and respects its bounds") {
+    val lmean = 5000.0; val domain = 400000.0
+    // sparse: the classic W ≈ mean length
+    assert(RangeJoin.adaptiveWidth(100L, lmean, lmean, domain, 64) === lmean)
+    // dense (the 10×-growth shape): width shrinks to spread the buckets…
+    val dense = RangeJoin.adaptiveWidth(15000L, lmean, lmean, domain, 64)
+    assert(dense < lmean && dense >= lmean / 8.0)
+    // …monotonically in n, never below the floor
+    val denser = RangeJoin.adaptiveWidth(150000L, lmean, lmean, domain, 64)
+    assert(denser <= dense && denser >= lmean / 8.0)
+    // a single long outlier cannot explode into unbounded replicas
+    val outlier = RangeJoin.adaptiveWidth(1000000L, 10.0, 100000.0, 1e9, 64)
+    assert(outlier >= 100000.0 / 256.0)
+  }
 }
