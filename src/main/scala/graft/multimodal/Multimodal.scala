@@ -157,6 +157,15 @@ object Multimodal {
     * distinct blobs. Scan-local pure compute — corpus-wide image dedup
     * is then groupBy(ahash), the same shape as q_dedup_exact.
     */
+  /** Fingerprint-or-EXCLUDE: a blob the codecs reject (progressive /
+    * arithmetic JPEG, hierarchical SOF, foreign containers, truncated
+    * streams) yields None so dedup pipelines DROP the row — never a
+    * shared sentinel value, which would silently group unrelated
+    * undecodable blobs as "duplicates of each other".
+    */
+  def imageFingerprint(bytes: Array[Byte]): Option[Long] =
+    decodeImage(bytes).map(aHash64)
+
   def aHash64(img: MediaCodec.PngImage): Long = {
     val small = resizeRgb(img, 8, 8)
     val gray = new Array[Int](64)

@@ -771,6 +771,47 @@ object AdvancedQueries {
       },
       None),
 
+    // The theta family's EXACT-REGIME twin: a KMV sketch with k above the
+    // true cardinality never trims (θ stays 1.0), so every estimate —
+    // including the composed intersection/difference sketches — is the
+    // EXACT set cardinality, and the whole sketch machinery becomes
+    // hash-verifiable against plain DISTINCT set algebra. Same code path
+    // as q_theta_setops (sketch agg → union/intersect/aNotB → estimate),
+    // k=65536 ≫ the ≤15k per-year customers at any tested sf. This is the
+    // operating mode a 100 TB deployment uses for dimension-sized keys;
+    // trimming only starts past k distinct values.
+    QueryDef(
+      "q_theta_setops_exact",
+      (s, d) => {
+        import graft.functions.SketchFns._
+        val o = Tables.orders(s, d)
+          .filter(expr("year(o_orderdate) in (1996, 1997)"))
+          .withColumn("yr", expr("year(o_orderdate)"))
+        o.groupBy("yr")
+          .agg(thetaSketch(col("o_custkey"), 65536).as("sk"))
+          .agg(
+            first(when(col("yr") === 1996, col("sk")), ignoreNulls = true).as("sk96"),
+            first(when(col("yr") === 1997, col("sk")), ignoreNulls = true).as("sk97"))
+          .select(
+            thetaEstimate(col("sk96")).cast("long").as("n_1996"),
+            thetaEstimate(col("sk97")).cast("long").as("n_1997"),
+            thetaEstimate(thetaUnion(col("sk96"), col("sk97"))).cast("long").as("n_either"),
+            thetaEstimate(thetaIntersect(col("sk96"), col("sk97"))).cast("long").as("n_both"),
+            thetaEstimate(thetaANotB(col("sk96"), col("sk97"))).cast("long").as("n_only_1996"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                         WHERE year(o_orderdate) = 1996),
+                   b AS (SELECT DISTINCT o_custkey FROM orders
+                         WHERE year(o_orderdate) = 1997)
+              SELECT (SELECT count(*) FROM a) AS n_1996,
+                     (SELECT count(*) FROM b) AS n_1997,
+                     (SELECT count(*) FROM
+                        (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)) AS n_either,
+                     (SELECT count(*) FROM
+                        (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)) AS n_both,
+                     (SELECT count(*) FROM
+                        (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)) AS n_only_1996""")),
+
     // SKETCH CUBE rollup — theta sketches as pre-aggregated cube metrics
     // (Pinot's DISTINCTCOUNTTHETASKETCH star-tree metric): per-(type, day)
     // CELL sketches roll up to per-type distinct-user estimates by
@@ -795,6 +836,30 @@ object AdvancedQueries {
           .orderBy("event_type")
       },
       None),
+
+    // q_theta_cube's exact-regime twin (k=65536 ≫ user cardinality): the
+    // grouping-invariant KMV union means cube-served per-type distinct
+    // counts EQUAL the raw-scan distinct counts exactly when nothing
+    // trims — hash-verified against COUNT(DISTINCT) here, pinning the
+    // whole cells→union-agg→estimate rollup path, not just its bound.
+    QueryDef(
+      "q_theta_cube_exact",
+      (s, d) => {
+        import graft.functions.SketchFns._
+        val cells = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(thetaSketch(col("user_id"), 65536).as("sk"))
+        cells.groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_cells"),
+            thetaEstimate(thetaUnionAgg(col("sk"), 65536)).cast("long")
+              .as("distinct_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+                     count(DISTINCT date_trunc('day', ts)) AS n_cells,
+                     count(DISTINCT user_id) AS distinct_users
+              FROM events GROUP BY 1 ORDER BY event_type""")),
 
     // Sketch-estimated JACCARD similarity between user cohorts — the
     // audience-overlap matrix a dashboard renders across all segment

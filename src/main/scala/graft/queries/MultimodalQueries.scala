@@ -244,9 +244,12 @@ object MultimodalQueries {
               (id, 2, graft.multimodal.GifCodec.encodeGif(img).get),
               (id, 3, MediaCodec.encodeBmp(shifted)))
           }
-          .map { case (id, variant, bytes) =>
-            (id, variant,
-              Multimodal.decodeImage(bytes).map(Multimodal.aHash64).getOrElse(-1L))
+          // fingerprint-or-EXCLUDE: an undecodable variant (e.g. a
+          // progressive JPEG falling off the baseline decoder) drops out
+          // rather than collapsing onto a shared sentinel hash that would
+          // group unrelated blobs (MediaCodecFormatsSpec pins this)
+          .flatMap { case (id, variant, bytes) =>
+            Multimodal.imageFingerprint(bytes).map(h => (id, variant, h))
           }
           .toDF("doc_id", "variant", "ahash")
         val perDoc = hashed.groupBy("doc_id")

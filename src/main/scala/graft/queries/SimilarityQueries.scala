@@ -103,6 +103,42 @@ object SimilarityQueries {
       },
       None),
 
+    // q_ann_ivf's hash-verified twin: probing ALL cells makes IVF
+    // deterministic and EXACT (every candidate is scored, so the result
+    // is brute-force kNN routed through the cell partition/probe
+    // machinery) — the probe-all ≡ brute identity IvfAnnSpec asserts,
+    // promoted to a DuckDB-verified registry row. Same cell assignment,
+    // probe join and rerank code as the approximate row; only nProbe
+    // differs.
+    QueryDef(
+      "q_ann_ivf_exact",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        IvfAnn.knnIvf(e.filter(col("vec_id") < 10), e, k = 3,
+            numCentroids = 16, nProbe = 16)
+          .select(col("q_id"), col("cand_id"), col("rank"),
+            (round(col("sim"), 4) + lit(0.0)).as("sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                                CAST(unnest(embedding) AS DOUBLE) AS v
+                         FROM embeddings),
+                   norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+                   dots AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id, sum(a.v * b.v) AS dot
+                            FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+                            WHERE a.vec_id < 10
+                            GROUP BY 1, 2),
+                   sims AS (SELECT q_id, cand_id, dot / (nq.nrm * nc.nrm) AS sim_raw
+                            FROM dots
+                            JOIN norms nq ON q_id = nq.vec_id
+                            JOIN norms nc ON cand_id = nc.vec_id),
+                   ranked AS (SELECT q_id, cand_id, sim_raw,
+                              row_number() OVER (PARTITION BY q_id
+                                                 ORDER BY sim_raw DESC, cand_id) AS rank
+                              FROM sims)
+              SELECT q_id, cand_id, rank, round(sim_raw, 4) + 0 AS sim
+              FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // Symmetric int8 quantization of the embedding column — the
     // compression step that makes a 100 TB ANN index 4× smaller (and
     // SIMD-friendlier) at a measured accuracy cost. Per label: scale =

@@ -197,6 +197,34 @@ class MediaCodecFormatsSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(Array[Byte](9, 9, 9, 9)).isEmpty)
   }
 
+  test("progressive JPEG is EXCLUDED from fingerprinting, never grouped-as-equal") {
+    // The honesty probe: JpegCodec handles baseline/extended-sequential
+    // only; a progressive (SOF2) stream must flow through the dedup
+    // pipeline as "no fingerprint" — NOT as a shared sentinel that would
+    // make two unrelated progressive files perceptual "duplicates".
+    def progressiveJpeg(payload: Int): Array[Byte] = Array(
+      0xFF, 0xD8,             // SOI
+      0xFF, 0xC2, 0x00, 0x0B, // SOF2 (progressive), len 11
+      0x08, 0x00, 0x08, 0x00, 0x08, 0x01, payload, 0x11, 0x00,
+      0xFF, 0xD9              // EOI
+    ).map(_.toByte)
+    val p1 = progressiveJpeg(0x01)
+    val p2 = progressiveJpeg(0x02)
+    // the decoder rejects the stream (None), so the fingerprint is absent…
+    assert(JpegCodec.decodeJpeg(p1).isEmpty)
+    assert(Multimodal.imageFingerprint(p1).isEmpty)
+    assert(Multimodal.imageFingerprint(p2).isEmpty)
+    // …and a decodable image still fingerprints
+    val img = blockImage(32, 32, 8, seed = 3)
+    assert(Multimodal.imageFingerprint(MediaCodec.encodePng(img)).nonEmpty)
+    // pipeline form: flatMap-over-Option drops both progressive rows — no
+    // hash group can ever contain them (the poisoning the sentinel had)
+    val rows = Seq(("a", p1), ("b", p2), ("c", MediaCodec.encodePng(img)))
+      .flatMap { case (id, bytes) =>
+        Multimodal.imageFingerprint(bytes).map(h => (id, h)) }
+    assert(rows.map(_._1) === Seq("c"))
+  }
+
   test("aHash64 matches across formats for the same image (cross-format dedup)") {
     // the crawl story: one page image stored as PNG by one crawler, JPEG
     // by another, GIF by a third — byte dedup sees 3 blobs, perceptual
