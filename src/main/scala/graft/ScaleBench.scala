@@ -113,6 +113,7 @@ object ScaleBench {
         graft.queries.DedupQueries.invalidateCaches()
         graft.similarity.IvfAnn.invalidateIndexCache()
         graft.similarity.Pq.invalidateCache()
+        graft.queries.CorpusQueries.invalidateBpeCache()
         val t0 = System.nanoTime()
         try { fn(spark, dir).write.format("noop").mode("overwrite").save()
               Some((System.nanoTime() - t0) / 1e9) }

@@ -987,6 +987,35 @@ object AdvancedQueries {
               FROM events WHERE user_id < 30
               GROUP BY 1 ORDER BY user_id""")),
 
+    // UNPIVOT (melt) — q_pivot's inverse: wide metric columns back to
+    // (key, metric, value) long form, the reshaping every feature-store
+    // export needs. Scan-local expansion (Spark's native unpivot = one
+    // generator projection, no shuffle, no UNION of self-scans — the
+    // oracle's 3-scan UNION ALL is exactly what this avoids at 100 TB).
+    QueryDef(
+      "q_unpivot",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 200)
+          .select("l_orderkey", "l_linenumber",
+            "l_quantity", "l_discount", "l_tax")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "metric", "val")
+          .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
+                SELECT l_orderkey, l_linenumber,
+                       'l_quantity' AS metric, l_quantity AS val
+                FROM lineitem WHERE l_orderkey < 200
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+                FROM lineitem WHERE l_orderkey < 200
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+                FROM lineitem WHERE l_orderkey < 200)
+              ORDER BY l_orderkey, l_linenumber, metric""")),
+
     // Sessionization: split each user's event stream into sessions at
     // >30-minute gaps (lag + running sum over one user-keyed window — a
     // single hash shuffle; the canonical behavioral-analytics shape).

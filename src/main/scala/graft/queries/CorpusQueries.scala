@@ -1267,4 +1267,12 @@ object CorpusQueries {
   private def bpeTrained(s: org.apache.spark.sql.SparkSession, d: String) =
     bpeCache.getOrElseUpdate((s, d),
       graft.pipeline.Bpe.train(graft.engine.Tables.documents(s, d), "text", k = 8))
+
+  /** Drop (and unpersist) memoized BPE artifacts — ScaleBench calls this
+    * per rep so scale slopes measure the training work, not a cache hit.
+    */
+  def invalidateBpeCache(): Unit = {
+    bpeCache.values.foreach { case (_, dict) => dict.unpersist() }
+    bpeCache.clear()
+  }
 }

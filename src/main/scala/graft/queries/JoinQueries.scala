@@ -179,6 +179,43 @@ object JoinQueries {
                 ON o_totalprice BETWEEN lo AND hi
               GROUP BY 1 ORDER BY c_custkey""")),
 
+    // CORRELATED aggregate subquery (the TPC-H Q17 "small-quantity parts"
+    // shape — rows compared against THEIR OWN group's aggregate): the
+    // multi-stage engine capability Pinot's single-stage SQL lacks.
+    // Spark-first decorrelation: the correlated `WHERE l_quantity <
+    // 0.2·avg(qty per part)` becomes one per-part aggregate (dictionary-
+    // sized) equi-joined back to the fact rows — no per-row subquery
+    // execution. Brand filter rides a broadcast semi-join. l_quantity is
+    // integer-valued so sum/count per part is exact on both engines (the
+    // threshold double is identical), and revenue sums per-row cents.
+    QueryDef(
+      "q_correlated_agg",
+      (s, d) => {
+        val pt = Tables.part(s, d)
+          .filter(col("p_brand").startsWith("Brand#1"))
+          .select("p_partkey")
+        val f = Tables.lineitem(s, d)
+          .join(broadcast(pt), col("l_partkey") === col("p_partkey"), "left_semi")
+          .select(col("l_partkey"), col("l_quantity"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+        val avgq = f.groupBy("l_partkey")
+          .agg((sum("l_quantity") / count(lit(1))).as("avg_qty"))
+        f.join(avgq, "l_partkey")
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg(count(lit(1)).as("n_small"),
+            round(sum("price_c") / 100.0, 2).as("tot_price"))
+      },
+      Some("""WITH pt AS (SELECT p_partkey FROM part WHERE p_brand LIKE 'Brand#1%'),
+                   f AS (SELECT l_partkey, l_quantity,
+                                CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+                         FROM lineitem JOIN pt ON l_partkey = p_partkey),
+                   a AS (SELECT l_partkey, sum(l_quantity) / count(*) AS avg_qty
+                         FROM f GROUP BY 1)
+              SELECT count(*) AS n_small,
+                     round(CAST(sum(price_c) AS BIGINT) / 100.0, 2) AS tot_price
+              FROM f JOIN a USING (l_partkey)
+              WHERE l_quantity < 0.2 * avg_qty""")),
+
     // Fuzzy (edit-distance ≤ 1) self-join via symmetric-delete blocking
     // (SymSpell): {s} ∪ deletes1(s) as equi-join keys — lev(a,b) ≤ 1
     // GUARANTEES a shared key (spec property-checks the claim under

@@ -89,6 +89,36 @@ object TextAnalysisQueries {
           .orderBy("lang", "pos"),
       None),
 
+    // q_frequent_terms' EXACT-REGIME twin (the theta-twin promotion
+    // pattern): Misra–Gries with capacity ≥ the distinct-token count
+    // never decrements, so every retained count is the TRUE count and
+    // the (count desc, item asc) ordering is the exact ranking —
+    // hash-verified against a plain GROUP BY + row_number oracle. Same
+    // mergeable aggregate, partial/merge path and ordering code as the
+    // approximate row; only the capacity differs.
+    QueryDef(
+      "q_frequent_terms_exact",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("lang"), explode(TextShingles.wordTokens(col("text"))).as("w"))
+          .groupBy("lang")
+          .agg(TextShingles.frequentItems(col("w"), 256).as("top_terms"))
+          .select(col("lang"),
+            posexplode(expr("slice(top_terms, 1, 10)")).as(Seq("pos", "t")))
+          .select(col("lang"), (col("pos") + 1).as("rk"),
+            col("t.item").as("item"), col("t.est_count").as("cnt"))
+          .orderBy("lang", "rk"),
+      Some("""WITH tok AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+                           FROM documents),
+                   c AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+                         FROM tok GROUP BY 1, 2),
+                   r AS (SELECT lang, w, cnt,
+                                CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY cnt DESC, w ASC) AS INT) AS rk
+                         FROM c)
+              SELECT lang, rk, w AS item, cnt FROM r WHERE rk <= 10
+              ORDER BY lang, rk""")),
+
     QueryDef(
       "q_fingerprint",
       (s, d) =>
