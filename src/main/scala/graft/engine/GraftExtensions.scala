@@ -65,6 +65,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("theta_intersect", classOf[ThetaIntersect])(es =>
       ThetaIntersect(es.head, es(1)))
     register("theta_a_not_b", classOf[ThetaANotB])(es => ThetaANotB(es.head, es(1)))
+    register("kll_sketch_agg", classOf[KllSketchAgg])(es =>
+      KllSketchAgg(es.head, intArg(es(1), "kll_sketch_agg")))
+    register("kll_union_agg", classOf[KllUnionAgg])(es =>
+      KllUnionAgg(es.head, intArg(es(1), "kll_union_agg")))
+    register("kll_quantile", classOf[KllQuantile])(es => KllQuantile(es.head, es(1)))
+    register("kll_rank", classOf[KllRank])(es => KllRank(es.head, es(1)))
     // composed-builtin function (no custom expression class): the SQL name
     // expands to the same codegen'd regexp/string tree the Column API builds
     register("canonicalize_url", graft.functions.UrlFns.getClass)(es =>

@@ -40,4 +40,26 @@ object SketchFns {
   def thetaANotB(a: Column, b: Column): Column =
     ColumnBridge.column(
       ThetaANotB(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** KLL-style mergeable quantile sketch (Pinot's PERCENTILEKLL analog).
+    * `groupBy(g).agg(kllSketch(value, k))` → blob; blobs union with
+    * `kllUnionAgg` (quantile CUBES); read order statistics off with
+    * `kllQuantile` / ranks with `kllRank`. Exact while n ≤ k (nothing
+    * compacts) — the regime the hash-verified twins pin.
+    */
+  def kllSketch(value: Column, k: Int = 256): Column =
+    ColumnBridge.column(
+      KllSketchAgg(ColumnBridge.expression(value), k).toAggregateExpression())
+
+  def kllUnionAgg(sketch: Column, k: Int = 256): Column =
+    ColumnBridge.column(
+      KllUnionAgg(ColumnBridge.expression(sketch), k).toAggregateExpression())
+
+  def kllQuantile(sketch: Column, q: Column): Column =
+    ColumnBridge.column(
+      KllQuantile(ColumnBridge.expression(sketch), ColumnBridge.expression(q)))
+
+  def kllRank(sketch: Column, x: Column): Column =
+    ColumnBridge.column(
+      KllRank(ColumnBridge.expression(sketch), ColumnBridge.expression(x)))
 }

@@ -239,6 +239,99 @@ object CoreSql {
           .orderBy("l_returnflag"),
       None),
 
+    // PERCENTILEKLL proper — the engine's OWN mergeable quantile sketch
+    // (functions/expressions/KllSketch.scala; Karnin-Lang-Liberty FOCS'16,
+    // the blob Pinot stores per segment and merges at query time): O(k)
+    // partial state per group per map task, so only ~k doubles ever cross
+    // the shuffle. k=256 ≪ group sizes here, so compaction genuinely
+    // fires — approximate by design (rows-only; KllSpec bounds the rank
+    // error and pins the exact-below-k regime).
+    QueryDef(
+      "q_percentile_kll",
+      (s, d) => {
+        import graft.functions.SketchFns._
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(kllSketch(col("value"), 256).as("sk"))
+          .select(col("event_type"),
+            round(kllQuantile(col("sk"), lit(0.5)), 4).as("p50_est"),
+            round(kllQuantile(col("sk"), lit(0.9)), 4).as("p90_est"),
+            round(kllRank(col("sk"), lit(50.0)), 4).as("rank_50"))
+          .orderBy("event_type")
+      },
+      None),
+
+    // q_percentile_kll's EXACT-REGIME twin (the theta-twin promotion
+    // pattern): with k above every group's row count nothing ever
+    // compacts, the sketch IS the sorted multiset, and kll_quantile
+    // returns the true rank-ceil(q·n) order statistic — hash-verified
+    // against an explicit rank-selection oracle. Raw stored doubles are
+    // selected, never combined, so no rounding discipline is needed.
+    QueryDef(
+      "q_percentile_kll_exact",
+      (s, d) => {
+        import graft.functions.SketchFns._
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(kllSketch(col("value"), 65536).as("sk"))
+          .select(col("event_type"),
+            kllQuantile(col("sk"), lit(0.25)).as("p25"),
+            kllQuantile(col("sk"), lit(0.5)).as("p50"),
+            kllQuantile(col("sk"), lit(0.9)).as("p90"))
+          .orderBy("event_type")
+      },
+      Some("""WITH st AS (SELECT event_type, value,
+                                 row_number() OVER (PARTITION BY event_type
+                                                    ORDER BY value) AS rn,
+                                 count(*) OVER (PARTITION BY event_type) AS n
+                          FROM events)
+              SELECT event_type,
+                     max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                              THEN value END) AS p25,
+                     max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                              THEN value END) AS p50,
+                     max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                              THEN value END) AS p90
+              FROM st GROUP BY 1 ORDER BY event_type""")),
+
+    // Mergeable QUANTILE CUBE (Pinot's PERCENTILEKLL as a star-tree
+    // metric): per-(type, day) CELL sketches roll up to per-type
+    // quantiles by unioning blobs (kll_union_agg) — raw rows are never
+    // rescanned at serve time. In the untrimmed regime the union is the
+    // exact multiset of the united cells, so the whole
+    // cells→union→quantile path is hash-verified (q_theta_cube_exact's
+    // argument, for order statistics).
+    QueryDef(
+      "q_kll_cube",
+      (s, d) => {
+        import graft.functions.SketchFns._
+        val cells = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(kllSketch(col("value"), 65536).as("sk"))
+        cells.groupBy("event_type")
+          .agg(count(lit(1)).as("n_cells"),
+            kllUnionAgg(col("sk"), 65536).as("usk"))
+          .select(col("event_type"), col("n_cells"),
+            kllQuantile(col("usk"), lit(0.5)).as("p50"),
+            kllQuantile(col("usk"), lit(0.9)).as("p90"))
+          .orderBy("event_type")
+      },
+      Some("""WITH st AS (SELECT event_type, value,
+                                 row_number() OVER (PARTITION BY event_type
+                                                    ORDER BY value) AS rn,
+                                 count(*) OVER (PARTITION BY event_type) AS n
+                          FROM events),
+                   cells AS (SELECT event_type,
+                                    count(DISTINCT date_trunc('day', ts)) AS n_cells
+                             FROM events GROUP BY 1)
+              SELECT event_type, n_cells,
+                     max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                              THEN value END) AS p50,
+                     max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                              THEN value END) AS p90
+              FROM st JOIN cells USING (event_type)
+              GROUP BY 1, 2 ORDER BY event_type""")),
+
     // Multi-quantile PERCENTILE in ONE aggregation pass (Pinot evaluates
     // each percentile level over the same column without rescanning).
     QueryDef(
