@@ -69,6 +69,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       KllSketchAgg(es.head, intArg(es(1), "kll_sketch_agg")))
     register("kll_union_agg", classOf[KllUnionAgg])(es =>
       KllUnionAgg(es.head, intArg(es(1), "kll_union_agg")))
+    register("kll_union", classOf[KllUnion])(es => KllUnion(es.head, es(1)))
     register("kll_quantile", classOf[KllQuantile])(es => KllQuantile(es.head, es(1)))
     register("kll_rank", classOf[KllRank])(es => KllRank(es.head, es(1)))
     // composed-builtin function (no custom expression class): the SQL name

@@ -55,6 +55,10 @@ object SketchFns {
     ColumnBridge.column(
       KllUnionAgg(ColumnBridge.expression(sketch), k).toAggregateExpression())
 
+  def kllUnion(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      KllUnion(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def kllQuantile(sketch: Column, q: Column): Column =
     ColumnBridge.column(
       KllQuantile(ColumnBridge.expression(sketch), ColumnBridge.expression(q)))

@@ -265,6 +265,34 @@ case class KllUnionAgg(
   override def prettyName: String = "kll_union_agg"
 }
 
+/** `kll_union(a, b)` → merged sketch blob (scalar form, for folding a
+  * micro-batch delta into a materialized cube cell). Weight-ADDITIVE —
+  * unlike theta's set-idempotent union, re-merging the same blob
+  * double-counts; streaming sinks must pair this with a replay guard.
+  */
+case class KllUnion(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kll_union requires two binary sketches, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = KllState.deserialize(l.asInstanceOf[Array[Byte]])
+    a.mergeFrom(KllState.deserialize(r.asInstanceOf[Array[Byte]]))
+    a.serialized
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllUnion =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "kll_union"
+}
+
 /** `kll_quantile(sketch, q)` → estimated order statistic (exact while the
   * sketch never compacted). Runs on grouped output — CodegenFallback.
   */

@@ -378,6 +378,64 @@ object Realtime {
     next.localCheckpoint(true).write.mode("overwrite").parquet(cubePath)
   }
 
+  /** Streaming QUANTILE cube via KLL sketches — the order-statistics
+    * member of the cube-sink family. Per-cell state is O(k) regardless of
+    * ingested volume (the theta economics, for quantiles), and the folded
+    * blobs keep composing: any coarser grouping unions the cells. Unlike
+    * the theta sink, KLL union is weight-ADDITIVE, not set-idempotent —
+    * re-merging a re-delivered batch would double-count — so this sink
+    * carries histCubeRefreshSink's at-least-once replay guard
+    * (batch-id-keyed fact archive + full rebuild on re-delivery). The
+    * trade vs the hist cube: CONTINUOUS metrics work (any double column,
+    * not just dictionary-encoded integral ones) at bounded-error instead
+    * of exact percentiles — exact while cells stay under k.
+    */
+  def kllCubeRefreshSink(
+      stream: DataFrame, factPath: String, cubePath: String,
+      dims: Seq[String], valueCol: String, k: Int,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processKllCubeBatch(batch, id, factPath, cubePath, dims, valueCol, k)
+      }
+      .start()
+
+  private[graft] def processKllCubeBatch(
+      batch: DataFrame, id: Long, factPath: String, cubePath: String,
+      dims: Seq[String], valueCol: String, k: Int): Unit = {
+    import graft.functions.SketchFns._
+    val spark = batch.sparkSession
+    def sketchOf(df: DataFrame): DataFrame =
+      df.groupBy(dims.map(col): _*).agg(kllSketch(col(valueCol), k).as("sk"))
+    batch.persist()
+    try {
+      if (batch.isEmpty) ()
+      else {
+        val hc = spark.sparkContext.hadoopConfiguration
+        val batchDir = new org.apache.hadoop.fs.Path(s"$factPath/batch_id=$id")
+        val replay = batchDir.getFileSystem(hc).exists(batchDir)
+        batch.write.mode("overwrite").parquet(batchDir.toString)
+        val cp = new org.apache.hadoop.fs.Path(cubePath)
+        val cubeExists = cp.getFileSystem(hc).exists(cp)
+        val next =
+          if (!cubeExists) sketchOf(batch)
+          else if (replay) sketchOf(spark.read.parquet(factPath))
+          else {
+            val old = spark.read.parquet(cubePath).withColumnRenamed("sk", "sk_old")
+            old.join(sketchOf(batch).withColumnRenamed("sk", "sk_new"),
+                dims, "full_outer")
+              .select(dims.map(col) :+
+                when(col("sk_old").isNull, col("sk_new"))
+                  .when(col("sk_new").isNull, col("sk_old"))
+                  .otherwise(kllUnion(col("sk_old"), col("sk_new"))).as("sk"): _*)
+          }
+        next.localCheckpoint(true).write.mode("overwrite").parquet(cubePath)
+      }
+    } finally batch.unpersist()
+  }
+
   /** Streaming DENORMALIZED ingest — Pinot's realtime lookup join: each
     * micro-batch of fact rows resolves its dimension columns ON INGEST
     * (broadcast dim join, DenormView.refreshIncremental — O(batch),

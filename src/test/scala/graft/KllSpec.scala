@@ -102,5 +102,18 @@ class KllSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(viaSql === viaApi)
     assert(viaSql.nonEmpty)
+    // scalar kll_union from SQL: folding the per-type sketches pairwise must
+    // agree with the one-shot global sketch (exact regime, so equality is exact)
+    val global = spark.sql(
+      """SELECT kll_quantile(kll_sketch_agg(value, 65536), 0.5D) FROM kll_ev""")
+      .head().getDouble(0)
+    val folded = spark.sql(
+      """SELECT kll_quantile(kll_union_agg(sk, 65536), 0.5D) FROM (
+           SELECT kll_union(sk, sk2) AS sk FROM (
+             SELECT kll_sketch_agg(value, 65536) AS sk,
+                    kll_sketch_agg(CAST(NULL AS DOUBLE), 65536) AS sk2
+             FROM kll_ev GROUP BY event_type))""")
+      .head().getDouble(0)
+    assert(folded === global)
   }
 }

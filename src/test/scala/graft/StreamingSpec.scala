@@ -485,6 +485,45 @@ class StreamingSpec extends SparkSpec {
     assert(row.getLong(1) === 10L)
   }
 
+  test("KLL quantile-cube folds micro-batches; replay rebuilds instead of double-counting") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.SketchFns._
+    val base = java.nio.file.Files.createTempDirectory("kll_cube").toString
+    val factPath = s"$base/fact"
+    val cubePath = s"$base/cube"
+    def b(rows: (String, Double)*) = rows.toDF("event_type", "value")
+    def process(batch: org.apache.spark.sql.DataFrame, id: Long) =
+      Realtime.processKllCubeBatch(batch, id, factPath, cubePath,
+        dims = Seq("event_type"), valueCol = "value", k = 1024)
+    def medians() = spark.read.parquet(cubePath)
+      .select(col("event_type"), kllQuantile(col("sk"), lit(0.5)).as("p50"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+
+    // two batches; k=1024 > totals so folded quantiles are EXACT order
+    // statistics over everything ingested so far
+    process(b((1 to 50).map(i => ("click", i.toDouble)): _*), id = 0)
+    process(b(((51 to 100).map(i => ("click", i.toDouble)) ++
+      (1 to 9).map(i => ("view", i * 10.0))): _*), id = 1)
+    // click = 1..100 → rank ceil(0.5·100)=50; view = 10..90 → rank 5 = 50
+    assert(medians() === Map("click" -> 50.0, "view" -> 50.0))
+
+    // at-least-once replay of batch 1: weight-additive union would
+    // double-count — the batch-id guard rebuilds from the fact archive
+    process(b(((51 to 100).map(i => ("click", i.toDouble)) ++
+      (1 to 9).map(i => ("view", i * 10.0))): _*), id = 1)
+    assert(medians() === Map("click" -> 50.0, "view" -> 50.0))
+    assert(spark.read.parquet(factPath).count() === 109)
+
+    // the materialized blobs keep composing: the all-types rollup is the
+    // exact multiset union — 109 values, rank ceil(0.5·109)=55, and
+    // cum(50) = 50 clicks + 5 views = 55, so the median is 50.0
+    val merged = spark.read.parquet(cubePath)
+      .agg(kllQuantile(kllUnionAgg(col("sk"), 1024), lit(0.5)).as("p50"))
+      .head().getDouble(0)
+    assert(merged === 50.0)
+  }
+
   test("streaming denormalized ingest resolves dims per batch, history never rewritten") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
