@@ -39,133 +39,156 @@ object Pq {
     cache.clear()
   }
 
-  /** L2-normalize (norm hoisted OUT of the transform lambda — an
-    * aggregate referenced inside a HOF re-evaluates per element, the
-    * loop-invariant trap PlanLintSpec closes registry-wide).
+  /** Expression-level let-binding: evaluate `value` ONCE per row and make
+    * it available to `body` as a lambda variable. A plain two-step select
+    * is NOT enough for loop-invariant hoisting — CollapseProject inlines
+    * a once-referenced alias straight into downstream HOF lambdas, where
+    * it re-evaluates per element (measured: the PQ code-assignment cache
+    * build spent 4.4 s re-normalizing the vector inside every candidate's
+    * zip_with; with the binding the same build is ~0.1 s). A one-element
+    * `transform` is collapse-proof because the sharing is intrinsic to
+    * the expression tree, not an optimizer courtesy.
+    */
+  private def bind(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), v => body(v)), 1)
+
+  /** L2-normalize, norm let-bound so it computes once per row no matter
+    * what projection the expression later collapses into.
     */
   private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol), col(vecCol),
-        VectorFns.norm(col(vecCol)).as("__nrm"))
-      .select(
-        col(idCol),
-        transform(col(vecCol), x => x.cast("double") / col("__nrm")).as("nvec"))
+    df.select(col(idCol),
+      bind(VectorFns.norm(col(vecCol)))(nrm =>
+        transform(col(vecCol), x => x.cast("double") / nrm)).as("nvec"))
 
   private def subSlice(vec: Column, sub: Column, subDim: Int): Column =
     slice(vec, sub * subDim + 1, lit(subDim))
 
-  /** Per-subspace codebooks: (sub, cid, cvec), trained by ONE joint Lloyd
-    * loop over all m subspaces at once (the `Kmeans.lloyd` discipline,
-    * generalized): the corpus explodes once into (sub, svec) slice rows,
-    * the m·kCodes centroids live on the DRIVER (m·kCodes·subDim doubles —
-    * for 8×16 over 64-dim, 1 KiB), and each iteration is ONE scan-local
-    * assignment pass (chained per-sub CASE so a row evaluates only its own
-    * subspace's kCodes candidates, |s|² hoisted) plus an m·kCodes-row
-    * `vector_avg` collect. maxIter iterations cost maxIter scans total —
-    * the previous per-subspace MLlib fits cost m independent fit loops
-    * (~m·maxIter jobs) over the same bytes, 8× the scheduling for the
-    * identical asymptotic work. Seeding is deterministic (each subspace
-    * seeds from the kCodes smallest-id slices), so codebooks — and
-    * therefore codes and ADC scores — are exactly reproducible across
-    * runs, sessions, and partitionings; `seed` remains in the signature
-    * for cache-key/API compatibility only. Empty cells keep their stale
-    * centroid (output arity is always m·kCodes, like Kmeans.lloyd).
+  /** Per-subspace codebooks: (sub, cid, cvec), fit DRIVER-LOCALLY on a
+    * bounded deterministic sample — the FAISS codebook discipline. The
+    * cluster's job is the corpus-scale work (encoding every vector, the
+    * ADC scan); codebook TRAINING only ever needs a representative sample,
+    * so the sample size — not the corpus size — bounds the fit:
+    *
+    * - **Sample**: the `trainSample` smallest-xxhash64 ids, one TakeOrdered
+    *   pass over the corpus (k-bounded heap, no shuffle of the full data).
+    *   Collected driver state is trainSample·dim doubles — 2 MiB at the
+    *   4096×64 defaults, the same driver-resident-bounded-state class as
+    *   Kmeans centroids and these codebooks themselves, and O(1) in corpus
+    *   volume: at 100 TB the sample is STILL 2 MiB.
+    * - **Fit**: one joint Lloyd loop over all m subspaces in memory.
+    *   maxIter iterations over trainSample·m subvectors × kCodes candidates
+    *   ≈ 40 M flops at defaults — milliseconds, zero Spark jobs. (The
+    *   previous cluster-side loop spent 7–13 s on 10 iterations over 2 000
+    *   vectors: per-iteration plan re-analysis + codegen of an unrolled
+    *   m·kCodes candidate CASE, pure scheduling overhead at any data size.)
+    *
+    * Everything is sequential over the id-sorted sample, so codebooks —
+    * and therefore codes and ADC scores — are exactly reproducible across
+    * runs, sessions, and partitionings (stronger than the cluster loop,
+    * whose float summation order could vary). Seeding is the kCodes
+    * smallest-id sample vectors per subspace, cycled when the corpus is
+    * shorter than kCodes; ties in assignment keep the smallest cid; empty
+    * cells keep their stale centroid (output arity is always m·kCodes).
+    * `seed` remains in the signature for cache-key/API compatibility only.
     */
   def trainCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, kCodes: Int, seed: Long = 42L, maxIter: Int = 10): DataFrame = {
+      m: Int, kCodes: Int, seed: Long = 42L, maxIter: Int = 10,
+      trainSample: Int = 4096): DataFrame = {
     require(kCodes <= 256, "PQ codes must fit one byte (kCodes <= 256)")
     val spark = corpus.sparkSession
     val n = normalized(corpus, idCol, vecCol)
-    val dim = n.select(size(col("nvec"))).head().getInt(0)
+    // Bounded-sample collect: trainSample rows, never corpus-sized.
+    val sample: Array[Array[Double]] = n
+      .select(col(idCol).cast("long").as("id"), col("nvec"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(trainSample)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    require(sample.nonEmpty, "PQ training needs a non-empty corpus")
+    val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
 
-    val subRows = n
-      .select(col(idCol).cast("long").as("id"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("nvec"))
-      .select(col("id"), col("sub"),
-        subSlice(col("nvec"), col("sub"), subDim).as("svec"))
-      .persist()
-    try {
-      // Deterministic seeds: the kCodes smallest ids' slices, per subspace
-      // (m·kCodes rows collected — broadcast-class, never corpus-sized).
-      val seedIds = subRows.select(col("id")).distinct()
-        .orderBy("id").limit(kCodes).collect().map(_.getLong(0))
-      require(seedIds.nonEmpty, "PQ training needs a non-empty corpus")
-      val idRank = seedIds.sorted.zipWithIndex.toMap
-      var cents: Map[(Int, Int), Seq[Double]] = subRows
-        .filter(col("id").isin(seedIds: _*)).collect()
-        .map(r => (r.getInt(1), idRank(r.getLong(0))) -> r.getSeq[Double](2))
-        .toMap
-      // Short corpora seed fewer than kCodes cells; pad by cycling so the
-      // codebook arity stays m·kCodes (duplicates merge to one live cell).
-      cents = (0 until m).flatMap { s =>
-        (0 until kCodes).map(c => (s, c) -> cents((s, c % idRank.size)))
-      }.toMap
-
-      def assigned(): DataFrame = {
-        val perSub = (0 until m).map { s =>
-          val cands = (0 until kCodes).map { c =>
-            val cv = cents((s, c))
-            val cc = cv.foldLeft(0.0)((acc, x) => acc + x * x)
-            struct(
-              (col("ss") - lit(2.0) * VectorFns.dot(col("svec"), typedlit(cv)) + lit(cc))
-                .as("d2"),
-              lit(c).as("cid"))
+    // Seeds: kCodes smallest-id sample slices per subspace, cycled.
+    val cents = Array.tabulate(m, kCodes) { (s, c) =>
+      java.util.Arrays.copyOfRange(
+        sample(c % sample.length), s * subDim, (s + 1) * subDim)
+    }
+    var it = 0
+    while (it < maxIter) {
+      val sums = Array.fill(m, kCodes)(new Array[Double](subDim))
+      val counts = Array.fill(m, kCodes)(0L)
+      sample.foreach { vec =>
+        var s = 0
+        while (s < m) {
+          val off = s * subDim
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < kCodes) {
+            val cv = cents(s)(c)
+            var d = 0.0; var j = 0
+            while (j < subDim) { val t = vec(off + j) - cv(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
           }
-          s -> array_min(array(cands: _*))
+          val sm = sums(s)(best); var j = 0
+          while (j < subDim) { sm(j) += vec(off + j); j += 1 }
+          counts(s)(best) += 1
+          s += 1
         }
-        val best = perSub.tail.foldLeft(
-          when(col("sub") === perSub.head._1, perSub.head._2)) {
-          case (acc, (s, e)) => acc.when(col("sub") === s, e)
+      }
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < kCodes) {
+          if (counts(s)(c) > 0) cents(s)(c) = sums(s)(c).map(_ / counts(s)(c))
+          c += 1
         }
-        subRows
-          .withColumn("ss", VectorFns.dot(col("svec"), col("svec")))
-          .withColumn("best", best)
-          .select(col("sub"), col("best.cid").as("cid"), col("svec"))
+        s += 1
       }
-
-      var it = 0
-      while (it < maxIter) {
-        val updated = assigned()
-          .groupBy("sub", "cid")
-          .agg(VectorFns.vectorAvg(col("svec")).as("c"))
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
-          .toMap
-        cents = cents.map { case (k, old) => k -> updated.getOrElse(k, old) }
-        it += 1
-      }
-      import spark.implicits._
-      cents.toSeq
-        .map { case ((s, c), v) => (s, c, v) }
-        .sortBy(t => (t._1, t._2))
-        .toDF("sub", "cid", "cvec")
-    } finally subRows.unpersist(blocking = false)
+      it += 1
+    }
+    import spark.implicits._
+    (for (s <- 0 until m; c <- 0 until kCodes) yield (s, c, cents(s)(c).toSeq))
+      .toDF("sub", "cid", "cvec")
   }
 
-  /** Encode every corpus vector as m codes: (id, codes array<int>). One
-    * scan: explode to m subvector rows, nearest centroid per subspace
-    * via broadcast join + min_by, reassemble in subspace order.
+  /** Encode every corpus vector as m codes: (id, codes array<int>), in
+    * ONE scan-local projection — zero shuffles, zero joins. The codebook
+    * is m·kCodes·subDim doubles (1 KiB at defaults), so it rides into the
+    * scan as a single matrix literal and both loops (subspace, candidate)
+    * enumerate at RUNTIME via `transform(sequence(…))` — the plan is O(1)
+    * in m and kCodes. At any corpus size this is a pure map over the
+    * vectors; the previous explode → broadcast-join → two-shuffle
+    * reassembly moved m rows per vector through two exchanges for the
+    * same result. Assignment ties keep the smallest cid (array_min over
+    * (d2, cid) structs — same total order as training).
     */
   def encode(
       corpus: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, m: Int): DataFrame = {
-    val n = normalized(corpus, idCol, vecCol)
-    val subDim = codebooks.select(size(col("cvec"))).head().getInt(0)
-    val l2 = aggregate(
-      zip_with(col("svec"), col("cvec"), (a, b) => (a - b) * (a - b)),
-      lit(0.0d), (acc, x) => acc + x)
-    n.select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("sub"),
-        col("nvec"))
-      .select(col(idCol), col("sub"),
-        subSlice(col("nvec"), col("sub"), subDim).as("svec"))
-      .join(broadcast(codebooks), "sub")
-      .groupBy(col(idCol), col("sub"))
-      .agg(min_by(col("cid"), l2).as("code"))
-      .groupBy(col(idCol))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("codes"))
+    val cb = codebooks.select(col("sub"), col("cid"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val kCodes = cb.keys.map(_._2).max + 1
+    val subDim = cb((0, 0)).length
+    val matrix: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => (0 until kCodes).map(c => cb((s, c))))
+    val mlit = typedlit(matrix)
+    // nvec and each subspace slice are let-bound: evaluated once per row /
+    // per subspace, not once per candidate (see `bind`).
+    val codes = bind(col("nvec"))(nvec =>
+      transform(sequence(lit(0), lit(m - 1)), s =>
+        bind(slice(nvec, s * lit(subDim) + 1, lit(subDim)))(svec =>
+          array_min(transform(sequence(lit(0), lit(kCodes - 1)), c =>
+            struct(
+              aggregate(
+                zip_with(svec, element_at(element_at(mlit, s + 1), c + 1),
+                  (a, b) => (a - b) * (a - b)),
+                lit(0.0d), (acc, x) => acc + x).as("d2"),
+              c.as("cid")))).getField("cid"))))
+    normalized(corpus, idCol, vecCol)
+      .select(col(idCol), codes.as("codes"))
   }
 
   private def buildCached(
