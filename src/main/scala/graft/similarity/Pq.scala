@@ -282,6 +282,25 @@ object Pq {
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
+  /** INCREMENTAL index maintenance — the daily-ingest shape, PQ's sibling
+    * of `IvfAnn.appendToIndex`: only the NEW batch is encoded, against
+    * the codebooks already on disk — no re-training, no touch of existing
+    * code files — and the new code rows append to the codes segment.
+    * Codebooks drift as the corpus distribution grows; the scheduled full
+    * `materialize` rebuild re-fits them (kept separate on purpose:
+    * re-fitting re-encodes every vector). The batch encode is the same
+    * single scan-local projection as the build path — O(batch), zero
+    * shuffles.
+    */
+  def appendToIndex(
+      spark: SparkSession, path: String, batch: DataFrame): Unit = {
+    spark.catalog.refreshByPath(s"$path/codebooks")
+    val codebooks = spark.read.parquet(s"$path/codebooks")
+    val m = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
+    encode(batch, "vec_id", "embedding", codebooks, m)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** Query a materialized PQ index. `corpus` supplies the float vectors
     * for the rerank stage only — a per-query shortlist-sized point lookup
     * in a deployment, never a corpus scan (pass rerankFactor = 1 for the

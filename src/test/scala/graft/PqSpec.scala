@@ -87,6 +87,42 @@ class PqSpec extends SparkSpec {
     assert(indexed == inline, "indexed PQ diverged from inline PQ")
   }
 
+  test("appendToIndex: batch codes ≡ one-shot encode under the same codebooks; index serves appended rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_inc").toString
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    Pq.materialize(half1, dir)
+    Pq.appendToIndex(spark, dir, half2)
+    // parity: appended codes must equal encoding the batch with the SAME
+    // stored codebooks (no re-training happened)
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    val expected = Pq.encode(half2, "vec_id", "embedding", cb, m = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val stored = spark.read.parquet(s"$dir/codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(stored.size === emb.count(), "appended index lost rows")
+    expected.foreach { case (id, codes) =>
+      assert(stored(id) === codes, s"appended codes diverged for id $id")
+    }
+    // serving: the indexed query now sees appended vectors as candidates
+    val queries = emb.filter(col("vec_id") < 4)
+    val cands = Pq.knnPqIndexed(spark, dir, queries, emb, k = 5, rerankFactor = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(cands.exists(_ % 2 == 1), "no appended (odd-id) vector ever served")
+  }
+
+  test("exact-regime twin: covering shortlist makes PQ identical to brute force") {
+    // the q_ann_pq_exact premise — k·rerankFactor ≥ n−1 at this sf, so the
+    // rerank IS exact cosine over every candidate
+    val queries = emb.filter(col("vec_id") < 10)
+    assert(3L * 1024 >= emb.count() - 1, "fixture outgrew the covering factor")
+    val pq = Pq.knnPq(queries, emb, k = 3, rerankFactor = 1024)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val brute = Ann.knnBruteForce(queries, emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(pq === brute, "covering-shortlist PQ diverged from brute force")
+  }
+
   test("q_ann_pq returns ranked rows per query") {
     val out = graft.queries.Registry.queries("q_ann_pq")(spark, sfDir).collect()
     assert(out.nonEmpty)
