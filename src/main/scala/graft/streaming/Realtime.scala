@@ -482,6 +482,26 @@ object Realtime {
       }
       .start()
 
+  /** annServe's PQ sibling: serve a materialized byte-code index
+    * (Pq.materialize / Pq.appendToIndex) against a stream of query
+    * vectors. Same hot-swap contract — knnPqIndexed refreshes the index
+    * path per micro-batch, so a rebuild or an incremental append is
+    * visible to the NEXT batch without restarting the stream. `corpus`
+    * supplies float vectors to the exact-cosine rerank only (per-query
+    * shortlist point lookups; pass rerankFactor = 1 for the codes-only
+    * pure-ADC path).
+    */
+  def annServePq(
+      queryStream: DataFrame, indexPath: String, corpus: DataFrame,
+      k: Int, rerankFactor: Int = 8)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.similarity.Pq.knnPqIndexed(
+          batch.sparkSession, indexPath, batch, corpus, k, rerankFactor), id)
+      }
+      .start()
+
   /** Streaming last-touch attribution — the incremental form of the batch
     * q_attribution rollup: every purchase is emitted once, credited to the
     * user's most recent PRIOR non-purchase event type ('direct' when none).

@@ -135,6 +135,44 @@ class StreamingSpec extends SparkSpec {
       s"batch 1 should serve the odd-id v2 index after the hot swap, got ${batches(1)}")
   }
 
+  test("annServePq serves the byte-code index; an incremental append is visible next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.similarity.Pq
+    val e = graft.engine.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("annservepq").toString
+    // generation 1: even ids only; the odd half arrives later via
+    // appendToIndex — candidate parity reveals which generation served
+    Pq.materialize(e.filter(col("vec_id") % 2 === 0), dir)
+
+    val qVec = e.filter(col("vec_id") === 0).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])]
+    val results = scala.collection.mutable.Map[Long, Set[Long]]()
+    val q = Realtime.annServePq(
+        input.toDF().toDF("vec_id", "embedding"), dir, e, k = 20,
+        rerankFactor = 1) { (out, id) =>
+      val cands = out.select("cand_id").collect().map(_.getLong(0)).toSet
+      results.synchronized { results(id) = cands }
+    }
+    try {
+      input.addData(qVec(0))
+      q.processAllAvailable()
+      // ingest the odd half WHILE the stream runs — no restart, no retrain
+      Pq.appendToIndex(spark, dir, e.filter(col("vec_id") % 2 === 1))
+      input.addData(qVec(0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(results.size === 2)
+    val batches = results.toSeq.sortBy(_._1).map(_._2)
+    assert(batches(0).nonEmpty && batches(0).forall(_ % 2 == 0),
+      s"batch 0 should only see generation-1 (even-id) codes, got ${batches(0)}")
+    assert(batches(1).exists(_ % 2 == 1),
+      s"batch 1 should see appended odd-id codes, got ${batches(1)}")
+  }
+
   test("kafka-wire-schema stream decodes and upserts like the batch path") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
