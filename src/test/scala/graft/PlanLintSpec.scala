@@ -143,6 +143,11 @@ class PlanLintSpec extends SparkSpec {
     def isExpensive(e: Expression): Boolean = e match {
       case _: StringSplit | _: RegExpReplace | _: RegExpExtract |
            _: Md5 | _: Sha2 | _: Crc32 | _: XxHash64 | _: Murmur3Hash => true
+      // O(dim) per evaluation — the r9 PQ cache build burned 4.4 s
+      // re-normalizing (vector_dot under sqrt) inside every candidate's
+      // zip_with after CollapseProject inlined the hoisting projection;
+      // the collapse-proof fix is the Pq.bind let-binding idiom
+      case _: graft.functions.expressions.VectorDot => true
       case _ => false
     }
     def invariantExpensive(df: org.apache.spark.sql.DataFrame): Seq[String] =
