@@ -56,7 +56,11 @@ object ScaleBench {
     // round-9 quadratic-consumer shortlist (the 30× three-point check):
     // embedding clustering, Lloyd k-means, k-center coreset — each had a
     // benign >C× slope at 10× whose true exponent only shows further out.
-    "q_dedup_embedding_clusters", "q_kmeans", "q_coreset_kcenter")
+    "q_dedup_embedding_clusters", "q_kmeans", "q_coreset_kcenter",
+    // round-9 PQ rework check: training is bounded-sample driver-local
+    // and encode is one scan-local projection, so both should measure
+    // ~flat-to-linear at any corpus multiple.
+    "q_ann_pq", "q_ann_ivfpq")
 
   /** The registry's q_dedup_embedding runs the fixture-calibrated
     * threshold 0.4, where ~0.4% of RANDOM pairs qualify — so the true-pair

@@ -1552,6 +1552,38 @@ object AdvancedQueries {
               FROM f, hi WHERE wday <= hi.hi
               GROUP BY 1 ORDER BY 1""")),
 
+    // q_rolling_active's SKETCH-SCALE twin: the exact form explodes every
+    // (user, day) pair into its 7 window days, so the distinct-count
+    // shuffle carries 7×|user-days| id rows. Here each day rolls up ONCE
+    // into an HLL sketch (the heavy shuffle — user ids — happens exactly
+    // once, at daily granularity) and the 7-day window unions per-day
+    // BLOBS: the explode ranges over the day DICTIONARY, so the second
+    // stage moves 7×|days| fixed-size sketches no matter how many users
+    // exist. The 100 TB trade: bounded-error DAU/WAU for a shuffle that
+    // no longer scales with user count. Rows-only; ApproxSpec bounds both
+    // estimates against the exact twin on the same fixture.
+    QueryDef(
+      "q_rolling_active_sketch",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+          .groupBy("day")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val bound = daily.agg(max("day").as("hi"))
+        daily.select(col("day"), col("sk"),
+            explode(expr("sequence(day, day + interval 6 days, interval 1 day)"))
+              .as("wday"))
+          .join(broadcast(bound), col("wday") <= col("hi"))
+          .groupBy("wday")
+          .agg(
+            max(when(col("wday") === col("day"),
+              hll_sketch_estimate(col("sk")))).as("dau"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau"))
+          .select(col("wday").as("day"), col("dau"), col("wau"))
+          .orderBy("day")
+      },
+      None),
+
     // Skew-resistant SALTED JOIN — the join-side twin of q_salted_agg:
     // l_returnflag has 3 values, so a plain shuffle join lands ~N/3 fact
     // rows on single reducers; Salting.saltedJoin splits each hot key

@@ -30,6 +30,23 @@ class ApproxSpec extends SparkSpec {
     assert(rel(sk.getLong(sk.fieldIndex("n_both_est")), exact.getLong(2)) <= 0.15)
   }
 
+  test("sketch rolling actives track the exact DAU/WAU within HLL error") {
+    import graft.queries.Registry
+    val exact = Registry.queries("q_rolling_active")(spark, sfDir).collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sk = Registry.queries("q_rolling_active_sketch")(spark, sfDir).collect()
+    assert(sk.length === exact.size, "sketch twin changed the day grid")
+    def rel(est: Long, truth: Long): Double =
+      math.abs(est - truth).toDouble / math.max(truth, 1L).toDouble
+    sk.foreach { r =>
+      val (dau, wau) = exact(r.getTimestamp(0))
+      assert(rel(r.getLong(1), dau) <= 0.05,
+        s"DAU off at ${r.getTimestamp(0)}: est=${r.getLong(1)} exact=$dau")
+      assert(rel(r.getLong(2), wau) <= 0.05,
+        s"WAU off at ${r.getTimestamp(0)}: est=${r.getLong(2)} exact=$wau")
+    }
+  }
+
   test("approx_percentile is within 2% of the exact percentile") {
     val li = Tables.lineitem(spark, sfDir)
     val exact = li.select(expr("percentile(l_extendedprice, 0.95)")).head().getDouble(0)

@@ -58,7 +58,8 @@ class PlanLintSpec extends SparkSpec {
     "q_histogram_eqdepth",
     // scalar-N pattern: the single-row max-day bound broadcasts onto the
     // exploded window-day table; all heavy joins are equi-shuffles
-    "q_rolling_active",
+    // (the _sketch twin explodes per-day HLL blobs instead of user rows)
+    "q_rolling_active", "q_rolling_active_sketch",
     // scalar-N pattern: the single-row mean-tokens-per-class aggregate
     // broadcasts onto the vocabulary-sized c-TF-IDF score table
     "q_cluster_topics",
