@@ -136,6 +136,30 @@ object MultimodalQueries {
                     FROM documents)
               GROUP BY 1 ORDER BY kind""")),
 
+    // PIXELS → EMBEDDING → kNN, end to end: decode each image, embed it
+    // with the real JL patch-projection model step (Multimodal.embedImage
+    // — no stub in this path), and serve cosine top-3 neighbors for a
+    // bounded query set through the same audited brute-force kNN operator
+    // the embeddings table uses. This is the multimodal retrieval shape:
+    // a production deployment swaps the embed function for a vision model
+    // behind the same batched mapPartitions seam and NOTHING downstream
+    // changes. Rows-only (the projection is not SQL-expressible);
+    // MultimodalSpec pins determinism, unit norm, and the perceptual
+    // contract (resized copy ≈ original, unrelated ≈ orthogonal).
+    QueryDef(
+      "q_multimodal_embed",
+      (s, d) => {
+        val emb = Multimodal.embedImages(mediaItems(s, d), batchSize = 128)
+          .filter(col("embedding").isNotNull)
+          .select(col("media_id").as("vec_id"), col("embedding"))
+        graft.similarity.Ann
+          .knnBruteForce(emb.filter(col("vec_id") < 30), emb, k = 3)
+          .select(col("q_id"), col("cand_id"), col("rank"),
+            round(col("sim"), 4).as("sim"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // RESIZE through the real decode path: PNG decode → nearest-neighbor
     // resize to 4×3 → re-encode → re-decode, probing two pixels of the
     // round-tripped result. The oracle recomputes the nearest-neighbor

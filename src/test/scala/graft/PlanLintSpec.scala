@@ -51,8 +51,10 @@ class PlanLintSpec extends SparkSpec {
   // (bounded query set × broadcast centroid table), just nProbe=cells
   // q_ann_pq_exact: q_ann_pq's covering-shortlist twin — identical ADC
   // broadcast shape, just rerankFactor sized to cover the corpus
+  // q_multimodal_embed: q_knn_brute's exact shape over the embedded
+  // image corpus (bounded query set broadcasts onto the candidate scan)
   private val broadcastBoundedOk = Set("q_knn_brute", "q_ann_ivf",
-    "q_ann_ivf_exact", "q_ann_pq_exact", "q_tfidf_top",
+    "q_ann_ivf_exact", "q_ann_pq_exact", "q_multimodal_embed", "q_tfidf_top",
     "q_bm25", "q_hybrid_rrf", "q_domain_cap", "q_lm_bigram", "q_mix_temperature",
     "q_lm_quality", "q_pmi_phrases", "q_ann_pq", "q_ann_ivfpq",
     "q_histogram_eqdepth",
