@@ -14,16 +14,28 @@ import org.apache.spark.sql.functions._
   */
 object StarTree {
 
+  /** KLL accuracy parameter for `quantileMetrics` cube sketches: exact
+    * below KllK values per cell, bounded rank error above (KllSpec).
+    * The rewrite rule serves a `percentile_approx(m, p, acc)` only when
+    * acc ≤ KllK/2 — a query asking for tighter rank error than the cube
+    * sketch delivers keeps its fact scan (the HLL precision-guard
+    * discipline).
+    */
+  val KllK = 16384
+
   /** Pre-aggregate: one row per dims combination, carrying partial sums
     * (`s_<col>`), per-metric NON-NULL counts (`c_<col>` — what AVG/COUNT
     * of a nullable metric actually divides/counts by), per-metric min/max
     * (`mn_<col>`/`mx_<col>` — min of mins and max of maxes roll up
-    * losslessly, Pinot's MIN/MAX star-tree functions) and the row count
+    * losslessly, Pinot's MIN/MAX star-tree functions), per-metric sketch
+    * blobs for the opted-in distinct/quantile families, and the row count
     * (`cube_cnt`).
     */
   def buildCube(
       df: DataFrame, dims: Seq[String], sumMetrics: Seq[String],
-      distinctMetrics: Seq[String] = Nil): DataFrame = {
+      distinctMetrics: Seq[String] = Nil,
+      quantileMetrics: Seq[String] = Nil): DataFrame = {
+    import graft.functions.SketchFns
     val aggs = sumMetrics.map(m => sum(col(m)).as(s"s_$m")) ++
       sumMetrics.map(m => count(col(m)).as(s"c_$m")) ++
       sumMetrics.map(m => min(col(m)).as(s"mn_$m")) ++
@@ -32,7 +44,13 @@ object StarTree {
       // distinct counts roll up from the cube like sums do — the only way
       // distinct-count survives pre-aggregation (exact distincts do not
       // decompose across cells).
-      distinctMetrics.map(m => hll_sketch_agg(col(m)).as(s"hll_$m")) :+
+      distinctMetrics.map(m => hll_sketch_agg(col(m)).as(s"hll_$m")) ++
+      // PERCENTILEKLL-in-star-tree (Pinot's percentile sketch metric
+      // family): a mergeable KLL sketch per cell — order statistics roll
+      // up from the cube (exact percentiles never decompose; the
+      // continuous-metric sibling of the exact buildHistCube).
+      quantileMetrics.map(m =>
+        SketchFns.kllSketch(col(m).cast("double"), KllK).as(s"kll_$m")) :+
       count(lit(1)).as("cube_cnt")
     df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -62,12 +80,16 @@ object StarTree {
     */
   def mergeCubes(
       a: DataFrame, b: DataFrame, dims: Seq[String], sumMetrics: Seq[String],
-      distinctMetrics: Seq[String] = Nil): DataFrame = {
+      distinctMetrics: Seq[String] = Nil,
+      quantileMetrics: Seq[String] = Nil): DataFrame = {
+    import graft.functions.SketchFns
     val aggs = sumMetrics.map(m => sum(col(s"s_$m")).as(s"s_$m")) ++
       sumMetrics.map(m => sum(col(s"c_$m")).as(s"c_$m")) ++
       sumMetrics.map(m => min(col(s"mn_$m")).as(s"mn_$m")) ++
       sumMetrics.map(m => max(col(s"mx_$m")).as(s"mx_$m")) ++
-      distinctMetrics.map(m => hll_union_agg(col(s"hll_$m")).as(s"hll_$m")) :+
+      distinctMetrics.map(m => hll_union_agg(col(s"hll_$m")).as(s"hll_$m")) ++
+      quantileMetrics.map(m =>
+        SketchFns.kllUnionAgg(col(s"kll_$m"), KllK).as(s"kll_$m")) :+
       sum(col("cube_cnt")).as("cube_cnt")
     a.unionByName(b).groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -84,11 +106,12 @@ object StarTree {
   def refreshIncremental(
       spark: org.apache.spark.sql.SparkSession, factPath: String, delta: DataFrame,
       dims: Seq[String], sumMetrics: Seq[String], cubePath: String,
-      distinctMetrics: Seq[String] = Nil): Unit = {
+      distinctMetrics: Seq[String] = Nil,
+      quantileMetrics: Seq[String] = Nil): Unit = {
     val existing = spark.read.parquet(cubePath)
     val merged = mergeCubes(existing,
-        buildCube(delta, dims, sumMetrics, distinctMetrics),
-        dims, sumMetrics, distinctMetrics)
+        buildCube(delta, dims, sumMetrics, distinctMetrics, quantileMetrics),
+        dims, sumMetrics, distinctMetrics, quantileMetrics)
       .localCheckpoint(true)
     // Natural (shuffle) partitioning on the write: AQE coalesces a small
     // cube to few files, and a big cube (realistic dim cardinalities at
@@ -97,7 +120,7 @@ object StarTree {
     // the directory either way.
     merged.write.mode("overwrite").parquet(cubePath)
     graft.plans.StarTreeCatalog.register(
-      factPath, dims, sumMetrics, cubePath, distinctMetrics)
+      factPath, dims, sumMetrics, cubePath, distinctMetrics, quantileMetrics)
   }
 
   /** QUANTILE-in-star-tree (Pinot's PERCENTILE sketch metric family,
@@ -159,16 +182,18 @@ object StarTree {
 
   /** Build + persist the cube and make it transparent: any eligible
     * SUM/COUNT/AVG/MIN/MAX (and, with `distinctMetrics`,
-    * approx_count_distinct) group-by over `factPath` is answered from the
-    * cube by the optimizer (graft.plans.StarTreeRewriteRule) from here on.
+    * approx_count_distinct; with `quantileMetrics`, percentile_approx)
+    * group-by over `factPath` is answered from the cube by the optimizer
+    * (graft.plans.StarTreeRewriteRule) from here on.
     */
   def materializeAndRegister(
       fact: DataFrame, factPath: String,
       dims: Seq[String], sumMetrics: Seq[String], cubePath: String,
-      distinctMetrics: Seq[String] = Nil): Unit = {
-    buildCube(fact, dims, sumMetrics, distinctMetrics)
+      distinctMetrics: Seq[String] = Nil,
+      quantileMetrics: Seq[String] = Nil): Unit = {
+    buildCube(fact, dims, sumMetrics, distinctMetrics, quantileMetrics)
       .write.mode("overwrite").parquet(cubePath)
     graft.plans.StarTreeCatalog.register(
-      factPath, dims, sumMetrics, cubePath, distinctMetrics)
+      factPath, dims, sumMetrics, cubePath, distinctMetrics, quantileMetrics)
   }
 }

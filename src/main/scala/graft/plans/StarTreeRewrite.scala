@@ -38,18 +38,22 @@ object StarTreeCatalog {
       cubePath: String,
       /** metrics carrying a mergeable HLL sketch (`hll_<m>`) in the cube —
         * Pinot's DISTINCTCOUNTHLL star-tree aggregation family. */
-      distinctMetrics: Set[String] = Set.empty)
+      distinctMetrics: Set[String] = Set.empty,
+      /** metrics carrying a mergeable KLL sketch (`kll_<m>`) in the cube —
+        * Pinot's PERCENTILEKLL star-tree aggregation family. */
+      quantileMetrics: Set[String] = Set.empty)
 
   private val cubes = new java.util.concurrent.ConcurrentHashMap[String, CubeDef]()
   private val relations =
     new java.util.concurrent.ConcurrentHashMap[String, LogicalPlan]()
 
   def register(factPath: String, dims: Seq[String], metrics: Seq[String], cubePath: String,
-      distinctMetrics: Seq[String] = Nil): Unit = {
+      distinctMetrics: Seq[String] = Nil,
+      quantileMetrics: Seq[String] = Nil): Unit = {
     relations.remove(cubePath) // cube may have been rebuilt
     cubes.put(normalize(factPath),
       CubeDef(Set(normalize(factPath)), dims.toSet, metrics.toSet, cubePath,
-        distinctMetrics.toSet))
+        distinctMetrics.toSet, quantileMetrics.toSet))
   }
 
   def clear(): Unit = { cubes.clear(); relations.clear() }
@@ -118,6 +122,7 @@ class StarTreeRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!cube.dims.forall(cubeAttrByName.contains) ||
       !cube.metrics.forall(m => cubeAttrByName.contains(s"s_$m")) ||
       !cube.distinctMetrics.forall(m => cubeAttrByName.contains(s"hll_$m")) ||
+      !cube.quantileMetrics.forall(m => cubeAttrByName.contains(s"kll_$m")) ||
       !cubeAttrByName.contains("cube_cnt"))
       return None
     def cubeAttr(n: String): AttributeReference =
@@ -197,6 +202,32 @@ class StarTreeRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             HllSketchEstimate(
               HllUnionAgg(cubeAttr(s"hll_${m.name}"), Literal(true), 0, 0)
                 .toAggregateExpression())
+          // PERCENTILEKLL from the star-tree (Pinot's percentile sketch
+          // metric family): percentile_approx(m, p, acc) over the fact
+          // becomes a union of the cube cells' mergeable KLL sketches +
+          // quantile read. Only the user-declared APPROX function is
+          // rewritten — exact percentile() never decomposes across cells
+          // and keeps its fact scan. Precision guard, like the HLL rsd
+          // guard: the GK summary behind percentile_approx bounds rank
+          // error by 1/acc while the cube's KLL bounds it by ~2/KllK, so
+          // a request with acc > KllK/2 asks for tighter error than the
+          // cube delivers and must keep its fact scan (it would also
+          // switch algorithms, GK → KLL, changing the estimate).
+          case ap: ApproximatePercentile =>
+            (ap.child, ap.percentageExpression, ap.accuracyExpression) match {
+              case (m: AttributeReference, Literal(p: Double, DoubleType),
+                    Literal(acc, _))
+                  if cube.quantileMetrics.contains(m.name) &&
+                    cubeAttrByName.contains(s"kll_${m.name}") &&
+                    acc.toString.toLong <= graft.operators.StarTree.KllK / 2 =>
+                val q = graft.functions.expressions.KllQuantile(
+                  graft.functions.expressions.KllUnionAgg(
+                    cubeAttr(s"kll_${m.name}"), graft.operators.StarTree.KllK)
+                    .toAggregateExpression(),
+                  Literal(p))
+                if (m.dataType == DoubleType) q else Cast(q, m.dataType)
+              case _ => supported = false; ae
+            }
           case _ => supported = false; ae
         }
       case a: AttributeReference if cube.dims.contains(a.name) => cubeAttr(a.name)

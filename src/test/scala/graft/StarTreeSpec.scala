@@ -192,6 +192,60 @@ class StarTreeSpec extends SparkSpec {
     } finally StarTreeCatalog.clear()
   }
 
+  test("percentile_approx rewrites onto the cube's KLL sketches (PERCENTILEKLL)") {
+    import graft.plans.StarTreeCatalog
+    val tmp = java.nio.file.Files.createTempDirectory("startree_kll").toString
+    val factPath = s"$tmp/fact"
+    Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity")
+      .write.parquet(factPath)
+    def query() = spark.read.parquet(factPath)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile_approx(l_extendedprice, 0.5D, 5000)").as("p50"),
+        round(sum("l_quantity"), 2).as("s"))
+      .orderBy("l_returnflag")
+    val baseline = query().collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val exactP = spark.read.parquet(factPath).groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5D)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    StarTree.materializeAndRegister(
+      spark.read.parquet(factPath), factPath,
+      dims = Seq("l_returnflag", "l_linestatus"),
+      sumMetrics = Seq("l_quantity"), cubePath = s"$tmp/cube",
+      quantileMetrics = Seq("l_extendedprice"))
+    try {
+      val rewritten = query()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("cube"), s"plan still scans the fact table:\n$plan")
+      assert(!plan.contains(s"$tmp/fact"), plan)
+      rewritten.collect().foreach { r =>
+        val (p50Off, s) = baseline(r.getString(0))
+        val exact = exactP(r.getString(0))
+        // cube-served median within KLL rank error of the exact median's
+        // neighborhood: compare against the interpolated exact percentile
+        // with a relative tolerance (both engines approximate — GK off,
+        // KLL on — so value equality is not the contract; closeness to
+        // the true median is)
+        assert(math.abs(r.getDouble(1) - exact) / math.max(exact, 1.0) <= 0.02,
+          s"${r.getString(0)}: cube p50 ${r.getDouble(1)} vs exact $exact (GK gave $p50Off)")
+        assert(r.getDouble(2) === s) // sums stay exact alongside the sketch
+      }
+      // exact percentile() must NOT be served from the sketch
+      val exactQ = spark.read.parquet(factPath).groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5D)").as("p50"))
+      assert(exactQ.queryExecution.executedPlan.toString.contains(s"$tmp/fact"),
+        "exact percentile was wrongly rewritten onto the approximate cube")
+      // a tighter-than-cube accuracy request must keep its fact scan
+      val tight = spark.read.parquet(factPath).groupBy("l_returnflag")
+        .agg(expr("percentile_approx(l_extendedprice, 0.5D, 50000)").as("p50"))
+      assert(tight.queryExecution.executedPlan.toString.contains(s"$tmp/fact"),
+        "a tighter-precision percentile_approx was wrongly served from the cube")
+    } finally StarTreeCatalog.clear()
+  }
+
   test("a multi-file cube still serves the transparent rewrite") {
     import graft.plans.StarTreeCatalog
     val factPath = s"$sfDir/lineitem.parquet"
