@@ -123,6 +123,42 @@ object StarTreeQueries {
       },
       None),
 
+    // PERCENTILEKLL through the transparent rewrite (Pinot's percentile
+    // sketch metric family over CONTINUOUS metrics — the approximate
+    // sibling of the exact hist-cube q_percentile_cube): the fact table
+    // registers a KLL sketch per cube cell and the optimizer rewrites the
+    // user-declared percentile_approx group-by onto kll_quantile over a
+    // union of cell sketches — the fact is never rescanned. Approximate
+    // by design (no SQL oracle); StarTreeSpec bounds the served median
+    // within 2% of exact, asserts the cube-scan plan shape, and pins both
+    // disqualification paths (exact percentile(), tighter-than-cube acc).
+    QueryDef(
+      "q_startree_kll",
+      (s, d) => {
+        val base = "/tmp/graft_startree_kll_" +
+          Integer.toHexString(d.hashCode & 0x7fffffff) +
+          "_p" + ProcessHandle.current().pid()
+        val factPath = s"$base/fact"
+        if (graft.plans.StarTreeCatalog.find(Set(factPath)).isEmpty) {
+          Tables.lineitem(s, d)
+            .select("l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity")
+            .write.mode("overwrite").parquet(factPath)
+          StarTree.materializeAndRegister(
+            s.read.parquet(factPath), factPath,
+            dims = Seq("l_returnflag", "l_linestatus"),
+            sumMetrics = Seq("l_quantity"), cubePath = s"$base/cube",
+            quantileMetrics = Seq("l_extendedprice"))
+        }
+        s.read.parquet(factPath)
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile_approx(l_extendedprice, 0.5D, 5000)"), 2)
+              .as("p50_price"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      None),
+
     // Star-tree rollup WITH a dimension filter (Pinot star-trees answer
     // filtered group-bys as long as the predicate is on cube dimensions —
     // basics/indexing/README.md:16): the filter applies to the CUBE rows

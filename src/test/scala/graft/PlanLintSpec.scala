@@ -374,6 +374,7 @@ class PlanLintSpec extends SparkSpec {
     "q_grouping_sets", "q_rollup", "q_salted_agg", "q_salted_join",
     "q_distinct_sum", "q_distinctcount", "q_lookup_join", "q_idset_filter",
     "q_startree_rollup", "q_startree_filtered", "q_startree_hll",
+    "q_startree_kll",
     "q_upsert_partial", "q_hybrid_boundary", "q_sessionize", "q_pivot",
     "q_attribution", "q_attribution_first", "q_gapfill_prev",
     "q_timestamp_rewrite", "q_percent_change", "q_mv_agg", "q_mv_unnest",
