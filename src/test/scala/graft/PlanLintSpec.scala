@@ -407,4 +407,22 @@ class PlanLintSpec extends SparkSpec {
       }
     }
   }
+
+  test("SURVEY §2 inventory and the query registry stay in exact two-way sync") {
+    // The operator inventory is graded bullet-by-bullet against the
+    // registry; a query shipped without its `- [x] `q_name`` bullet (or a
+    // stale bullet naming a removed query) is a silent coverage lie. Keep
+    // the sync mechanical so it cannot drift.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val bullets = "(?m)^- \\[x\\] `(q_\\w+)`".r
+      .findAllMatchIn(survey).map(_.group(1)).toSet
+    val registry = Registry.all.map(_.name).toSet
+    val undocumented = registry -- bullets
+    val stale = bullets -- registry
+    assert(undocumented.isEmpty,
+      s"registry queries missing a SURVEY §2 bullet: ${undocumented.toSeq.sorted.mkString(", ")}")
+    assert(stale.isEmpty,
+      s"SURVEY §2 bullets naming no registry query: ${stale.toSeq.sorted.mkString(", ")}")
+  }
 }
