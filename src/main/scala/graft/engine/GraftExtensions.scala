@@ -65,6 +65,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("theta_intersect", classOf[ThetaIntersect])(es =>
       ThetaIntersect(es.head, es(1)))
     register("theta_a_not_b", classOf[ThetaANotB])(es => ThetaANotB(es.head, es(1)))
+    register("tuple_sketch_agg", classOf[TupleSketchAgg])(es =>
+      TupleSketchAgg(es.head, es(1), intArg(es(2), "tuple_sketch_agg")))
+    register("tuple_union_agg", classOf[TupleUnionAgg])(es =>
+      TupleUnionAgg(es.head, intArg(es(1), "tuple_union_agg")))
+    register("tuple_distinct", classOf[TupleDistinct])(es => TupleDistinct(es.head))
+    register("tuple_sum", classOf[TupleSum])(es => TupleSum(es.head))
+    register("tuple_union", classOf[TupleUnion])(es => TupleUnion(es.head, es(1)))
+    register("tuple_intersect", classOf[TupleIntersect])(es =>
+      TupleIntersect(es.head, es(1)))
+    register("tuple_a_not_b", classOf[TupleANotB])(es => TupleANotB(es.head, es(1)))
     register("kll_sketch_agg", classOf[KllSketchAgg])(es =>
       KllSketchAgg(es.head, intArg(es(1), "kll_sketch_agg")))
     register("kll_union_agg", classOf[KllUnionAgg])(es =>

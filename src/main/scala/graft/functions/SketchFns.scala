@@ -66,4 +66,38 @@ object SketchFns {
   def kllRank(sketch: Column, x: Column): Column =
     ColumnBridge.column(
       KllRank(ColumnBridge.expression(sketch), ColumnBridge.expression(x)))
+
+  /** TUPLE sketch family (Pinot's DataSketches Tuple aggregations): a
+    * theta sketch whose retained keys carry a summed LONG metric, so set
+    * algebra answers "how many distinct keys AND how much metric" in one
+    * O(k) blob. Metric is a long by contract — quantize money to cents
+    * per row first (the integer-grid rule).
+    */
+  def tupleSketch(key: Column, metric: Column, k: Int = 4096): Column =
+    ColumnBridge.column(
+      TupleSketchAgg(
+        ColumnBridge.expression(key), ColumnBridge.expression(metric), k)
+        .toAggregateExpression())
+
+  def tupleUnionAgg(sketch: Column, k: Int = 4096): Column =
+    ColumnBridge.column(
+      TupleUnionAgg(ColumnBridge.expression(sketch), k).toAggregateExpression())
+
+  def tupleDistinct(sketch: Column): Column =
+    ColumnBridge.column(TupleDistinct(ColumnBridge.expression(sketch)))
+
+  def tupleSum(sketch: Column): Column =
+    ColumnBridge.column(TupleSum(ColumnBridge.expression(sketch)))
+
+  def tupleUnion(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      TupleUnion(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def tupleIntersect(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      TupleIntersect(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def tupleANotB(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      TupleANotB(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -888,6 +888,89 @@ object AdvancedQueries {
       },
       None),
 
+    // TUPLE-sketch segment metrics — the question theta cardinalities
+    // alone can't answer: "how many distinct users did BOTH click and
+    // purchase, AND how much money do they represent". Each per-type
+    // tuple sketch carries a summed-cents summary per retained user
+    // (cents quantized PER ROW — the integer-grid rule), so intersection
+    // / difference blobs yield both a distinct estimate and a metric
+    // estimate, all from O(k) state. k=64 < the 150 distinct users, so
+    // the sketches genuinely trim at sf0.01 (approximate by design —
+    // rows-only; TupleSketchSpec bounds every estimate vs exact).
+    // Pinot ships this as its DataSketches Tuple aggregations
+    // (configuration-reference/schema.md:48 sketch column families).
+    QueryDef(
+      "q_tuple_metrics",
+      (s, d) => {
+        import graft.functions.SketchFns._
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        e.groupBy("event_type")
+          .agg(tupleSketch(col("user_id"), col("cents"), 64).as("sk"))
+          .agg(
+            first(when(col("event_type") === "click", col("sk")), ignoreNulls = true).as("skc"),
+            first(when(col("event_type") === "purchase", col("sk")), ignoreNulls = true).as("skp"))
+          .select(
+            tupleDistinct(col("skc")).as("n_click"),
+            tupleSum(col("skc")).as("click_cents"),
+            tupleDistinct(col("skp")).as("n_purchase"),
+            tupleSum(col("skp")).as("purchase_cents"),
+            tupleDistinct(tupleIntersect(col("skc"), col("skp"))).as("n_both"),
+            tupleSum(tupleIntersect(col("skc"), col("skp"))).as("both_cents"),
+            tupleDistinct(tupleANotB(col("skc"), col("skp"))).as("n_click_only"),
+            tupleSum(tupleANotB(col("skc"), col("skp"))).as("click_only_cents"))
+      },
+      None),
+
+    // The tuple family's EXACT-REGIME twin (k=65536 ≫ user cardinality,
+    // nothing trims, θ stays MAX): every distinct count AND every
+    // summed-cents summary — including through intersect/aNotB — is
+    // exact, hash-verified against plain joins over per-user cent sums.
+    // This pins the whole sketch path (per-row quantize → tuple agg →
+    // set algebra → estimate), not just its error bound, and is the mode
+    // a 100 TB deployment uses for dimension-sized key domains.
+    QueryDef(
+      "q_tuple_metrics_exact",
+      (s, d) => {
+        import graft.functions.SketchFns._
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        e.groupBy("event_type")
+          .agg(tupleSketch(col("user_id"), col("cents"), 65536).as("sk"))
+          .agg(
+            first(when(col("event_type") === "click", col("sk")), ignoreNulls = true).as("skc"),
+            first(when(col("event_type") === "purchase", col("sk")), ignoreNulls = true).as("skp"))
+          .select(
+            tupleDistinct(col("skc")).as("n_click"),
+            tupleSum(col("skc")).as("click_cents"),
+            tupleDistinct(col("skp")).as("n_purchase"),
+            tupleSum(col("skp")).as("purchase_cents"),
+            tupleDistinct(tupleIntersect(col("skc"), col("skp"))).as("n_both"),
+            tupleSum(tupleIntersect(col("skc"), col("skp"))).as("both_cents"),
+            tupleDistinct(tupleANotB(col("skc"), col("skp"))).as("n_click_only"),
+            tupleSum(tupleANotB(col("skc"), col("skp"))).as("click_only_cents"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events WHERE event_type IN ('click', 'purchase')),
+                   c AS (SELECT user_id, sum(cents) AS s FROM e
+                         WHERE event_type = 'click' GROUP BY 1),
+                   p AS (SELECT user_id, sum(cents) AS s FROM e
+                         WHERE event_type = 'purchase' GROUP BY 1)
+              SELECT (SELECT count(*) FROM c) AS n_click,
+                     (SELECT CAST(sum(s) AS BIGINT) FROM c) AS click_cents,
+                     (SELECT count(*) FROM p) AS n_purchase,
+                     (SELECT CAST(sum(s) AS BIGINT) FROM p) AS purchase_cents,
+                     (SELECT count(*) FROM c JOIN p USING (user_id)) AS n_both,
+                     (SELECT CAST(sum(c.s + p.s) AS BIGINT)
+                        FROM c JOIN p USING (user_id)) AS both_cents,
+                     (SELECT count(*) FROM c
+                        WHERE user_id NOT IN (SELECT user_id FROM p)) AS n_click_only,
+                     (SELECT CAST(coalesce(sum(s), 0) AS BIGINT) FROM c
+                        WHERE user_id NOT IN (SELECT user_id FROM p)) AS click_only_cents""")),
+
     // BENFORD first-digit profile — the data-quality screen forensic
     // auditing runs over a money column (organically-generated amounts
     // follow log-uniform first digits; fabricated ones don't). One

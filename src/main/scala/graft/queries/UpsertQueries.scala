@@ -143,6 +143,57 @@ object UpsertQueries {
       },
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS cnt,
                      round(sum(value), 2) AS sum_val
-              FROM events GROUP BY 1 ORDER BY day"""))
+              FROM events GROUP BY 1 ORDER BY day""")),
+
+    // SCD TYPE-2 history build — the history-PRESERVING dual of
+    // q_upsert_latest: instead of keeping only each key's newest state,
+    // collapse its event stream into versioned validity intervals
+    // [valid_from, valid_to) with the current run open-ended (the
+    // dimension-table form every warehouse derives from a Pinot-style
+    // upsert changelog). Run detection is one lag() + running sum over
+    // the per-user (ts, event_id) total order — a single hash shuffle on
+    // the key, the minimal movement any per-key history needs; runs then
+    // partial-aggregate map-side. The user_id % 10 slice bounds the
+    // verified output, not the plan.
+    QueryDef(
+      "q_scd2_build",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        val wv = Window.partitionBy("user_id").orderBy(asc("version"))
+        Tables.events(s, d)
+          .filter(col("user_id") % 10 === 0)
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(w).isNotNull &&
+              lag(col("event_type"), 1).over(w) === col("event_type"), 0L)
+              .otherwise(1L))
+          .withColumn("version", sum("chg").over(w))
+          .groupBy("user_id", "version")
+          .agg(
+            max(col("event_type")).as("state"),
+            min(col("ts")).as("valid_from"),
+            count(lit(1)).as("n_events"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+          .select("user_id", "version", "state", "valid_from", "valid_to", "n_events")
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH e AS (SELECT * FROM events WHERE user_id % 10 = 0),
+                   r AS (SELECT user_id, event_type, ts, event_id,
+                           CASE WHEN lag(event_type) OVER w IS NOT NULL
+                                     AND lag(event_type) OVER w = event_type
+                                THEN 0 ELSE 1 END AS chg
+                         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+                   v AS (SELECT user_id, event_type, ts,
+                           CAST(sum(chg) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS BIGINT) AS version
+                         FROM r),
+                   g AS (SELECT user_id, version, max(event_type) AS state,
+                                min(ts) AS valid_from, count(*) AS n_events
+                         FROM v GROUP BY 1, 2)
+              SELECT user_id, version, state, valid_from,
+                     lead(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY version) AS valid_to,
+                     CAST(n_events AS BIGINT) AS n_events
+              FROM g ORDER BY user_id, version"""))
   )
 }
