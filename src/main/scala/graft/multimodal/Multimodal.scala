@@ -291,6 +291,11 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
           val emb = Option(m.bytes).flatMap(decodeImage).map(embedImage(_))
+            // A perfectly flat image projects to the zero vector — no
+            // signal, so NULL (excluded) rather than a vector that would
+            // divide-by-zero every downstream cosine (same honesty rule
+            // as undecodable bytes).
+            .filter(_.exists(_ != 0f))
           (m.media_id, emb)
         }
       }

@@ -232,4 +232,23 @@ class MultimodalSpec extends SparkSpec {
     assert(sims.sum / sims.size < 0.3,
       s"random images should embed near-orthogonal, mean |cos|=${sims.sum / sims.size}")
   }
+
+  test("embedImages: a flat image yields NULL (excluded), never a zero vector") {
+    import graft.multimodal.MediaCodec
+    import spark.implicits._
+    // constant pixels ⇒ mean-centered grid is all zeros ⇒ JL projection is
+    // the zero vector ⇒ must surface as NULL so no downstream cosine can
+    // divide by zero (the ScaleBench synth corpus hit exactly this)
+    val flat = MediaCodec.encodePng(
+      MediaCodec.PngImage(6, 6, Array.fill(6 * 6 * 3)(77.toByte)))
+    val grad = MediaCodec.encodePng(
+      MediaCodec.PngImage(6, 6, Array.tabulate(6 * 6 * 3)(i => (i % 97).toByte)))
+    val ds = spark.createDataset(Seq(
+      MediaItem(1L, "image", flat, "image/png", 6, 6, 0L),
+      MediaItem(2L, "image", grad, "image/png", 6, 6, 0L)))
+    val rows = Multimodal.embedImages(ds).collect().map(r =>
+      r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(rows(1L), "flat image must embed to NULL")
+    assert(!rows(2L), "structured image must embed normally")
+  }
 }
