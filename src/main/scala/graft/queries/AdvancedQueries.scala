@@ -971,6 +971,60 @@ object AdvancedQueries {
                      (SELECT CAST(coalesce(sum(s), 0) AS BIGINT) FROM c
                         WHERE user_id NOT IN (SELECT user_id FROM p)) AS click_only_cents""")),
 
+    // TUPLE-sketch CUBE rollup — per-(type, day) cell sketches carrying
+    // summed cents roll up to per-type (distinct users, revenue) by
+    // UNIONING blobs (tuple_union_agg), never rescanning raw rows. Tuple
+    // union is summary-ADDITIVE per key, which is exactly the rollup
+    // semantics: a user active on many days contributes each day's cents
+    // once, so the unioned summary is their total — the cube serves
+    // "distinct users AND their revenue per segment" from O(cells · k)
+    // state. k=64 < user cardinality at sf0.01: genuinely trimmed,
+    // rows-only (TupleSketchSpec bounds the estimates; the exact twin
+    // below pins the fold path itself).
+    QueryDef(
+      "q_tuple_cube",
+      (s, d) => {
+        import graft.functions.SketchFns._
+        val cells = Tables.events(s, d)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(tupleSketch(col("user_id"), col("cents"), 64).as("sk"))
+        cells.groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_cells"),
+            tupleDistinct(tupleUnionAgg(col("sk"), 64)).as("distinct_users"),
+            tupleSum(tupleUnionAgg(col("sk"), 64)).as("revenue_cents"))
+          .orderBy("event_type")
+      },
+      None),
+
+    // q_tuple_cube's exact-regime twin (k=65536 ≫ user cardinality,
+    // nothing trims at any level): cube-served per-type distinct counts
+    // AND revenue totals EQUAL the raw-scan answers exactly —
+    // hash-verified, pinning the cells → union-agg → (distinct, sum)
+    // rollup path including the additive summary fold across days.
+    QueryDef(
+      "q_tuple_cube_exact",
+      (s, d) => {
+        import graft.functions.SketchFns._
+        val cells = Tables.events(s, d)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(tupleSketch(col("user_id"), col("cents"), 65536).as("sk"))
+        cells.groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_cells"),
+            tupleDistinct(tupleUnionAgg(col("sk"), 65536)).as("distinct_users"),
+            tupleSum(tupleUnionAgg(col("sk"), 65536)).as("revenue_cents"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+                     count(DISTINCT date_trunc('day', ts)) AS n_cells,
+                     count(DISTINCT user_id) AS distinct_users,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+              FROM events GROUP BY 1 ORDER BY event_type""")),
+
     // BENFORD first-digit profile — the data-quality screen forensic
     // auditing runs over a money column (organically-generated amounts
     // follow log-uniform first digits; fabricated ones don't). One

@@ -13,6 +13,33 @@ import graft.engine.Tables
   */
 object UpsertQueries {
 
+  /** SCD Type-2 dimension built from the event changelog (shared by
+    * q_scd2_build and q_scd2_asof): per-key runs of equal state collapse
+    * to versioned validity intervals [valid_from, valid_to), the current
+    * run open-ended (valid_to NULL). One hash shuffle on the key; run
+    * detection and interval assembly are per-key windows over the
+    * (ts, event_id) total order, then runs partial-aggregate map-side.
+    */
+  private def scd2Dim(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val wv = Window.partitionBy("user_id").orderBy(asc("version"))
+    Tables.events(s, d)
+      .filter(col("user_id") % 10 === 0)
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNotNull &&
+          lag(col("event_type"), 1).over(w) === col("event_type"), 0L)
+          .otherwise(1L))
+      .withColumn("version", sum("chg").over(w))
+      .groupBy("user_id", "version")
+      .agg(
+        max(col("event_type")).as("state"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .select("user_id", "version", "state", "valid_from", "valid_to", "n_events")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Latest-per-key as an AGGREGATE (max_by over a (ts, event_id) struct
     // key), not a window: hash aggregation partially combines map-side, so
@@ -157,26 +184,7 @@ object UpsertQueries {
     // verified output, not the plan.
     QueryDef(
       "q_scd2_build",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
-        val wv = Window.partitionBy("user_id").orderBy(asc("version"))
-        Tables.events(s, d)
-          .filter(col("user_id") % 10 === 0)
-          .withColumn("chg",
-            when(lag(col("event_type"), 1).over(w).isNotNull &&
-              lag(col("event_type"), 1).over(w) === col("event_type"), 0L)
-              .otherwise(1L))
-          .withColumn("version", sum("chg").over(w))
-          .groupBy("user_id", "version")
-          .agg(
-            max(col("event_type")).as("state"),
-            min(col("ts")).as("valid_from"),
-            count(lit(1)).as("n_events"))
-          .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
-          .select("user_id", "version", "state", "valid_from", "valid_to", "n_events")
-          .orderBy("user_id", "version")
-      },
+      (s, d) => scd2Dim(s, d).orderBy("user_id", "version"),
       Some("""WITH e AS (SELECT * FROM events WHERE user_id % 10 = 0),
                    r AS (SELECT user_id, event_type, ts, event_id,
                            CASE WHEN lag(event_type) OVER w IS NOT NULL
@@ -194,6 +202,62 @@ object UpsertQueries {
                      lead(valid_from) OVER (PARTITION BY user_id
                                             ORDER BY version) AS valid_to,
                      CAST(n_events AS BIGINT) AS n_events
-              FROM g ORDER BY user_id, version"""))
+              FROM g ORDER BY user_id, version""")),
+
+    // POINT-IN-TIME (as-of) lookup against the SCD2 dimension — the
+    // consumption side of q_scd2_build: enrich each probe with the state
+    // version whose [valid_from, valid_to) interval contains the probe
+    // time. Implemented as an equi-join on the key with the containment
+    // predicate as a residual filter — per-key fan-out is the user's
+    // version count (bounded by their change history), and half-open
+    // intervals make the match EXACTLY ONE version per probe with no tie
+    // ambiguity (runs sharing a min-ts produce an empty interval that can
+    // contain nothing) — the determinism a timestamp-as-of carry cannot
+    // guarantee when two versions share a valid_from. At 100 TB the dim
+    // is the small side: broadcast or co-bucket on the key.
+    QueryDef(
+      "q_scd2_asof",
+      (s, d) => {
+        val dim = scd2Dim(s, d)
+        val probes = Tables.events(s, d)
+          .filter(col("user_id") % 10 === 0 && col("event_id") % 7 === 0)
+          .select(col("event_id"), col("user_id"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("pts"))
+        probes.join(dim,
+            probes("user_id") === dim("user_id") &&
+              dim("valid_from") <= col("pts") &&
+              (dim("valid_to").isNull || col("pts") < dim("valid_to")))
+          .select(probes("event_id"), probes("user_id"), col("pts"),
+            col("version"), col("state"), col("n_events"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT * FROM events WHERE user_id % 10 = 0),
+                   r AS (SELECT user_id, event_type, ts, event_id,
+                           CASE WHEN lag(event_type) OVER w IS NOT NULL
+                                     AND lag(event_type) OVER w = event_type
+                                THEN 0 ELSE 1 END AS chg
+                         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+                   v AS (SELECT user_id, event_type, ts,
+                           CAST(sum(chg) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS BIGINT) AS version
+                         FROM r),
+                   g AS (SELECT user_id, version, max(event_type) AS state,
+                                min(ts) AS valid_from, count(*) AS n_events
+                         FROM v GROUP BY 1, 2),
+                   dim AS (SELECT user_id, version, state, valid_from,
+                                  lead(valid_from) OVER (PARTITION BY user_id
+                                                         ORDER BY version) AS valid_to,
+                                  CAST(n_events AS BIGINT) AS n_events
+                           FROM g),
+                   probes AS (SELECT event_id, user_id,
+                                     ts + INTERVAL 30 MINUTE AS pts
+                              FROM e WHERE event_id % 7 = 0)
+              SELECT p.event_id, p.user_id, p.pts, dim.version, dim.state,
+                     dim.n_events
+              FROM probes p JOIN dim
+                ON p.user_id = dim.user_id
+               AND dim.valid_from <= p.pts
+               AND (dim.valid_to IS NULL OR p.pts < dim.valid_to)
+              ORDER BY p.event_id"""))
   )
 }
