@@ -1511,6 +1511,84 @@ object AdvancedQueries {
               SELECT path, count(*) AS n_users
               FROM p GROUP BY 1 ORDER BY n_users DESC, path""")),
 
+    // SEQUENCE-PATTERN match — the MATCH_RECOGNIZE / Pinot
+    // funnelMatchStep analog for arbitrary regex patterns: each user's
+    // event stream collapses to a compact symbol string (one initial per
+    // event, ordered by the (ts, event_id) total order), and the pattern
+    // runs as an ordinary regex over that string — "a click followed by a
+    // purchase with only views/errors between" is 'c[ve]*p'. One key
+    // shuffle + per-key ordered reduce; the string is bounded by per-key
+    // activity (the same bound every MATCH_RECOGNIZE engine carries), and
+    // the regex engines agree because the pattern stays in the
+    // POSIX-common subset. Strictly more expressive than the funnel
+    // operators: Kleene stars, alternation, and negated classes come free.
+    QueryDef(
+      "q_seq_pattern",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("c", substring(col("event_type"), 1, 1))
+          .groupBy("user_id")
+          .agg(array_sort(collect_list(struct(col("rn"), col("c")))).as("steps"))
+          .select(col("user_id"),
+            concat_ws("", transform(col("steps"), s0 => s0.getField("c"))).as("seq"))
+          .select(
+            col("user_id"),
+            length(col("seq")).as("seq_len"),
+            col("seq").rlike("c[ve]*p").cast("int").as("clean_funnel"),
+            col("seq").rlike("ee").cast("int").as("error_burst"),
+            instr(col("seq"), "p").as("first_purchase_pos"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (SELECT user_id,
+                     string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+                   FROM events GROUP BY 1)
+              SELECT user_id, length(seq) AS seq_len,
+                     CAST(regexp_matches(seq, 'c[ve]*p') AS INT) AS clean_funnel,
+                     CAST(regexp_matches(seq, 'ee') AS INT) AS error_burst,
+                     CAST(strpos(seq, 'p') AS BIGINT) AS first_purchase_pos
+              FROM p ORDER BY user_id""")),
+
+    // KEY-SKEW diagnostics — the shuffle-health screen an operator runs
+    // BEFORE picking a partitioning at 100 TB (skewed keys → salting /
+    // AQE skew-join; this query is how you find them). One partial
+    // aggregate to the key-frequency dictionary, then dictionary-local
+    // stats: hottest key + its share, and the Gini concentration index
+    // via the rank formula G = (2·Σr·f − (n+1)·Σf) / (n·Σf) — integer
+    // arithmetic until the final division, so the hash is
+    // order-independent. The rank window is over the AGGREGATED key
+    // dictionary (n_keys rows), not raw events.
+    QueryDef(
+      "q_key_skew",
+      (s, d) => {
+        val cnts = Tables.events(s, d)
+          .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        val ranked = cnts.withColumn("r",
+          row_number().over(Window.orderBy(asc("cnt"), asc("user_id"))))
+        ranked.agg(
+            count(lit(1)).as("n_keys"),
+            sum("cnt").as("total"),
+            max(struct(col("cnt"), col("user_id"))).getField("user_id")
+              .as("top_key"),
+            round(max("cnt") / sum("cnt").cast("double"), 6).as("max_share"),
+            round(
+              (lit(2) * sum(col("r") * col("cnt")) -
+                (count(lit(1)) + 1) * sum("cnt")).cast("double") /
+                (count(lit(1)) * sum("cnt")).cast("double"), 6).as("gini"))
+      },
+      Some("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+                   rk AS (SELECT user_id, cnt,
+                            row_number() OVER (ORDER BY cnt, user_id) AS r
+                          FROM c)
+              SELECT count(*) AS n_keys,
+                     CAST(sum(cnt) AS BIGINT) AS total,
+                     max_by(user_id, r) AS top_key,
+                     round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS max_share,
+                     round(CAST(2 * sum(r * cnt) - (count(*) + 1) * sum(cnt) AS DOUBLE) /
+                           CAST(count(*) * sum(cnt) AS DOUBLE), 6) AS gini
+              FROM rk""")),
+
     // Time-weighted average — the irregular-sample timeseries mean (IoT /
     // billing / financial OLAP staple): each observation holds until the
     // next one, so its value weights by the interval length; the final

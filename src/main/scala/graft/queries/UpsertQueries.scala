@@ -218,16 +218,18 @@ object UpsertQueries {
     QueryDef(
       "q_scd2_asof",
       (s, d) => {
-        val dim = scd2Dim(s, d)
+        // dim key renamed so the probe↔dim self-lineage (both sides read
+        // events) can never collapse to a trivially-true equi-predicate
+        val dim = scd2Dim(s, d).withColumnRenamed("user_id", "d_user_id")
         val probes = Tables.events(s, d)
           .filter(col("user_id") % 10 === 0 && col("event_id") % 7 === 0)
           .select(col("event_id"), col("user_id"),
             (col("ts") + expr("INTERVAL 30 MINUTES")).as("pts"))
         probes.join(dim,
-            probes("user_id") === dim("user_id") &&
-              dim("valid_from") <= col("pts") &&
-              (dim("valid_to").isNull || col("pts") < dim("valid_to")))
-          .select(probes("event_id"), probes("user_id"), col("pts"),
+            col("user_id") === col("d_user_id") &&
+              col("valid_from") <= col("pts") &&
+              (col("valid_to").isNull || col("pts") < col("valid_to")))
+          .select(col("event_id"), col("user_id"), col("pts"),
             col("version"), col("state"), col("n_events"))
           .orderBy("event_id")
       },

@@ -436,6 +436,66 @@ object Realtime {
     } finally batch.unpersist()
   }
 
+  /** Streaming TUPLE-sketch cube — the (distinct count AND metric total)
+    * member of the cube-sink family: per-cell tuple blobs carry a summed
+    * long metric per retained key, so the refreshed cube answers "how
+    * many distinct users and how much revenue per segment" (and their
+    * intersections) from O(cells · k) state. Tuple union is
+    * summary-ADDITIVE per key — re-merging a re-delivered batch would
+    * double-count the carried metric even though the key set is
+    * idempotent — so this sink carries the kllCubeRefreshSink replay
+    * guard (batch-id-keyed fact archive + full rebuild on re-delivery).
+    * The metric must be a LONG (quantize money to cents per row first —
+    * the integer-grid rule), so rebuild and fold agree exactly.
+    */
+  def tupleCubeRefreshSink(
+      stream: DataFrame, factPath: String, cubePath: String,
+      dims: Seq[String], keyCol: String, metricCol: String, k: Int,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processTupleCubeBatch(batch, id, factPath, cubePath, dims,
+          keyCol, metricCol, k)
+      }
+      .start()
+
+  private[graft] def processTupleCubeBatch(
+      batch: DataFrame, id: Long, factPath: String, cubePath: String,
+      dims: Seq[String], keyCol: String, metricCol: String, k: Int): Unit = {
+    import graft.functions.SketchFns._
+    val spark = batch.sparkSession
+    def sketchOf(df: DataFrame): DataFrame =
+      df.groupBy(dims.map(col): _*)
+        .agg(tupleSketch(col(keyCol), col(metricCol), k).as("sk"))
+    batch.persist()
+    try {
+      if (batch.isEmpty) ()
+      else {
+        val hc = spark.sparkContext.hadoopConfiguration
+        val batchDir = new org.apache.hadoop.fs.Path(s"$factPath/batch_id=$id")
+        val replay = batchDir.getFileSystem(hc).exists(batchDir)
+        batch.write.mode("overwrite").parquet(batchDir.toString)
+        val cp = new org.apache.hadoop.fs.Path(cubePath)
+        val cubeExists = cp.getFileSystem(hc).exists(cp)
+        val next =
+          if (!cubeExists) sketchOf(batch)
+          else if (replay) sketchOf(spark.read.parquet(factPath))
+          else {
+            val old = spark.read.parquet(cubePath).withColumnRenamed("sk", "sk_old")
+            old.join(sketchOf(batch).withColumnRenamed("sk", "sk_new"),
+                dims, "full_outer")
+              .select(dims.map(col) :+
+                when(col("sk_old").isNull, col("sk_new"))
+                  .when(col("sk_new").isNull, col("sk_old"))
+                  .otherwise(tupleUnion(col("sk_old"), col("sk_new"))).as("sk"): _*)
+          }
+        next.localCheckpoint(true).write.mode("overwrite").parquet(cubePath)
+      }
+    } finally batch.unpersist()
+  }
+
   /** Streaming DENORMALIZED ingest — Pinot's realtime lookup join: each
     * micro-batch of fact rows resolves its dimension columns ON INGEST
     * (broadcast dim join, DenormView.refreshIncremental — O(batch),

@@ -222,7 +222,10 @@ class PlanLintSpec extends SparkSpec {
     //    metrics), never raw rows.
     val globalWindowOk = Set("q_gapfill_prev", "q_topn_others",
       "q_histogram_eqdepth", "q_rfm_segments", "q_top_p_vocab",
-      "q_seasonal_decompose", "q_triangles", "q_pareto_revenue")
+      "q_seasonal_decompose", "q_triangles", "q_pareto_revenue",
+      // q_key_skew: the Gini rank window runs over the AGGREGATED
+      // key-frequency dictionary (n_keys rows), not raw events
+      "q_key_skew")
     val offenders = Registry.all.flatMap { q =>
       val global = q.run(spark, sfDir).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
@@ -395,7 +398,11 @@ class PlanLintSpec extends SparkSpec {
     // (d): converted money paths; remaining rounds are class-a/b/c columns
     // or scalar post-processing of exact long sums / first() picks
     "q_agg_global", "q_agg_groupby", "q_attribution_position",
-    "q_pareto_revenue", "q_ltv_decay")
+    "q_pareto_revenue", "q_ltv_decay",
+    // (c): q_key_skew's max_share and Gini are ratios of exact long sums
+    // divided as doubles, rounded 6 dp — continuous estimators; the
+    // numerators/denominators themselves are integer-exact in any order
+    "q_key_skew")
 
   test("allowlisted scalar cross joins really do combine single-row inputs") {
     // each allowlisted query must produce at most a handful of rows — the

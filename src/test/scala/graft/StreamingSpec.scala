@@ -562,6 +562,46 @@ class StreamingSpec extends SparkSpec {
     assert(merged === 50.0)
   }
 
+  test("tuple cube folds micro-batches; replay rebuilds counts AND metric sums") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.SketchFns._
+    val base = java.nio.file.Files.createTempDirectory("tuple_cube").toString
+    val factPath = s"$base/fact"
+    val cubePath = s"$base/cube"
+    def b(rows: (String, Long, Long)*) = rows.toDF("event_type", "user_id", "cents")
+    def process(batch: org.apache.spark.sql.DataFrame, id: Long) =
+      Realtime.processTupleCubeBatch(batch, id, factPath, cubePath,
+        dims = Seq("event_type"), keyCol = "user_id", metricCol = "cents",
+        k = 1024)
+    def stats() = spark.read.parquet(cubePath)
+      .select(col("event_type"),
+        tupleDistinct(col("sk")).as("n"), tupleSum(col("sk")).as("s"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+
+    // k=1024 > key cardinality: untrimmed, so counts AND sums are exact
+    process(b((1L to 50L).map(u => ("click", u, 10L)): _*), id = 0)
+    process(b(((51L to 100L).map(u => ("click", u, 10L)) ++
+      (1L to 9L).map(u => ("view", u, 100L))): _*), id = 1)
+    assert(stats() === Map("click" -> ((100L, 1000L)), "view" -> ((9L, 900L))))
+
+    // at-least-once replay of batch 1: the summary-additive union would
+    // double-count cents — the batch-id guard rebuilds from the archive
+    process(b(((51L to 100L).map(u => ("click", u, 10L)) ++
+      (1L to 9L).map(u => ("view", u, 100L))): _*), id = 1)
+    assert(stats() === Map("click" -> ((100L, 1000L)), "view" -> ((9L, 900L))))
+    assert(spark.read.parquet(factPath).count() === 109)
+
+    // blobs keep composing: the all-types rollup is 100 distinct users
+    // (viewers all click) carrying 1000 + 900 total cents
+    val merged = spark.read.parquet(cubePath)
+      .agg(tupleDistinct(tupleUnionAgg(col("sk"), 1024)).as("n"),
+        tupleSum(tupleUnionAgg(col("sk"), 1024)).as("s"))
+      .head()
+    assert(merged.getLong(0) === 100L)
+    assert(merged.getLong(1) === 1900L)
+  }
+
   test("streaming denormalized ingest resolves dims per batch, history never rewritten") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
