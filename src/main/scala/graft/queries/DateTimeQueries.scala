@@ -123,6 +123,36 @@ object DateTimeQueries {
                      count(DISTINCT user_id) AS users
               FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
+    // DAILY PERCENTILE SERIES — the observability staple (p50/p95/p99
+    // latency per day, the chart every SLO dashboard renders): one
+    // day-keyed DISCRETE percentile pass over the dictionary-histogram
+    // operator — ranks SELECT actual data values, no interpolation
+    // arithmetic, so no cent-midpoint can sit on a rounding boundary
+    // (interpolated daily p95s DO land on exact half-cents; the first cut
+    // of this query failed the gate that way). At 100 TB the day×metric
+    // dictionary is what crosses the shuffle; q_kll_cube is the
+    // sketch-served form of the same series.
+    QueryDef(
+      "q_percentile_daily",
+      (s, d) =>
+        graft.operators.Percentiles.discrete(
+          Tables.events(s, d)
+            .withColumn("day", date_trunc("day", col("ts"))),
+          Seq("day"),
+          Seq(("p50", "value", 0.5),
+            ("p95", "value", 0.95),
+            ("p99", "value", 0.99)))
+          .select(col("day"),
+            round(col("p50"), 2).as("p50"),
+            round(col("p95"), 2).as("p95"),
+            round(col("p99"), 2).as("p99"))
+          .orderBy("day"),
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     round(quantile_disc(value, 0.5), 2) AS p50,
+                     round(quantile_disc(value, 0.95), 2) AS p95,
+                     round(quantile_disc(value, 0.99), 2) AS p99
+              FROM events GROUP BY 1 ORDER BY day""")),
+
     // EWMA smoothing per series — the timeseries-engine smoothing shape
     // (Pinot ships a PromQL-ish timeseries engine; EWMA is its canonical
     // stateful transform). Inherently sequential WITHIN a series and

@@ -184,6 +184,46 @@ object DedupQueries {
               WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
               ORDER BY a_id, b_id""")),
 
+    // EDIT-DISTANCE near-dup pairs — the character-level refinement
+    // stage a fuzzy-dedup pipeline runs AFTER blocking (shingle/LSH
+    // dedup misses single-char typo families; Levenshtein catches them):
+    // candidates meet only through a (length-bucket, 3-char-prefix)
+    // blocking key — the classic prefix-blocking equi-join, never
+    // all-pairs — and the exact DP distance runs on the bounded 40-char
+    // head of each candidate pair. Both engines implement the same
+    // classic Levenshtein DP, so the pair set and distances hash-match
+    // exactly. At 100 TB the blocking key bounds per-bucket fan-out the
+    // same way the LSH bands do; a production pipeline adds a simhash
+    // band to the key when buckets skew.
+    QueryDef(
+      "q_dedup_edit",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("head"),
+            ((col("n_chars") / 50).cast("long")).as("lb"),
+            substring(lower(col("text")), 1, 3).as("pfx"))
+        val a = docs.select(col("doc_id").as("a_id"), col("head").as("a_head"),
+          col("lb"), col("pfx"))
+        val b = docs.select(col("doc_id").as("b_id"), col("head").as("b_head"),
+          col("lb"), col("pfx"))
+        a.join(b, Seq("lb", "pfx"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            levenshtein(col("a_head"), col("b_head")).as("dist"))
+          .filter(col("dist") <= 12)
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH dd AS (SELECT doc_id, substr(lower(text), 1, 40) AS head,
+                     CAST(n_chars // 50 AS BIGINT) AS lb,
+                     substr(lower(text), 1, 3) AS pfx
+                   FROM documents)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     CAST(levenshtein(a.head, b.head) AS INT) AS dist
+              FROM dd a JOIN dd b
+                ON a.lb = b.lb AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+              WHERE levenshtein(a.head, b.head) <= 12
+              ORDER BY a_id, b_id""")),
+
     // Asymmetric n-gram CONTAINMENT — the subset-detection companion of
     // Jaccard dedup: a short doc quoted wholesale inside a long one has
     // low Jaccard (union is dominated by the long doc) but containment

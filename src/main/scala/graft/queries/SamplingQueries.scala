@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 
@@ -82,6 +83,40 @@ object SamplingQueries {
               SELECT lang, CAST(rank AS INT) AS rank, doc_id,
                      substring(h, 1, 8) AS h8
               FROM r WHERE rank <= 5 ORDER BY lang, rank""")),
+
+    // STRATIFIED K-FOLD assignment — the cross-validation / eval-shard
+    // split of a training pipeline: within each stratum (language),
+    // documents take folds round-robin in a deterministic content order
+    // (md5, doc_id-tie-broken), so every fold holds an equal ±1 share of
+    // EVERY stratum — the balance plain hash-mod splits only approach in
+    // expectation. One stratum-keyed window pass (rank is O(1) state per
+    // row); the per-(stratum, fold) rollup is dictionary-sized. The same
+    // shape shards eval sets at 100 TB: strata are the co-partition key,
+    // the fold id never needs a global pass.
+    QueryDef(
+      "q_kfold_stratified",
+      (s, d) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(asc("h"), asc("doc_id"))
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), col("n_chars"),
+            md5(col("text")).as("h"))
+          .withColumn("fold", ((row_number().over(w) - 1) % 5).cast("int"))
+          .groupBy("lang", "fold")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            min("doc_id").as("first_doc"))
+          .orderBy("lang", "fold")
+      },
+      Some("""WITH r AS (SELECT lang, doc_id, n_chars,
+                     CAST((row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(text), doc_id) - 1) % 5 AS INT) AS fold
+                   FROM documents)
+              SELECT lang, fold, count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                     min(doc_id) AS first_doc
+              FROM r GROUP BY 1, 2 ORDER BY lang, fold""")),
 
     // Concat-and-chunk sequence PACKING — the batch-assembly step of a
     // pretraining pipeline: documents are concatenated per language in a

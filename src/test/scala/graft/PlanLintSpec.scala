@@ -394,7 +394,7 @@ class PlanLintSpec extends SparkSpec {
     // (c) percentile family: dictionary-histogram interpolation edges,
     // rounded 4 dp on BOTH engines per the documented quantile_cont rule
     "q_percentile", "q_percentile_disc", "q_percentile_weighted",
-    "q_ntile", "q_rfm_segments", "q_winsorize",
+    "q_ntile", "q_rfm_segments", "q_winsorize", "q_percentile_daily",
     // (d): converted money paths; remaining rounds are class-a/b/c columns
     // or scalar post-processing of exact long sums / first() picks
     "q_agg_global", "q_agg_groupby", "q_attribution_position",
