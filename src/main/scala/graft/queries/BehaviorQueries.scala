@@ -70,6 +70,66 @@ object BehaviorQueries {
     // the only cross-engine divergence is summation order, absorbed by
     // the rounding; the whole query is one partial-aggregate scan
     // folded to a single row (no shuffle wider than 2 groups).
+    // Two-sample KOLMOGOROV-SMIRNOV test — the distribution-shape
+    // companion of q_ab_test (Welch compares means; KS catches variance /
+    // shape / tail shifts means miss) and q_psi_drift (PSI needs binning;
+    // KS is bin-free). Integer-exact by construction: values quantize to
+    // per-row cents, the (cents → per-arm count) dictionary cumulates in
+    // one value-ordered window, and the sup statistic maximizes
+    // |cum_a·n_b − cum_b·n_a| — all LONG arithmetic, divided exactly once
+    // at the end (no float accumulates in any order-dependent way). The
+    // global window runs over the cents DICTIONARY, not raw events; the
+    // scalar totals broadcast via the audited single-row crossJoin shape.
+    QueryDef(
+      "q_ks_test",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val hist = e.groupBy("cents").agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cb"))
+        val tot = hist.agg(sum("ca").as("na"), sum("cb").as("nb"))
+        val w = Window.orderBy(asc("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist
+          .withColumn("cuma", sum("ca").over(w))
+          .withColumn("cumb", sum("cb").over(w))
+        cum.crossJoin(broadcast(tot))
+          .select(col("na"), col("nb"),
+            abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("dn"))
+          .groupBy("na", "nb")
+          .agg(max("dn").as("dnmax"))
+          .select(
+            col("na"), col("nb"),
+            round(col("dnmax").cast("double") /
+              (col("na") * col("nb")).cast("double"), 6).as("d_stat"),
+            round(col("dnmax").cast("double") / (col("na") * col("nb")).cast("double") *
+              sqrt((col("na") * col("nb")).cast("double") /
+                (col("na") + col("nb")).cast("double")), 4).as("ks_lambda"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events WHERE event_type IN ('click', 'purchase')),
+                   hist AS (SELECT cents,
+                              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+                              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+                            FROM e GROUP BY 1),
+                   tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                                  CAST(sum(cb) AS BIGINT) AS nb FROM hist),
+                   cum AS (SELECT cents,
+                             CAST(sum(ca) OVER (ORDER BY cents) AS BIGINT) AS cuma,
+                             CAST(sum(cb) OVER (ORDER BY cents) AS BIGINT) AS cumb
+                           FROM hist),
+                   dm AS (SELECT max(abs(cuma * nb - cumb * na)) AS dnmax
+                          FROM cum, tot)
+              SELECT na, nb,
+                     round(CAST(dnmax AS DOUBLE) / (na * nb), 6) AS d_stat,
+                     round(CAST(dnmax AS DOUBLE) / (na * nb) *
+                           sqrt(CAST(na * nb AS DOUBLE) / (na + nb)), 4) AS ks_lambda
+              FROM dm, tot""")),
+
     QueryDef(
       "q_ab_test",
       (s, d) => {

@@ -107,7 +107,10 @@ class PlanLintSpec extends SparkSpec {
     "q_dow_hour_heatmap",
     // scalar-N pattern: the single-row p90 cut broadcasts onto the
     // entity-sized per-user revenue rollup
-    "q_pareto_revenue")
+    "q_pareto_revenue",
+    // scalar-N pattern: the single-row (n_a, n_b) totals broadcast onto
+    // the cents-dictionary cumulative table for the sup statistic
+    "q_ks_test")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
@@ -225,7 +228,10 @@ class PlanLintSpec extends SparkSpec {
       "q_seasonal_decompose", "q_triangles", "q_pareto_revenue",
       // q_key_skew: the Gini rank window runs over the AGGREGATED
       // key-frequency dictionary (n_keys rows), not raw events
-      "q_key_skew")
+      "q_key_skew",
+      // q_ks_test: the CDF cumulative window runs over the cents
+      // dictionary (distinct metric values), not raw events
+      "q_ks_test")
     val offenders = Registry.all.flatMap { q =>
       val global = q.run(spark, sfDir).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
