@@ -60,7 +60,10 @@ object ScaleBench {
     // round-9 PQ rework check: training is bounded-sample driver-local
     // and encode is one scan-local projection, so both should measure
     // ~flat-to-linear at any corpus multiple.
-    "q_ann_pq", "q_ann_ivfpq")
+    "q_ann_pq", "q_ann_ivfpq",
+    // round-9 sorted-neighborhood rework check: candidates are O(n·W) by
+    // construction, so the slope should stay ~linear at any multiple.
+    "q_dedup_edit")
 
   /** The registry's q_dedup_embedding runs the fixture-calibrated
     * threshold 0.4, where ~0.4% of RANDOM pairs qualify — so the true-pair
