@@ -287,6 +287,62 @@ object AdvancedQueries {
                      round(max(c) / 100.0, 2) AS hi
               FROM c, e GROUP BY 1 ORDER BY bucket""")),
 
+    // FREEDMAN-DIACONIS auto-binned histogram — the profiling histogram
+    // that picks its own bin width from the data (h = 2·IQR/∛n, the rule
+    // every auto-binning UI uses) instead of a caller-supplied bin count.
+    // Deterministic across engines by construction: the IQR comes from
+    // DISCRETE cent picks (rank selection, no interpolation), h is ONE
+    // scalar computation on exact integers (identical double both
+    // engines), quantized to whole cents, and bin ids are integer
+    // division — no float accumulates anywhere. Same scale shape as
+    // q_histogram_eqdepth: the heavy pass is the cents-dictionary rollup,
+    // the single-row h broadcasts.
+    QueryDef(
+      "q_histogram_fd",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(round(col("value") * 100).cast("long").as("cents"))
+        val base = e.withColumn("g", lit(1))
+        val q = graft.operators.Percentiles.discrete(
+          base, Seq("g"),
+          Seq(("p25", "cents", 0.25), ("p75", "cents", 0.75)))
+        val params = q.join(base.groupBy("g").agg(count(lit(1)).as("n")), "g")
+          .select(greatest(lit(1L),
+            round((col("p75") - col("p25")) * 2 / cbrt(col("n"))).cast("long"))
+            .as("h"))
+        e.crossJoin(broadcast(params))
+          .withColumn("bin", expr("cents DIV h"))
+          .groupBy("bin", "h")
+          .agg(count(lit(1)).as("cnt"))
+          .select(
+            round((col("bin") * col("h")) / 100.0, 2).as("bin_lo"),
+            round(((col("bin") + 1) * col("h")) / 100.0, 2).as("bin_hi"),
+            col("cnt"))
+          .orderBy("bin_lo")
+      },
+      Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+                         FROM events),
+                   st AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+                                 count(*) OVER () AS n
+                          FROM e),
+                   q AS (SELECT max(CASE WHEN rn = greatest(
+                                  CAST(ceil(0.25 * n) AS BIGINT), 1)
+                                  THEN cents END) AS p25,
+                                max(CASE WHEN rn = greatest(
+                                  CAST(ceil(0.75 * n) AS BIGINT), 1)
+                                  THEN cents END) AS p75,
+                                max(n) AS n
+                         FROM st),
+                   p AS (SELECT greatest(1, CAST(round(
+                           (p75 - p25) * 2 / cbrt(n)) AS BIGINT)) AS h
+                         FROM q)
+              SELECT round(CAST((e.cents // p.h) * p.h AS DOUBLE) / 100.0, 2)
+                       AS bin_lo,
+                     round(CAST(((e.cents // p.h) + 1) * p.h AS DOUBLE) / 100.0, 2)
+                       AS bin_hi,
+                     count(*) AS cnt
+              FROM e, p GROUP BY 1, 2 ORDER BY bin_lo""")),
+
     // GAPFILL: dense daily time axis, zero-filled where no rows exist.
     // The axis is generated, not scanned — at 100 TB the fact side stays a
     // pruned aggregate and the (tiny) axis broadcasts.
@@ -887,6 +943,58 @@ object AdvancedQueries {
           .orderBy("type_a", "type_b")
       },
       None),
+
+    // q_theta_jaccard's EXACT-REGIME twin (k=65536 ≫ user cardinality):
+    // untrimmed KMV sketches retain every distinct key, so est(A∩B) and
+    // est(A∪B) are the true cohort cardinalities and the sketch-served
+    // Jaccard EQUALS the exact audience overlap — hash-verified against
+    // the plain distinct-set computation. Both engines divide the same
+    // exact integers as doubles, so the 6-dp rounding is bit-identical.
+    // Completes the theta family's exact coverage (setops, cube, jaccard).
+    QueryDef(
+      "q_theta_jaccard_exact",
+      (s, d) => {
+        import graft.functions.SketchFns._
+        val sk = Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(thetaSketch(col("user_id"), 65536).as("sk"))
+        val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+        val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+        a.join(b, col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"),
+            thetaEstimate(thetaIntersect(col("ska"), col("skb"))).cast("long")
+              .as("n_both"),
+            thetaEstimate(thetaUnion(col("ska"), col("skb"))).cast("long")
+              .as("n_either"),
+            round(
+              thetaEstimate(thetaIntersect(col("ska"), col("skb"))) /
+                thetaEstimate(thetaUnion(col("ska"), col("skb"))), 6)
+              .as("jaccard"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+                   n AS (SELECT event_type, count(*) AS cnt FROM s GROUP BY 1),
+                   pairs AS (SELECT na.event_type AS type_a, na.cnt AS ca,
+                                    nb.event_type AS type_b, nb.cnt AS cb
+                             FROM n na JOIN n nb
+                               ON na.event_type < nb.event_type),
+                   inter AS (SELECT a.event_type AS type_a,
+                                    b.event_type AS type_b,
+                                    count(*) AS both
+                             FROM s a JOIN s b
+                               ON a.user_id = b.user_id
+                              AND a.event_type < b.event_type
+                             GROUP BY 1, 2)
+              SELECT p.type_a, p.type_b,
+                     CAST(coalesce(i.both, 0) AS BIGINT) AS n_both,
+                     CAST(p.ca + p.cb - coalesce(i.both, 0) AS BIGINT)
+                       AS n_either,
+                     round(coalesce(i.both, 0) * 1.0 /
+                           (p.ca + p.cb - coalesce(i.both, 0)), 6) AS jaccard
+              FROM pairs p
+              LEFT JOIN inter i
+                ON i.type_a = p.type_a AND i.type_b = p.type_b
+              ORDER BY p.type_a, p.type_b""")),
 
     // TUPLE-sketch segment metrics — the question theta cardinalities
     // alone can't answer: "how many distinct users did BOTH click and

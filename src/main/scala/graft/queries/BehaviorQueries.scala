@@ -70,6 +70,61 @@ object BehaviorQueries {
     // the only cross-engine divergence is summation order, absorbed by
     // the rounding; the whole query is one partial-aggregate scan
     // folded to a single row (no shuffle wider than 2 groups).
+    // MUTUAL INFORMATION between two categorical columns — the
+    // dependence screen feature selection runs (is event type informative
+    // about day-of-week?): MI = Σ p_ij·ln(p_ij/(p_i·p_j)) plus both
+    // marginal entropies and the normalized MI/√(H_a·H_b). ALL
+    // probabilities derive from integer cell counts (one (a, b) rollup;
+    // margins are partitioned window sums over the |a|·|b| cell
+    // DICTIONARY, ~35 rows here), so the only float work is the final
+    // 35-term sum — class-(c) display rounding. At 100 TB the fact scan
+    // reduces to the cell dictionary map-side; nothing else grows.
+    QueryDef(
+      "q_mutual_info",
+      (s, d) => {
+        val cells = Tables.events(s, d)
+          .select(col("event_type").as("t"),
+            (dayofweek(col("ts")) - 1).as("dw"))
+          .groupBy("t", "dw").agg(count(lit(1)).as("c"))
+        val wt = Window.partitionBy("t")
+        val wd = Window.partitionBy("dw")
+        val wall = Window.partitionBy()
+        val m = cells
+          .withColumn("ct", sum("c").over(wt))
+          .withColumn("cd", sum("c").over(wd))
+          .withColumn("n", sum("c").over(wall))
+        val pij = col("c").cast("double") / col("n")
+        m.agg(
+            max(col("n")).as("n"),
+            round(sum(pij * log(col("c").cast("double") * col("n") /
+              (col("ct").cast("double") * col("cd")))), 6).as("mi"),
+            round(-sum(pij * log(col("ct").cast("double") / col("n"))), 6)
+              .as("h_type"),
+            round(-sum(pij * log(col("cd").cast("double") / col("n"))), 6)
+              .as("h_dow"))
+          .select(col("n"), col("mi"), col("h_type"), col("h_dow"),
+            round(col("mi") / sqrt(col("h_type") * col("h_dow")), 6).as("nmi"))
+      },
+      Some("""WITH cells AS (SELECT event_type AS t, dayofweek(ts) AS dw,
+                                    count(*) AS c
+                             FROM events GROUP BY 1, 2),
+                   m AS (SELECT t, dw, c,
+                           CAST(sum(c) OVER (PARTITION BY t) AS BIGINT) AS ct,
+                           CAST(sum(c) OVER (PARTITION BY dw) AS BIGINT) AS cd,
+                           CAST(sum(c) OVER () AS BIGINT) AS n
+                         FROM cells),
+                   agg AS (SELECT CAST(max(n) AS BIGINT) AS n,
+                             round(sum((c * 1.0 / n) *
+                               ln(c * 1.0 * n / (ct * 1.0 * cd))), 6) AS mi,
+                             round(-sum((c * 1.0 / n) * ln(ct * 1.0 / n)), 6)
+                               AS h_type,
+                             round(-sum((c * 1.0 / n) * ln(cd * 1.0 / n)), 6)
+                               AS h_dow
+                           FROM m)
+              SELECT n, mi, h_type, h_dow,
+                     round(mi / sqrt(h_type * h_dow), 6) AS nmi
+              FROM agg""")),
+
     // Two-sample KOLMOGOROV-SMIRNOV test — the distribution-shape
     // companion of q_ab_test (Welch compares means; KS catches variance /
     // shape / tail shifts means miss) and q_psi_drift (PSI needs binning;

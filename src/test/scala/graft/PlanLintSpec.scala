@@ -77,7 +77,7 @@ class PlanLintSpec extends SparkSpec {
     "q_knn_classify",
     // dictionary × dictionary: the pairwise `<` join runs on the per-type
     // SKETCH table (one row per event type), never raw rows
-    "q_theta_jaccard",
+    "q_theta_jaccard", "q_theta_jaccard_exact",
     // scalar-N pattern: the single-row digit total broadcasts onto the
     // 9-key digit rollup
     "q_benford",
@@ -110,7 +110,10 @@ class PlanLintSpec extends SparkSpec {
     "q_pareto_revenue",
     // scalar-N pattern: the single-row (n_a, n_b) totals broadcast onto
     // the cents-dictionary cumulative table for the sup statistic
-    "q_ks_test")
+    "q_ks_test",
+    // scalar-N pattern: the single-row Freedman-Diaconis bin width
+    // broadcasts onto the cents scan
+    "q_histogram_fd")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
@@ -231,7 +234,14 @@ class PlanLintSpec extends SparkSpec {
       "q_key_skew",
       // q_ks_test: the CDF cumulative window runs over the cents
       // dictionary (distinct metric values), not raw events
-      "q_ks_test")
+      "q_ks_test",
+      // q_mutual_info: the grand-total window runs over the |a|·|b|
+      // contingency-cell dictionary (~35 rows), not raw events
+      "q_mutual_info",
+      // q_histogram_fd: the constant-key IQR window collapses to a global
+      // window over the cents DICTIONARY (the constant partition key is
+      // folded away in the physical plan), not raw events
+      "q_histogram_fd")
     val offenders = Registry.all.flatMap { q =>
       val global = q.run(spark, sfDir).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
@@ -408,7 +418,12 @@ class PlanLintSpec extends SparkSpec {
     // (c): q_key_skew's max_share and Gini are ratios of exact long sums
     // divided as doubles, rounded 6 dp — continuous estimators; the
     // numerators/denominators themselves are integer-exact in any order
-    "q_key_skew")
+    "q_key_skew",
+    // (c): q_mutual_info's MI/entropy sums run over the ~35-cell
+    // contingency dictionary (probabilities from exact integer counts);
+    // (d): q_histogram_fd's h rounds ONE scalar computed from integer
+    // IQR picks and a count — no accumulation-order sensitivity
+    "q_mutual_info", "q_histogram_fd")
 
   test("allowlisted scalar cross joins really do combine single-row inputs") {
     // each allowlisted query must produce at most a handful of rows — the
