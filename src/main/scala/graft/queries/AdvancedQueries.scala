@@ -1435,6 +1435,97 @@ object AdvancedQueries {
                                    AND p.event_type = 'purchase' AND p.ts > s.st)
                      AS n_converted""")),
 
+    // ANY-ORDER funnel (Pinot funnelCompleteCount semantics without the
+    // order constraint): how many users performed ALL of a step set
+    // regardless of sequence — the "completed the bundle" question the
+    // ordered funnels can't ask. One partial-aggregating pass builds a
+    // per-user step BITMASK (max of per-row bits — no distinct shuffle,
+    // no event list), then the mask dictionary rolls up completion
+    // counts for every prefix of the step set plus the full bundle.
+    QueryDef(
+      "q_funnel_unordered",
+      (s, d) => {
+        val mask = Tables.events(s, d)
+          .filter(col("event_type").isin("view", "signup", "purchase"))
+          .groupBy("user_id")
+          .agg(
+            max(when(col("event_type") === "view", 1L).otherwise(0L)).as("b_view"),
+            max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("b_signup"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b_purchase"))
+        mask.agg(
+          count(lit(1)).as("n_any"),
+          sum(col("b_view")).as("n_view"),
+          sum(col("b_view") * col("b_signup")).as("n_view_signup"),
+          sum(col("b_view") * col("b_signup") * col("b_purchase")).as("n_all3"))
+      },
+      Some("""WITH m AS (SELECT user_id,
+                     max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS bv,
+                     max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS bs,
+                     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bp
+                   FROM events
+                   WHERE event_type IN ('view', 'signup', 'purchase')
+                   GROUP BY 1)
+              SELECT count(*) AS n_any,
+                     CAST(sum(bv) AS BIGINT) AS n_view,
+                     CAST(sum(bv * bs) AS BIGINT) AS n_view_signup,
+                     CAST(sum(bv * bs * bp) AS BIGINT) AS n_all3
+              FROM m""")),
+
+    // TIME-TO-EVENT distribution — the conversion-lag curve (signup →
+    // first purchase) growth analytics reads before any funnel tuning:
+    // per-user lag in whole days from one min-aggregate pass per stage
+    // (never an event sort), rolled up to a per-day distribution with
+    // CUMULATIVE converted share — integer counts all the way, the share
+    // one exact division rounded for display. The censored tail (signups
+    // with no later purchase) is reported beside the curve, where a
+    // Kaplan-Meier estimator would consume it.
+    QueryDef(
+      "q_conversion_lag",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val signups = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("st"))
+        val firstPurchase = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("pt"))
+        val lags = signups
+          .join(firstPurchase,
+            col("user_id") === col("p_user") && col("pt") >= col("st"), "left")
+          .groupBy("user_id", "st").agg(min("pt").as("fp"))
+          .select(col("user_id"),
+            datediff(col("fp"), col("st")).cast("long").as("lag_days"))
+        val nSign = lags.agg(count(lit(1)).as("ns"))
+        lags.filter(col("lag_days").isNotNull)
+          .groupBy("lag_days").agg(count(lit(1)).as("n_converted"))
+          .withColumn("cum",
+            sum("n_converted").over(
+              Window.orderBy(asc("lag_days"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(nSign))
+          .select(col("lag_days"), col("n_converted"),
+            col("cum").as("n_cum"),
+            round(col("cum") / col("ns").cast("double"), 6).as("cum_share"))
+          .orderBy("lag_days")
+      },
+      Some("""WITH s AS (SELECT user_id, min(ts) AS st FROM events
+                         WHERE event_type = 'signup' GROUP BY 1),
+                   fp AS (SELECT s.user_id, s.st, min(p.ts) AS pt
+                          FROM s LEFT JOIN events p
+                            ON p.user_id = s.user_id
+                           AND p.event_type = 'purchase' AND p.ts >= s.st
+                          GROUP BY 1, 2),
+                   lag AS (SELECT CAST(date_diff('day', CAST(st AS DATE),
+                                       CAST(pt AS DATE)) AS BIGINT) AS lag_days
+                           FROM fp WHERE pt IS NOT NULL),
+                   n AS (SELECT count(*) AS ns FROM fp),
+                   curve AS (SELECT lag_days, count(*) AS n_converted
+                             FROM lag GROUP BY 1)
+              SELECT lag_days, n_converted,
+                     CAST(sum(n_converted) OVER (ORDER BY lag_days) AS BIGINT)
+                       AS n_cum,
+                     round(sum(n_converted) OVER (ORDER BY lag_days) * 1.0 /
+                           (SELECT ns FROM n), 6) AS cum_share
+              FROM curve ORDER BY lag_days""")),
+
     // FUNNELMAXSTEP (Pinot funnel family): the furthest ORDERED step each
     // user reached (view → later signup → later purchase), as a
     // distribution over max_step. Each stage is a user-keyed equi-join +

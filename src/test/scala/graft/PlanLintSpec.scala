@@ -113,7 +113,10 @@ class PlanLintSpec extends SparkSpec {
     "q_ks_test",
     // scalar-N pattern: the single-row Freedman-Diaconis bin width
     // broadcasts onto the cents scan
-    "q_histogram_fd")
+    "q_histogram_fd",
+    // scalar-N pattern: the single-row signup total broadcasts onto the
+    // lag-days dictionary for the cumulative share
+    "q_conversion_lag")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
@@ -241,7 +244,10 @@ class PlanLintSpec extends SparkSpec {
       // q_histogram_fd: the constant-key IQR window collapses to a global
       // window over the cents DICTIONARY (the constant partition key is
       // folded away in the physical plan), not raw events
-      "q_histogram_fd")
+      "q_histogram_fd",
+      // q_conversion_lag: the cumulative window runs over the lag-days
+      // dictionary (bounded by the observation span), not raw events
+      "q_conversion_lag")
     val offenders = Registry.all.flatMap { q =>
       val global = q.run(spark, sfDir).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
