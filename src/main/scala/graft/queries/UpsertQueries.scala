@@ -20,25 +20,9 @@ object UpsertQueries {
     * detection and interval assembly are per-key windows over the
     * (ts, event_id) total order, then runs partial-aggregate map-side.
     */
-  private def scd2Dim(s: org.apache.spark.sql.SparkSession, d: String) = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
-    val wv = Window.partitionBy("user_id").orderBy(asc("version"))
-    Tables.events(s, d)
-      .filter(col("user_id") % 10 === 0)
-      .withColumn("chg",
-        when(lag(col("event_type"), 1).over(w).isNotNull &&
-          lag(col("event_type"), 1).over(w) === col("event_type"), 0L)
-          .otherwise(1L))
-      .withColumn("version", sum("chg").over(w))
-      .groupBy("user_id", "version")
-      .agg(
-        max(col("event_type")).as("state"),
-        min(col("ts")).as("valid_from"),
-        count(lit(1)).as("n_events"))
-      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
-      .select("user_id", "version", "state", "valid_from", "valid_to", "n_events")
-  }
+  private def scd2Dim(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.operators.Scd2.build(
+      Tables.events(s, d).filter(col("user_id") % 10 === 0))
 
   val defs: Seq[QueryDef] = Seq(
     // Latest-per-key as an AGGREGATE (max_by over a (ts, event_id) struct

@@ -496,6 +496,55 @@ object Realtime {
     } finally batch.unpersist()
   }
 
+  /** Streaming SCD TYPE-2 maintenance — the history-preserving dual of
+    * the streaming upsert view: each micro-batch of changelog events
+    * updates the versioned-validity dimension INCREMENTALLY. Only the
+    * batch's AFFECTED KEYS rebuild their history (from a batch-id-keyed
+    * fact archive — at 100 TB the archive is bucketed by key so a batch
+    * touches only its buckets); untouched keys' interval rows are carried
+    * over verbatim, so per-batch work is O(affected keys' history), not
+    * O(dim). Rebuild-from-archive makes replay IDEMPOTENT by
+    * construction: a re-delivered batch overwrites its own archive
+    * partition and re-derives byte-identical intervals. Exact batch
+    * parity (streamed dim ≡ Scd2.build over everything ingested) holds
+    * at every prefix because rebuild IS the batch operator.
+    */
+  def scd2IngestSink(
+      stream: DataFrame, factPath: String, dimPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processScd2Batch(batch, id, factPath, dimPath)
+      }
+      .start()
+
+  private[graft] def processScd2Batch(
+      batch: DataFrame, id: Long, factPath: String, dimPath: String): Unit = {
+    val spark = batch.sparkSession
+    batch.persist()
+    try {
+      if (batch.isEmpty) ()
+      else {
+        val hc = spark.sparkContext.hadoopConfiguration
+        batch.write.mode("overwrite").parquet(s"$factPath/batch_id=$id")
+        val keys = batch.select("user_id").distinct()
+        val affected = spark.read.parquet(factPath)
+          .select("user_id", "event_type", "ts", "event_id")
+          .join(keys, Seq("user_id"), "left_semi")
+        val rebuilt = graft.operators.Scd2.build(affected)
+        val dp = new org.apache.hadoop.fs.Path(dimPath)
+        val next =
+          if (!dp.getFileSystem(hc).exists(dp)) rebuilt
+          else spark.read.parquet(dimPath)
+            .join(keys, Seq("user_id"), "left_anti")
+            .unionByName(rebuilt)
+        next.localCheckpoint(true).write.mode("overwrite").parquet(dimPath)
+      }
+    } finally batch.unpersist()
+  }
+
   /** Streaming DENORMALIZED ingest — Pinot's realtime lookup join: each
     * micro-batch of fact rows resolves its dimension columns ON INGEST
     * (broadcast dim join, DenormView.refreshIncremental — O(batch),

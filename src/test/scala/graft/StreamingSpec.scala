@@ -602,6 +602,50 @@ class StreamingSpec extends SparkSpec {
     assert(merged.getLong(1) === 1900L)
   }
 
+  test("streaming SCD2 maintenance matches the batch build at every prefix; replay is idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("scd2_stream").toString
+    val factPath = s"$base/fact"
+    val dimPath = s"$base/dim"
+    // one user's run is SPLIT mid-batch (u1: A,A | A,B) — the rebuild
+    // must merge the run across the batch boundary, which a naive
+    // append-only fold would break into two versions
+    val b0 = Seq((1L, "A", 10L, 100L), (1L, "A", 20L, 101L),
+      (2L, "X", 10L, 200L))
+    val b1 = Seq((1L, "A", 30L, 102L), (1L, "B", 40L, 103L),
+      (3L, "Z", 5L, 300L))
+    def df(rows: Seq[(Long, String, Long, Long)]) =
+      rows.toDF("user_id", "event_type", "ts", "event_id")
+    def dimRows() = spark.read.parquet(dimPath)
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))
+      .toSeq
+    def batchRows(rows: Seq[(Long, String, Long, Long)]) =
+      graft.operators.Scd2.build(df(rows))
+        .orderBy("user_id", "version").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))
+        .toSeq
+
+    Realtime.processScd2Batch(df(b0), 0L, factPath, dimPath)
+    assert(dimRows() === batchRows(b0), "prefix parity after batch 0")
+
+    Realtime.processScd2Batch(df(b1), 1L, factPath, dimPath)
+    assert(dimRows() === batchRows(b0 ++ b1), "prefix parity after batch 1")
+    // the split run stayed ONE version: u1 = (A over 4 events, then B)
+    val u1 = dimRows().filter(_._1 == 1L)
+    assert(u1.map(_._3) === Seq("A", "B"))
+    assert(u1.head._6 === 3L, "split run must merge across the batch boundary")
+
+    // at-least-once replay of batch 1: rebuild-from-archive re-derives
+    // byte-identical intervals — nothing double-counts
+    val before = dimRows()
+    Realtime.processScd2Batch(df(b1), 1L, factPath, dimPath)
+    assert(dimRows() === before)
+  }
+
   test("streaming denormalized ingest resolves dims per batch, history never rewritten") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
