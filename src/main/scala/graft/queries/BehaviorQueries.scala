@@ -185,6 +185,73 @@ object BehaviorQueries {
                            sqrt(CAST(na * nb AS DOUBLE) / (na + nb)), 4) AS ks_lambda
               FROM dm, tot""")),
 
+    // Two-sample MANN-WHITNEY U — the rank-based nonparametric companion
+    // (q_ab_test assumes means matter, q_ks_test takes the sup; MWU tests
+    // stochastic dominance, the workhorse when values are skewed).
+    // Integer-exact by the q_ks_test construction: over the cents
+    // DICTIONARY, 2·U_a = Σ_v ca·(2·cumb_before + cb) and the tie term
+    // Σ(t³−t) are exact longs under any order; the normal-approximation
+    // z (tie-corrected variance) is one identical single-row IEEE
+    // expression. The only window rides the cents dictionary.
+    QueryDef(
+      "q_mwu_test",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val hist = e.groupBy("cents").agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cb"))
+        val w = Window.orderBy(asc("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cumb", sum("cb").over(w))
+        val sc = cum.agg(
+          sum("ca").as("na"), sum("cb").as("nb"),
+          sum(col("ca") * (lit(2) * (col("cumb") - col("cb")) + col("cb")))
+            .as("u2"),
+          sum((col("ca") + col("cb")) * (col("ca") + col("cb")) *
+            (col("ca") + col("cb")) - (col("ca") + col("cb"))).as("ties3"))
+        val n = col("na") + col("nb")
+        val varu = (col("na") * col("nb")).cast("double") / 12 *
+          ((n + 1).cast("double") -
+            col("ties3").cast("double") / (n * (n - 1)).cast("double"))
+        sc.select(col("na"), col("nb"),
+          (col("u2").cast("double") / 2).as("u_a"),
+          (round((col("u2") - col("na") * col("nb")).cast("double") /
+            (lit(2.0) * sqrt(varu)), 4) + lit(0.0)).as("z"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+                                CAST(round(value * 100) AS BIGINT) AS cents
+                         FROM events
+                         WHERE event_type IN ('click', 'purchase')),
+                   hist AS (SELECT cents,
+                              sum(CASE WHEN event_type = 'click'
+                                       THEN 1 ELSE 0 END) AS ca,
+                              sum(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END) AS cb
+                            FROM e GROUP BY 1),
+                   cum AS (SELECT cents, ca, cb,
+                             CAST(sum(cb) OVER (ORDER BY cents) AS BIGINT)
+                               AS cumb
+                           FROM hist),
+                   sc AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                                 CAST(sum(cb) AS BIGINT) AS nb,
+                                 CAST(sum(ca * (2 * (cumb - cb) + cb))
+                                      AS BIGINT) AS u2,
+                                 CAST(sum((ca + cb) * (ca + cb) * (ca + cb)
+                                          - (ca + cb)) AS BIGINT) AS ties3
+                          FROM cum)
+              SELECT na, nb,
+                     CAST(u2 AS DOUBLE) / 2 AS u_a,
+                     round(CAST(u2 - na * nb AS DOUBLE) /
+                           (2.0 * sqrt(CAST(na * nb AS DOUBLE) / 12 *
+                             (CAST(na + nb + 1 AS DOUBLE) -
+                              CAST(ties3 AS DOUBLE) /
+                              CAST((na + nb) * (na + nb - 1) AS DOUBLE)))),
+                           4) + 0 AS z
+              FROM sc""")),
+
     QueryDef(
       "q_ab_test",
       (s, d) => {

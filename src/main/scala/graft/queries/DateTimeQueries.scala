@@ -331,7 +331,328 @@ object DateTimeQueries {
                      seasonal_c,
                      round(det_c - seasonal_c, 4) AS resid_c
               FROM f JOIN se ON f.dow = se.dow
-              ORDER BY day"""))
+              ORDER BY day""")),
+
+    // CHANGE-POINT detection (CUSUM split statistic): the day whose
+    // before/after split maximizes |n·cum_i − i·total| — the integer-
+    // scaled CUSUM |Σ_{j≤i}(x_j − mean)|·n, so the argmax is computed in
+    // EXACT LONG arithmetic (daily revenue is per-row cents, the repo's
+    // integer-grid rule; scaling by n clears the mean's division). Every
+    // window runs over the DAY dictionary; the corpus-sized work is the
+    // daily rollup. Ties break to the earliest day in both engines; the
+    // only float work is the two display means (one division each,
+    // rounded identically).
+    QueryDef(
+      "q_changepoint",
+      (s, d) => {
+        val day = Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("rev_c"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        val cum = day
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("cum_c", sum("rev_c").over(w))
+        val tot = day.agg(sum("rev_c").as("tot_c"), count(lit(1)).as("n"))
+        cum.crossJoin(broadcast(tot))
+          .filter(col("i") < col("n"))
+          .withColumn("stat",
+            abs(col("n") * col("cum_c") - col("i") * col("tot_c")))
+          .orderBy(col("stat").desc, col("day").asc)
+          .limit(1)
+          .select(
+            col("day").as("split_day"),
+            col("i").as("days_before"),
+            (col("n") - col("i")).as("days_after"),
+            col("stat").as("cusum_stat"),
+            round(col("cum_c").cast("double") / (col("i") * 100), 4)
+              .as("mean_before_d"),
+            round((col("tot_c") - col("cum_c")).cast("double") /
+              ((col("n") - col("i")) * 100), 4).as("mean_after_d"))
+      },
+      Some("""WITH day AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                                  sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
+                           FROM events GROUP BY 1),
+                   c AS (SELECT day, rev_c,
+                                CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+                                sum(rev_c) OVER (ORDER BY day) AS cum_c
+                         FROM day),
+                   t AS (SELECT sum(rev_c) AS tot_c, count(*) AS n FROM day)
+              SELECT day AS split_day, i AS days_before, n - i AS days_after,
+                     abs(n * cum_c - i * tot_c) AS cusum_stat,
+                     round(CAST(cum_c AS DOUBLE) / (i * 100), 4) AS mean_before_d,
+                     round(CAST(tot_c - cum_c AS DOUBLE) /
+                           ((n - i) * 100), 4) AS mean_after_d
+              FROM c, t
+              WHERE i < n
+              ORDER BY abs(n * cum_c - i * tot_c) DESC, day
+              LIMIT 1""")),
+
+    // AUTOCORRELATION function (lags 1..7 of daily revenue — the
+    // seasonality screen a forecaster runs before picking a model):
+    // r_k = Σ res_i·res_{i+k} / Σ res_i², with res_i = n·x_i − total
+    // over integer DOLLARS (cents summed exactly per the integer-grid
+    // rule, then one exact integer division by 100 so the lag products
+    // stay far inside long range even at 30× scale). Numerator and
+    // denominator are exact-long sums under any accumulation order; the
+    // single float division happens once per lag, rounded identically in
+    // both engines. All windows ride the day dictionary.
+    QueryDef(
+      "q_acf",
+      (s, d) => {
+        val day = Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("rev_c"))
+          .withColumn("rev_d", expr("rev_c DIV 100"))
+        val tot = day.agg(sum("rev_d").as("tot_d"), count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        val res = day.crossJoin(broadcast(tot))
+          .withColumn("r", col("n") * col("rev_d") - col("tot_d"))
+        val withLeads = (1 to 7).foldLeft(res)((df, k) =>
+          df.withColumn(s"lead_$k", lead(col("r"), k).over(w)))
+        val den = res.agg(sum(col("r") * col("r")).as("den"))
+        withLeads
+          .select(col("r"), expr(
+            """stack(7, 1, lead_1, 2, lead_2, 3, lead_3, 4, lead_4,
+               5, lead_5, 6, lead_6, 7, lead_7) AS (lag_k, rlead)"""))
+          .filter(col("rlead").isNotNull)
+          .groupBy("lag_k")
+          .agg(sum(col("r") * col("rlead")).as("num"),
+            count(lit(1)).as("n_pairs"))
+          .crossJoin(broadcast(den))
+          .select(col("lag_k"), col("n_pairs"),
+            (round(col("num").cast("double") / col("den").cast("double"), 4)
+              + lit(0.0)).as("acf"))
+          .orderBy("lag_k")
+      },
+      Some("""WITH day AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                                  sum(CAST(round(value * 100) AS BIGINT)) // 100
+                                    AS rev_d
+                           FROM events GROUP BY 1),
+                   t AS (SELECT sum(rev_d) AS tot_d, count(*) AS n FROM day),
+                   r AS (SELECT day, n * rev_d - tot_d AS r,
+                                row_number() OVER (ORDER BY day) AS idx
+                         FROM day, t),
+                   dn AS (SELECT sum(r * r) AS den FROM r),
+                   k AS (SELECT unnest(range(1, 8)) AS lag_k),
+                   p AS (SELECT k.lag_k, a.r AS ra, b.r AS rb
+                         FROM r a JOIN k ON true
+                         JOIN r b ON b.idx = a.idx + k.lag_k)
+              SELECT CAST(lag_k AS INT) AS lag_k, count(*) AS n_pairs,
+                     round(CAST(sum(ra * rb) AS DOUBLE) /
+                           CAST(den AS DOUBLE), 4) + 0 AS acf
+              FROM p, dn GROUP BY lag_k, den ORDER BY lag_k""")),
+
+    // Lead-lag CROSS-CORRELATION between two daily series (does click
+    // volume LEAD purchase revenue?): ccf_k at k = −3..3 between the
+    // daily click count and the daily purchase revenue in integer
+    // dollars. Residuals n·x_i − total per series are exact longs, the
+    // lag products and both denominator sums are exact-long sums; the
+    // normalizer sqrt(Σra²·Σrb²) is computed by the IDENTICAL
+    // double-cast expression in both engines (one multiply, one sqrt,
+    // one divide, then the display round). Day-dictionary windows only.
+    QueryDef(
+      "q_cross_corr",
+      (s, d) => {
+        val day = Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+            sum(when(col("event_type") === "purchase",
+              round(col("value") * 100).cast("long")).otherwise(0L)).as("b_c"))
+          .withColumn("b", expr("b_c DIV 100"))
+        val tot = day.agg(
+          sum("a").as("ta"), sum("b").as("tb"), count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        val res = day.crossJoin(broadcast(tot))
+          .withColumn("ra", col("n") * col("a") - col("ta"))
+          .withColumn("rb", col("n") * col("b") - col("tb"))
+        val withOffs = (-3 to 3).foldLeft(res)((df, k) =>
+          df.withColumn(s"rb_${if (k < 0) "m" + (-k) else "p" + k}",
+            lead(col("rb"), k).over(w)))
+        val den = res.agg(
+          sum(col("ra") * col("ra")).as("sa"),
+          sum(col("rb") * col("rb")).as("sb"))
+        withOffs
+          .select(col("ra"), expr(
+            """stack(7, -3, rb_m3, -2, rb_m2, -1, rb_m1, 0, rb_p0,
+               1, rb_p1, 2, rb_p2, 3, rb_p3) AS (lag_k, rbo)"""))
+          .filter(col("rbo").isNotNull)
+          .groupBy("lag_k")
+          .agg(sum(col("ra") * col("rbo")).as("num"),
+            count(lit(1)).as("n_pairs"))
+          .crossJoin(broadcast(den))
+          .select(col("lag_k"), col("n_pairs"),
+            (round(col("num").cast("double") /
+              sqrt(col("sa").cast("double") * col("sb").cast("double")), 4)
+              + lit(0.0)).as("ccf"))
+          .orderBy("lag_k")
+      },
+      Some("""WITH day AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                                  sum(CASE WHEN event_type = 'click'
+                                           THEN 1 ELSE 0 END) AS a,
+                                  sum(CASE WHEN event_type = 'purchase'
+                                           THEN CAST(round(value * 100) AS BIGINT)
+                                           ELSE 0 END) // 100 AS b
+                           FROM events GROUP BY 1),
+                   t AS (SELECT sum(a) AS ta, sum(b) AS tb, count(*) AS n
+                         FROM day),
+                   r AS (SELECT day, n * a - ta AS ra, n * b - tb AS rb,
+                                row_number() OVER (ORDER BY day) AS idx
+                         FROM day, t),
+                   dn AS (SELECT sum(ra * ra) AS sa, sum(rb * rb) AS sb FROM r),
+                   k AS (SELECT unnest(range(-3, 4)) AS lag_k),
+                   p AS (SELECT k.lag_k, x.ra AS ra, y.rb AS rbo
+                         FROM r x JOIN k ON true
+                         JOIN r y ON y.idx = x.idx + k.lag_k)
+              SELECT CAST(lag_k AS INT) AS lag_k, count(*) AS n_pairs,
+                     round(CAST(sum(ra * rbo) AS DOUBLE) /
+                           sqrt(CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)), 4)
+                       + 0 AS ccf
+              FROM p, dn GROUP BY lag_k, sa, sb ORDER BY lag_k""")),
+
+    // MANN-KENDALL trend test (the non-parametric "is this series
+    // actually trending?" screen — robust to outliers and needs no
+    // distribution assumption): S = Σ_{i<j} sign(x_j − x_i) over the
+    // daily-revenue day dictionary (n≤ a few thousand ⇒ the pairwise
+    // comparison runs on the DICTIONARY self-join, never raw events),
+    // with the normal-approximation z = (S∓1)/sqrt(n(n−1)(2n+5)/18).
+    // S and the variance numerator are exact longs; sign() over exact
+    // integer cents has no boundary fuzz.
+    QueryDef(
+      "q_trend_mk",
+      (s, d) => {
+        val day = Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("rev_c"))
+        val a = day.select(col("day").as("di"), col("rev_c").as("xi"))
+        val b = day.select(col("day").as("dj"), col("rev_c").as("xj"))
+        val s0 = a.join(b, col("di") < col("dj"))
+          .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s"),
+            count(lit(1)).as("n_pairs"))
+        val nn = day.agg(count(lit(1)).as("n"))
+        s0.crossJoin(broadcast(nn))
+          .select(col("n"), col("n_pairs"), col("s"),
+            (round(
+              (col("s") - signum(col("s"))).cast("double") /
+                sqrt((col("n") * (col("n") - 1) * (col("n") * 2 + 5))
+                  .cast("double") / 18), 4) + lit(0.0)).as("z"))
+      },
+      Some("""WITH day AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                                  sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
+                           FROM events GROUP BY 1),
+                   s0 AS (SELECT CAST(sum(sign(b.rev_c - a.rev_c)) AS BIGINT) AS s,
+                                 count(*) AS n_pairs
+                          FROM day a JOIN day b ON a.day < b.day),
+                   nn AS (SELECT count(*) AS n FROM day)
+              SELECT n, n_pairs, s,
+                     round(CAST(s - sign(s) AS DOUBLE) /
+                           sqrt(CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE) / 18),
+                           4) + 0 AS z
+              FROM s0, nn"""))
+  ) ++ Seq(
+
+    // THEIL-SEN robust slope (the magnitude companion to q_trend_mk's
+    // significance): median of the pairwise slopes (x_j − x_i)/(t_j −
+    // t_i) over the day dictionary. Each slope is ONE IEEE division of
+    // exact longs (cents diff / day diff) — identical bit pattern in
+    // both engines — and the quantile SELECTION runs in the KLL sketch's
+    // exact regime (k=65536 ≥ pair count: nothing compacts, the sketch
+    // IS the sorted multiset, kll_quantile returns the true
+    // rank-ceil(q·m) order statistic — the q_percentile_kll_exact
+    // argument), so the whole thing is mergeable and distributed with NO
+    // global sort. At a 10-year daily dictionary (6.6M pairs) the same
+    // expression degrades gracefully to a bounded-error KLL median, or
+    // bump k.
+    QueryDef(
+      "q_theil_sen",
+      (s, d) => {
+        import graft.functions.SketchFns._
+        val day = Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("rev_c"))
+        val a = day.select(col("day").as("di"), col("rev_c").as("xi"))
+        val b = day.select(col("day").as("dj"), col("rev_c").as("xj"))
+        a.join(b, col("di") < col("dj"))
+          .select(((col("xj") - col("xi")).cast("double") /
+            datediff(col("dj"), col("di")).cast("double")).as("slope_c"))
+          .agg(count(lit(1)).as("n_pairs"),
+            kllSketch(col("slope_c"), 65536).as("sk"))
+          .select(col("n_pairs"),
+            round(kllQuantile(col("sk"), lit(0.25)) / 100, 6)
+              .as("slope_q25_d"),
+            round(kllQuantile(col("sk"), lit(0.5)) / 100, 6)
+              .as("slope_med_d"),
+            round(kllQuantile(col("sk"), lit(0.75)) / 100, 6)
+              .as("slope_q75_d"))
+      },
+      Some("""WITH day AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                                  sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
+                           FROM events GROUP BY 1),
+                   p AS (SELECT CAST(b.rev_c - a.rev_c AS DOUBLE) /
+                                CAST(date_diff('day', a.day, b.day) AS DOUBLE)
+                                  AS slope_c
+                         FROM day a JOIN day b ON a.day < b.day),
+                   st AS (SELECT slope_c,
+                                 row_number() OVER (ORDER BY slope_c) AS rn,
+                                 count(*) OVER () AS m
+                          FROM p)
+              SELECT max(m) AS n_pairs,
+                     round(max(CASE WHEN rn = CAST(ceil(0.25 * m) AS BIGINT)
+                              THEN slope_c END) / 100, 6) AS slope_q25_d,
+                     round(max(CASE WHEN rn = CAST(ceil(0.5 * m) AS BIGINT)
+                              THEN slope_c END) / 100, 6) AS slope_med_d,
+                     round(max(CASE WHEN rn = CAST(ceil(0.75 * m) AS BIGINT)
+                              THEN slope_c END) / 100, 6) AS slope_q75_d
+              FROM st""")),
+
+    // SEASONAL Mann-Kendall (Hirsch-Slack): the MK statistic computed
+    // WITHIN each day-of-week stratum and summed — the trend test that
+    // ignores the weekly cycle instead of mistaking it for trend.
+    // S = Σ_dow S_dow and Var·18 = Σ_dow n_g(n_g−1)(2n_g+5) are exact
+    // longs; the pairwise comparison is an EQUI-join on dow (hash join,
+    // not a nested loop) with the `<` as a residual filter, still over
+    // the day dictionary only. dow labels differ across engines (Spark
+    // 1=Sun, DuckDB 0=Sun) but only partition the pairs — identical
+    // partitions, label never output.
+    QueryDef(
+      "q_seasonal_mk",
+      (s, d) => {
+        val day = Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("rev_c"))
+          .withColumn("dow", dayofweek(col("day")))
+        val a = day.select(col("dow").as("dwa"), col("day").as("di"),
+          col("rev_c").as("xi"))
+        val b = day.select(col("dow").as("dwb"), col("day").as("dj"),
+          col("rev_c").as("xj"))
+        val s0 = a.join(b, col("dwa") === col("dwb") && col("di") < col("dj"))
+          .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s"),
+            count(lit(1)).as("n_pairs"))
+        val v = day.groupBy("dow").agg(count(lit(1)).as("ng"))
+          .agg(sum(col("ng") * (col("ng") - 1) * (col("ng") * 2 + 5))
+            .as("var18"),
+            count(lit(1)).as("n_seasons"), sum("ng").as("n_days"))
+        s0.crossJoin(broadcast(v))
+          .select(col("n_days"), col("n_seasons"), col("n_pairs"), col("s"),
+            (round((col("s") - signum(col("s"))).cast("double") /
+              sqrt(col("var18").cast("double") / 18), 4) + lit(0.0)).as("z"))
+      },
+      Some("""WITH day AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                                  sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
+                           FROM events GROUP BY 1),
+                   dd AS (SELECT day, rev_c, dayofweek(day) AS dow FROM day),
+                   s0 AS (SELECT CAST(sum(sign(b.rev_c - a.rev_c)) AS BIGINT) AS s,
+                                 count(*) AS n_pairs
+                          FROM dd a JOIN dd b
+                            ON a.dow = b.dow AND a.day < b.day),
+                   g AS (SELECT dow, count(*) AS ng FROM dd GROUP BY 1),
+                   v AS (SELECT sum(ng * (ng - 1) * (2 * ng + 5)) AS var18,
+                                count(*) AS n_seasons, sum(ng) AS n_days
+                         FROM g)
+              SELECT n_days, n_seasons, n_pairs, s,
+                     round(CAST(s - sign(s) AS DOUBLE) /
+                           sqrt(CAST(var18 AS DOUBLE) / 18), 4) + 0 AS z
+              FROM s0, v"""))
   )
 
   // Session-scoped timestamp-index segment (the in-session analog of the

@@ -188,6 +188,96 @@ object SamplingQueries {
             round(avg("n_tokens"), 2).as("avg_tokens"),
             round(avg("uniq_ratio"), 4).as("avg_uniq"))
           .orderBy("lang"),
-      None)
+      None),
+
+    // WEIGHTED (PPS) sampling without replacement — priority sampling
+    // (Duffield-Lund-Thorup): priority = w/u with u a deterministic
+    // multiplicative-congruential uniform (Knuth) derived from the row
+    // id by pure BIGINT arithmetic, so BOTH engines compute bit-identical
+    // priorities (the only float ops are one multiply and one divide —
+    // IEEE correctly-rounded, engine-independent; no transcendentals, the
+    // ln() route of A-ES sampling would tie the sample to libm rounding).
+    // Top-k plans as TakeOrderedAndProject: each task keeps its local
+    // heap of 50, no global sort — retry-stable, partitioning-invariant,
+    // the only way to audit "why is THIS row in the sample?" at 100 TB.
+    QueryDef(
+      "q_sample_weighted",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("w_c",
+            greatest(round(col("value") * 100).cast("long"), lit(1L)))
+          .withColumn("h",
+            (col("event_id") * lit(2654435761L) + lit(40503L)) % lit(4294967296L))
+          .withColumn("priority",
+            col("w_c").cast("double") * lit(4294967296.0) /
+              (col("h").cast("double") + lit(0.5)))
+          .orderBy(col("priority").desc, col("event_id"))
+          .limit(50)
+          .select(col("event_id"), col("event_type"), col("w_c"),
+            round(col("priority"), 4).as("priority"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, event_type, w_c,
+                     round(priority, 4) AS priority
+              FROM (SELECT event_id, event_type,
+                           greatest(CAST(round(value * 100) AS BIGINT), 1) AS w_c,
+                           CAST(greatest(CAST(round(value * 100) AS BIGINT), 1)
+                                AS DOUBLE) * 4294967296.0 /
+                           (CAST((event_id * 2654435761 + 40503) % 4294967296
+                                 AS DOUBLE) + 0.5) AS priority
+                    FROM events
+                    ORDER BY priority DESC, event_id LIMIT 50)
+              ORDER BY event_id""")),
+
+    // DELETE-ONE-BLOCK JACKKNIFE over the purchase-value mean — the
+    // scalable uncertainty estimate (block-resampling beats bootstrap
+    // replication at 100 TB: ONE scan builds the 20-block rollup, every
+    // replicate is arithmetic on the block dictionary). Block sums and
+    // counts are exact longs under any order; each leave-one-out mean and
+    // pseudovalue is computed per DICTIONARY ROW by identical IEEE
+    // divisions, so the replicate table is hash-exact — the
+    // variance-of-replicates step is deliberately NOT a float re-sum, it
+    // stays downstream display work (the q_jackknife rows ARE the
+    // deliverable a pipeline stores next to the point estimate).
+    QueryDef(
+      "q_jackknife",
+      (s, d) => {
+        val blocks = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .withColumn("block", col("event_id") % 20)
+          .groupBy("block")
+          .agg(count(lit(1)).as("n_b"),
+            sum(round(col("value") * 100).cast("long")).as("s_c"))
+        val tot = blocks.agg(sum("n_b").as("n"), sum("s_c").as("tot_c"),
+          count(lit(1)).as("g"))
+        blocks.crossJoin(broadcast(tot))
+          .select(col("block"), col("n_b"),
+            round(col("s_c").cast("double") / (col("n_b") * 100), 6)
+              .as("block_mean_d"),
+            round((col("tot_c") - col("s_c")).cast("double") /
+              ((col("n") - col("n_b")) * 100), 6).as("loo_mean_d"),
+            round(col("g").cast("double") *
+              (col("tot_c").cast("double") / (col("n") * 100)) -
+              (col("g") - 1).cast("double") *
+              ((col("tot_c") - col("s_c")).cast("double") /
+                ((col("n") - col("n_b")) * 100)), 6).as("pseudovalue_d"))
+          .orderBy("block")
+      },
+      Some("""WITH b AS (SELECT event_id % 20 AS block, count(*) AS n_b,
+                                sum(CAST(round(value * 100) AS BIGINT)) AS s_c
+                         FROM events WHERE event_type = 'purchase'
+                         GROUP BY 1),
+                   t AS (SELECT sum(n_b) AS n, sum(s_c) AS tot_c,
+                                count(*) AS g FROM b)
+              SELECT block, n_b,
+                     round(CAST(s_c AS DOUBLE) / (n_b * 100), 6)
+                       AS block_mean_d,
+                     round(CAST(tot_c - s_c AS DOUBLE) /
+                           ((n - n_b) * 100), 6) AS loo_mean_d,
+                     round(CAST(g AS DOUBLE) *
+                             (CAST(tot_c AS DOUBLE) / (n * 100)) -
+                           CAST(g - 1 AS DOUBLE) *
+                             (CAST(tot_c - s_c AS DOUBLE) /
+                              ((n - n_b) * 100)), 6) AS pseudovalue_d
+              FROM b, t ORDER BY block"""))
   )
 }

@@ -15,7 +15,13 @@ import graft.queries.Registry
 class PlanLintSpec extends SparkSpec {
 
   private val scalarCrossJoinOk = Set("q_funnel", "q_set_ops", "q_set_ops_sketch",
-    "q_set_ops_diff", "q_funnel_window", "q_dedup_image")
+    "q_set_ops_diff", "q_funnel_window", "q_dedup_image",
+    // the single-row (total, n) aggregate crosses the day dictionary and
+    // the result is the one argmax split row
+    "q_changepoint",
+    // the single-row (var18, n_seasons, n_days) aggregate crosses the
+    // single-row S aggregate; the pairwise work itself is an EQUI-join
+    "q_seasonal_mk")
 
   /** Broadcast-bounded by construction: one side is a dictionary-sized
     * set the operator broadcasts ON PURPOSE, so the "nested loop" is a
@@ -116,7 +122,23 @@ class PlanLintSpec extends SparkSpec {
     "q_histogram_fd",
     // scalar-N pattern: the single-row signup total broadcasts onto the
     // lag-days dictionary for the cumulative share
-    "q_conversion_lag")
+    "q_conversion_lag",
+    // scalar-N pattern: the single-row (total, n) aggregate and the
+    // single-row Σr² denominator broadcast onto the day dictionary
+    "q_acf",
+    // scalar-N pattern twice: series totals + the single-row (Σra², Σrb²)
+    // normalizer broadcast onto the day dictionary
+    "q_cross_corr",
+    // dictionary × dictionary: the pairwise `<` join runs on the day
+    // dictionary (a few thousand rows for years), never raw events; the
+    // scalar n row broadcasts for the variance term
+    "q_trend_mk",
+    // dictionary × dictionary: pairwise slopes over the day dictionary;
+    // quantile selection is a mergeable KLL exact-regime sketch (no sort)
+    "q_theil_sen",
+    // scalar-N pattern: the single-row (n, tot, g) totals broadcast onto
+    // the 20-row jackknife block dictionary
+    "q_jackknife")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
@@ -247,7 +269,14 @@ class PlanLintSpec extends SparkSpec {
       "q_histogram_fd",
       // q_conversion_lag: the cumulative window runs over the lag-days
       // dictionary (bounded by the observation span), not raw events
-      "q_conversion_lag")
+      "q_conversion_lag",
+      // q_changepoint / q_acf / q_cross_corr: the cumulative / lead-lag
+      // windows run over the DAY dictionary (q_seasonal_decompose's
+      // class) — the corpus-sized work is the daily rollup upstream
+      "q_changepoint", "q_acf", "q_cross_corr",
+      // q_mwu_test: the rank cumulative window runs over the cents
+      // dictionary (q_ks_test's class), never raw events
+      "q_mwu_test")
     val offenders = Registry.all.flatMap { q =>
       val global = q.run(spark, sfDir).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+import graft.queries.Registry
+
+/** Math-level sanity for the time-series screen family (q_changepoint /
+  * q_acf / q_cross_corr / q_trend_mk): the DuckDB oracle proves the two
+  * engines agree; these fixtures prove the statistics DETECT what they
+  * claim to detect — an injected level shift, a known period, a known
+  * lead, a monotone trend — on synthetic series where the right answer
+  * is derivable by hand.
+  */
+class TimeseriesSpec extends SparkSpec {
+
+  private def day(i: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
+
+  /** Write a synthetic events table (one or more rows per day) and return
+    * its directory; schema mirrors the fixture events table.
+    */
+  private def eventsDir(rows: Seq[(Long, Timestamp, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_spec").toString
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def run(name: String, dir: String): DataFrame =
+    Registry.all.find(_.name == name).get.run(spark, dir)
+
+  test("q_changepoint pins the injected level shift to the exact split day") {
+    // level 100 on days 1..10, level 500 on days 11..20: the CUSUM
+    // statistic is maximized at the boundary (day 10), and the two
+    // display means recover the levels exactly.
+    val rows = (1 to 20).map { i =>
+      val v = if (i <= 10) 100.0 else 500.0
+      (i.toLong, day(i), 1L, "click", v)
+    }
+    val out = run("q_changepoint", eventsDir(rows)).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Timestamp]("split_day").toString.startsWith("2024-01-10"),
+      s"split day was ${r.getAs[Timestamp]("split_day")}")
+    assert(r.getAs[Long]("days_before") == 10L)
+    assert(r.getAs[Double]("mean_before_d") == 100.0)
+    assert(r.getAs[Double]("mean_after_d") == 500.0)
+  }
+
+  test("q_acf recovers an exact period-2 alternation: acf(1) = -(n-1)/n class") {
+    // Daily revenue alternating 100/300 for 20 days: residuals alternate
+    // ±100·n exactly, so acf at odd lags is strongly negative and at
+    // even lags strongly positive — and lag 2 beats lag 1 in absolute
+    // rank ordering of the sign pattern.
+    val rows = (1 to 20).map { i =>
+      val v = if (i % 2 == 0) 300.0 else 100.0
+      (i.toLong, day(i), 1L, "view", v)
+    }
+    val acf = run("q_acf", eventsDir(rows)).collect()
+      .map(r => r.getAs[Int]("lag_k") -> r.getAs[Double]("acf")).toMap
+    assert(acf(1) < -0.9, s"acf(1)=${acf(1)}")
+    assert(acf(2) > 0.85, s"acf(2)=${acf(2)}")
+    assert(acf(3) < -0.8, s"acf(3)=${acf(3)}")
+  }
+
+  test("q_cross_corr peaks at the lag by which clicks lead purchase revenue") {
+    // Click VOLUME spikes on days {3, 9, 15}; purchase revenue spikes
+    // exactly 2 days later. The ccf must peak at lag +2 (rb leads by
+    // +2 in the stack convention: lead(rb, 2) aligns with ra).
+    val clickRows = (1 to 20).flatMap { i =>
+      val n = if (Set(3, 9, 15)(i)) 40 else 4
+      (1 to n).map(j => ((i * 1000 + j).toLong, day(i), j.toLong, "click", 1.0))
+    }
+    val purchaseRows = (1 to 20).map { i =>
+      val v = if (Set(5, 11, 17)(i)) 900.0 else 50.0
+      ((100000 + i).toLong, day(i), 99L, "purchase", v)
+    }
+    val ccf = run("q_cross_corr", eventsDir(clickRows ++ purchaseRows)).collect()
+      .map(r => r.getAs[Int]("lag_k") -> r.getAs[Double]("ccf")).toMap
+    val peak = ccf.maxBy(_._2)
+    assert(peak._1 == 2, s"ccf peak at lag ${peak._1}, table $ccf")
+    assert(peak._2 > 0.8, s"peak ccf ${peak._2}")
+  }
+
+  test("q_trend_mk: monotone series saturates S and z; flat series is zero") {
+    val up = (1 to 15).map(i => (i.toLong, day(i), 1L, "view", 100.0 + i * 10))
+    val outUp = run("q_trend_mk", eventsDir(up)).collect()(0)
+    // strictly increasing: every pair agrees, S = n(n-1)/2 = 105
+    assert(outUp.getAs[Long]("s") == 105L)
+    assert(outUp.getAs[Double]("z") > 3.0, s"z=${outUp.getAs[Double]("z")}")
+
+    val flat = (1 to 15).map(i => (i.toLong, day(i), 1L, "view", 250.0))
+    val outFlat = run("q_trend_mk", eventsDir(flat)).collect()(0)
+    assert(outFlat.getAs[Long]("s") == 0L)
+    assert(outFlat.getAs[Double]("z") == 0.0)
+  }
+}
