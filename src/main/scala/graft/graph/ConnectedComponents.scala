@@ -1,0 +1,89 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed CONNECTED COMPONENTS over an edge list — the partitioner
+  * of the graph family (PageRank ranks inside a crawl, LabelProp finds
+  * dense communities; CC answers the prior question: which hosts are in
+  * the same reachable cluster at all — the unit a crawl-curation
+  * pipeline dedups and caps AT, cf. reference basics/Architecture.md on
+  * derived per-host quality columns).
+  *
+  * Algorithm: synchronous HASH-TO-MIN label propagation run to the EXACT
+  * fixpoint — every node repeatedly takes the minimum label among itself
+  * and its neighbors, so the fixpoint is exactly "component = minimum
+  * node id reachable", deterministic under any partitioning and any
+  * float-free (labels are the node ids themselves).
+  *
+  * Scale shape: each round is ONE equi-join of the symmetrized edge list
+  * with the label table plus one hash aggregation — the PageRank round
+  * shape, shuffling on the node key, edge list never collected. The
+  * convergence test is a per-round SCALAR count of moved labels, which
+  * doubles as the materializer of the round's lazy localCheckpoint
+  * (lineage stays flat, the Clusters.scala lesson). Round count is
+  * O(graph diameter); the documented web-scale path is the small-star /
+  * large-star alternation (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC'14) which contracts in O(log² n) rounds
+  * with the SAME join+agg round shape — hash-to-min is the right form at
+  * host-graph diameters (small-world graphs: diameter ~ log n).
+  */
+object ConnectedComponents {
+
+  /** edges (src, dst) → (node, comp) for every endpoint node, where comp
+    * is the smallest node id in the component. Exact (run to fixpoint).
+    */
+  def components(edges: DataFrame): DataFrame = {
+    val ue = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var labels = ue.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+    var moved = 1L
+    while (moved > 0) {
+      val nbrMin = ue.join(labels, col("src") === col("node"))
+        .groupBy(col("dst").as("n2"))
+        .agg(min("comp").as("nbc"))
+      val next = labels.as("L")
+        .join(nbrMin, col("L.node") === col("n2"), "left_outer")
+        .select(col("L.node").as("node"),
+          least(col("L.comp"), coalesce(col("nbc"), col("L.comp"))).as("comp"),
+          (col("nbc") < col("L.comp")).as("moved"))
+        .localCheckpoint(eager = false)
+      // Scalar convergence test; also the action that materializes this
+      // round's checkpoint. Bounded by the diameter, not the data.
+      moved = next.filter(col("moved")).count()
+      labels = next.select("node", "comp")
+    }
+    labels
+  }
+
+  /** Breadth-first hop distance from `seed` (a 1-row DataFrame with a
+    * `node` column), bounded at `maxHops` rounds: returns (node, hops)
+    * for exactly the nodes whose true distance is <= maxHops, with the
+    * exact distance. Each round relaxes the frontier through one
+    * equi-join + min-aggregation (unit edge weights make min-relaxation
+    * BFS); after k rounds every node at true distance <= k carries it.
+    */
+  def bfsHops(edges: DataFrame, seed: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val ue = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var dist = seed.select(col("node"), lit(0).as("hops"))
+    (1 to maxHops).foreach { _ =>
+      val relaxed = ue.join(dist, col("src") === col("node"))
+        .groupBy(col("dst").as("n2"))
+        .agg((min("hops") + 1).as("nh"))
+      dist = dist.as("D")
+        .join(relaxed, col("D.node") === col("n2"), "full_outer")
+        .select(coalesce(col("D.node"), col("n2")).as("node"),
+          least(coalesce(col("D.hops"), col("nh")),
+            coalesce(col("nh"), col("D.hops"))).as("hops"))
+        .localCheckpoint(eager = false)
+    }
+    dist
+  }
+}

@@ -1130,6 +1130,112 @@ object CorpusQueries {
               SELECT host, count(*) AS n_triangles
               FROM corners GROUP BY 1 ORDER BY host""")),
 
+    // CONNECTED COMPONENTS over the site-SECTION graph (node = host #
+    // doc_id-mod-7 section, edges = the deterministic doc-hash links
+    // restricted to every sixth doc so the graph is sparse enough to
+    // fracture): the partition question a crawl pipeline asks BEFORE
+    // ranking — which sections form one reachable cluster. Hash-to-min
+    // runs to the EXACT fixpoint (comp = min reachable node id — no
+    // float, no round count to tune), one equi-join + min-agg per round,
+    // convergence tested by a scalar moved-count that doubles as the
+    // checkpoint materializer. The oracle computes the same fixpoint as
+    // a recursive-CTE transitive closure + min — tractable at fixture
+    // scale (Σ comp² rows), while the Spark side's round count is
+    // O(diameter) at any scale.
+    QueryDef(
+      "q_connected_components",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val nDocs = docs.count()
+        val a = docs.filter(col("doc_id") % 6 === 0)
+          .select(col("doc_id"),
+            concat_ws("#", col("source"),
+              (col("doc_id") % 7).cast("string")).as("src"))
+        val b = docs.select(
+          concat_ws("#", col("source"),
+            (col("doc_id") % 7).cast("string")).as("dst"),
+          col("doc_id").as("b_id"))
+        val edges = a
+          .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
+          .select("src", "dst")
+        graft.graph.ConnectedComponents.components(edges)
+          .groupBy(col("comp").as("component"))
+          .agg(count(lit(1)).as("n_sections"), max("node").as("last_section"))
+          .orderBy("component")
+      },
+      Some("""WITH RECURSIVE
+                   nd AS (SELECT count(*) AS c FROM documents),
+                   e0 AS (SELECT DISTINCT
+                            a.source || '#' || CAST(a.doc_id % 7 AS VARCHAR) AS src,
+                            b.source || '#' || CAST(b.doc_id % 7 AS VARCHAR) AS dst
+                          FROM documents a
+                          JOIN documents b
+                            ON b.doc_id = (a.doc_id * a.doc_id * 13 + 7) % (SELECT c FROM nd)
+                          WHERE a.doc_id % 6 = 0),
+                   ue AS (SELECT src, dst FROM e0
+                          UNION SELECT dst, src FROM e0),
+                   reach(node, r) AS (
+                     SELECT src AS node, src AS r FROM ue
+                     UNION
+                     SELECT ue.dst, reach.r
+                     FROM ue JOIN reach ON ue.src = reach.node),
+                   comps AS (SELECT node, min(r) AS comp
+                             FROM reach GROUP BY node)
+              SELECT comp AS component, count(*) AS n_sections,
+                     max(node) AS last_section
+              FROM comps GROUP BY 1 ORDER BY component""")),
+
+    // BFS HOP DISTANCE from the seed section (smallest node id) over the
+    // same section graph — crawl-depth analysis: how much of the cluster
+    // is within k link hops of the seed. Six frontier-relaxation rounds
+    // (equi-join + min-agg each; unit edges make min-relaxation BFS), so
+    // the result is EXACTLY the nodes at true distance <= 6 with their
+    // exact distance — deterministic, no float. The oracle walks the
+    // same bounded closure with a depth-capped recursive CTE.
+    QueryDef(
+      "q_bfs_hops",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val nDocs = docs.count()
+        val a = docs.filter(col("doc_id") % 6 === 0)
+          .select(col("doc_id"),
+            concat_ws("#", col("source"),
+              (col("doc_id") % 7).cast("string")).as("src"))
+        val b = docs.select(
+          concat_ws("#", col("source"),
+            (col("doc_id") % 7).cast("string")).as("dst"),
+          col("doc_id").as("b_id"))
+        val edges = a
+          .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
+          .select("src", "dst")
+        val seed = edges
+          .select(least(col("src"), col("dst")).as("n"))
+          .agg(min("n").as("node"))
+        graft.graph.ConnectedComponents.bfsHops(edges, seed, maxHops = 6)
+          .select(col("node").as("section"), col("hops"))
+          .orderBy("section")
+      },
+      Some("""WITH RECURSIVE
+                   nd AS (SELECT count(*) AS c FROM documents),
+                   e0 AS (SELECT DISTINCT
+                            a.source || '#' || CAST(a.doc_id % 7 AS VARCHAR) AS src,
+                            b.source || '#' || CAST(b.doc_id % 7 AS VARCHAR) AS dst
+                          FROM documents a
+                          JOIN documents b
+                            ON b.doc_id = (a.doc_id * a.doc_id * 13 + 7) % (SELECT c FROM nd)
+                          WHERE a.doc_id % 6 = 0),
+                   ue AS (SELECT src, dst FROM e0
+                          UNION SELECT dst, src FROM e0),
+                   seed AS (SELECT min(least(src, dst)) AS s FROM ue),
+                   bfs(node, d) AS (
+                     SELECT s AS node, 0 AS d FROM seed
+                     UNION
+                     SELECT ue.dst, bfs.d + 1
+                     FROM ue JOIN bfs ON ue.src = bfs.node
+                     WHERE bfs.d < 6)
+              SELECT node AS section, min(d) AS hops
+              FROM bfs GROUP BY node ORDER BY section""")),
+
     // DATASET CARD — the per-source release summary a corpus pipeline
     // prints alongside the data (docs, token/char mass, language spread,
     // length envelope): one scan, one dictionary-sized rollup, every

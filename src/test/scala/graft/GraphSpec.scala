@@ -135,4 +135,53 @@ class GraphSpec extends SparkSpec {
     val mass = out.map(_.getDouble(1)).sum
     assert(math.abs(mass - 1.0) < 1e-3, s"rounded mass $mass")
   }
+
+  private def plainEdges(edges: Seq[(String, String)]) = {
+    import spark.implicits._
+    edges.toDF("src", "dst")
+  }
+
+  test("connected components: two chains and an isolate-pair partition exactly") {
+    // chain a-b-c-d (diameter 3 forces >1 propagation round), chain
+    // e-f-g, pair x-y: three components labeled by their min node.
+    val edges = plainEdges(Seq(("b", "a"), ("b", "c"), ("c", "d"),
+      ("f", "e"), ("f", "g"), ("y", "x")))
+    val comp = graft.graph.ConnectedComponents.components(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "e" -> "e", "f" -> "e", "g" -> "e", "x" -> "x", "y" -> "x"), comp.toString)
+  }
+
+  test("connected components fixpoint is partitioning-invariant") {
+    val edges = plainEdges((1 to 40).map(i => (s"n${i}", s"n${(i * 7) % 41}")))
+    val base = graft.graph.ConnectedComponents.components(edges)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val reparted = graft.graph.ConnectedComponents.components(edges.repartition(7))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(base == reparted)
+  }
+
+  test("bfs hops: exact distances up to the bound, beyond-bound nodes excluded") {
+    // path a-b-c-d-e-f with maxHops 3 from seed a: d(f)=5 must NOT appear
+    val edges = plainEdges(Seq(("a", "b"), ("b", "c"), ("c", "d"),
+      ("d", "e"), ("e", "f")))
+    import spark.implicits._
+    val seed = Seq("a").toDF("node")
+    val hops = graft.graph.ConnectedComponents.bfsHops(edges, seed, maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(hops == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3), hops.toString)
+  }
+
+  test("bfs hops takes the SHORT side of a cycle") {
+    // 6-cycle a..f: from a, the far node d is 3 hops either way; b and f
+    // are both 1 — min-relaxation must not double-count around the loop.
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("e", "f"), ("f", "a"))
+    import spark.implicits._
+    val seed = Seq("a").toDF("node")
+    val hops = graft.graph.ConnectedComponents.bfsHops(plainEdges(cyc), seed, 6)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(hops == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3,
+      "e" -> 2, "f" -> 1), hops.toString)
+  }
 }
