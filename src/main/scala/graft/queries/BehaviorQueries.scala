@@ -252,6 +252,59 @@ object BehaviorQueries {
                            4) + 0 AS z
               FROM sc""")),
 
+    // CHI-SQUARE INDEPENDENCE cells — is event mix independent of
+    // day-of-week? (the seasonality-of-behavior screen). The deliverable
+    // is the per-CELL table: observed o, margins r/c, total n and dof all
+    // EXACT LONGS, expected and contribution each ONE identical IEEE
+    // expression of those longs per dictionary row — so every row is
+    // hash-exact under any accumulation order. The final chi² = Σ contrib
+    // stays downstream display work (the q_jackknife discipline: a float
+    // re-sum over cells would reintroduce order dependence for zero
+    // analytical value — the cells ARE what an analyst inspects).
+    // Deviation is squared in DOUBLE (o·n − r·c fits a long at any
+    // realistic cardinality; its square does not).
+    QueryDef(
+      "q_chisq",
+      (s, d) => {
+        val cells = Tables.events(s, d)
+          .select(col("event_type").as("et"), (dayofweek(col("ts")) - 1).as("dow"))
+          .groupBy("et", "dow")
+          .agg(count(lit(1)).as("o"))
+        val rm = cells.groupBy("et").agg(sum("o").as("r"))
+        val cm = cells.groupBy("dow").agg(sum("o").as("c"))
+        val tot = cells.agg(sum("o").as("n"),
+          ((countDistinct("et") - 1) * (countDistinct("dow") - 1)).as("dof"))
+        val dev = (col("o") * col("n") - col("r") * col("c")).cast("double")
+        cells.join(rm, "et").join(cm, "dow").crossJoin(broadcast(tot))
+          .select(col("et"), col("dow"), col("o"), col("r"), col("c"),
+            col("n"), col("dof"),
+            round((col("r") * col("c")).cast("double") / col("n"), 4)
+              .as("expected_d"),
+            round(dev * dev / (col("n") * col("r") * col("c")).cast("double"), 8)
+              .as("contrib_d"))
+          .orderBy("et", "dow")
+      },
+      Some("""WITH cells AS (SELECT event_type AS et,
+                                    CAST(date_part('dow', ts) AS INT) AS dow,
+                                    count(*) AS o
+                             FROM events GROUP BY 1, 2),
+                   rm AS (SELECT et, CAST(sum(o) AS BIGINT) AS r
+                          FROM cells GROUP BY 1),
+                   cm AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c
+                          FROM cells GROUP BY 1),
+                   tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                                  (count(DISTINCT et) - 1) *
+                                  (count(DISTINCT dow) - 1) AS dof
+                           FROM cells)
+              SELECT et, dow, o, r, c, n, dof,
+                     round(CAST(r * c AS DOUBLE) / n, 4) AS expected_d,
+                     round(CAST(o * n - r * c AS DOUBLE) *
+                           CAST(o * n - r * c AS DOUBLE) /
+                           CAST(n * r * c AS DOUBLE), 8) AS contrib_d
+              FROM cells
+              JOIN rm USING (et) JOIN cm USING (dow), tot
+              ORDER BY et, dow""")),
+
     QueryDef(
       "q_ab_test",
       (s, d) => {

@@ -1236,6 +1236,44 @@ object CorpusQueries {
               SELECT node AS section, min(d) AS hops
               FROM bfs GROUP BY node ORDER BY section""")),
 
+    // K-ANONYMITY AUDIT over the customer quasi-identifiers (nation ×
+    // market segment × account-balance band) — the privacy gate a
+    // training-data release runs next to PII scrubbing: any QI group
+    // smaller than k is re-identifiable and must be suppressed or
+    // generalized before release. The deliverable is the GROUP-SIZE
+    // HISTOGRAM (size → how many groups, how many rows, at-risk flag at
+    // k=5): all integer-exact, two dictionary rollups after one scan.
+    // The balance band is integer cents shifted non-negative then
+    // integer-divided (floor-vs-truncate divergence on negatives never
+    // arises), so the banding is bit-identical on both engines.
+    QueryDef(
+      "q_kanon",
+      (s, d) =>
+        Tables.customer(s, d)
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            // Column `/` is double division: floor() lands back on the
+            // integer band; operands are exact sub-2^53 integers and a
+            // non-multiple quotient is >= 1e-5 away from any integer, so
+            // the floor can never flip (positives only by construction).
+            floor((round(col("c_acctbal") * 100).cast("long") + 100000L) /
+              100000L).as("bal_band"))
+          .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+          .agg(count(lit(1)).as("gsz"))
+          .groupBy(col("gsz").as("group_size"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum("gsz").as("n_rows"),
+            max(when(col("gsz") < 5, 1L).otherwise(0L)).as("at_risk"))
+          .orderBy("group_size"),
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment,
+                                (CAST(round(c_acctbal * 100) AS BIGINT)
+                                 + 100000) // 100000 AS bal_band,
+                                count(*) AS gsz
+                         FROM customer GROUP BY 1, 2, 3)
+              SELECT gsz AS group_size, count(*) AS n_groups,
+                     CAST(sum(gsz) AS BIGINT) AS n_rows,
+                     max(CASE WHEN gsz < 5 THEN 1 ELSE 0 END) AS at_risk
+              FROM g GROUP BY 1 ORDER BY group_size""")),
+
     // DATASET CARD — the per-source release summary a corpus pipeline
     // prints alongside the data (docs, token/char mass, language spread,
     // length envelope): one scan, one dictionary-sized rollup, every

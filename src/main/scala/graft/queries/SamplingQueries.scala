@@ -278,6 +278,66 @@ object SamplingQueries {
                            CAST(g - 1 AS DOUBLE) *
                              (CAST(tot_c - s_c AS DOUBLE) /
                               ((n - n_b) * 100)), 6) AS pseudovalue_d
-              FROM b, t ORDER BY block"""))
+              FROM b, t ORDER BY block""")),
+
+    // POISSON BOOTSTRAP over the purchase-value mean — the resampling
+    // uncertainty estimate that actually distributes (Chamandy et al.,
+    // "Estimating Uncertainty for Massive Data Streams", Google TR 2012):
+    // classical bootstrap needs n draws WITH replacement per replicate
+    // (a global operation); the Poisson approximation gives every row an
+    // independent per-replicate weight ~ Poisson(1), making each
+    // replicate a WEIGHTED SUM computable scan-locally. Weights here are
+    // DETERMINISTIC: a congruential hash of (event_id, replicate) in
+    // pure BIGINT arithmetic thresholded to the Poisson(1) pmf
+    // (P(0)=P(1)=.3679, P(2)=.1839, P(3+) lumped =.0803 on a 10000
+    // grid), so both engines draw bit-identical weights — reproducible
+    // under retries, auditable ("why was this row triple-counted in
+    // replicate 7?"), and hash-verifiable. ZERO fan-out: the 20
+    // replicates are 40 conditional-sum accumulators in ONE scan
+    // (no explode; one HashAggregate), then stack() pivots the single
+    // row to the replicate table. The replicate means are each one IEEE
+    // division of exact longs; the variance-of-replicates stays
+    // downstream display work (the q_jackknife discipline).
+    QueryDef(
+      "q_bootstrap",
+      (s, d) => {
+        val base = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val aggs = (0 until 20).flatMap { b =>
+          val u = (col("event_id") * 48271L + lit(b.toLong * 16807L + 11L)) %
+            10000L
+          val w = when(u < 3679, 0L).when(u < 7358, 1L)
+            .when(u < 9197, 2L).otherwise(3L)
+          Seq(sum(w).as(s"n_$b"), sum(w * col("cents")).as(s"s_$b"))
+        }
+        val one = base.agg(aggs.head, aggs.tail: _*)
+        val stackExpr = (0 until 20).map(b => s"$b, n_$b, s_$b").mkString(", ")
+        one.selectExpr(s"stack(20, $stackExpr) as (replicate, n_b, sum_c)")
+          .select(col("replicate"), col("n_b"),
+            round(col("sum_c").cast("double") / (col("n_b") * 100), 6)
+              .as("mean_d"))
+          .orderBy("replicate")
+      },
+      Some("""WITH base AS (SELECT event_id,
+                                   CAST(round(value * 100) AS BIGINT) AS cents
+                            FROM events WHERE event_type = 'purchase'),
+                   reps AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, 20)),
+                   w AS (SELECT b,
+                                CASE WHEN u < 3679 THEN 0
+                                     WHEN u < 7358 THEN 1
+                                     WHEN u < 9197 THEN 2
+                                     ELSE 3 END AS w,
+                                cents
+                         FROM (SELECT b, cents,
+                                      (event_id * 48271 + b * 16807 + 11)
+                                        % 10000 AS u
+                               FROM base, reps) t)
+              SELECT CAST(b AS INT) AS replicate,
+                     CAST(sum(w) AS BIGINT) AS n_b,
+                     round(CAST(sum(w * cents) AS BIGINT) /
+                           (CAST(sum(w) AS BIGINT) * 100.0), 6) AS mean_d
+              FROM w GROUP BY b ORDER BY replicate"""))
   )
 }

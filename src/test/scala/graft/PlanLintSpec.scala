@@ -138,7 +138,10 @@ class PlanLintSpec extends SparkSpec {
     "q_theil_sen",
     // scalar-N pattern: the single-row (n, tot, g) totals broadcast onto
     // the 20-row jackknife block dictionary
-    "q_jackknife")
+    "q_jackknife",
+    // scalar-N pattern: the single-row (n, dof) totals broadcast onto
+    // the contingency-cell dictionary; margins attach by equi-join
+    "q_chisq")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
