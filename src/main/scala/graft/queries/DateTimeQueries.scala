@@ -652,7 +652,95 @@ object DateTimeQueries {
               SELECT n_days, n_seasons, n_pairs, s,
                      round(CAST(s - sign(s) AS DOUBLE) /
                            sqrt(CAST(var18 AS DOUBLE) / 18), 4) + 0 AS z
-              FROM s0, v"""))
+              FROM s0, v""")),
+
+    // HOLT-WINTERS additive forecast (level + trend + weekly seasonal)
+    // of daily revenue — the model-based companion to q_forecast_des
+    // (which has level+trend only, per user) and q_seasonal_decompose
+    // (which describes, HW predicts). The whole state recursion is a
+    // SEQUENTIAL LEFT FOLD over the day dictionary (30..a few thousand
+    // elements — series-bounded state, the q_ewma discipline): both
+    // engines execute the identical chain of IEEE ops in the identical
+    // order (Spark codegen'd array `aggregate`, DuckDB recursive CTE
+    // stepping i → i+1), so the doubles match bit-for-bit with NO
+    // integer trick needed. Init: l₀/b₀ from the first two weeks (sums
+    // of integer-valued doubles — exact under any order), s₀ = week-1
+    // residuals. The corpus-sized work is the daily cents rollup
+    // (per-row quantized longs, order-safe); everything after is a
+    // single-row computation. Output: the 7-day-ahead forecast curve.
+    QueryDef(
+      "q_forecast_hw",
+      (s, d) => {
+        val day = Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("rev_c"))
+        val series = day
+          .agg(sort_array(collect_list(struct(col("day"), col("rev_c"))))
+            .as("seq"))
+          .withColumn("vals",
+            transform(col("seq"), x => x.getField("rev_c").cast("double")))
+        def v(i: Int) = element_at(col("vals"), i)
+        val w1 = v(1) + v(2) + v(3) + v(4) + v(5) + v(6) + v(7)
+        val w2 = v(8) + v(9) + v(10) + v(11) + v(12) + v(13) + v(14)
+        val l0 = w1 / 7
+        val b0 = (w2 - w1) / 49
+        val s0 = array((1 to 7).map(i => v(i) - (w1 / 7)): _*)
+        val folded = aggregate(
+          slice(col("vals"), lit(8), greatest(size(col("vals")) - 7, lit(0))),
+          struct(l0.as("l"), b0.as("b"), s0.as("s")),
+          (acc, y) => {
+            val s1 = element_at(acc.getField("s"), 1)
+            val ln = lit(0.3) * (y - s1) +
+              lit(0.7) * (acc.getField("l") + acc.getField("b"))
+            val bn = lit(0.1) * (ln - acc.getField("l")) +
+              lit(0.9) * acc.getField("b")
+            val sn = lit(0.2) * (y - ln) + lit(0.8) * s1
+            struct(ln.as("l"), bn.as("b"),
+              concat(slice(acc.getField("s"), 2, 6), array(sn)).as("s"))
+          })
+        series.withColumn("st", folded)
+          .select(explode(sequence(lit(1), lit(7))).as("h"), col("st"))
+          .select(col("h"),
+            (round((col("st").getField("l") +
+              col("h") * col("st").getField("b") +
+              element_at(col("st").getField("s"), col("h"))) / 100, 4) +
+              lit(0.0)).as("forecast_d"))
+          .orderBy("h")
+      },
+      Some("""WITH RECURSIVE
+                   days AS (SELECT date_trunc('day', ts) AS day,
+                                   sum(CAST(round(value * 100) AS BIGINT))
+                                     AS rev_c
+                            FROM events GROUP BY 1),
+                   v AS (SELECT row_number() OVER (ORDER BY day) AS i,
+                                CAST(rev_c AS DOUBLE) AS y
+                         FROM days),
+                   n AS (SELECT max(i) AS mx FROM v),
+                   i7 AS (SELECT sum(y) AS s7 FROM v WHERE i <= 7),
+                   i14 AS (SELECT sum(y) AS s14 FROM v
+                           WHERE i BETWEEN 8 AND 14),
+                   init AS (SELECT s7 / 7 AS l0, (s14 - s7) / 49 AS b0,
+                                   (SELECT list(y - s7 / 7 ORDER BY i)
+                                    FROM v, i7 WHERE i <= 7) AS s0
+                            FROM i7, i14),
+                   r AS (SELECT 7 AS i, l0 AS l, b0 AS b, s0 AS s FROM init
+                         UNION ALL
+                         SELECT v.i,
+                                0.3 * (v.y - r.s[1]) + 0.7 * (r.l + r.b),
+                                0.1 * ((0.3 * (v.y - r.s[1])
+                                        + 0.7 * (r.l + r.b)) - r.l)
+                                  + 0.9 * r.b,
+                                r.s[2:7] ||
+                                  [0.2 * (v.y - (0.3 * (v.y - r.s[1])
+                                                 + 0.7 * (r.l + r.b)))
+                                   + 0.8 * r.s[1]]
+                         FROM r JOIN v ON v.i = r.i + 1),
+                   fin AS (SELECT r.l, r.b, r.s FROM r, n WHERE r.i = n.mx),
+                   hs AS (SELECT CAST(range AS INT) AS h FROM range(1, 8))
+              SELECT hs.h,
+                     round((fin.l + hs.h * fin.b
+                            + fin.s[hs.h]) / 100, 4) + 0 AS forecast_d
+              FROM fin, hs ORDER BY h"""))
   )
 
   // Session-scoped timestamp-index segment (the in-session analog of the

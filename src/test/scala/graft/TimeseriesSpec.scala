@@ -98,4 +98,35 @@ class TimeseriesSpec extends SparkSpec {
     assert(outFlat.getAs[Long]("s") == 0L)
     assert(outFlat.getAs[Double]("z") == 0.0)
   }
+
+  test("q_forecast_hw matches an independent in-memory Holt-Winters fold") {
+    // trending + weekly-seasonal series, one event per day for 28 days
+    val seas = Array(70.0, 0.0, -70.0, 35.0, -35.0, 14.0, -14.0)
+    val rows = (1 to 28).map { i =>
+      val dollars = 1000.0 + 10.0 * i + seas((i - 1) % 7)
+      (i.toLong, day(i), 1L, "purchase", dollars)
+    }
+    // reference fold in cents, same init and identical update order
+    val y = rows.map(r => math.round(r._5 * 100).toDouble).toArray
+    val w1 = y.take(7).sum; val w2 = y.slice(7, 14).sum
+    var l = w1 / 7; var b = (w2 - w1) / 49
+    var s = y.take(7).map(_ - w1 / 7)
+    (7 until 28).foreach { i =>
+      val s1 = s.head
+      val ln = 0.3 * (y(i) - s1) + 0.7 * (l + b)
+      val bn = 0.1 * (ln - l) + 0.9 * b
+      val sn = 0.2 * (y(i) - ln) + 0.8 * s1
+      l = ln; b = bn; s = s.tail :+ sn
+    }
+    val expect = (1 to 7).map(h =>
+      h -> (math.rint((l + h * b + s(h - 1)) / 100 * 1e4) / 1e4)).toMap
+    val got = run("q_forecast_hw", eventsDir(rows)).collect()
+      .map(r => r.getAs[Int]("h") -> r.getAs[Double]("forecast_d")).toMap
+    (1 to 7).foreach { h =>
+      assert(math.abs(got(h) - expect(h)) < 1e-9,
+        s"h=$h got ${got(h)} expect ${expect(h)}")
+    }
+    // the trend must show: later horizons forecast higher revenue
+    assert(got(7) > got(1))
+  }
 }
