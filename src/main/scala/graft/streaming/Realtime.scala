@@ -49,6 +49,20 @@ final case class SeriesRing(points: List[(Long, Double)])
 final case class AnomalyFlag(
     event_type: String, day: java.sql.Timestamp, v: Double, ma: Double, z: Double)
 
+/** Per-series CUSUM chart state: warmup accumulator (reference mean),
+  * the two one-sided cumulative sums, and the newest day seen.
+  */
+final case class CusumState(
+    warmSum: Double, warmN: Int, mu: Double,
+    sPos: Double, sNeg: Double, lastDayMs: Long)
+
+/** One emitted CUSUM alarm: the day the one-sided sum crossed the
+  * threshold, which side drifted, and the sum at crossing.
+  */
+final case class CusumAlarm(
+    event_type: String, day: java.sql.Timestamp, v: Double,
+    direction: String, s: Double)
+
 /** Realtime ingestion — Pinot's realtime server consumes a stream and
   * serves fresh segments (reference: /root/reference/basics/
   * Architecture.md, realtime flow; /root/reference/Introduction.md:7
@@ -700,6 +714,65 @@ object Realtime {
             } // else: late day — window context already advanced past it
           }
           state.update(SeriesRing(ring))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming CUSUM change-point monitor — the ONLINE form of the batch
+    * q_changepoint screen (which finds the level shift offline by global
+    * argmax; a realtime table can't wait for the series to end). Classic
+    * one-sided CUSUM control chart (Page 1954): after a `warmup`-day
+    * reference mean μ per series, track
+    *   S⁺ = max(0, S⁺ + (v − μ − k)),  S⁻ = max(0, S⁻ + (μ − v − k))
+    * with slack k = `slackFrac`·μ, and raise an alarm when either sum
+    * crosses h = `thresholdFrac`·μ — then reset that side (restart
+    * detection). State is O(1) per series (six numbers), the streaming
+    * analog of the batch query's exact-long day rollup; determinism
+    * comes from the same ordering contract as anomalySeries: within a
+    * micro-batch days process ascending, late days (at-or-before the
+    * newest seen) drop rather than retro-insert, so any micro-batch
+    * split of an in-order feed emits the identical alarm sequence
+    * (StreamingSpec asserts split parity against a single-shot replay).
+    */
+  def cusumMonitor(
+      daily: Dataset[SeriesPoint],
+      warmup: Int = 7,
+      slackFrac: Double = 0.05,
+      thresholdFrac: Double = 0.5): Dataset[CusumAlarm] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (series: String, batch: Iterator[SeriesPoint], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0.0, 0, 0.0, 0.0, 0.0, Long.MinValue))
+          val out = Seq.newBuilder[CusumAlarm]
+          batch.toSeq.sortBy(_.day.getTime).foreach { p =>
+            val dayMs = p.day.getTime
+            if (dayMs > st.lastDayMs) {
+              if (st.warmN < warmup) {
+                val ws = st.warmSum + p.v
+                val wn = st.warmN + 1
+                st = CusumState(ws, wn, if (wn == warmup) ws / warmup else 0.0,
+                  0.0, 0.0, dayMs)
+              } else {
+                val k = slackFrac * st.mu
+                val h = thresholdFrac * st.mu
+                var sp = math.max(0.0, st.sPos + (p.v - st.mu - k))
+                var sn = math.max(0.0, st.sNeg + (st.mu - p.v - k))
+                if (sp > h) {
+                  out += CusumAlarm(series, p.day, p.v, "up", sp)
+                  sp = 0.0
+                }
+                if (sn > h) {
+                  out += CusumAlarm(series, p.day, p.v, "down", sn)
+                  sn = 0.0
+                }
+                st = CusumState(st.warmSum, st.warmN, st.mu, sp, sn, dayMs)
+              }
+            } // else: late day — chart already advanced past it
+          }
+          state.update(st)
           out.result().iterator
       }
   }

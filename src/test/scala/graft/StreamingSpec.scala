@@ -785,4 +785,47 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch, s"streamed=$streamed batch=$batch")
     } finally q.stop()
   }
+
+  test("streaming CUSUM alarms on the level shift and is micro-batch-split invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def pt(day: Int, v: Double) = SeriesPoint("rev",
+      java.sql.Timestamp.valueOf(f"2024-02-$day%02d 00:00:00"), v)
+    // level 100 for the 7 warmup days + 3 in-control days, then a +40%
+    // shift: S+ must cross h = 0.5*mu within a few shifted days. A flat
+    // control series must stay silent.
+    val shifted = (1 to 10).map(i => pt(i, 100.0)) ++
+      (11 to 16).map(i => pt(i, 140.0))
+    val flat = (1 to 16).map(i =>
+      SeriesPoint("ctl", java.sql.Timestamp.valueOf(f"2024-02-$i%02d 00:00:00"), 100.0))
+    val all = (shifted ++ flat).sortBy(_.day.getTime)
+
+    def runChunks(parts: Int): Seq[(String, String, Double, String)] = {
+      val input = MemoryStream[SeriesPoint]
+      val name = s"cusum_out_$parts"
+      val q = Realtime.cusumMonitor(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        all.grouped(math.max(1, all.length / parts)).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        spark.table(name).collect()
+          .map(r => (r.getString(0), r.getTimestamp(1).toString,
+            r.getDouble(2), r.getString(3)))
+          .sortBy(_._2).toSeq
+      } finally q.stop()
+    }
+
+    val oneShot = runChunks(1)
+    val split = runChunks(4)
+    assert(oneShot === split,
+      s"micro-batch split changed the alarm sequence: $oneShot vs $split")
+    assert(oneShot.nonEmpty, "no CUSUM alarm on a 40% level shift")
+    assert(oneShot.forall(_._1 == "rev"), s"flat series alarmed: $oneShot")
+    assert(oneShot.head._4 == "up", s"shift up flagged as ${oneShot.head._4}")
+    // alarm must land within the shifted region (day >= 11)
+    assert(oneShot.head._2 >= "2024-02-11", oneShot.head._2)
+  }
 }
