@@ -305,6 +305,150 @@ object BehaviorQueries {
               JOIN rm USING (et) JOIN cm USING (dow), tot
               ORDER BY et, dow""")),
 
+    // EXACT AUC of a score separating two classes (value separating
+    // purchase from click — the eval-harness primitive a training
+    // pipeline runs on every model drop). AUC = P(s⁺>s⁻) + ½P(s⁺=s⁻) =
+    // U⁺/(n⁺·n⁻), and the rank-sum U rides the same cents-DICTIONARY
+    // construction as q_mwu_test: 2·U⁺ = Σ_v cp·(2·cumn_before + cn) is
+    // an exact long under any order, so AUC is ONE IEEE division — the
+    // exact-at-any-scale form (the naive pairwise comparison is O(n²);
+    // sort-based AUC needs a global sort; the dictionary rollup needs
+    // neither).
+    QueryDef(
+      "q_auc",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val hist = e.groupBy("cents").agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cp"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cn"))
+        val w = Window.orderBy(asc("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cumn", sum("cn").over(w))
+        cum.agg(
+          sum("cp").as("n_pos"), sum("cn").as("n_neg"),
+          sum(col("cp") * (lit(2) * (col("cumn") - col("cn")) + col("cn")))
+            .as("u2"))
+          .select(col("n_pos"), col("n_neg"),
+            round(col("u2").cast("double") /
+              (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+                                CAST(round(value * 100) AS BIGINT) AS cents
+                         FROM events
+                         WHERE event_type IN ('click', 'purchase')),
+                   hist AS (SELECT cents,
+                              sum(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END) AS cp,
+                              sum(CASE WHEN event_type = 'click'
+                                       THEN 1 ELSE 0 END) AS cn
+                            FROM e GROUP BY 1),
+                   cum AS (SELECT cents, cp, cn,
+                             CAST(sum(cn) OVER (ORDER BY cents) AS BIGINT)
+                               AS cumn
+                           FROM hist)
+              SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+                     CAST(sum(cn) AS BIGINT) AS n_neg,
+                     round(CAST(sum(cp * (2 * (cumn - cn) + cn)) AS DOUBLE) /
+                           (2.0 * CAST(sum(cp) AS BIGINT)
+                                * CAST(sum(cn) AS BIGINT)), 6) AS auc
+              FROM cum""")),
+
+    // CLASSIFIER EVAL at a fixed threshold — the confusion matrix and
+    // its derived metrics (the other half of the eval harness): label =
+    // purchase, prediction = value ≥ $50. TP/FP/FN/TN are exact-long
+    // conditional sums in ONE scan; accuracy/precision/recall are one
+    // IEEE division each, and F1 uses its single-division identity
+    // 2TP/(2TP+FP+FN) — no division-of-divisions anywhere, so every
+    // metric is bit-identical on both engines.
+    QueryDef(
+      "q_classifier_eval",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(
+            (col("event_type") === "purchase").cast("long").as("y"),
+            (round(col("value") * 100).cast("long") >= 5000L)
+              .cast("long").as("p"))
+        e.agg(
+          sum(col("y") * col("p")).as("tp"),
+          sum((lit(1) - col("y")) * col("p")).as("fp"),
+          sum(col("y") * (lit(1) - col("p"))).as("fn"),
+          sum((lit(1) - col("y")) * (lit(1) - col("p"))).as("tn"))
+          .select(col("tp"), col("fp"), col("fn"), col("tn"),
+            round((col("tp") + col("tn")).cast("double") /
+              (col("tp") + col("fp") + col("fn") + col("tn")), 6)
+              .as("accuracy"),
+            round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+              .as("precision_"),
+            round(col("tp").cast("double") / (col("tp") + col("fn")), 6)
+              .as("recall"),
+            round((lit(2) * col("tp")).cast("double") /
+              (lit(2) * col("tp") + col("fp") + col("fn")), 6).as("f1"))
+      },
+      Some("""WITH e AS (SELECT CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END AS y,
+                                CASE WHEN CAST(round(value * 100) AS BIGINT)
+                                          >= 5000 THEN 1 ELSE 0 END AS p
+                         FROM events
+                         WHERE event_type IN ('click', 'purchase')),
+                   c AS (SELECT CAST(sum(y * p) AS BIGINT) AS tp,
+                                CAST(sum((1 - y) * p) AS BIGINT) AS fp,
+                                CAST(sum(y * (1 - p)) AS BIGINT) AS fn,
+                                CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn
+                         FROM e)
+              SELECT tp, fp, fn, tn,
+                     round(CAST(tp + tn AS DOUBLE) /
+                           (tp + fp + fn + tn), 6) AS accuracy,
+                     round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_,
+                     round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+                     round(CAST(2 * tp AS DOUBLE) /
+                           (2 * tp + fp + fn), 6) AS f1
+              FROM c""")),
+
+    // CALIBRATION BINS — does the score MEAN what it claims? (the third
+    // eval-harness member): fixed $20 score bins (top-coded at bin 9),
+    // per bin the exact positive count and one-division observed rate
+    // plus the exact-cents mean score — the reliability-diagram table.
+    // Bin assignment is integer arithmetic on non-negative cents, so
+    // banding is bit-identical on both engines; one scan, one
+    // dictionary-sized rollup.
+    QueryDef(
+      "q_calibration_bins",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(
+            (col("event_type") === "purchase").cast("long").as("y"),
+            round(col("value") * 100).cast("long").as("cents"))
+        e.select(col("y"), col("cents"),
+          least(floor(col("cents") / 2000L), lit(9L)).as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+            sum("cents").as("sum_c"))
+          .select(col("bin"), col("n"), col("n_pos"),
+            round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+            round(col("sum_c").cast("double") / (col("n") * 100), 4)
+              .as("mean_score_d"))
+          .orderBy("bin")
+      },
+      Some("""WITH e AS (SELECT CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END AS y,
+                                CAST(round(value * 100) AS BIGINT) AS cents
+                         FROM events
+                         WHERE event_type IN ('click', 'purchase')),
+                   b AS (SELECT y, cents,
+                                least(cents // 2000, 9) AS bin FROM e)
+              SELECT bin, count(*) AS n,
+                     CAST(sum(y) AS BIGINT) AS n_pos,
+                     round(CAST(sum(y) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+                       AS pos_rate,
+                     round(CAST(sum(cents) AS BIGINT) /
+                           (count(*) * 100.0), 4) AS mean_score_d
+              FROM b GROUP BY 1 ORDER BY bin""")),
+
     QueryDef(
       "q_ab_test",
       (s, d) => {

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+import graft.queries.Registry
+
+/** Math-level sanity for the model-eval family (q_auc /
+  * q_classifier_eval / q_calibration_bins): the DuckDB oracle proves the
+  * engines agree; these fixtures prove the metrics equal their textbook
+  * values on hand-derivable inputs — perfect separation, a known tie
+  * structure, a counted confusion matrix.
+  */
+class EvalSpec extends SparkSpec {
+
+  private def eventsDir(rows: Seq[(Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_eval_spec").toString
+    import spark.implicits._
+    rows.zipWithIndex.map { case ((id, et, v), i) =>
+      (id, Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 12:00:00"), 1L, et, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def run(name: String, dir: String): DataFrame =
+    Registry.all.find(_.name == name).get.run(spark, dir)
+
+  test("q_auc: perfect separation gives 1.0; all-tied gives 0.5") {
+    val perfect = (1 to 10).map(i => (i.toLong, "click", 10.0 + i)) ++
+      (11 to 20).map(i => (i.toLong, "purchase", 100.0 + i))
+    val p = run("q_auc", eventsDir(perfect)).collect()(0)
+    assert(p.getAs[Double]("auc") == 1.0, p.toString)
+
+    val tied = (1 to 10).map(i => (i.toLong, "click", 50.0)) ++
+      (11 to 20).map(i => (i.toLong, "purchase", 50.0))
+    val t = run("q_auc", eventsDir(tied)).collect()(0)
+    assert(t.getAs[Double]("auc") == 0.5, t.toString)
+  }
+
+  test("q_auc matches the hand-computed pair count on a mixed fixture") {
+    // negatives at 10, 30; positives at 20, 30: pairs (pos > neg) =
+    // {20>10, 30>10} = 2, ties = {30=30} = 1 → AUC = (2 + 0.5)/4 = 0.625
+    val rows = Seq((1L, "click", 0.10), (2L, "click", 0.30),
+      (3L, "purchase", 0.20), (4L, "purchase", 0.30))
+    val r = run("q_auc", eventsDir(rows)).collect()(0)
+    assert(r.getAs[Double]("auc") == 0.625, r.toString)
+  }
+
+  test("q_classifier_eval counts the confusion matrix and single-division metrics") {
+    // threshold $50: 3 TP (purchase >= 50), 1 FN (purchase 40),
+    // 2 FP (click 60, 70), 4 TN (clicks below)
+    val rows = Seq(
+      (1L, "purchase", 50.0), (2L, "purchase", 80.0), (3L, "purchase", 90.0),
+      (4L, "purchase", 40.0),
+      (5L, "click", 60.0), (6L, "click", 70.0),
+      (7L, "click", 10.0), (8L, "click", 20.0), (9L, "click", 30.0),
+      (10L, "click", 49.99))
+    val r = run("q_classifier_eval", eventsDir(rows)).collect()(0)
+    assert(r.getAs[Long]("tp") == 3 && r.getAs[Long]("fp") == 2 &&
+      r.getAs[Long]("fn") == 1 && r.getAs[Long]("tn") == 4, r.toString)
+    assert(r.getAs[Double]("accuracy") == 0.7)
+    assert(r.getAs[Double]("precision_") == 0.6)
+    assert(r.getAs[Double]("recall") == 0.75)
+    // F1 = 2*3/(2*3+2+1) = 6/9
+    assert(r.getAs[Double]("f1") == math.rint(6.0 / 9.0 * 1e6) / 1e6)
+  }
+
+  test("q_calibration_bins: rates rise with the bin on a monotone fixture") {
+    // bin 0 ($0-20): 1 of 4 positive; bin 2 ($40-60): 3 of 4 positive
+    val rows = Seq(
+      (1L, "purchase", 10.0), (2L, "click", 11.0), (3L, "click", 12.0),
+      (4L, "click", 13.0),
+      (5L, "purchase", 45.0), (6L, "purchase", 46.0), (7L, "purchase", 47.0),
+      (8L, "click", 48.0))
+    val out = run("q_calibration_bins", eventsDir(rows)).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_pos"), r.getAs[Double]("pos_rate")))
+      .toMap
+    assert(out(0L) == ((4L, 1L, 0.25)), out.toString)
+    assert(out(2L) == ((4L, 3L, 0.75)), out.toString)
+  }
+}

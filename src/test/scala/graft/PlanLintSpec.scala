@@ -277,9 +277,9 @@ class PlanLintSpec extends SparkSpec {
       // windows run over the DAY dictionary (q_seasonal_decompose's
       // class) — the corpus-sized work is the daily rollup upstream
       "q_changepoint", "q_acf", "q_cross_corr",
-      // q_mwu_test: the rank cumulative window runs over the cents
-      // dictionary (q_ks_test's class), never raw events
-      "q_mwu_test")
+      // q_mwu_test / q_auc: the rank cumulative window runs over the
+      // cents dictionary (q_ks_test's class), never raw events
+      "q_mwu_test", "q_auc")
     val offenders = Registry.all.flatMap { q =>
       val global = q.run(spark, sfDir).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
