@@ -1128,6 +1128,94 @@ object BehaviorQueries {
               SELECT user_id, count(*) AS n_purchases,
                      round(sum(c) / 100.0, 2) AS revenue,
                      round(sum(dc) / 100.0, 2) AS ltv_decayed
-              FROM w GROUP BY 1 ORDER BY user_id"""))
+              FROM w GROUP BY 1 ORDER BY user_id""")),
+
+    // KAPLAN-MEIER life table for time-to-first-purchase — survival
+    // analysis, the duration family the funnel/retention queries lack
+    // (retention asks "active at +k?", KM asks "how long UNTIL
+    // conversion, honestly accounting users we stopped observing").
+    // Subjects enter at their first event day; event = first purchase
+    // (duration in days), no purchase = CENSORED at last activity.
+    // The life table rides the DURATION DICTIONARY (≤ observation span
+    // rows): n_risk is a reverse cumulative count (exact longs), hazard
+    // d/n one IEEE division per row, and the KM survival estimate is the
+    // cumulative Π(1 − d/n) computed as exp(Σ ln(·)) over the ordered
+    // dictionary — the JSD/MI transcendental precedent, round(6)
+    // absorbing ulp drift; every row keeps its exact integer components
+    // (n_risk, d, c) so the float column is auditable from the same row.
+    QueryDef(
+      "q_survival_km",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+            col("event_type"))
+        val per = e.groupBy("user_id").agg(
+          min("day").as("d0"), max("day").as("dl"),
+          min(when(col("event_type") === "purchase", col("day"))).as("dp"))
+        val durs = per.select(
+          when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
+            .otherwise(datediff(col("dl"), col("d0"))).as("t"),
+          col("dp").isNotNull.cast("long").as("observed"))
+        val tab = durs.groupBy("t").agg(
+          sum("observed").as("d"),
+          sum(lit(1L) - col("observed")).as("c"))
+        val w = Window.orderBy(asc("t"))
+        val risk = tab
+          .withColumn("ahead", sum(col("d") + col("c"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("n_risk",
+            sum(col("d") + col("c")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+              - coalesce(col("ahead"), lit(0L)))
+        risk
+          // the terminal duration can have n_risk == d (everyone still at
+          // risk converts there): survival is exactly 0, and ln(0) must
+          // not be evaluated — null it and override the output row
+          .withColumn("lnr", when(col("n_risk") > col("d"),
+            log((col("n_risk") - col("d")).cast("double") / col("n_risk"))))
+          .withColumn("km",
+            exp(sum("lnr").over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+          .select(col("t"), col("n_risk"), col("d"), col("c"),
+            round(col("d").cast("double") / col("n_risk"), 6).as("hazard_d"),
+            when(col("n_risk") === col("d"), lit(0.0))
+              .otherwise(round(col("km"), 6) + lit(0.0)).as("survival_d"))
+          .orderBy("t")
+      },
+      Some("""WITH e AS (SELECT user_id, date_trunc('day', ts) AS day,
+                                event_type
+                         FROM events),
+                   per AS (SELECT user_id, min(day) AS d0, max(day) AS dl,
+                                  min(CASE WHEN event_type = 'purchase'
+                                           THEN day END) AS dp
+                           FROM e GROUP BY 1),
+                   durs AS (SELECT CASE WHEN dp IS NOT NULL
+                                        THEN date_diff('day', d0, dp)
+                                        ELSE date_diff('day', d0, dl)
+                                   END AS t,
+                                   CASE WHEN dp IS NOT NULL
+                                        THEN 1 ELSE 0 END AS observed
+                            FROM per),
+                   tab AS (SELECT t, CAST(sum(observed) AS BIGINT) AS d,
+                                  CAST(sum(1 - observed) AS BIGINT) AS c
+                           FROM durs GROUP BY 1),
+                   risk AS (SELECT t, d, c,
+                              CAST(sum(d + c) OVER () AS BIGINT) -
+                              CAST(coalesce(sum(d + c) OVER (
+                                ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+                            FROM tab),
+                   km AS (SELECT t, n_risk, d, c,
+                            exp(sum(CASE WHEN n_risk > d THEN
+                                  ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                                END)
+                                OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                      PRECEDING AND CURRENT ROW)) AS km
+                          FROM risk)
+              SELECT t, n_risk, d, c,
+                     round(CAST(d AS DOUBLE) / n_risk, 6) AS hazard_d,
+                     CASE WHEN n_risk = d THEN 0.0
+                          ELSE round(km, 6) + 0 END AS survival_d
+              FROM km ORDER BY t"""))
   )
 }

@@ -68,6 +68,31 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("f1") == math.rint(6.0 / 9.0 * 1e6) / 1e6)
   }
 
+  test("q_survival_km reproduces the hand-computed life table with censoring") {
+    import spark.implicits._
+    // u1 converts at t=2, u2 at t=4, u3 censored at t=2, u4 censored at
+    // t=0. Table: t=0 (n=4, c=1, S=1), t=2 (n=3, d=1, c=1, S=2/3),
+    // t=4 (n=1, d=1, S=0 terminal).
+    def ev(id: Long, day: Int, uid: Long, et: String) =
+      (id, Timestamp.valueOf(f"2024-03-$day%02d 09:00:00"), uid, et, 5.0)
+    val rows = Seq(
+      ev(1, 1, 1, "view"), ev(2, 3, 1, "purchase"),
+      ev(3, 1, 2, "view"), ev(4, 5, 2, "purchase"),
+      ev(5, 2, 3, "view"), ev(6, 4, 3, "click"),
+      ev(7, 1, 4, "view"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_km_spec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = run("q_survival_km", dir).collect()
+      .map(r => r.getAs[Int]("t") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("d"), r.getAs[Long]("c"),
+          r.getAs[Double]("survival_d"))).toMap
+    assert(out(0) == ((4L, 0L, 1L, 1.0)), out.toString)
+    assert(out(2) == ((3L, 1L, 1L, math.rint(2.0 / 3.0 * 1e6) / 1e6)), out.toString)
+    assert(out(4) == ((1L, 1L, 0L, 0.0)), out.toString)
+  }
+
   test("q_calibration_bins: rates rise with the bin on a monotone fixture") {
     // bin 0 ($0-20): 1 of 4 positive; bin 2 ($40-60): 3 of 4 positive
     val rows = Seq(

@@ -279,7 +279,11 @@ class PlanLintSpec extends SparkSpec {
       "q_changepoint", "q_acf", "q_cross_corr",
       // q_mwu_test / q_auc: the rank cumulative window runs over the
       // cents dictionary (q_ks_test's class), never raw events
-      "q_mwu_test", "q_auc")
+      "q_mwu_test", "q_auc",
+      // q_survival_km: the n_risk / KM-product windows run over the
+      // DURATION dictionary (bounded by the observation span in days);
+      // the corpus-sized work is the per-user rollup upstream
+      "q_survival_km")
     val offenders = Registry.all.flatMap { q =>
       val global = q.run(spark, sfDir).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
