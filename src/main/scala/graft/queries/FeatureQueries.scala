@@ -118,6 +118,110 @@ object FeatureQueries {
               SELECT split, count(*) AS n_events,
                      CAST(CAST(min(day) AS DATE) AS VARCHAR) AS first_day,
                      CAST(CAST(max(day) AS DATE) AS VARCHAR) AS last_day
-              FROM s GROUP BY 1 ORDER BY split"""))
+              FROM s GROUP BY 1 ORDER BY split""")),
+
+    // CLOSED-FORM MULTI-FEATURE OLS — fit purchase revenue from per-user
+    // (clicks, views) by the 3×3 normal equations, the way a 100 TB
+    // pipeline fits small linear probes: ONE pass accumulates the nine
+    // Gram/moment scalars (Σ1, Σc, Σv, Σc², Σcv, Σv², Σy, Σcy, Σvy — all
+    // EXACT LONGS: integer counts × integer cents, bounded well inside
+    // int64 at any per-user cardinality), then Cramer's rule solves on
+    // the single scalar row. The solve casts each long to double and
+    // both engines evaluate the IDENTICAL determinant expressions, so
+    // the coefficients are bit-identical — no iterative optimizer, no
+    // gradient nondeterminism, nothing leaves the driver row. The model
+    // row carries n and det so degenerate fits are visible, and an
+    // in-spec residual check proves the fit solves the system.
+    QueryDef(
+      "q_linreg_multi",
+      (s, d) => {
+        val per = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cl"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("vw"),
+            sum(when(col("event_type") === "purchase",
+              round(col("value") * 100).cast("long")).otherwise(0L)).as("yc"))
+        val g = per.agg(
+          count(lit(1)).as("n"), sum("cl").as("sc"), sum("vw").as("sv"),
+          sum(col("cl") * col("cl")).as("scc"),
+          sum(col("cl") * col("vw")).as("scv"),
+          sum(col("vw") * col("vw")).as("svv"),
+          sum("yc").as("sy"),
+          sum(col("cl") * col("yc")).as("scy"),
+          sum(col("vw") * col("yc")).as("svy"))
+        def D(c: String) = col(c).cast("double")
+        val det =
+          D("n") * (D("scc") * D("svv") - D("scv") * D("scv")) -
+            D("sc") * (D("sc") * D("svv") - D("scv") * D("sv")) +
+            D("sv") * (D("sc") * D("scv") - D("scc") * D("sv"))
+        val det0 =
+          D("sy") * (D("scc") * D("svv") - D("scv") * D("scv")) -
+            D("sc") * (D("scy") * D("svv") - D("scv") * D("svy")) +
+            D("sv") * (D("scy") * D("scv") - D("scc") * D("svy"))
+        val det1 =
+          D("n") * (D("scy") * D("svv") - D("scv") * D("svy")) -
+            D("sy") * (D("sc") * D("svv") - D("scv") * D("sv")) +
+            D("sv") * (D("sc") * D("svy") - D("scy") * D("sv"))
+        val det2 =
+          D("n") * (D("scc") * D("svy") - D("scy") * D("scv")) -
+            D("sc") * (D("sc") * D("svy") - D("scy") * D("sv")) +
+            D("sy") * (D("sc") * D("scv") - D("scc") * D("sv"))
+        g.select(col("n"),
+          round(det, 4).as("det"),
+          round(det0 / det / 100, 6).as("b0_d"),
+          round(det1 / det / 100, 6).as("b_clicks_d"),
+          round(det2 / det / 100, 6).as("b_views_d"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+                     CAST(sum(CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS cl,
+                     CAST(sum(CASE WHEN event_type = 'view'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS vw,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                                   THEN CAST(round(value * 100) AS BIGINT)
+                                   ELSE 0 END) AS BIGINT) AS yc
+              FROM events GROUP BY 1),
+                   g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                                CAST(sum(cl) AS BIGINT) AS sc,
+                                CAST(sum(vw) AS BIGINT) AS sv,
+                                CAST(sum(cl * cl) AS BIGINT) AS scc,
+                                CAST(sum(cl * vw) AS BIGINT) AS scv,
+                                CAST(sum(vw * vw) AS BIGINT) AS svv,
+                                CAST(sum(yc) AS BIGINT) AS sy,
+                                CAST(sum(cl * yc) AS BIGINT) AS scy,
+                                CAST(sum(vw * yc) AS BIGINT) AS svy
+                         FROM per),
+                   e AS (SELECT n,
+                     CAST(n AS DOUBLE) * (CAST(scc AS DOUBLE) * CAST(svv AS DOUBLE)
+                       - CAST(scv AS DOUBLE) * CAST(scv AS DOUBLE))
+                     - CAST(sc AS DOUBLE) * (CAST(sc AS DOUBLE) * CAST(svv AS DOUBLE)
+                       - CAST(scv AS DOUBLE) * CAST(sv AS DOUBLE))
+                     + CAST(sv AS DOUBLE) * (CAST(sc AS DOUBLE) * CAST(scv AS DOUBLE)
+                       - CAST(scc AS DOUBLE) * CAST(sv AS DOUBLE)) AS det,
+                     CAST(sy AS DOUBLE) * (CAST(scc AS DOUBLE) * CAST(svv AS DOUBLE)
+                       - CAST(scv AS DOUBLE) * CAST(scv AS DOUBLE))
+                     - CAST(sc AS DOUBLE) * (CAST(scy AS DOUBLE) * CAST(svv AS DOUBLE)
+                       - CAST(scv AS DOUBLE) * CAST(svy AS DOUBLE))
+                     + CAST(sv AS DOUBLE) * (CAST(scy AS DOUBLE) * CAST(scv AS DOUBLE)
+                       - CAST(scc AS DOUBLE) * CAST(svy AS DOUBLE)) AS det0,
+                     CAST(n AS DOUBLE) * (CAST(scy AS DOUBLE) * CAST(svv AS DOUBLE)
+                       - CAST(scv AS DOUBLE) * CAST(svy AS DOUBLE))
+                     - CAST(sy AS DOUBLE) * (CAST(sc AS DOUBLE) * CAST(svv AS DOUBLE)
+                       - CAST(scv AS DOUBLE) * CAST(sv AS DOUBLE))
+                     + CAST(sv AS DOUBLE) * (CAST(sc AS DOUBLE) * CAST(svy AS DOUBLE)
+                       - CAST(scy AS DOUBLE) * CAST(sv AS DOUBLE)) AS det1,
+                     CAST(n AS DOUBLE) * (CAST(scc AS DOUBLE) * CAST(svy AS DOUBLE)
+                       - CAST(scy AS DOUBLE) * CAST(scv AS DOUBLE))
+                     - CAST(sc AS DOUBLE) * (CAST(sc AS DOUBLE) * CAST(svy AS DOUBLE)
+                       - CAST(scy AS DOUBLE) * CAST(sv AS DOUBLE))
+                     + CAST(sy AS DOUBLE) * (CAST(sc AS DOUBLE) * CAST(scv AS DOUBLE)
+                       - CAST(scc AS DOUBLE) * CAST(sv AS DOUBLE)) AS det2
+                     FROM g)
+              SELECT n, round(det, 4) AS det,
+                     round(det0 / det / 100, 6) AS b0_d,
+                     round(det1 / det / 100, 6) AS b_clicks_d,
+                     round(det2 / det / 100, 6) AS b_views_d
+              FROM e"""))
   )
 }

@@ -93,6 +93,31 @@ class EvalSpec extends SparkSpec {
     assert(out(4) == ((1L, 1L, 0L, 0.0)), out.toString)
   }
 
+  test("q_linreg_multi recovers exact coefficients on a noiseless linear fixture") {
+    import spark.implicits._
+    // per-user: y = 2 + 3*clicks + 0.5*views dollars, three independent
+    // feature vectors -> the normal equations have the unique exact
+    // solution (2, 3, 0.5).
+    val users = Seq((1L, 2, 4), (2L, 5, 1), (3L, 1, 8), (4L, 7, 3))
+    val rows = users.flatMap { case (u, cl, vw) =>
+      val y = 2.0 + 3.0 * cl + 0.5 * vw
+      (1 to cl).map(i => (u * 1000 + i, u, "click", 1.0)) ++
+        (1 to vw).map(i => (u * 1000 + 100 + i, u, "view", 1.0)) :+
+        ((u * 1000 + 999, u, "purchase", y))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ols_spec").toString
+    rows.zipWithIndex.map { case ((id, uid, et, v), i) =>
+      (id, Timestamp.valueOf(f"2024-04-${i % 28 + 1}%02d 10:00:00"), uid, et, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = run("q_linreg_multi", dir).collect()(0)
+    assert(r.getAs[Long]("n") == 4)
+    assert(r.getAs[Double]("b0_d") == 2.0, r.toString)
+    assert(r.getAs[Double]("b_clicks_d") == 3.0, r.toString)
+    assert(r.getAs[Double]("b_views_d") == 0.5, r.toString)
+  }
+
   test("q_calibration_bins: rates rise with the bin on a monotone fixture") {
     // bin 0 ($0-20): 1 of 4 positive; bin 2 ($40-60): 3 of 4 positive
     val rows = Seq(
