@@ -26,6 +26,17 @@ object Ingest {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC ingestion (the reference's batch formats include ORC alongside
+    * Parquet/CSV/JSON/Avro — Introduction.md:7). ORC is Spark-native
+    * (columnar, predicate-pushdown-capable, self-describing — no schema
+    * argument needed); Avro is the one reference format NOT covered
+    * here, because the spark-avro connector jar is not on this
+    * environment's fixed classpath — at deploy time the identical
+    * one-liner (`spark.read.format("avro")`) slots in.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Malformed-record-tolerant JSON ingestion (Pinot ingestion skips bad
     * records rather than failing the job — the only sane behavior for a
     * 100 TB load). Returns (good rows, corrupt raw lines): PERMISSIVE

@@ -76,4 +76,21 @@ class LifecycleSpec extends SparkSpec {
     assert(bad.count() === 2)
     assert(bad.collect().map(_.getString(0)).exists(_.contains("broken")))
   }
+
+  test("orc ingestion round-trips the events table and pushes filters to the scan") {
+    val src = graft.engine.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("orc_seg").toString
+    src.write.mode("overwrite").orc(dir)
+    val back = Ingest.orc(spark, dir)
+    assert(back.count() === src.count())
+    val a = back.agg(sum("event_id")).head().getLong(0)
+    val b = src.agg(sum("event_id")).head().getLong(0)
+    assert(a === b, s"orc round-trip changed checksum: $a vs $b")
+    // predicate pushdown reaches the ORC scan like it does for parquet
+    val plan = back.filter(col("user_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]")
+      || plan.contains("EqualTo(user_id,7)"), plan.take(800))
+  }
 }
