@@ -63,6 +63,18 @@ final case class CusumAlarm(
     event_type: String, day: java.sql.Timestamp, v: Double,
     direction: String, s: Double)
 
+/** One scored example flowing into the streaming AUC monitor. */
+final case class ScorePoint(model: String, positive: Boolean, cents: Long)
+
+/** Per-model score histogram state: (cents, positives, negatives)
+  * triples — the SAME dictionary the batch q_auc rolls up, carried
+  * incrementally (bounded by the score dictionary, never example count).
+  */
+final case class ScoreHist(entries: List[(Long, Long, Long)])
+
+/** One running-AUC snapshot emitted after a micro-batch. */
+final case class AucPoint(model: String, n_pos: Long, n_neg: Long, auc: Double)
+
 /** Realtime ingestion — Pinot's realtime server consumes a stream and
   * serves fresh segments (reference: /root/reference/basics/
   * Architecture.md, realtime flow; /root/reference/Introduction.md:7
@@ -774,6 +786,49 @@ object Realtime {
           }
           state.update(st)
           out.result().iterator
+      }
+  }
+
+  /** Streaming EXACT-AUC monitor — the online form of q_auc (model-eval
+    * on a live scored stream: "is the model's separation degrading as
+    * traffic shifts?"). State per model is the SCORE-cents histogram —
+    * exactly the dictionary the batch query rolls up, merged
+    * incrementally, so state is bounded by the score dictionary, never
+    * by example count. After each micro-batch the rank-sum U is
+    * recomputed from the sorted histogram in exact longs (one O(dict)
+    * pass) and one snapshot row emits per model: the SAME
+    * 2·U = Σ cp·(2·cumn_before + cn) arithmetic as the batch side, so
+    * any prefix of the stream yields exactly the batch AUC of that
+    * prefix (StreamingSpec asserts final-prefix parity against q_auc and
+    * split-invariance of every snapshot).
+    */
+  def aucMonitor(scores: Dataset[ScorePoint]): Dataset[AucPoint] = {
+    import scores.sparkSession.implicits._
+    scores
+      .groupByKey(_.model)
+      .flatMapGroupsWithState[ScoreHist, AucPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (model: String, batch: Iterator[ScorePoint], state: GroupState[ScoreHist]) =>
+          val m = scala.collection.mutable.TreeMap[Long, (Long, Long)]()
+          state.getOption.foreach(_.entries.foreach { case (c, p, n) =>
+            m(c) = (p, n)
+          })
+          batch.foreach { sp =>
+            val (p, n) = m.getOrElse(sp.cents, (0L, 0L))
+            m(sp.cents) = if (sp.positive) (p + 1, n) else (p, n + 1)
+          }
+          state.update(ScoreHist(m.iterator.map { case (c, (p, n)) =>
+            (c, p, n)
+          }.toList))
+          var (cumn, u2, np, nn) = (0L, 0L, 0L, 0L)
+          m.foreach { case (_, (cp, cn)) =>
+            u2 += cp * (2 * cumn + cn)
+            cumn += cn; np += cp; nn += cn
+          }
+          if (np > 0 && nn > 0)
+            Iterator.single(AucPoint(model, np, nn,
+              u2.toDouble / (2.0 * np * nn)))
+          else Iterator.empty
       }
   }
 

@@ -828,4 +828,45 @@ class StreamingSpec extends SparkSpec {
     // alarm must land within the shifted region (day >= 11)
     assert(oneShot.head._2 >= "2024-02-11", oneShot.head._2)
   }
+
+  test("streaming AUC monitor reaches the batch q_auc value on any split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the exact scored stream the batch query rolls up
+    val pts = graft.engine.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(lit("m1").as("model"),
+        (col("event_type") === "purchase").as("positive"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[graft.streaming.ScorePoint].collect().toSeq
+    val batchRow = graft.queries.Registry.queries("q_auc")(spark, sfDir)
+      .collect()(0)
+    val batchAuc = batchRow.getAs[Double]("auc")
+
+    def lastAuc(parts: Int): (Long, Long, Double) = {
+      val input = MemoryStream[graft.streaming.ScorePoint]
+      val name = s"auc_out_$parts"
+      val q = Realtime.aucMonitor(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        pts.grouped(math.max(1, pts.length / parts)).foreach { chunk =>
+          input.addData(chunk)
+          q.processAllAvailable()
+        }
+        val rows = spark.table(name).collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        rows.last
+      } finally q.stop()
+    }
+
+    val (np1, nn1, a1) = lastAuc(1)
+    val (np3, nn3, a3) = lastAuc(3)
+    assert((np1, nn1) === (np3, nn3))
+    assert(a1 === a3, s"split changed the final AUC: $a1 vs $a3")
+    assert(math.rint(a1 * 1e6) / 1e6 === batchAuc,
+      s"streamed AUC $a1 != batch $batchAuc")
+    assert(np1 === batchRow.getAs[Long]("n_pos") && nn1 === batchRow.getAs[Long]("n_neg"))
+  }
 }
