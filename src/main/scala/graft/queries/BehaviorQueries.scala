@@ -1054,6 +1054,60 @@ object BehaviorQueries {
     // lesson), and the shares are one broadcast-scalar division. Users
     // AT the cut count into the top bucket on both engines (an exact
     // >= on the rounded edge).
+    // GINI COEFFICIENT of per-user revenue — the scalar inequality
+    // companion to q_pareto_revenue (pareto answers "how much do the top
+    // 10% hold", Gini summarizes the WHOLE Lorenz curve). Entirely exact:
+    // over the revenue-cents dictionary, tied ranks contribute
+    // v·(c·k + c(c+1)/2) with k the prior cumulative count — exact longs
+    // under any order — and G = (2·ΣiX − (n+1)·ΣX) / (n·ΣX) is ONE IEEE
+    // division of exact longs (no two-division drift). The only window
+    // rides the value dictionary. At true 100 TB cent-scale the same
+    // formula runs in DECIMAL(38) — noted, not needed at any realistic
+    // per-user revenue.
+    QueryDef(
+      "q_gini",
+      (s, d) => {
+        val per = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(sum(round(col("value") * 100).cast("long")).as("rev_c"))
+        val hist = per.groupBy("rev_c").agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(asc("rev_c"))
+        val cum = hist.withColumn("k",
+          coalesce(sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        cum.agg(
+          sum("cnt").as("n_users"),
+          sum(col("rev_c") * col("cnt")).as("sx"),
+          sum(expr("rev_c * (cnt * k + (cnt * (cnt + 1)) div 2)")).as("six"))
+          .select(col("n_users"),
+            round(col("sx").cast("double") / 100, 2).as("total_rev_d"),
+            round((lit(2) * col("six") - (col("n_users") + 1) * col("sx"))
+              .cast("double") / (col("n_users") * col("sx")), 6).as("gini"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+                                  sum(CAST(round(value * 100) AS BIGINT))
+                                    AS rev_c
+                           FROM events WHERE event_type = 'purchase'
+                           GROUP BY 1),
+                   hist AS (SELECT rev_c, count(*) AS cnt
+                            FROM per GROUP BY 1),
+                   cum AS (SELECT rev_c, cnt,
+                             CAST(coalesce(sum(cnt) OVER (
+                               ORDER BY rev_c ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS k
+                           FROM hist),
+                   g AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_users,
+                                CAST(sum(rev_c * cnt) AS BIGINT) AS sx,
+                                CAST(sum(rev_c * (cnt * k +
+                                  (cnt * (cnt + 1)) // 2)) AS BIGINT) AS six
+                         FROM cum)
+              SELECT n_users,
+                     round(CAST(sx AS DOUBLE) / 100, 2) AS total_rev_d,
+                     round(CAST(2 * six - (n_users + 1) * sx AS DOUBLE) /
+                           (n_users * sx), 6) AS gini
+              FROM g""")),
+
     QueryDef(
       "q_pareto_revenue",
       (s, d) => {

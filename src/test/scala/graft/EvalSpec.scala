@@ -118,6 +118,30 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("b_views_d") == 0.5, r.toString)
   }
 
+  test("q_gini: perfect equality is 0; a hand-computed two-user split is exact") {
+    import spark.implicits._
+    def giniDir(users: Seq[(Long, Double)]): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_gini_spec").toString
+      users.zipWithIndex.map { case ((uid, v), i) =>
+        (i.toLong + 1, Timestamp.valueOf(f"2024-05-${i + 1}%02d 10:00:00"),
+          uid, "purchase", v)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      d
+    }
+    val e = run("q_gini",
+      giniDir((1 to 4).map(u => (u.toLong, 25.0)))).collect()(0)
+    assert(e.getAs[Long]("n_users") == 4)
+    assert(e.getAs[Double]("gini") == 0.0, e.toString)
+
+    // users hold 1 and 99 cents: SiX=199, Sx=100, n=2 ->
+    // G = (398-300)/200 = 0.49
+    val g = run("q_gini",
+      giniDir(Seq((1L, 0.01), (2L, 0.99)))).collect()(0)
+    assert(g.getAs[Double]("gini") == 0.49, g.toString)
+  }
+
   test("q_calibration_bins: rates rise with the bin on a monotone fixture") {
     // bin 0 ($0-20): 1 of 4 positive; bin 2 ($40-60): 3 of 4 positive
     val rows = Seq(

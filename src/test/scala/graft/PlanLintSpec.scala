@@ -283,7 +283,10 @@ class PlanLintSpec extends SparkSpec {
       // q_survival_km: the n_risk / KM-product windows run over the
       // DURATION dictionary (bounded by the observation span in days);
       // the corpus-sized work is the per-user rollup upstream
-      "q_survival_km")
+      "q_survival_km",
+      // q_gini: the tied-rank cumulative window rides the revenue-cents
+      // dictionary (q_ks_test's class), never per-user rows
+      "q_gini")
     val offenders = Registry.all.flatMap { q =>
       val global = q.run(spark, sfDir).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
