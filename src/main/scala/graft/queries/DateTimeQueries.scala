@@ -654,6 +654,112 @@ object DateTimeQueries {
                            sqrt(CAST(var18 AS DOUBLE) / 18), 4) + 0 AS z
               FROM s0, v""")),
 
+    // SPC / WESTERN-ELECTRIC rules over the daily revenue series — the
+    // BATCH control-chart screen pairing the streaming cusumMonitor
+    // (CUSUM catches small persistent drift; WE rules catch spikes and
+    // runs): baseline μ/σ from the first 10 days as EXACT LONGS
+    // (S, Σx², and V = n·Σx² − S²), each rule comparison rewritten to
+    // integer-vs-k·√V form (dev = n·x − S exact; x−μ > kσ ⟺ dev > k·√V)
+    // so the only float op per flag is one sqrt+multiply — identical
+    // IEEE on both engines, no division anywhere. Rules: R1 beyond 3σ,
+    // R2 two-of-three beyond 2σ one side, R3 four-of-five beyond 1σ one
+    // side, R4 eight consecutive one side; rolling indicator sums ride
+    // the day dictionary.
+    QueryDef(
+      "q_spc_rules",
+      (s, d) => {
+        val day = Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(asc("day"))
+        val idx = day.withColumn("i", row_number().over(w))
+        val base = idx.filter(col("i") <= 10).agg(
+          count(lit(1)).as("n"), sum("c").as("s"),
+          sum(col("c") * col("c")).as("sxx"))
+        val sv = sqrt((col("n") * col("sxx") - col("s") * col("s"))
+          .cast("double"))
+        val devd = (col("c") * col("n") - col("s")).cast("double")
+        val marked = idx.crossJoin(broadcast(base))
+          .withColumn("dev_c", col("c") * col("n") - col("s"))
+          .withColumn("hi0", (devd > 0).cast("long"))
+          .withColumn("lo0", (devd < 0).cast("long"))
+          .withColumn("hi1", (devd > sv).cast("long"))
+          .withColumn("lo1", (devd < -sv).cast("long"))
+          .withColumn("hi2", (devd > lit(2) * sv).cast("long"))
+          .withColumn("lo2", (devd < lit(-2) * sv).cast("long"))
+          .withColumn("hi3", (devd > lit(3) * sv).cast("long"))
+          .withColumn("lo3", (devd < lit(-3) * sv).cast("long"))
+        def roll(c: String, k: Int) =
+          sum(col(c)).over(w.rowsBetween(-(k - 1), 0))
+        marked
+          .withColumn("r1", greatest(col("hi3"), col("lo3")))
+          .withColumn("r2",
+            greatest((roll("hi2", 3) >= 2).cast("long"),
+              (roll("lo2", 3) >= 2).cast("long")))
+          .withColumn("r3",
+            greatest((roll("hi1", 5) >= 4).cast("long"),
+              (roll("lo1", 5) >= 4).cast("long")))
+          .withColumn("r4",
+            greatest((roll("hi0", 8) === 8).cast("long"),
+              (roll("lo0", 8) === 8).cast("long")))
+          .filter(col("i") > 10)
+          .select(col("day"), round(col("c").cast("double") / 100, 2).as("rev_d"),
+            col("dev_c"), col("r1"), col("r2"), col("r3"), col("r4"))
+          .orderBy("day")
+      },
+      Some("""WITH day AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                                  sum(CAST(round(value * 100) AS BIGINT)) AS c
+                           FROM events GROUP BY 1),
+                   idx AS (SELECT day, c,
+                                  row_number() OVER (ORDER BY day) AS i
+                           FROM day),
+                   base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                                   CAST(sum(c) AS BIGINT) AS s,
+                                   CAST(sum(c * c) AS BIGINT) AS sxx
+                            FROM idx WHERE i <= 10),
+                   m AS (SELECT day, i, c, c * n - s AS dev_c,
+                                CAST(c * n - s AS DOUBLE) AS devd,
+                                sqrt(CAST(n * sxx - s * s AS DOUBLE)) AS sv
+                         FROM idx, base),
+                   f AS (SELECT day, i, c, dev_c,
+                                CASE WHEN devd > 0 THEN 1 ELSE 0 END AS hi0,
+                                CASE WHEN devd < 0 THEN 1 ELSE 0 END AS lo0,
+                                CASE WHEN devd > sv THEN 1 ELSE 0 END AS hi1,
+                                CASE WHEN devd < -sv THEN 1 ELSE 0 END AS lo1,
+                                CASE WHEN devd > 2 * sv THEN 1 ELSE 0 END AS hi2,
+                                CASE WHEN devd < -2 * sv THEN 1 ELSE 0 END AS lo2,
+                                CASE WHEN devd > 3 * sv THEN 1 ELSE 0 END AS hi3,
+                                CASE WHEN devd < -3 * sv THEN 1 ELSE 0 END AS lo3
+                         FROM m),
+                   r AS (SELECT day, i, c, dev_c,
+                                greatest(hi3, lo3) AS r1,
+                                greatest(
+                                  CASE WHEN sum(hi2) OVER (ORDER BY day
+                                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                                    >= 2 THEN 1 ELSE 0 END,
+                                  CASE WHEN sum(lo2) OVER (ORDER BY day
+                                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                                    >= 2 THEN 1 ELSE 0 END) AS r2,
+                                greatest(
+                                  CASE WHEN sum(hi1) OVER (ORDER BY day
+                                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                                    >= 4 THEN 1 ELSE 0 END,
+                                  CASE WHEN sum(lo1) OVER (ORDER BY day
+                                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                                    >= 4 THEN 1 ELSE 0 END) AS r3,
+                                greatest(
+                                  CASE WHEN sum(hi0) OVER (ORDER BY day
+                                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                                    = 8 THEN 1 ELSE 0 END,
+                                  CASE WHEN sum(lo0) OVER (ORDER BY day
+                                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                                    = 8 THEN 1 ELSE 0 END) AS r4
+                         FROM f)
+              SELECT day, round(CAST(c AS DOUBLE) / 100, 2) AS rev_d,
+                     dev_c, CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
+                     CAST(r3 AS BIGINT) AS r3, CAST(r4 AS BIGINT) AS r4
+              FROM r WHERE i > 10 ORDER BY day""")),
+
     // HOLT-WINTERS additive forecast (level + trend + weekly seasonal)
     // of daily revenue — the model-based companion to q_forecast_des
     // (which has level+trend only, per user) and q_seasonal_decompose

@@ -141,7 +141,10 @@ class PlanLintSpec extends SparkSpec {
     "q_jackknife",
     // scalar-N pattern: the single-row (n, dof) totals broadcast onto
     // the contingency-cell dictionary; margins attach by equi-join
-    "q_chisq")
+    "q_chisq",
+    // scalar-N pattern: the single-row baseline (n, S, Sxx) broadcasts
+    // onto the day dictionary; rolling rule windows ride the dictionary
+    "q_spc_rules")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
@@ -273,10 +276,11 @@ class PlanLintSpec extends SparkSpec {
       // q_conversion_lag: the cumulative window runs over the lag-days
       // dictionary (bounded by the observation span), not raw events
       "q_conversion_lag",
-      // q_changepoint / q_acf / q_cross_corr: the cumulative / lead-lag
-      // windows run over the DAY dictionary (q_seasonal_decompose's
-      // class) — the corpus-sized work is the daily rollup upstream
-      "q_changepoint", "q_acf", "q_cross_corr",
+      // q_changepoint / q_acf / q_cross_corr / q_spc_rules: the
+      // cumulative / lead-lag / rolling-rule windows run over the DAY
+      // dictionary (q_seasonal_decompose's class) — the corpus-sized
+      // work is the daily rollup upstream
+      "q_changepoint", "q_acf", "q_cross_corr", "q_spc_rules",
       // q_mwu_test / q_auc: the rank cumulative window runs over the
       // cents dictionary (q_ks_test's class), never raw events
       "q_mwu_test", "q_auc",

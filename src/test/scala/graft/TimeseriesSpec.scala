@@ -99,6 +99,33 @@ class TimeseriesSpec extends SparkSpec {
     assert(outFlat.getAs[Double]("z") == 0.0)
   }
 
+  test("q_spc_rules fires R1 on a spike and R4 on a sustained run") {
+    // baseline days 1-10 alternate 99/101 (tight, nonzero variance);
+    // day 12 spikes far beyond 3 sigma (R1); days 15-22 sit at 103 — an
+    // 8-day run above the baseline mean (R4) that stays inside 3 sigma?
+    // no: sigma is 1, so 103 is 3 sigma... use 100.8 (0.8 sigma: only
+    // R4 fires, not R1/R2).
+    val rows = (1 to 22).map { i =>
+      val v =
+        if (i <= 10) { if (i % 2 == 0) 101.0 else 99.0 }
+        else if (i == 12) 500.0
+        else if (i >= 15) 100.8
+        else 100.0
+      (i.toLong, day(i), 1L, "purchase", v)
+    }
+    val out = run("q_spc_rules", eventsDir(rows)).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("day").toString.take(10) ->
+        (r.getAs[Long]("r1"), r.getAs[Long]("r2"), r.getAs[Long]("r3"),
+          r.getAs[Long]("r4"))).toMap
+    assert(out("2024-01-12")._1 == 1L, s"R1 missed the spike: $out")
+    assert(out("2024-01-11")._1 == 0L)
+    // R4: 8th consecutive above-mean day is day 22
+    assert(out("2024-01-22")._4 == 1L, s"R4 missed the run: $out")
+    assert(out("2024-01-21")._4 == 0L, s"R4 fired early: $out")
+    // the run at 0.8 sigma must not trip the 2-sigma/1-sigma-run rules
+    assert(out("2024-01-22")._2 == 0L && out("2024-01-22")._3 == 0L)
+  }
+
   test("q_forecast_hw matches an independent in-memory Holt-Winters fold") {
     // trending + weekly-seasonal series, one event per day for 28 days
     val seas = Array(70.0, 0.0, -70.0, 35.0, -35.0, 14.0, -14.0)
