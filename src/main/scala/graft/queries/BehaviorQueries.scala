@@ -449,6 +449,110 @@ object BehaviorQueries {
                            (count(*) * 100.0), 4) AS mean_score_d
               FROM b GROUP BY 1 ORDER BY bin""")),
 
+    // CUPED variance-reduced experiment metrics (Deng et al., WSDM'13 —
+    // the standard pre-period covariate adjustment every large A/B
+    // platform applies): Y = user's post-period spend, X = pre-period
+    // spend (days < Jan 16), arm = deterministic user_id parity.
+    // ONE scan builds per-user (x, y) cents; ONE rollup builds the five
+    // global moments and per-arm sums — ALL EXACT LONGS (cents ×
+    // cents products bounded well inside int64 at fixture scale;
+    // DECIMAL(38) at true 100 TB spend, noted). θ = (n·Sxy − Sx·Sy)/
+    // (n·Sxx − Sx²) and each adjusted mean are fixed chains of IEEE ops
+    // on those longs — identical on both engines. Deliverable: per-arm
+    // raw vs CUPED-adjusted means (the adjusted difference is the
+    // experiment read-out).
+    QueryDef(
+      "q_cuped",
+      (s, d) => {
+        val cut = lit("2024-01-16").cast("timestamp")
+        val per = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("ts") < cut,
+              round(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+            sum(when(col("ts") >= cut,
+              round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+          .withColumn("arm", (col("user_id") % 2).cast("int"))
+        val g = per.agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx0"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx1"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"))
+        def D(c: String) = col(c).cast("double")
+        val theta = (D("n") * D("sxy") - D("sx") * D("sy")) /
+          (D("n") * D("sxx") - D("sx") * D("sx"))
+        val xbar = D("sx") / D("n")
+        def adj(syA: String, sxA: String, nA: String) =
+          D(syA) / D(nA) - theta * (D(sxA) / D(nA) - xbar)
+        g.select(
+          col("n0"), col("n1"),
+          round(D("sy0") / D("n0") / 100, 4).as("raw_mean0_d"),
+          round(D("sy1") / D("n1") / 100, 4).as("raw_mean1_d"),
+          round(theta, 6).as("theta"),
+          round(adj("sy0", "sx0", "n0") / 100, 4).as("cuped_mean0_d"),
+          round(adj("sy1", "sx1", "n1") / 100, 4).as("cuped_mean1_d"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+                     CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+                     CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y,
+                     CAST(user_id % 2 AS INT) AS arm
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id),
+                   g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                                CAST(sum(x) AS BIGINT) AS sx,
+                                CAST(sum(y) AS BIGINT) AS sy,
+                                CAST(sum(x * x) AS BIGINT) AS sxx,
+                                CAST(sum(x * y) AS BIGINT) AS sxy,
+                                CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                                  AS BIGINT) AS n0,
+                                CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END)
+                                  AS BIGINT) AS sx0,
+                                CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END)
+                                  AS BIGINT) AS sy0,
+                                CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                                  AS BIGINT) AS n1,
+                                CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END)
+                                  AS BIGINT) AS sx1,
+                                CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END)
+                                  AS BIGINT) AS sy1
+                         FROM per),
+                   e AS (SELECT n0, n1,
+                                CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                                  AS m0,
+                                CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                                  AS m1,
+                                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                                (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  AS theta,
+                                CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                                  AS xbar,
+                                CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                                  AS x0,
+                                CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                                  AS x1
+                         FROM g)
+              SELECT n0, n1,
+                     round(m0 / 100, 4) AS raw_mean0_d,
+                     round(m1 / 100, 4) AS raw_mean1_d,
+                     round(theta, 6) AS theta,
+                     round((m0 - theta * (x0 - xbar)) / 100, 4)
+                       AS cuped_mean0_d,
+                     round((m1 - theta * (x1 - xbar)) / 100, 4)
+                       AS cuped_mean1_d
+              FROM e""")),
+
     QueryDef(
       "q_ab_test",
       (s, d) => {

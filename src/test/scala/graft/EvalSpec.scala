@@ -118,6 +118,34 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("b_views_d") == 0.5, r.toString)
   }
 
+  test("q_cuped: a perfectly predictive pre-period equalizes imbalanced arms") {
+    import spark.implicits._
+    // arm 0 (even users) has big spenders, arm 1 small — raw post-period
+    // means differ; but post = 2 * pre exactly, so theta = 2 and the
+    // CUPED adjustment removes ALL the pre-existing imbalance: adjusted
+    // means must be equal (= 2 * global pre mean).
+    val users = Seq((2L, 10.0), (4L, 20.0), (6L, 30.0),
+      (1L, 1.0), (3L, 2.0), (5L, 3.0))
+    val rows = users.zipWithIndex.flatMap { case ((uid, pre), i) =>
+      Seq(
+        (uid * 10 + 1, Timestamp.valueOf("2024-01-05 10:00:00"), uid,
+          "purchase", pre),
+        (uid * 10 + 2, Timestamp.valueOf("2024-01-20 10:00:00"), uid,
+          "purchase", 2 * pre))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cuped_spec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = run("q_cuped", dir).collect()(0)
+    assert(r.getAs[Double]("theta") == 2.0, r.toString)
+    assert(r.getAs[Double]("raw_mean0_d") != r.getAs[Double]("raw_mean1_d"))
+    assert(r.getAs[Double]("cuped_mean0_d") == r.getAs[Double]("cuped_mean1_d"),
+      r.toString)
+    // both equal 2 * global pre mean = 2 * 11 = 22
+    assert(r.getAs[Double]("cuped_mean0_d") == 22.0, r.toString)
+  }
+
   test("q_gini: perfect equality is 0; a hand-computed two-user split is exact") {
     import spark.implicits._
     def giniDir(users: Seq[(Long, Double)]): String = {
