@@ -553,6 +553,34 @@ object BehaviorQueries {
                        AS cuped_mean1_d
               FROM e""")),
 
+    // SAMPLE-RATIO-MISMATCH check — the guardrail every experiment
+    // platform runs BEFORE reading any metric (a biased assignment
+    // invalidates q_ab_test/q_cuped silently): under a 50/50 design,
+    // z = (2·n0 − n)/√n; |z| > 3 flags broken bucketing. Counts exact
+    // longs, one sqrt + one division — and the same deterministic
+    // user_id-parity assignment q_cuped reads, so the two queries
+    // audit each other.
+    QueryDef(
+      "q_srm_check",
+      (s, d) => {
+        val arms = Tables.events(s, d)
+          .select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n0"))
+        arms.select(col("n"), col("n0"), (col("n") - col("n0")).as("n1"),
+          round((lit(2) * col("n0") - col("n")).cast("double") /
+            sqrt(col("n").cast("double")), 4).as("srm_z"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+                   a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                                CAST(sum(CASE WHEN user_id % 2 = 0
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS n0
+                         FROM u)
+              SELECT n, n0, n - n0 AS n1,
+                     round(CAST(2 * n0 - n AS DOUBLE) /
+                           sqrt(CAST(n AS DOUBLE)), 4) AS srm_z
+              FROM a""")),
+
     QueryDef(
       "q_ab_test",
       (s, d) => {
