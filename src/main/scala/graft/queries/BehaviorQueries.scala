@@ -581,6 +581,129 @@ object BehaviorQueries {
                            sqrt(CAST(n AS DOUBLE)), 4) AS srm_z
               FROM a""")),
 
+    // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental read-out when
+    // assignment isn't randomized (pre/post × treat/control 2×2): cell
+    // sums and counts are EXACT LONGS from one scan; the four cell means
+    // and DiD = (m11 − m10) − (m01 − m00) are a fixed IEEE chain on
+    // them. Same period cut and parity assignment as q_cuped, so the
+    // experiment family shares one auditable design.
+    QueryDef(
+      "q_did",
+      (s, d) => {
+        val cut = lit("2024-01-16").cast("timestamp")
+        val cells = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2).cast("int").as("arm"),
+            (col("ts") >= cut).cast("int").as("post"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("arm", "post")
+          .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+        val g = cells.agg(
+          sum(when(col("arm") === 0 && col("post") === 0, col("s"))).as("s00"),
+          sum(when(col("arm") === 0 && col("post") === 0, col("n"))).as("n00"),
+          sum(when(col("arm") === 0 && col("post") === 1, col("s"))).as("s01"),
+          sum(when(col("arm") === 0 && col("post") === 1, col("n"))).as("n01"),
+          sum(when(col("arm") === 1 && col("post") === 0, col("s"))).as("s10"),
+          sum(when(col("arm") === 1 && col("post") === 0, col("n"))).as("n10"),
+          sum(when(col("arm") === 1 && col("post") === 1, col("s"))).as("s11"),
+          sum(when(col("arm") === 1 && col("post") === 1, col("n"))).as("n11"))
+        def m(sc: String, nc: String) =
+          col(sc).cast("double") / col(nc)
+        g.select(
+          col("n00"), col("n01"), col("n10"), col("n11"),
+          round(m("s00", "n00") / 100, 4).as("m_ctl_pre_d"),
+          round(m("s01", "n01") / 100, 4).as("m_ctl_post_d"),
+          round(m("s10", "n10") / 100, 4).as("m_trt_pre_d"),
+          round(m("s11", "n11") / 100, 4).as("m_trt_post_d"),
+          round(((m("s11", "n11") - m("s10", "n10")) -
+            (m("s01", "n01") - m("s00", "n00"))) / 100, 4).as("did_d"))
+      },
+      Some("""WITH c AS (SELECT CAST(user_id % 2 AS INT) AS arm,
+                                CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                     THEN 1 ELSE 0 END AS post,
+                                CAST(round(value * 100) AS BIGINT) AS cents
+                         FROM events WHERE event_type = 'purchase'),
+                   cell AS (SELECT arm, post, count(*) AS n,
+                                   CAST(sum(cents) AS BIGINT) AS s
+                            FROM c GROUP BY 1, 2),
+                   g AS (SELECT
+                     CAST(sum(CASE WHEN arm=0 AND post=0 THEN s END) AS BIGINT) AS s00,
+                     CAST(sum(CASE WHEN arm=0 AND post=0 THEN n END) AS BIGINT) AS n00,
+                     CAST(sum(CASE WHEN arm=0 AND post=1 THEN s END) AS BIGINT) AS s01,
+                     CAST(sum(CASE WHEN arm=0 AND post=1 THEN n END) AS BIGINT) AS n01,
+                     CAST(sum(CASE WHEN arm=1 AND post=0 THEN s END) AS BIGINT) AS s10,
+                     CAST(sum(CASE WHEN arm=1 AND post=0 THEN n END) AS BIGINT) AS n10,
+                     CAST(sum(CASE WHEN arm=1 AND post=1 THEN s END) AS BIGINT) AS s11,
+                     CAST(sum(CASE WHEN arm=1 AND post=1 THEN n END) AS BIGINT) AS n11
+                     FROM cell)
+              SELECT n00, n01, n10, n11,
+                     round(CAST(s00 AS DOUBLE) / n00 / 100, 4) AS m_ctl_pre_d,
+                     round(CAST(s01 AS DOUBLE) / n01 / 100, 4) AS m_ctl_post_d,
+                     round(CAST(s10 AS DOUBLE) / n10 / 100, 4) AS m_trt_pre_d,
+                     round(CAST(s11 AS DOUBLE) / n11 / 100, 4) AS m_trt_post_d,
+                     round(((CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10)
+                          - (CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00))
+                           / 100, 4) AS did_d
+              FROM g""")),
+
+    // QUANTILE TREATMENT EFFECTS — how the treatment moves the whole
+    // DISTRIBUTION, not just the mean (means hide tail effects): exact
+    // discrete quantiles (actual data values at ceil-rank — the
+    // dictionary-histogram operator, no interpolation, no global sort)
+    // per arm at p25/p50/p75, and the per-quantile arm difference. All
+    // value picks are exact cents; the only float work is the /100
+    // display division.
+    QueryDef(
+      "q_qte",
+      (s, d) => {
+        val base = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2).cast("int").as("arm"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val q = graft.operators.Percentiles.discrete(base, Seq("arm"),
+          Seq(("q25", "cents", 0.25), ("q50", "cents", 0.5),
+            ("q75", "cents", 0.75)))
+        val a0 = q.filter(col("arm") === 0)
+          .select(col("q25").as("c25"), col("q50").as("c50"),
+            col("q75").as("c75"))
+        val a1 = q.filter(col("arm") === 1)
+          .select(col("q25").as("t25"), col("q50").as("t50"),
+            col("q75").as("t75"))
+        a0.crossJoin(broadcast(a1))
+          .select(
+            round(col("c25") / 100, 2).as("ctl_p25_d"),
+            round(col("t25") / 100, 2).as("trt_p25_d"),
+            round((col("t25") - col("c25")) / 100, 2).as("qte25_d"),
+            round(col("c50") / 100, 2).as("ctl_p50_d"),
+            round(col("t50") / 100, 2).as("trt_p50_d"),
+            round((col("t50") - col("c50")) / 100, 2).as("qte50_d"),
+            round(col("c75") / 100, 2).as("ctl_p75_d"),
+            round(col("t75") / 100, 2).as("trt_p75_d"),
+            round((col("t75") - col("c75")) / 100, 2).as("qte75_d"))
+      },
+      Some("""WITH b AS (SELECT CAST(user_id % 2 AS INT) AS arm,
+                                CAST(round(value * 100) AS BIGINT) AS cents
+                         FROM events WHERE event_type = 'purchase'),
+                   q AS (SELECT arm,
+                                quantile_disc(cents, 0.25) AS q25,
+                                quantile_disc(cents, 0.5) AS q50,
+                                quantile_disc(cents, 0.75) AS q75
+                         FROM b GROUP BY 1),
+                   a0 AS (SELECT q25 AS c25, q50 AS c50, q75 AS c75
+                          FROM q WHERE arm = 0),
+                   a1 AS (SELECT q25 AS t25, q50 AS t50, q75 AS t75
+                          FROM q WHERE arm = 1)
+              SELECT round(c25 / 100.0, 2) AS ctl_p25_d,
+                     round(t25 / 100.0, 2) AS trt_p25_d,
+                     round((t25 - c25) / 100.0, 2) AS qte25_d,
+                     round(c50 / 100.0, 2) AS ctl_p50_d,
+                     round(t50 / 100.0, 2) AS trt_p50_d,
+                     round((t50 - c50) / 100.0, 2) AS qte50_d,
+                     round(c75 / 100.0, 2) AS ctl_p75_d,
+                     round(t75 / 100.0, 2) AS trt_p75_d,
+                     round((t75 - c75) / 100.0, 2) AS qte75_d
+              FROM a0, a1""")),
+
     QueryDef(
       "q_ab_test",
       (s, d) => {

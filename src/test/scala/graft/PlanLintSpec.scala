@@ -21,7 +21,10 @@ class PlanLintSpec extends SparkSpec {
     "q_changepoint",
     // the single-row (var18, n_seasons, n_days) aggregate crosses the
     // single-row S aggregate; the pairwise work itself is an EQUI-join
-    "q_seasonal_mk")
+    "q_seasonal_mk",
+    // the single-row control-arm quantile row crosses the single-row
+    // treatment-arm quantile row (both from the dictionary operator)
+    "q_qte")
 
   /** Broadcast-bounded by construction: one side is a dictionary-sized
     * set the operator broadcasts ON PURPOSE, so the "nested loop" is a
