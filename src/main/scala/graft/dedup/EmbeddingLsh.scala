@@ -57,13 +57,14 @@ object EmbeddingLsh {
     */
   def nearPairs(
       emb: DataFrame, idCol: String, embCol: String, threshold: Double,
-      r: Int = 6, b: Int = 144, dim: Int = 64, seed: Long = 4242L): DataFrame = {
+      r: Int = 6, b: Int = 144, dim: Int = 64, seed: Long = 4242L,
+      maxBucketSize: Int = 4096, maxSplitRounds: Int = 4,
+      splitBits: Int = 8): DataFrame = {
     val v = emb.select(
       col(idCol).as("vec_id"), col(embCol).as("embedding"),
       VectorFns.norm(col(embCol)).as("nrm"))
-    val banded = emb.select(
-      col(idCol).as("vec_id"),
-      explode(bandBuckets(col(embCol), r, b, dim, seed)).as("band"))
+    val banded = cappedBands(emb, idCol, embCol, r, b, dim, seed,
+      maxBucketSize, maxSplitRounds, splitBits)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
@@ -77,5 +78,110 @@ object EmbeddingLsh {
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("sim"))
       .distinct()
+  }
+
+  /** Banded (vec_id, band) rows with per-(band, bucket) occupancy capped
+    * by RECURSIVE SPLITTING — the `maxShingleDf` discipline applied to LSH
+    * bands, so the band self-join's candidate stream stays
+    * O(rows · maxBucketSize) instead of degenerating quadratically when
+    * bucket occupancy explodes (at corpus scale: near-constant embeddings
+    * from boilerplate pages pile into a handful of buckets; on random data
+    * r sign bits give only 2^r buckets per band, so occupancy grows
+    * linearly with n and pairs quadratically).
+    *
+    * Splitting beats dropping: a bucket over the cap is re-keyed by
+    * `splitBits` ADDITIONAL hyperplane sign bits (a fresh seeded band per
+    * round), which is exactly "this band now has r+splitBits planes" for
+    * the hot keys only — true near-dups keep colliding with probability
+    * p^splitBits per round (p = 1−θ/π, ≈0.97^8 at cos 0.9) while the junk
+    * mass that made the bucket hot fans out across 2^splitBits sub-buckets
+    * (random pairs keep colliding at only 2^-splitBits). Recall loss is
+    * bounded and pushed onto exactly the pairs the extra planes disagree
+    * on; nothing is silently discarded wholesale.
+    *
+    * Each round is one linear aggregation (hot-bucket list, map-side
+    * partial counts) + one equi-join against that list — no quadratic
+    * stage anywhere. Rounds stop early when no bucket exceeds the cap
+    * (fixture-scale data never splits at the default cap, so the
+    * hash-verified registry queries keep their exact recall; DedupSpec
+    * forces a tight cap to exercise the path).
+    */
+  private[graft] def cappedBands(
+      emb: DataFrame, idCol: String, embCol: String,
+      r: Int, b: Int, dim: Int, seed: Long,
+      maxBucketSize: Int, maxSplitRounds: Int, splitBits: Int): DataFrame = {
+    val base = emb.select(
+      col(idCol).as("vec_id"),
+      explode(bandBuckets(col(embCol), r, b, dim, seed)).as("band"),
+      // One split key per potential round, computed scan-local in the same
+      // pass (an array<long> of maxSplitRounds fresh sign-bit bands).
+      bandBuckets(col(embCol), splitBits, math.max(1, maxSplitRounds), dim,
+        seed * 6364136223846793005L + 1442695040888963407L).as("sk"))
+    var banded = base
+    var round = 0
+    var done = maxSplitRounds <= 0
+    while (!done && round < maxSplitRounds) {
+      val hot = banded.groupBy("band").agg(count(lit(1)).as("m"))
+        .filter(col("m") > maxBucketSize)
+        .select(col("band"), lit(true).as("is_hot"))
+      if (hot.isEmpty) done = true
+      else {
+        banded = banded
+          .join(hot, Seq("band"), "left")
+          .withColumn("band",
+            when(col("is_hot"),
+              // New sub-bucket key: hash(old band, this round's split
+              // bits). Cross-band chance collisions only ADD candidates
+              // (removed by the exact verify) — never lose any.
+              xxhash64(col("band"), element_at(col("sk"), round + 1)))
+              .otherwise(col("band")))
+          .drop("is_hot")
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    banded.select(col("vec_id"), col("band"))
+  }
+
+  /** (r, b) banding plan for a target cosine threshold: the cheapest
+    * configuration whose per-pair miss probability AT the threshold stays
+    * ≤ maxMiss. For each band depth r, the band count needed is
+    * b(r) = ⌈ln(maxMiss)/ln(1−p^r)⌉ with p = 1−θ/π. Cost per vector is
+    * modeled as b banding rows + expected random collisions
+    * (expectedN/2)·b·2^-r — deeper bands trade more banding rows for
+    * exponentially fewer junk candidates, so the optimum moves deeper as
+    * the corpus grows (cos 0.9, n=1e6 → r≈16–20 and ~a few hundred bands;
+    * cos 0.4 → shallow wide bands, the honestly-exhaustive regime).
+    */
+  def tunedBands(threshold: Double, maxMiss: Double = 1e-4,
+      expectedN: Double = 1e6): (Int, Int) = {
+    require(threshold > -1.0 && threshold < 1.0, s"threshold $threshold")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val candidates = (4 to 24).flatMap { r =>
+      val pr = math.pow(p, r)
+      if (pr >= 1.0 || pr <= 0.0) None
+      else {
+        val b = math.ceil(math.log(maxMiss) / math.log1p(-pr)).toInt
+        if (b < 1 || b > 4096) None
+        else Some((r, b, b + expectedN / 2.0 * b * math.pow(2.0, -r)))
+      }
+    }
+    require(candidates.nonEmpty,
+      s"no feasible banding for threshold=$threshold maxMiss=$maxMiss")
+    val best = candidates.minBy(_._3)
+    (best._1, best._2)
+  }
+
+  /** nearPairs with banding tuned to the threshold (the production
+    * configuration: callers state the similarity regime, the engine picks
+    * the recall/cost point — cos ≥ 0.9 near-dup passes get deep cheap
+    * bands, low-threshold exploratory scans get the wide exhaustive ones).
+    */
+  def nearPairsTuned(
+      emb: DataFrame, idCol: String, embCol: String, threshold: Double,
+      dim: Int = 64, seed: Long = 4242L, maxMiss: Double = 1e-4,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val (r, b) = tunedBands(threshold, maxMiss)
+    nearPairs(emb, idCol, embCol, threshold, r, b, dim, seed, maxBucketSize)
   }
 }

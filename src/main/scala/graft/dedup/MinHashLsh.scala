@@ -30,17 +30,25 @@ object MinHashLsh {
     * recall).
     */
   def bands(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3, numBands: Int = NumBands): DataFrame = {
     val sh = TextShingles.withShingleHashes(docs, idCol, textCol, shingleSize)
     val bandCol = ColumnBridge.column(
-      MinHashBands(ColumnBridge.expression(col("sh")), NumHashes, NumBands))
+      MinHashBands(ColumnBridge.expression(col("sh")), NumHashes, numBands))
     sh.select(col(idCol), posexplode(bandCol).as(Seq("band_idx", "band_hash")))
   }
 
-  /** Distinct candidate pairs (a_id < b_id) sharing ≥1 band. */
+  /** Distinct candidate pairs (a_id < b_id) sharing ≥1 band.
+    *
+    * numBands = NumHashes is the EXHAUSTIVE-RECALL regime (bands ≡
+    * signature length, one minhash per band): a J-similar pair is a
+    * candidate unless all NumHashes permutations pick a non-shared
+    * element — miss probability (1−J)^NumHashes, ≤ 4e-23 at J = 0.8 —
+    * which is what lets the exact-verify twin hash against the all-pairs
+    * Jaccard oracle.
+    */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3): DataFrame = {
-    val b = bands(docs, idCol, textCol, shingleSize)
+      shingleSize: Int = 3, numBands: Int = NumBands): DataFrame = {
+    val b = bands(docs, idCol, textCol, shingleSize, numBands)
     val a = b.select(col(idCol).as("a_id"), col("band_idx"), col("band_hash"))
     val c = b.select(col(idCol).as("b_id"), col("band_idx"), col("band_hash"))
     a.join(c, Seq("band_idx", "band_hash"))

@@ -1998,6 +1998,49 @@ object AdvancedQueries {
       },
       None),
 
+    // q_rolling_active_sketch's EXACT-REGIME twin, hash-verified: HLL has
+    // no exact regime, but the theta/KMV machinery does — at k = 65536 ≫
+    // user cardinality nothing trims, the per-day sketch IS the distinct
+    // user-id set, and the window's theta_union_agg is the exact set
+    // union (grouping-invariant KMV, the q_theta_cube_exact property). So
+    // the whole day-sketch → window-union → estimate rollup path pins
+    // against the exact q_rolling_active oracle, while keeping the sketch
+    // plan's 100 TB shape: user ids shuffle ONCE (daily rollup), the
+    // 7-day window moves per-day blobs over the day dictionary.
+    QueryDef(
+      "q_rolling_active_theta_exact",
+      (s, d) => {
+        import graft.functions.SketchFns._
+        val daily = Tables.events(s, d)
+          .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+          .groupBy("day")
+          .agg(thetaSketch(col("user_id"), 65536).as("sk"))
+        val bound = daily.agg(max("day").as("hi"))
+        daily.select(col("day"), col("sk"),
+            explode(expr("sequence(day, day + interval 6 days, interval 1 day)"))
+              .as("wday"))
+          .join(broadcast(bound), col("wday") <= col("hi"))
+          .groupBy("wday")
+          .agg(
+            max(when(col("wday") === col("day"),
+              thetaEstimate(col("sk")))).cast("long").as("dau"),
+            thetaEstimate(thetaUnionAgg(col("sk"), 65536)).cast("long").as("wau"))
+          .select(col("wday").as("day"), col("dau"), col("wau"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                          FROM events),
+                   hi AS (SELECT max(day) AS hi FROM ud),
+                   f AS (SELECT user_id, day,
+                                unnest(generate_series(day, day + INTERVAL '6 days',
+                                                       INTERVAL '1 day')) AS wday
+                         FROM ud)
+              SELECT wday AS day,
+                     count(DISTINCT CASE WHEN wday = f.day THEN user_id END) AS dau,
+                     count(DISTINCT user_id) AS wau
+              FROM f, hi WHERE wday <= hi.hi
+              GROUP BY 1 ORDER BY 1""")),
+
     // Skew-resistant SALTED JOIN — the join-side twin of q_salted_agg:
     // l_returnflag has 3 values, so a plain shuffle join lands ~N/3 fact
     // rows on single reducers; Salting.saltedJoin splits each hot key

@@ -1058,16 +1058,23 @@ object BehaviorQueries {
                                         AND 1 PRECEDING)),
                    p AS (SELECT * FROM seq WHERE event_type = 'purchase'),
                    credits AS (
-                     SELECT 'direct' AS channel, 1.0 AS w, value FROM p
+                     -- CAST the credit weights to DOUBLE: bare 1.0/0.5 are
+                     -- DECIMAL literals in DuckDB, so sum(w) (and thus
+                     -- n_credits) would widen to DECIMAL(38,1) while Spark
+                     -- emits double — the banned oracle-output-dtype class
+                     -- (0.5/1.0 are exact IEEE, so DOUBLE sums match
+                     -- bit-for-bit under any accumulation order)
+                     SELECT 'direct' AS channel, CAST(1.0 AS DOUBLE) AS w,
+                            value FROM p
                      WHERE first_t IS NULL
                      UNION ALL
-                     SELECT first_t.t, 1.0, value FROM p
+                     SELECT first_t.t, CAST(1.0 AS DOUBLE), value FROM p
                      WHERE first_t IS NOT NULL AND first_t = last_t
                      UNION ALL
-                     SELECT first_t.t, 0.5, value FROM p
+                     SELECT first_t.t, CAST(0.5 AS DOUBLE), value FROM p
                      WHERE first_t IS NOT NULL AND first_t <> last_t
                      UNION ALL
-                     SELECT last_t.t, 0.5, value FROM p
+                     SELECT last_t.t, CAST(0.5 AS DOUBLE), value FROM p
                      WHERE first_t IS NOT NULL AND first_t <> last_t)
               SELECT channel,
                      round(CAST(sum(CAST(round(w * value * 1000) AS BIGINT))

@@ -1395,7 +1395,49 @@ object CorpusQueries {
         graft.pipeline.Bpe.encodeStats(docs, "text", "source", dict)
           .orderBy("source")
       },
-      None)
+      None),
+
+    // AVRO batch ingestion (Introduction.md:46 — the reference's batch
+    // formats include Avro) through a written-then-read container-file
+    // fixture: the documents table is exported ONCE per sf-dir to two
+    // .avro container files (driver-side writeFile — a fixture/export
+    // path, test-scale by design), then read back DISTRIBUTED by
+    // AvroIngest.read (schema from the first file's header, one decode
+    // task per file — production Avro arrives from outside at that
+    // shape) and aggregated; hash-verifying the rollup against the
+    // original parquet table pins the full schema-map + decode + Row
+    // conversion path, not just "it didn't crash". The tolerant
+    // dead-letter variant is spec-covered (LifecycleSpec).
+    QueryDef(
+      "q_avro_ingest",
+      (s, d) => {
+        import graft.sources.AvroIngest
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val dir = new java.io.File(s"/tmp/graft_avro_$tag")
+        if (!new java.io.File(dir, "part0.avro").exists()) {
+          dir.mkdirs()
+          val schema = org.apache.avro.SchemaBuilder.record("doc").fields()
+            .optionalLong("doc_id").optionalString("text")
+            .optionalString("lang").optionalString("source")
+            .optionalLong("n_chars").endRecord()
+          val rows = Tables.documents(s, d)
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .collect().toSeq
+          val (even, odd) = rows.partition(r => r.getLong(0) % 2 == 0)
+          AvroIngest.writeFile(even, schema, new java.io.File(dir, "part0.avro"))
+          AvroIngest.writeFile(odd, schema, new java.io.File(dir, "part1.avro"))
+        }
+        AvroIngest.read(s, dir.toString)
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            countDistinct("doc_id").as("n_ids"))
+          .orderBy("source", "lang")
+      },
+      Some("""SELECT source, lang, count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                     count(DISTINCT doc_id) AS n_ids
+              FROM documents GROUP BY 1, 2 ORDER BY source, lang"""))
   )
 
   /** One trained BPE artifact per (session, sfDir) — Bpe.train leaves its

@@ -327,7 +327,9 @@ object DateTimeQueries {
                    se AS (SELECT dow, round(CAST(sum(det_c) AS DOUBLE) / count(*), 4)
                                         AS seasonal_c
                           FROM f GROUP BY 1)
-              SELECT day, rev_c, trend7_c, det_c, CAST(f.dow AS INT) AS dow,
+              SELECT day, CAST(rev_c AS BIGINT) AS rev_c,
+                     CAST(trend7_c AS BIGINT) AS trend7_c,
+                     CAST(det_c AS BIGINT) AS det_c, CAST(f.dow AS INT) AS dow,
                      seasonal_c,
                      round(det_c - seasonal_c, 4) AS resid_c
               FROM f JOIN se ON f.dow = se.dow
@@ -377,8 +379,9 @@ object DateTimeQueries {
                                 sum(rev_c) OVER (ORDER BY day) AS cum_c
                          FROM day),
                    t AS (SELECT sum(rev_c) AS tot_c, count(*) AS n FROM day)
-              SELECT day AS split_day, i AS days_before, n - i AS days_after,
-                     abs(n * cum_c - i * tot_c) AS cusum_stat,
+              SELECT day AS split_day, i AS days_before,
+                     CAST(n - i AS BIGINT) AS days_after,
+                     CAST(abs(n * cum_c - i * tot_c) AS BIGINT) AS cusum_stat,
                      round(CAST(cum_c AS DOUBLE) / (i * 100), 4) AS mean_before_d,
                      round(CAST(tot_c - cum_c AS DOUBLE) /
                            ((n - i) * 100), 4) AS mean_after_d
@@ -556,13 +559,13 @@ object DateTimeQueries {
     // t_i) over the day dictionary. Each slope is ONE IEEE division of
     // exact longs (cents diff / day diff) — identical bit pattern in
     // both engines — and the quantile SELECTION runs in the KLL sketch's
-    // exact regime (k=65536 ≥ pair count: nothing compacts, the sketch
-    // IS the sorted multiset, kll_quantile returns the true
-    // rank-ceil(q·m) order statistic — the q_percentile_kll_exact
-    // argument), so the whole thing is mergeable and distributed with NO
-    // global sort. At a 10-year daily dictionary (6.6M pairs) the same
-    // expression degrades gracefully to a bounded-error KLL median, or
-    // bump k.
+    // exact regime (k ≥ pair count: nothing compacts, the sketch IS the
+    // sorted multiset, kll_quantile returns the true rank-ceil(q·m)
+    // order statistic — the q_percentile_kll_exact argument), so the
+    // whole thing is mergeable and distributed with NO global sort. k is
+    // derived from the day count and the precondition is require()d, so
+    // the regime can't silently expire as the series grows (the r9
+    // ADVICE hazard: ≥363 days used to overflow the fixed k).
     QueryDef(
       "q_theil_sen",
       (s, d) => {
@@ -570,13 +573,27 @@ object DateTimeQueries {
         val day = Tables.events(s, d)
           .groupBy(date_trunc("day", col("ts")).as("day"))
           .agg(sum(round(col("value") * 100).cast("long")).as("rev_c"))
+        // Machine-check the exact-regime precondition instead of letting
+        // it silently expire: the KLL sketch is the exact sorted multiset
+        // only while k ≥ n(n−1)/2 slope pairs, so k is DERIVED from the
+        // day count (one cheap action on the day dictionary). Past ~15
+        // years of daily data the exact sketch would stop being a
+        // sensible buffer — fail loudly with the alternative rather than
+        // silently turning approximate under an exactness oracle.
+        val nd = day.count()
+        val pairs = nd * (nd - 1) / 2
+        require(pairs <= (1L << 24),
+          s"q_theil_sen exact regime needs a k >= n(n-1)/2 = $pairs buffer; " +
+            "beyond ~5793 days use the bounded-error KLL regime (fixed k, " +
+            "drop the exactness oracle) or pre-thin the day series")
+        val k = math.max(65536L, pairs).toInt
         val a = day.select(col("day").as("di"), col("rev_c").as("xi"))
         val b = day.select(col("day").as("dj"), col("rev_c").as("xj"))
         a.join(b, col("di") < col("dj"))
           .select(((col("xj") - col("xi")).cast("double") /
             datediff(col("dj"), col("di")).cast("double")).as("slope_c"))
           .agg(count(lit(1)).as("n_pairs"),
-            kllSketch(col("slope_c"), 65536).as("sk"))
+            kllSketch(col("slope_c"), k).as("sk"))
           .select(col("n_pairs"),
             round(kllQuantile(col("sk"), lit(0.25)) / 100, 6)
               .as("slope_q25_d"),
@@ -649,7 +666,7 @@ object DateTimeQueries {
                    v AS (SELECT sum(ng * (ng - 1) * (2 * ng + 5)) AS var18,
                                 count(*) AS n_seasons, sum(ng) AS n_days
                          FROM g)
-              SELECT n_days, n_seasons, n_pairs, s,
+              SELECT CAST(n_days AS BIGINT) AS n_days, n_seasons, n_pairs, s,
                      round(CAST(s - sign(s) AS DOUBLE) /
                            sqrt(CAST(var18 AS DOUBLE) / 18), 4) + 0 AS z
               FROM s0, v""")),
@@ -756,7 +773,8 @@ object DateTimeQueries {
                                     = 8 THEN 1 ELSE 0 END) AS r4
                          FROM f)
               SELECT day, round(CAST(c AS DOUBLE) / 100, 2) AS rev_d,
-                     dev_c, CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
+                     CAST(dev_c AS BIGINT) AS dev_c,
+                     CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
                      CAST(r3 AS BIGINT) AS r3, CAST(r4 AS BIGINT) AS r4
               FROM r WHERE i > 10 ORDER BY day""")),
 

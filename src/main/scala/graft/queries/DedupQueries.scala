@@ -389,6 +389,90 @@ object DedupQueries {
           .orderBy("a_id", "b_id"),
       None),
 
+    // q_dedup_minhash's EXACT-VERIFY twin, hash-verified: bands ≡
+    // signature length (32 bands × 1 minhash) puts banding in its
+    // exhaustive-recall regime — a J ≥ 0.8 pair is missed only if all 32
+    // permutations pick non-shared shingles, probability (1−J)^32 ≤ 4e-23
+    // — and the exact-Jaccard verify on the candidates then reproduces
+    // the all-pairs Jaccard answer, so the full minhash pipeline
+    // (shingle → signature → band join → verify) pins against
+    // q_dedup_ngram_jaccard's exact oracle. Same fused scan-local
+    // signature expression and band equi-join as the approximate row.
+    QueryDef(
+      "q_dedup_minhash_exact",
+      (s, d) => {
+        val docs = TextShingles.withShingleHashes(
+          Tables.documents(s, d), "doc_id", "text", 3)
+        val sets = docs.select(
+          col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
+        val cand = MinHashLsh.candidatePairs(Tables.documents(s, d),
+          "doc_id", "text", shingleSize = 3, numBands = MinHashLsh.NumHashes)
+        cand
+          .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+            col("n").as("na")), "a_id")
+          .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+            col("n").as("nb")), "b_id")
+          .withColumn("inter",
+            size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+                   sh AS (SELECT doc_id,
+                          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                         FOR i IN range(1, len(w) - 1)]) AS s
+                          FROM docs WHERE len(w) >= 3),
+                   ex AS (SELECT doc_id, unnest(s) AS shg FROM sh),
+                   pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                             FROM ex a JOIN ex b ON a.shg = b.shg AND a.doc_id < b.doc_id
+                             GROUP BY 1, 2),
+                   sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+              SELECT a_id, b_id,
+                     round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+              FROM pairs p
+              JOIN sizes sa ON p.a_id = sa.doc_id
+              JOIN sizes sb ON p.b_id = sb.doc_id
+              WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+              ORDER BY a_id, b_id""")),
+
+    // Embedding near-dup at the PRODUCTION posture: the engine derives
+    // the banding plan from the stated similarity regime and corpus size
+    // (EmbeddingLsh.tunedBands — cheapest (r, b) holding per-pair miss
+    // ≤ 1e-6 at the threshold) and runs with the per-(band, bucket)
+    // occupancy cap active (hot buckets split by extra hyperplane bits,
+    // the maxShingleDf discipline — see EmbeddingLsh.cappedBands), so the
+    // candidate stream stays O(rows · cap) when bucket occupancy
+    // degenerates at corpus scale. Hash-verified against the all-pairs
+    // exact-cosine oracle at the same threshold.
+    QueryDef(
+      "q_dedup_embedding_prod",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val n = e.count().toDouble
+        val (r, b) = graft.dedup.EmbeddingLsh.tunedBands(
+          0.45, maxMiss = 1e-6, expectedN = n)
+        graft.dedup.EmbeddingLsh
+          .nearPairs(e, "vec_id", "embedding", 0.45, r, b)
+          .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                                CAST(unnest(embedding) AS DOUBLE) AS v
+                         FROM embeddings),
+                   dots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v * b.v) AS dot
+                            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+                            GROUP BY 1, 2),
+                   norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1)
+              SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 4) AS sim
+              FROM dots
+              JOIN norms na ON a_id = na.vec_id
+              JOIN norms nb ON b_id = nb.vec_id
+              WHERE dot / (na.nrm * nb.nrm) >= 0.45
+              ORDER BY a_id, b_id""")),
+
     // Embedding near-dup CLUSTERS: the same connected-components engine
     // over the cosine pairs — cluster id = min vec_id; proves the CC
     // operator is metric-agnostic (text shingles or embeddings alike).

@@ -206,8 +206,13 @@ object SamplingQueries {
         Tables.events(s, d)
           .withColumn("w_c",
             greatest(round(col("value") * 100).cast("long"), lit(1L)))
+          // reduce event_id mod 2^31 BEFORE the Knuth multiply: the raw
+          // product overflows int64 past event_id ≈ 3.5e9 (Spark would
+          // silently wrap negative while DuckDB raises — engine divergence
+          // exactly at corpus scale); (2^31−1)·2654435761 < 2^62 is safe
           .withColumn("h",
-            (col("event_id") * lit(2654435761L) + lit(40503L)) % lit(4294967296L))
+            ((col("event_id") % lit(2147483648L)) * lit(2654435761L) +
+              lit(40503L)) % lit(4294967296L))
           .withColumn("priority",
             col("w_c").cast("double") * lit(4294967296.0) /
               (col("h").cast("double") + lit(0.5)))
@@ -222,7 +227,8 @@ object SamplingQueries {
                            greatest(CAST(round(value * 100) AS BIGINT), 1) AS w_c,
                            CAST(greatest(CAST(round(value * 100) AS BIGINT), 1)
                                 AS DOUBLE) * 4294967296.0 /
-                           (CAST((event_id * 2654435761 + 40503) % 4294967296
+                           (CAST((event_id % 2147483648 * 2654435761 + 40503)
+                                 % 4294967296
                                  AS DOUBLE) + 0.5) AS priority
                     FROM events
                     ORDER BY priority DESC, event_id LIMIT 50)
@@ -306,8 +312,17 @@ object SamplingQueries {
           .select(col("event_id"),
             round(col("value") * 100).cast("long").as("cents"))
         val aggs = (0 until 20).flatMap { b =>
-          val u = (col("event_id") * 48271L + lit(b.toLong * 16807L + 11L)) %
-            10000L
+          // LCG step on a (row, replicate)-mixed seed — NOT linear in b:
+          // a linear form u = a·event_id + c·b made the 20 draws of one
+          // row constant shifts of each other (dependent replicates, so
+          // variance-of-replicates misestimated uncertainty). Mixing b in
+          // BEFORE the multiply decorrelates draws across replicates while
+          // every intermediate stays inside int64 on both engines:
+          // (2^31−1) + 19·2654435761 < 2^36, and the reduced seed times
+          // 48271 < 2^47.
+          val seed = (col("event_id") % 2147483647L + lit(b.toLong * 2654435761L)) %
+            2147483647L
+          val u = (seed * 48271L) % 2147483647L % 10000L
           val w = when(u < 3679, 0L).when(u < 7358, 1L)
             .when(u < 9197, 2L).otherwise(3L)
           Seq(sum(w).as(s"n_$b"), sum(w * col("cents")).as(s"s_$b"))
@@ -331,8 +346,9 @@ object SamplingQueries {
                                      ELSE 3 END AS w,
                                 cents
                          FROM (SELECT b, cents,
-                                      (event_id * 48271 + b * 16807 + 11)
-                                        % 10000 AS u
+                                      ((event_id % 2147483647 + b * 2654435761)
+                                        % 2147483647 * 48271)
+                                        % 2147483647 % 10000 AS u
                                FROM base, reps) t)
               SELECT CAST(b AS INT) AS replicate,
                      CAST(sum(w) AS BIGINT) AS n_b,

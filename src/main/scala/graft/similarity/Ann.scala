@@ -69,6 +69,33 @@ object Ann {
   def knnLsh(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame =
     knnLshMultiProbe(queries, candidates, k, nProbe = 1)
 
+  /** knnLsh's EXACT-REGIME twin (the q_ann_ivf_exact promotion pattern):
+    * each query probes ALL 2^numPlanes buckets, so every candidate is
+    * scored and the result IS brute-force kNN routed through the bucket
+    * assignment / probe-join / k-heap machinery — deterministic and
+    * DuckDB-hash-verifiable. Identical candidate-side bucketing and
+    * scoring code to the approximate rows; only the probe set differs,
+    * exactly like IVF's probe-all. A candidate still reaches a query
+    * through exactly one bucket (its own), so no dedup is needed.
+    */
+  def knnLshProbeAll(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      numPlanes: Int = NumPlanes): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      VectorFns.norm(col("embedding")).as("q_nrm"))
+      .withColumn("bucket", explode(typedlit((0 until (1 << numPlanes)).toList)))
+    val c = candidates.select(
+      col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      VectorFns.norm(col("embedding")).as("c_nrm"),
+      lshBucket(col("embedding")).as("bucket"))
+    val sims = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("sim",
+        VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+    selectTopK(sims, k)
+  }
+
   /** Multi-probe LSH ANN: each query probes its own bucket PLUS the
     * buckets reached by flipping the sign bits with the smallest
     * |margin| (the hyperplanes the query sits closest to — exactly the

@@ -29,13 +29,26 @@ object Ingest {
   /** ORC ingestion (the reference's batch formats include ORC alongside
     * Parquet/CSV/JSON/Avro — Introduction.md:7). ORC is Spark-native
     * (columnar, predicate-pushdown-capable, self-describing — no schema
-    * argument needed); Avro is the one reference format NOT covered
-    * here, because the spark-avro connector jar is not on this
-    * environment's fixed classpath — at deploy time the identical
-    * one-liner (`spark.read.format("avro")`) slots in.
+    * argument needed).
     */
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Avro ingestion — self-describing container files, schema resolved
+    * from the first file's header. Built on Avro core directly (see
+    * AvroIngest: the spark-avro connector jar is not on this
+    * environment's fixed classpath; at deploy time
+    * `spark.read.format("avro")` is a drop-in swap).
+    */
+  def avro(spark: SparkSession, path: String): DataFrame =
+    AvroIngest.read(spark, path)
+
+  /** Malformed-tolerant Avro: (good rows, dead-letter files) — the
+    * jsonLinesTolerant contract (Pinot ingestion skips bad records
+    * rather than failing a 100 TB load).
+    */
+  def avroTolerant(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    AvroIngest.readTolerant(spark, path)
 
   /** Malformed-record-tolerant JSON ingestion (Pinot ingestion skips bad
     * records rather than failing the job — the only sane behavior for a
