@@ -73,6 +73,28 @@ object Ingest {
     (good, bad)
   }
 
+  /** Malformed-tolerant CSV — jsonLinesTolerant's contract for delimited
+    * text: (good rows, corrupt raw lines kept queryable for dead-letter
+    * auditing).
+    */
+  def csvTolerant(
+      spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val raw = spark.read.schema(withCorrupt)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .cache()
+    val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, bad)
+  }
+
   /** Ingest + land as query-optimized segments in one step. */
   def toSegments(df: DataFrame, path: String, cfg: SegmentWriter.Config): Unit =
     SegmentWriter.write(df, path, cfg)

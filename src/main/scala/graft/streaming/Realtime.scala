@@ -106,6 +106,78 @@ object Realtime {
       .select("e.*")
   }
 
+  /** The Avro writer schema for Event payloads on the wire — the contract
+    * a producer serializes against (ts is timestamp-micros, Avro's
+    * standard logical type for Kafka event time).
+    */
+  val eventAvroSchema: String =
+    """{"type":"record","name":"Event","fields":[
+      |{"name":"event_id","type":"long"},
+      |{"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}},
+      |{"name":"user_id","type":"long"},
+      |{"name":"event_type","type":"string"},
+      |{"name":"value","type":"double"}]}""".stripMargin
+
+  /** Test/producer-side encoder for the wire contract (raw binary Avro,
+    * no container framing — the per-record shape a Kafka topic carries).
+    */
+  def encodeEventAvro(e: Event): Array[Byte] = {
+    val schema = new org.apache.avro.Schema.Parser().parse(eventAvroSchema)
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("event_id", e.event_id)
+    rec.put("ts", e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L)
+    rec.put("user_id", e.user_id)
+    rec.put("event_type", e.event_type)
+    rec.put("value", e.value)
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+    new org.apache.avro.generic.GenericDatumWriter[
+      org.apache.avro.generic.GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  /** Decode a Kafka-wire-schema stream whose VALUES are raw binary-Avro
+    * Event records — the schema-registry pipeline shape (fromKafkaJson's
+    * sibling for the other dominant wire format; Introduction.md:46 lists
+    * Avro first among the reference's ingest formats). Decoding is
+    * mapPartitions with ONE reusable decoder/record per task (Avro's
+    * recommended zero-allocation loop), so the cost is the decode itself,
+    * not per-record object churn; malformed payloads drop instead of
+    * poisoning the query, matching fromKafkaJson's null-safety contract.
+    * Works identically on a batch DataFrame (same analysis path).
+    */
+  def fromKafkaAvro(
+      kafka: DataFrame,
+      writerSchemaJson: String = eventAvroSchema): Dataset[Event] = {
+    import org.apache.spark.sql.Encoders
+    implicit val eventEnc: org.apache.spark.sql.Encoder[Event] =
+      Encoders.product[Event]
+    kafka.select(col("value")).as[Array[Byte]](Encoders.BINARY).mapPartitions { it =>
+      val schema = new org.apache.avro.Schema.Parser().parse(writerSchemaJson)
+      val reader = new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord](schema)
+      var decoder: org.apache.avro.io.BinaryDecoder = null
+      var record: org.apache.avro.generic.GenericRecord = null
+      it.flatMap { bytes =>
+        try {
+          decoder = org.apache.avro.io.DecoderFactory.get()
+            .binaryDecoder(bytes, decoder)
+          record = reader.read(record, decoder)
+          val micros = record.get("ts").asInstanceOf[Long]
+          val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+          Some(Event(
+            record.get("event_id").asInstanceOf[Long],
+            ts,
+            record.get("user_id").asInstanceOf[Long],
+            record.get("event_type").toString,
+            record.get("value").asInstanceOf[Double]))
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
   /** Watermarked tumbling-window aggregation — the realtime dashboard
     * query shape (counts + sums per window × event_type).
     */

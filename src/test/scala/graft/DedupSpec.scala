@@ -55,6 +55,73 @@ class DedupSpec extends SparkSpec {
     assert(got === truth, s"missed=${truth -- got} extra=${got -- truth}")
   }
 
+  test("bucket-occupancy cap splits hot buckets and keeps high-sim recall") {
+    import graft.dedup.EmbeddingLsh
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    // force the cap far below natural occupancy so every band splits
+    val capped = EmbeddingLsh.cappedBands(e, "vec_id", "embedding",
+      r = 4, b = 16, dim = 64, seed = 4242L,
+      maxBucketSize = 4, maxSplitRounds = 4, splitBits = 8)
+      .groupBy("band").count().collect()
+    // (a) the split actually bounds occupancy: after maxSplitRounds no
+    // bucket can exceed cap unless its members agree on EVERY extra bit
+    // (near-identical vectors — none in this fixture at cap 4)
+    val maxOcc = capped.map(_.getLong(1)).max
+    assert(maxOcc <= 4, s"hot buckets survived the split: max occupancy $maxOcc")
+    // (b) total banded rows unchanged — splitting re-keys, never drops
+    assert(capped.map(_.getLong(1)).sum === n * 16)
+    // (c) recall of NEAR-DUPLICATE pairs survives a tight cap: plant 10
+    // duplicate pairs among 400 random vectors (r=4 ⇒ only 16 buckets
+    // per band, occupancy ~25 ≫ cap ⇒ every band splits for real). A
+    // duplicate pair's extra sign bits always agree, so splits can never
+    // separate it — the junk mass that made the buckets hot is what fans
+    // out. This is the production claim: hot-bucket capping costs recall
+    // only on pairs the extra planes disagree on, i.e. NOT true dups.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 400L).map(i => (i, vec()))
+    val dups = (0 until 10).map(j => (400L + j, base(j * 7)._2.clone()))
+    val planted = spark.createDataFrame(
+      spark.sparkContext.parallelize((base ++ dups).map {
+        case (id, v) => org.apache.spark.sql.Row(id, v.toSeq)
+      }, 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val expect = (0 until 10).map(j => (j * 7L, 400L + j)).toSet
+    val gotCapped = EmbeddingLsh.nearPairs(planted, "vec_id", "embedding",
+        threshold = 0.999, r = 4, b = 16, dim = 64, seed = 4242L,
+        maxBucketSize = 4, maxSplitRounds = 4, splitBits = 8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expect.subsetOf(gotCapped),
+      s"tight cap lost planted dups: missing=${expect -- gotCapped}")
+    // precision stays exact — the cosine verify runs on every candidate
+    assert((gotCapped -- expect).isEmpty, s"false pairs: ${gotCapped -- expect}")
+  }
+
+  test("tunedBands picks deeper, cheaper bands as the threshold rises") {
+    import graft.dedup.EmbeddingLsh
+    val (rLo, bLo) = EmbeddingLsh.tunedBands(0.45, maxMiss = 1e-4, expectedN = 1e6)
+    val (rHi, bHi) = EmbeddingLsh.tunedBands(0.90, maxMiss = 1e-4, expectedN = 1e6)
+    assert(rHi >= rLo, s"deeper bands at higher threshold: $rHi vs $rLo")
+    // per-band junk collision mass b·2^-r must shrink with the threshold
+    val junkLo = bLo * math.pow(2.0, -rLo)
+    val junkHi = bHi * math.pow(2.0, -rHi)
+    assert(junkHi < junkLo,
+      s"high-threshold banding should be cheaper: $junkHi vs $junkLo")
+    // and the guaranteed miss bound holds at the threshold by construction
+    def miss(t: Double, r: Int, b: Int): Double = {
+      val p = 1.0 - math.acos(t) / math.Pi
+      math.pow(1.0 - math.pow(p, r), b)
+    }
+    assert(miss(0.45, rLo, bLo) <= 1e-4)
+    assert(miss(0.90, rHi, bHi) <= 1e-4)
+  }
+
   test("fuzzy join: symmetric-delete blocking is COMPLETE for edit distance 1") {
     // pure form of the blocking claim: lev(a,b)<=1 => keys share a member
     import org.scalacheck.{Gen, Prop, Test => SCTest}

@@ -127,6 +127,28 @@ class IngestFormatsSpec extends SparkSpec {
       s"dictionary write ${dirBytes(out)}B should beat no-dict ${dirBytes(noDict)}B")
   }
 
+  test("csv tolerant read dead-letters malformed lines, keeps healthy rows") {
+    val dir = Files.createTempDirectory("csv_dl")
+    java.nio.file.Files.write(dir.resolve("part.csv"),
+      ("id,name,score\n" +
+        "1,alice,2.5\n" +
+        "not,a,valid,row,at,all\n" +
+        "2,bob,oops_not_a_double\n" +
+        "3,carol,9.0\n").getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    val (good, bad) = Ingest.csvTolerant(spark, dir.toString, schema)
+    assert(good.collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    val deadLetters = bad.collect().map(_.getString(0)).toSet
+    assert(deadLetters.size === 2)
+    assert(deadLetters.exists(_.contains("oops_not_a_double")))
+  }
+
   test("kafka source contract: wiring reaches source lookup; adapter speaks the wire schema") {
     // The exact schema readStream.format("kafka") emits (Spark's Kafka
     // connector contract, stable across releases).

@@ -205,6 +205,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafka avro-payload stream decodes and upserts like the json path") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long, Timestamp)]
+    val kafkaShaped = input.toDF()
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp")
+    val events = Realtime.fromKafkaAvro(kafkaShaped)
+    val q = Realtime.latestByKey(events)
+      .writeStream.format("memory").queryName("kafka_avro_upsert")
+      .outputMode("append").start()
+    def rec(id: Long, ts: String, user: Long, typ: String, v: Double) = {
+      val bytes = Realtime.encodeEventAvro(
+        Event(id, Timestamp.valueOf(ts), user, typ, v))
+      (s"$user".getBytes, bytes, "events", 0, id, Timestamp.valueOf(ts))
+    }
+    try {
+      input.addData(
+        rec(1, "2024-01-01 00:00:01", 7, "signup", 1.0),
+        rec(2, "2024-01-01 00:00:05", 7, "click", 2.0))
+      q.processAllAvailable()
+      // malformed avro payload must drop, not poison the stream
+      input.addData(("k".getBytes, Array[Byte](1, 2, 3), "events", 0, 99L,
+        Timestamp.valueOf("2024-01-01 00:00:06")))
+      input.addData(rec(3, "2024-01-01 00:00:09", 8, "view", 9.0))
+      q.processAllAvailable()
+      val emitted = spark.table("kafka_avro_upsert").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(emitted === Set((7L, 2L, "click"), (8L, 3L, "view")))
+    } finally q.stop()
+
+    // micro-timestamp round-trip: encode → decode preserves microseconds
+    val e = Event(5L, {
+      val t = Timestamp.valueOf("2024-02-29 12:34:56")
+      t.setNanos(789012000); t
+    }, 9L, "x", 1.25)
+    val back = Realtime.fromKafkaAvro(
+      Seq(("k".getBytes, Realtime.encodeEventAvro(e), "t", 0, 0L, e.ts))
+        .toDF("key", "value", "topic", "partition", "offset", "timestamp"))
+      .collect().head
+    assert(back === e)
+  }
+
   test("rate source drives the windowed aggregation (non-memory, non-file source)") {
     import org.apache.spark.sql.functions._
     val events = spark.readStream.format("rate")
