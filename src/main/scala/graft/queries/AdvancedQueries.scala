@@ -711,6 +711,46 @@ object AdvancedQueries {
                      round(sum(sum_val), 2) AS sum_val
               FROM ranked GROUP BY 1 ORDER BY n_events DESC, bucket""")),
 
+    // TOP-K PER GROUP via the BOUNDED-HEAP aggregate — the scale-first
+    // form of "top 5 parts by revenue within every return flag" (Pinot's
+    // per-group TOP N): after the (flag, part) revenue rollup, each map
+    // task keeps a k-sized heap PER FLAG (top_k_by,
+    // ObjectHashAggregate partial mode), so only groups×partitions×k heap
+    // entries shuffle — no rank window materializing and sorting every
+    // (flag, part) row through one reducer per flag. The window form is
+    // fine when the partition key is dictionary-sized; this is the form
+    // that survives a high-cardinality group key at 100 TB. Ties break
+    // (revenue desc, partkey asc) in both engines; revenue is exact
+    // per-row cents, one display division at the end.
+    QueryDef(
+      "q_topk_per_group",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_partkey"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+        rev.groupBy("l_returnflag")
+          .agg(graft.functions.VectorFns.topKBy(
+            col("rev_c").cast("double"), col("l_partkey"), 5).as("hits"))
+          .select(col("l_returnflag"), posexplode(col("hits")).as(Seq("pos", "hit")))
+          .select(col("l_returnflag"), (col("pos") + 1).as("rnk"),
+            col("hit.cand_id").as("l_partkey"),
+            round(col("hit.sim") / 100.0, 2).as("rev_d"))
+          .orderBy("l_returnflag", "rnk")
+      },
+      Some("""WITH rev AS (SELECT l_returnflag, l_partkey,
+                                  sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                                    AS rev_c
+                           FROM lineitem GROUP BY 1, 2),
+                   rk AS (SELECT l_returnflag, l_partkey, rev_c,
+                                 row_number() OVER (PARTITION BY l_returnflag
+                                                    ORDER BY rev_c DESC, l_partkey)
+                                   AS rnk
+                          FROM rev)
+              SELECT l_returnflag, rnk, l_partkey,
+                     round(CAST(rev_c AS BIGINT) / 100.0, 2) AS rev_d
+              FROM rk WHERE rnk <= 5
+              ORDER BY l_returnflag, rnk""")),
+
     // Set DIFFERENCE cardinalities (theta-sketch A-NOT-B analog): users in
     // one behavioral cohort but not the other, plus symmetric difference —
     // same one-pass flags aggregation, no join or subtraction re-scan.

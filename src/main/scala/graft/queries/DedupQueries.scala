@@ -155,6 +155,52 @@ object DedupQueries {
               FROM corpus c JOIN bench b ON c.g = b.g
               GROUP BY 1 ORDER BY doc_id""")),
 
+    // N-GRAM NOVELTY of an evaluation split — q_decontaminate's dual
+    // (that query reports which TRAIN docs share grams with the bench;
+    // this one scores every BENCH doc by how much of it is genuinely
+    // unseen in train — the memorization screen an eval-set curator runs
+    // before trusting a score). LEFT join keeps the zero-overlap docs:
+    // novelty = 1.0 rows are the point. Scale shape: shingles are
+    // scan-local 64-bit hashes, the train-gram dictionary is distinct-
+    // deduped before the probe join, and the per-doc rollup is one
+    // hash aggregation — no pair expansion anywhere.
+    QueryDef(
+      "q_ngram_novelty",
+      (s, d) => {
+        val sh = TextShingles.withShingleHashes(
+          Tables.documents(s, d), "doc_id", "text", 3)
+        val trainG = sh.filter(col("doc_id") % 7 =!= 0)
+          .select(explode(col("sh")).as("g")).distinct()
+          .withColumn("seen", lit(1L))
+        sh.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+          .join(trainG, Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+          .select(col("doc_id"), col("n_grams"),
+            (col("n_grams") - col("n_seen")).as("n_novel"),
+            round((col("n_grams") - col("n_seen")) /
+              col("n_grams").cast("double"), 4).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+                   sh AS (SELECT doc_id,
+                          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                         FOR i IN range(1, len(w) - 1)]) AS s
+                          FROM docs WHERE len(w) >= 3),
+                   train AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 7 != 0),
+                   ex AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 7 = 0),
+                   j AS (SELECT e.doc_id, count(*) AS n_grams,
+                                count(t.g) AS n_seen
+                         FROM ex e LEFT JOIN train t ON e.g = t.g
+                         GROUP BY 1)
+              SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                     CAST(n_grams - n_seen AS BIGINT) AS n_novel,
+                     round(CAST(n_grams - n_seen AS BIGINT) /
+                           CAST(n_grams AS DOUBLE), 4) AS novelty
+              FROM j ORDER BY doc_id""")),
+
     // Exact word-3-gram Jaccard ≥ 0.8 pairs via inverted-index join: only
     // docs sharing ≥1 shingle ever meet (never a cross join), intersection
     // counts come from one groupBy — the shape that survives 100 TB.
