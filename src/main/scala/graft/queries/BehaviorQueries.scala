@@ -1532,6 +1532,114 @@ object BehaviorQueries {
                      round(CAST(d AS DOUBLE) / n_risk, 6) AS hazard_d,
                      CASE WHEN n_risk = d THEN 0.0
                           ELSE round(km, 6) + 0 END AS survival_d
-              FROM km ORDER BY t"""))
+              FROM km ORDER BY t""")),
+
+    // RANKING EVALUATION (MRR / nDCG@5 / P@5 / recall@5) with a TEMPORAL
+    // HOLDOUT — the recommender/retrieval eval loop: rank each customer's
+    // top-5 parts from pre-1999 purchase counts, judge against what they
+    // actually bought from 1999 on. Two scale decisions: (1) the per-
+    // customer ranking uses the bounded-heap top_k_by aggregate — the
+    // group key is CUSTOMER (unbounded cardinality), exactly where a rank
+    // window would funnel every (cust, item) rollup row through one
+    // reducer per customer; (2) DCG runs on an INTEGER micro-unit grid —
+    // the 1/log2(r+1) weights are shared 1e-6-scaled LONG literals, so
+    // per-user DCG is an order-invariant integer sum and log2 never
+    // executes at query time (runtime log2 is not correctly-rounded in
+    // either engine; a shared literal is bit-identical by construction).
+    // Every per-user metric is exact-int arithmetic + ONE IEEE division;
+    // the corpus averages sum micro-unit longs (order-safe) and divide
+    // once. Ties in the run break (count desc, item asc) on both sides.
+    QueryDef(
+      "q_rank_eval",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey").as("cust"), col("o_orderdate"))
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey").as("item"))
+        val oi = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        val train = oi.filter(col("o_orderdate") < lit("1999-01-01"))
+          .groupBy("cust", "item").agg(count(lit(1)).as("cnt"))
+        val run = train.groupBy("cust")
+          .agg(graft.functions.VectorFns.topKBy(
+            col("cnt").cast("double"), col("item"), 5).as("hits"))
+          .select(col("cust"), posexplode(col("hits")).as(Seq("pos", "hit")))
+          .select(col("cust"), (col("pos") + 1).as("rnk"),
+            col("hit.cand_id").as("item"))
+        val rel = oi.filter(col("o_orderdate") >= lit("1999-01-01"))
+          .select("cust", "item").distinct()
+        val nrel = rel.groupBy("cust").agg(count(lit(1)).as("n_rel"))
+        // 1e6-scaled 1/log2(r+1) weights and their prefix sums (IDCG)
+        val wMicros = typedlit(Seq(1000000L, 630930L, 500000L, 430677L, 386853L))
+        val idcgMicros = typedlit(Seq(1000000L, 1630930L, 2130930L, 2561607L, 2948460L))
+        val perUser = run
+          .join(rel.withColumn("hitf", lit(1L)), Seq("cust", "item"), "left")
+          .join(nrel, Seq("cust")) // inner: judged customers only
+          .groupBy("cust", "n_rel")
+          .agg(
+            sum(coalesce(col("hitf"), lit(0L))).as("n_hits"),
+            min(when(col("hitf") === 1L, col("rnk"))).as("first_rel"),
+            sum(when(col("hitf") === 1L,
+              element_at(wMicros, col("rnk").cast("int"))).otherwise(0L))
+              .as("dcg_micros"))
+          .select(
+            // micro-unit per-user metrics: exact longs from one division each
+            round(when(col("first_rel").isNull, lit(0.0))
+              .otherwise(lit(1000000.0) / col("first_rel"))).cast("long").as("mrr_u"),
+            (col("n_hits") * 200000L).as("p5_u"),
+            round(col("n_hits") * lit(1000000.0) / col("n_rel")).cast("long").as("rec_u"),
+            round(col("dcg_micros") * lit(1000000.0) /
+              element_at(idcgMicros, least(col("n_rel"), lit(5L)).cast("int")))
+              .cast("long").as("ndcg_u"))
+        perUser.agg(
+          count(lit(1)).as("n_users"),
+          round(sum("mrr_u") / (count(lit(1)) * 1000000.0), 4).as("mrr"),
+          round(sum("p5_u") / (count(lit(1)) * 1000000.0), 4).as("p_at_5"),
+          round(sum("rec_u") / (count(lit(1)) * 1000000.0), 4).as("recall_at_5"),
+          round(sum("ndcg_u") / (count(lit(1)) * 1000000.0), 4).as("ndcg_at_5"))
+      },
+      Some("""WITH oi AS (SELECT o_custkey AS cust, l_partkey AS item, o_orderdate
+                          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+                   train AS (SELECT cust, item, count(*) AS cnt FROM oi
+                             WHERE o_orderdate < TIMESTAMP '1999-01-01'
+                             GROUP BY 1, 2),
+                   run AS (SELECT cust, item,
+                                  row_number() OVER (PARTITION BY cust
+                                                     ORDER BY cnt DESC, item) AS rnk
+                           FROM train QUALIFY rnk <= 5),
+                   rel AS (SELECT DISTINCT cust, item FROM oi
+                           WHERE o_orderdate >= TIMESTAMP '1999-01-01'),
+                   nrel AS (SELECT cust, count(*) AS n_rel FROM rel GROUP BY 1),
+                   j AS (SELECT r.cust, r.rnk,
+                                CASE WHEN rel.item IS NOT NULL THEN 1 ELSE 0 END AS hitf
+                         FROM run r LEFT JOIN rel
+                           ON r.cust = rel.cust AND r.item = rel.item),
+                   pu AS (SELECT j.cust, n.n_rel,
+                                 CAST(sum(hitf) AS BIGINT) AS n_hits,
+                                 min(CASE WHEN hitf = 1 THEN rnk END) AS first_rel,
+                                 CAST(sum(CASE WHEN hitf = 1 THEN
+                                        CASE rnk WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+                                                 WHEN 3 THEN 500000 WHEN 4 THEN 430677
+                                                 ELSE 386853 END
+                                      ELSE 0 END) AS BIGINT) AS dcg_micros
+                          FROM j JOIN nrel n ON j.cust = n.cust
+                          GROUP BY 1, 2),
+                   m AS (SELECT
+                           CAST(round(CASE WHEN first_rel IS NULL THEN 0.0
+                                      ELSE 1000000.0 / first_rel END) AS BIGINT) AS mrr_u,
+                           n_hits * 200000 AS p5_u,
+                           CAST(round(n_hits * 1000000.0 / n_rel) AS BIGINT) AS rec_u,
+                           CAST(round(dcg_micros * 1000000.0 /
+                                  CASE WHEN n_rel >= 5 THEN 2948460
+                                       WHEN n_rel = 4 THEN 2561607
+                                       WHEN n_rel = 3 THEN 2130930
+                                       WHEN n_rel = 2 THEN 1630930
+                                       ELSE 1000000 END) AS BIGINT) AS ndcg_u
+                         FROM pu)
+              SELECT count(*) AS n_users,
+                     round(CAST(sum(mrr_u) AS BIGINT) / (count(*) * 1000000.0), 4) AS mrr,
+                     round(CAST(sum(p5_u) AS BIGINT) / (count(*) * 1000000.0), 4) AS p_at_5,
+                     round(CAST(sum(rec_u) AS BIGINT) / (count(*) * 1000000.0), 4) AS recall_at_5,
+                     round(CAST(sum(ndcg_u) AS BIGINT) / (count(*) * 1000000.0), 4) AS ndcg_at_5
+              FROM m"""))
   )
 }

@@ -407,6 +407,60 @@ object CoreSql {
                      round(quantile_disc(l_extendedprice, 0.99), 2) AS d99_price
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // DISTRIBUTION-FREE MEDIAN CONFIDENCE INTERVAL — the order-statistic
+    // CI (binomial/sign-test bounds: ranks (n ± 1.96√n)/2) every metrics
+    // dashboard should print next to its median: no normality assumption,
+    // just "the population median lies between the r_lo-th and r_hi-th
+    // order statistics with ~95% coverage". Same dictionary-histogram
+    // shape as q_percentile_disc — per-cents counts, one cumulative
+    // window over the VALUE DICTIONARY (never raw rows), the three picks
+    // conditional aggregates at the computed ranks. sqrt is
+    // correctly-rounded IEEE, so both engines compute identical ranks;
+    // everything else is exact integers.
+    QueryDef(
+      "q_median_ci",
+      (s, d) => {
+        val hist = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(round(col("value") * 100).cast("long").as("c"))
+          .groupBy("c").agg(count(lit(1)).as("k"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("c").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val cum = hist.withColumn("cum", sum("k").over(w))
+        val ranks = hist.agg(sum("k").as("n")).select(
+          col("n"),
+          ceil(col("n") / 2.0).cast("long").as("r_med"),
+          greatest(floor((col("n") - lit(1.96) * sqrt(col("n").cast("double"))) / 2.0)
+            .cast("long"), lit(1L)).as("r_lo"),
+          least(ceil(lit(1.0) + (col("n") + lit(1.96) * sqrt(col("n").cast("double"))) / 2.0)
+            .cast("long"), col("n")).as("r_hi"))
+        cum.crossJoin(broadcast(ranks))
+          .agg(
+            max(col("n")).as("n"),
+            max(col("r_lo")).as("r_lo"),
+            max(col("r_hi")).as("r_hi"),
+            (min(when(col("cum") >= col("r_med"), col("c"))) / 100.0).as("median_d"),
+            (min(when(col("cum") >= col("r_lo"), col("c"))) / 100.0).as("ci_lo_d"),
+            (min(when(col("cum") >= col("r_hi"), col("c"))) / 100.0).as("ci_hi_d"))
+      },
+      Some("""WITH h AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                                count(*) AS k
+                         FROM events WHERE event_type = 'purchase'
+                         GROUP BY 1),
+                   cum AS (SELECT c, sum(k) OVER (ORDER BY c) AS cum FROM h),
+                   r AS (SELECT CAST(sum(k) AS BIGINT) AS n,
+                                CAST(ceil(sum(k) / 2.0) AS BIGINT) AS r_med,
+                                greatest(CAST(floor((sum(k) - 1.96 * sqrt(CAST(sum(k) AS DOUBLE))) / 2.0) AS BIGINT),
+                                         1) AS r_lo,
+                                least(CAST(ceil(1.0 + (sum(k) + 1.96 * sqrt(CAST(sum(k) AS DOUBLE))) / 2.0) AS BIGINT),
+                                      CAST(sum(k) AS BIGINT)) AS r_hi
+                         FROM h)
+              SELECT max(n) AS n, max(r_lo) AS r_lo, max(r_hi) AS r_hi,
+                     min(CASE WHEN cum >= r_med THEN c END) / 100.0 AS median_d,
+                     min(CASE WHEN cum >= r_lo THEN c END) / 100.0 AS ci_lo_d,
+                     min(CASE WHEN cum >= r_hi THEN c END) / 100.0 AS ci_hi_d
+              FROM cum, r""")),
+
     // WEIGHTED percentile — each row counts `weight` times (the
     // quantity-weighted median price: "the price at which half the UNITS
     // ship", not half the line items). Same dictionary-histogram

@@ -69,8 +69,10 @@ class PlanLintSpec extends SparkSpec {
     "q_histogram_eqdepth",
     // scalar-N pattern: the single-row max-day bound broadcasts onto the
     // exploded window-day table; all heavy joins are equi-shuffles
-    // (the _sketch twin explodes per-day HLL blobs instead of user rows)
+    // (the _sketch twin explodes per-day HLL blobs, the _theta_exact
+    // twin per-day theta blobs, instead of user rows)
     "q_rolling_active", "q_rolling_active_sketch",
+    "q_rolling_active_theta_exact",
     // scalar-N pattern: the single-row mean-tokens-per-class aggregate
     // broadcasts onto the vocabulary-sized c-TF-IDF score table
     "q_cluster_topics",
@@ -147,7 +149,10 @@ class PlanLintSpec extends SparkSpec {
     "q_chisq",
     // scalar-N pattern: the single-row baseline (n, S, Sxx) broadcasts
     // onto the day dictionary; rolling rule windows ride the dictionary
-    "q_spc_rules")
+    "q_spc_rules",
+    // scalar-N pattern: the single-row (n, r_med, r_lo, r_hi) rank row
+    // broadcasts onto the purchase-cents dictionary for the three picks
+    "q_median_ci")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
@@ -293,7 +298,11 @@ class PlanLintSpec extends SparkSpec {
       "q_survival_km",
       // q_gini: the tied-rank cumulative window rides the revenue-cents
       // dictionary (q_ks_test's class), never per-user rows
-      "q_gini")
+      "q_gini",
+      // q_median_ci: the cumulative window rides the purchase-cents
+      // dictionary (q_ks_test's class — bounded by the price domain),
+      // never raw events; the corpus-sized work is the cents rollup
+      "q_median_ci")
     val offenders = Registry.all.flatMap { q =>
       val global = q.run(spark, sfDir).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
