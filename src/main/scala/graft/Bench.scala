@@ -39,22 +39,30 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    // Memoized-artifact warm-up with EXPLICIT cost attribution: BPE
-    // training is shared by q_bpe_train / q_bpe_pairs / q_bpe_encode via
-    // a session cache, so whichever family member happened to run first
-    // was silently charged for the whole training run (r9's q_bpe_pairs
-    // 0.38→1.79 s "regression" was exactly that). Train once BEFORE the
-    // timing loop and report the cost as its own `warm` entry in the
-    // per-query file — family timings then measure their own plans.
-    val warm: Map[String, Double] =
-      if (!selected.contains("q_bpe_train")) Map.empty
-      else {
+    // Memoized-artifact warm-up with EXPLICIT cost attribution: several
+    // families share session-cached artifacts (BPE's trained dictionary;
+    // the dedup family's persisted jaccard/embedding pair streams and CC
+    // clusters), so whichever family member happened to run first was
+    // silently charged for the whole shared build (r9's q_bpe_pairs
+    // 0.38→1.79 s "regression" was exactly that). Build each artifact
+    // once BEFORE the timing loop and report the cost as its own `warm`
+    // entry in the per-query file — family timings then measure their
+    // own steady-state plans (the long-lived-server posture; ScaleBench
+    // measures the cold-build slopes separately with per-rep
+    // invalidation).
+    val warmTargets = Seq(
+      "q_bpe_train" -> "bpe_train",
+      "q_dedup_ngram_jaccard" -> "jaccard_pairs",
+      "q_dedup_embedding" -> "embedding_pairs",
+      "q_dedup_clusters" -> "dedup_clusters")
+    val warm: Map[String, Double] = warmTargets.flatMap { case (q, label) =>
+      selected.get(q).map { fn =>
         val t0 = System.nanoTime()
-        try selected("q_bpe_train")(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-        Map("bpe_train" -> (System.nanoTime() - t0) / 1e9)
+        label -> (System.nanoTime() - t0) / 1e9
       }
+    }.toMap
     val results = selected.map { case (name, fn) =>
       // noop sink: full materialization of every output row/column (count()
       // lets Spark prune the final project, under-timing wide results).

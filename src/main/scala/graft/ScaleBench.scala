@@ -67,11 +67,12 @@ object ScaleBench {
     // round-10 additions: the production-posture embedding dedup
     // (threshold-tuned banding + bucket-occupancy cap — the registry row
     // whose slope answers the r9 "bound the candidate stream" item), the
-    // exhaustive-band minhash exact twin, probe-all LSH (expected ~C× —
-    // it IS brute force through bucket machinery), and the theta
-    // rolling-active twin (day-sketch rollup, expected ~C×).
+    // exhaustive-band minhash exact twin, and probe-all LSH (expected
+    // ~C× — it IS brute force through bucket machinery).
+    // q_rolling_active_theta_exact reads EVENTS, which the shortlist
+    // synthesizer doesn't build — it is covered by full mode instead.
     "q_dedup_embedding_prod", "q_dedup_minhash_exact",
-    "q_ann_lsh_exact", "q_rolling_active_theta_exact")
+    "q_ann_lsh_exact")
 
   /** The registry's q_dedup_embedding runs the fixture-calibrated
     * threshold 0.4, where ~0.4% of RANDOM pairs qualify — so the true-pair

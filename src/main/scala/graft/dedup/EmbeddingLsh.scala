@@ -13,8 +13,8 @@ import graft.functions.expressions.LshBandBuckets
   * cartesian-class join (BroadcastNestedLoop): O(n²) rows materialized, dead
   * far below 100 TB. Here each vector emits b scan-local band values
   * (LshBandBuckets, one codegen'd pass); candidates come from an EQUI-join
-  * on the band value, and only candidates get the exact cosine check. Both
-  * stages are plain shuffle-hash joins — no cartesian node anywhere.
+  * on the band value (pinned sort-merge — huge×huge, spill-capable), and
+  * only candidates get the exact cosine check. No cartesian node anywhere.
   *
   * Recall: a pair at angle θ collides with probability 1-(1-p^r)^b,
   * p = 1-θ/π. The defaults (r=6, b=144) hold miss probability ≤ ~1e-4
@@ -36,8 +36,9 @@ object EmbeddingLsh {
     val banded = emb.select(
       col(idCol).as("vec_id"),
       explode(bandBuckets(col(embCol), r, b, dim, seed)).as("band"))
-    banded.as("a")
-      .join(banded.as("b"),
+    // never broadcast the exploded side, spill-capable join — see nearPairs
+    banded.as("a").hint("merge")
+      .join(banded.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
@@ -65,8 +66,16 @@ object EmbeddingLsh {
       VectorFns.norm(col(embCol)).as("nrm"))
     val banded = cappedBands(emb, idCol, embCol, r, b, dim, seed,
       maxBucketSize, maxSplitRounds, splitBits)
-    banded.as("a")
-      .join(banded.as("b"),
+    // The band self-join must NEVER broadcast and must SPILL: both sides
+    // are the same b-way EXPLODED table, and Catalyst's static stats
+    // don't see the explosion (Generate keeps the child's size estimate),
+    // so at deep tuned bandings the planner happily tried to broadcast a
+    // hundreds-of-millions-row side and OOM'd the driver; shuffle_hash
+    // fixed that but its per-partition hash-relation build is
+    // non-spilling and fell over at the same scale. Sort-merge is the
+    // plan that is right at every scale — both sides huge, spill-capable.
+    banded.as("a").hint("merge")
+      .join(banded.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .join(v.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
