@@ -461,6 +461,60 @@ object CoreSql {
                      min(CASE WHEN cum >= r_hi THEN c END) / 100.0 AS ci_hi_d
               FROM cum, r""")),
 
+    // Order-statistic CI for an ARBITRARY percentile — q_median_ci
+    // generalized (binomial bounds at ranks np ± z·√(np(1−p))): the p90
+    // tail latency/price every SLO dashboard quotes gets the same
+    // distribution-free interval as the median. Identical dictionary-
+    // histogram shape; sqrt and the fixed-literal products are the only
+    // float ops and both engines evaluate the same expression tree.
+    QueryDef(
+      "q_percentile_ci",
+      (s, d) => {
+        val hist = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(round(col("value") * 100).cast("long").as("c"))
+          .groupBy("c").agg(count(lit(1)).as("k"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("c").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val cum = hist.withColumn("cum", sum("k").over(w))
+        val ranks = hist.agg(sum("k").as("n")).select(
+          col("n"),
+          ceil(col("n") * 0.9).cast("long").as("r_p"),
+          greatest(floor(col("n") * 0.9 - lit(1.96) *
+            sqrt(col("n").cast("double") * lit(0.09))).cast("long"), lit(1L))
+            .as("r_lo"),
+          least(ceil(col("n") * 0.9 + lit(1.96) *
+            sqrt(col("n").cast("double") * lit(0.09))).cast("long"), col("n"))
+            .as("r_hi"))
+        cum.crossJoin(broadcast(ranks))
+          .agg(
+            max(col("n")).as("n"),
+            max(col("r_lo")).as("r_lo"),
+            max(col("r_hi")).as("r_hi"),
+            (min(when(col("cum") >= col("r_p"), col("c"))) / 100.0).as("p90_d"),
+            (min(when(col("cum") >= col("r_lo"), col("c"))) / 100.0).as("ci_lo_d"),
+            (min(when(col("cum") >= col("r_hi"), col("c"))) / 100.0).as("ci_hi_d"))
+      },
+      Some("""WITH h AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                                count(*) AS k
+                         FROM events WHERE event_type = 'purchase'
+                         GROUP BY 1),
+                   cum AS (SELECT c, sum(k) OVER (ORDER BY c) AS cum FROM h),
+                   r AS (SELECT CAST(sum(k) AS BIGINT) AS n,
+                                CAST(ceil(sum(k) * 0.9) AS BIGINT) AS r_p,
+                                greatest(CAST(floor(sum(k) * 0.9 - 1.96 *
+                                  sqrt(CAST(sum(k) AS DOUBLE) * 0.09)) AS BIGINT),
+                                         1) AS r_lo,
+                                least(CAST(ceil(sum(k) * 0.9 + 1.96 *
+                                  sqrt(CAST(sum(k) AS DOUBLE) * 0.09)) AS BIGINT),
+                                      CAST(sum(k) AS BIGINT)) AS r_hi
+                         FROM h)
+              SELECT max(n) AS n, max(r_lo) AS r_lo, max(r_hi) AS r_hi,
+                     min(CASE WHEN cum >= r_p THEN c END) / 100.0 AS p90_d,
+                     min(CASE WHEN cum >= r_lo THEN c END) / 100.0 AS ci_lo_d,
+                     min(CASE WHEN cum >= r_hi THEN c END) / 100.0 AS ci_hi_d
+              FROM cum, r""")),
+
     // WEIGHTED percentile — each row counts `weight` times (the
     // quantity-weighted median price: "the price at which half the UNITS
     // ship", not half the line items). Same dictionary-histogram

@@ -234,6 +234,51 @@ object SamplingQueries {
                     ORDER BY priority DESC, event_id LIMIT 50)
               ORDER BY event_id""")),
 
+    // STRATIFIED weighted sampling — q_sample_weighted PER STRATUM (the
+    // per-source sample a training-data pipeline actually draws: k docs
+    // per source, weighted, reproducible). Same pure-BIGINT
+    // Duffield-Lund-Thorup priorities; the per-stratum top-k is the
+    // bounded-heap `top_k_by` aggregate, NOT a rank window — the stratum
+    // key (source/event_type) can be high-cardinality at corpus scale and
+    // a window would funnel every row of a stratum through one reducer,
+    // while the heap ships k entries per (stratum, partition). Ties
+    // (priority desc, event_id asc) identical in both engines.
+    QueryDef(
+      "q_sample_weighted_stratified",
+      (s, d) => {
+        val pri = Tables.events(s, d)
+          .withColumn("w_c",
+            greatest(round(col("value") * 100).cast("long"), lit(1L)))
+          .withColumn("h",
+            ((col("event_id") % lit(2147483648L)) * lit(2654435761L) +
+              lit(40503L)) % lit(4294967296L))
+          .withColumn("priority",
+            col("w_c").cast("double") * lit(4294967296.0) /
+              (col("h").cast("double") + lit(0.5)))
+        pri.groupBy("event_type")
+          .agg(graft.functions.VectorFns.topKBy(
+            col("priority"), col("event_id"), 10).as("hits"))
+          .select(col("event_type"), posexplode(col("hits")).as(Seq("pos", "hit")))
+          .select(col("event_type"), (col("pos") + 1).as("rnk"),
+            col("hit.cand_id").as("event_id"),
+            round(col("hit.sim"), 4).as("priority"))
+          .orderBy("event_type", "rnk")
+      },
+      Some("""WITH pri AS (SELECT event_type, event_id,
+                                  CAST(greatest(CAST(round(value * 100) AS BIGINT), 1)
+                                       AS DOUBLE) * 4294967296.0 /
+                                  (CAST((event_id % 2147483648 * 2654435761 + 40503)
+                                        % 4294967296 AS DOUBLE) + 0.5) AS priority
+                           FROM events),
+                   rk AS (SELECT event_type, event_id, priority,
+                                 row_number() OVER (PARTITION BY event_type
+                                                    ORDER BY priority DESC, event_id)
+                                   AS rnk
+                          FROM pri)
+              SELECT event_type, rnk, event_id, round(priority, 4) AS priority
+              FROM rk WHERE rnk <= 10
+              ORDER BY event_type, rnk""")),
+
     // DELETE-ONE-BLOCK JACKKNIFE over the purchase-value mean — the
     // scalable uncertainty estimate (block-resampling beats bootstrap
     // replication at 100 TB: ONE scan builds the 20-block rollup, every

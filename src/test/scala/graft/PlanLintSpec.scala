@@ -152,7 +152,10 @@ class PlanLintSpec extends SparkSpec {
     "q_spc_rules",
     // scalar-N pattern: the single-row (n, r_med, r_lo, r_hi) rank row
     // broadcasts onto the purchase-cents dictionary for the three picks
-    "q_median_ci")
+    "q_median_ci",
+    // q_median_ci's pattern at p90: single-row binomial rank bounds onto
+    // the same cents dictionary
+    "q_percentile_ci")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
@@ -299,10 +302,11 @@ class PlanLintSpec extends SparkSpec {
       // q_gini: the tied-rank cumulative window rides the revenue-cents
       // dictionary (q_ks_test's class), never per-user rows
       "q_gini",
-      // q_median_ci: the cumulative window rides the purchase-cents
-      // dictionary (q_ks_test's class — bounded by the price domain),
-      // never raw events; the corpus-sized work is the cents rollup
-      "q_median_ci")
+      // q_median_ci / q_percentile_ci: the cumulative window rides the
+      // purchase-cents dictionary (q_ks_test's class — bounded by the
+      // price domain), never raw events; the corpus-sized work is the
+      // cents rollup
+      "q_median_ci", "q_percentile_ci")
     val offenders = Registry.all.flatMap { q =>
       val global = q.run(spark, sfDir).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
