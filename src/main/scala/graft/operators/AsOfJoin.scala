@@ -54,4 +54,41 @@ object AsOfJoin {
     val rightCols = payloadCols.map(c => col(s"__carry.$c").as(c))
     carried.select(leftCols ++ rightCols: _*)
   }
+
+  /** FORWARD as-of: for every left row, the EARLIEST right row with
+    * `right.ts >= left.ts` on the same key — the time-to-next-event dual
+    * (time-to-next-purchase, next-deploy-after-alert). Identical union +
+    * carry construction scanned in DESCENDING time order, so it keeps the
+    * same cost envelope: one key shuffle + one partition-local sort, O(1)
+    * state per row. Ties (left.ts == right.ts) match, like `asof`.
+    */
+  def asofForward(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
+    val payloadType = right.select(payload).schema.head.dataType
+    val leftRow = struct(left.columns.map(col).toSeq: _*)
+    val leftType = left.select(leftRow).schema.head.dataType
+
+    val r = right.select(
+      col(keyCol).as("__k"), col(rightTsCol).as("__ts"),
+      payload.as("__p"), lit(0).as("__side"),
+      lit(null).cast(leftType).as("__l"))
+    val l = left.select(
+      col(keyCol).as("__k"), col(leftTsCol).as("__ts"),
+      lit(null).cast(payloadType).as("__p"), lit(1).as("__side"),
+      leftRow.as("__l"))
+
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = r.unionByName(l)
+      .withColumn("__carry", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c)).toSeq
+    val rightCols = payloadCols.map(c => col(s"__carry.$c").as(c))
+    carried.select(leftCols ++ rightCols: _*)
+  }
 }

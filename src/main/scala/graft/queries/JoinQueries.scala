@@ -141,6 +141,36 @@ object JoinQueries {
                 ON l.user_id = r.user_id AND l.ts >= r.ts
               ORDER BY l.event_id""")),
 
+    // FORWARD as-of join — time-to-NEXT-purchase per click (the
+    // conversion-latency dual of q_asof_join's attribution): earliest
+    // purchase at-or-after each click per user, via AsOfJoin.asofForward
+    // (the same union + carry construction scanned in descending time —
+    // one key shuffle, O(1) state per row, no pair explosion). Lag is
+    // exact integer MICROSECONDS (unix_micros both sides), so the output
+    // is engine-exact with no float anywhere. Oracle: DuckDB native ASOF
+    // with the <= comparison (nearest following row).
+    QueryDef(
+      "q_asof_join_forward",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("p_event_id"), col("ts").as("p_ts"))
+        AsOfJoin.asofForward(clicks, purchases, "user_id", "ts", "ts",
+            Seq("p_event_id", "p_ts"))
+          .select(col("event_id"), col("user_id"), col("p_event_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("ts"))).as("lag_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, l.user_id, r.event_id AS p_event_id,
+                     CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS lag_us
+              FROM (SELECT * FROM events WHERE event_type = 'click') l
+              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+                ON l.user_id = r.user_id AND l.ts <= r.ts
+              ORDER BY l.event_id""")),
+
     // Interval (range) join with NO shared key: per-customer price-band
     // order statistics via the range-AGGREGATION decomposition (RangeJoin.
     // intervalAggJoin): points pre-aggregate into a bucket dictionary,
