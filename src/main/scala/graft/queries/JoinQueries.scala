@@ -141,6 +141,38 @@ object JoinQueries {
                 ON l.user_id = r.user_id AND l.ts >= r.ts
               ORDER BY l.event_id""")),
 
+    // ORDER BACKLOG (the TPC-H Q4 shape — order-priority checking): count
+    // H1-1996 orders with at least one lineitem shipped more than 60 days
+    // after the order date, per priority. The EXISTS becomes a LEFT SEMI
+    // join on the order key with the lateness predicate as the join
+    // residual — one fact shuffle, each order emitted at most once no
+    // matter how many late lineitems it has (a plain inner join + distinct
+    // would materialize every late item first). Date arithmetic is
+    // timestamp + literal interval on BOTH engines.
+    QueryDef(
+      "q_order_backlog",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1996-07-01"))
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        o.join(li, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_late_orders"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_late_orders
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1996-07-01'
+                AND EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+              GROUP BY 1 ORDER BY o_orderpriority""")),
+
     // FORWARD as-of join — time-to-NEXT-purchase per click (the
     // conversion-latency dual of q_asof_join's attribution): earliest
     // purchase at-or-after each click per user, via AsOfJoin.asofForward

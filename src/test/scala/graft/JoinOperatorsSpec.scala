@@ -32,6 +32,49 @@ class JoinOperatorsSpec extends SparkSpec {
     assert(got(4L) === Some((103L, 6.0)))
   }
 
+  test("asofForward matches the earliest right row at or after each left row") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:05")),
+      (2L, 10L, ts("2024-01-01 00:00:10")), // after all right rows on key 10
+      (3L, 10L, ts("2024-01-01 00:00:01")),
+      (4L, 20L, ts("2024-01-01 00:00:07"))
+    ).toDF("l_id", "key", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 00:00:03"), 3.0),
+      (101L, 10L, ts("2024-01-01 00:00:05"), 5.0), // tie with l_id=1: matches
+      (102L, 10L, ts("2024-01-01 00:00:09"), 9.0),
+      (103L, 20L, ts("2024-01-01 00:00:06"), 6.0)  // before l_id=4: no match
+    ).toDF("r_id", "key", "ts", "v")
+    val got = AsOfJoin.asofForward(left, right, "key", "ts", "ts", Seq("r_id", "v"))
+      .select("l_id", "r_id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_ => (r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L) === Some((101L, 5.0)), "same-instant right row must match forward too")
+    assert(got(2L) === None, "left row after all right rows gets nulls")
+    assert(got(3L) === Some((100L, 3.0)), "earliest following right row wins")
+    assert(got(4L) === None)
+  }
+
+  test("asofForward on a time-reversed axis equals asof (duality)") {
+    import spark.implicits._
+    // negating the time axis turns earliest-at-or-after into
+    // latest-at-or-before — the two directions must be exact duals
+    val left = Seq((1L, 1L, 5L), (2L, 1L, 10L), (3L, 1L, 1L), (4L, 2L, 7L))
+      .toDF("l_id", "key", "t")
+    val right = Seq((100L, 1L, 3L), (101L, 1L, 5L), (102L, 1L, 9L), (103L, 2L, 6L))
+      .toDF("r_id", "key", "t")
+    def ts(df: org.apache.spark.sql.DataFrame, neg: Boolean) =
+      df.withColumn("ts", timestamp_seconds(if (neg) -col("t") else col("t")))
+    val fwd = AsOfJoin.asofForward(ts(left, neg = false), ts(right, neg = false),
+        "key", "ts", "ts", Seq("r_id"))
+      .select("l_id", "r_id").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val dual = AsOfJoin.asof(ts(left, neg = true), ts(right, neg = true),
+        "key", "ts", "ts", Seq("r_id"))
+      .select("l_id", "r_id").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fwd === dual)
+  }
+
   test("interval join equals the naive BETWEEN join on small data") {
     import spark.implicits._
     val points = Seq((1L, 3.0), (2L, 7.5), (3L, 12.0), (4L, 25.0))
