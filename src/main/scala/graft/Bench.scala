@@ -56,11 +56,18 @@ object Bench {
       "q_dedup_embedding" -> "embedding_pairs",
       "q_dedup_clusters" -> "dedup_clusters")
     val warm: Map[String, Double] = warmTargets.flatMap { case (q, label) =>
-      selected.get(q).map { fn =>
+      selected.get(q).flatMap { fn =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        label -> (System.nanoTime() - t0) / 1e9
+        // a failed warm-up must NOT emit a bogus small `warm` duration —
+        // that would silently shift the shared-artifact cost back onto
+        // whichever family query runs first (the r9 attribution bug this
+        // loop exists to fix); log and omit the entry, the timing loop
+        // will surface the failure on the query itself
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              Some(label -> (System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm $label FAILED: ${e.getMessage}")
+          None }
       }
     }.toMap
     val results = selected.map { case (name, fn) =>

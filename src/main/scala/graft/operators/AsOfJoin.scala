@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   * row — the same cost as a single window aggregate, independent of how
   * many right rows precede each left row. Ties (left.ts == right.ts)
   * match, the right row sorting first; multiple right rows on the same
-  * (key, ts) are resolved by their sort order within the union and should
-  * be deduplicated upstream if ambiguous.
+  * (key, ts) resolve DETERMINISTICALLY to the lexicographically greatest
+  * payload struct (the payload is the window sort's final tiebreaker —
+  * Spark's window-sort pick would otherwise be partitioning-dependent,
+  * a latent hash-flake). Payload columns must therefore be orderable
+  * types; an oracle replays the same rule as a per-(key, ts) argmax.
   */
 object AsOfJoin {
 
@@ -43,8 +46,11 @@ object AsOfJoin {
       lit(null).cast(payloadType).as("__p"), lit(1).as("__side"),
       leftRow.as("__l"))
 
+    // __p asc as the last sort key: among right rows tied on (key, ts),
+    // last(ignoreNulls) then carries the GREATEST payload — deterministic
+    // under any partitioning, and replayable by an oracle-side argmax
     val w = Window.partitionBy("__k")
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = r.unionByName(l)
       .withColumn("__carry", last(col("__p"), ignoreNulls = true).over(w))
@@ -60,7 +66,9 @@ object AsOfJoin {
     * (time-to-next-purchase, next-deploy-after-alert). Identical union +
     * carry construction scanned in DESCENDING time order, so it keeps the
     * same cost envelope: one key shuffle + one partition-local sort, O(1)
-    * state per row. Ties (left.ts == right.ts) match, like `asof`.
+    * state per row. Ties (left.ts == right.ts) match, like `asof`; rows
+    * tied on (key, ts) resolve to the greatest payload struct, like
+    * `asof`.
     */
   def asofForward(
       left: DataFrame, right: DataFrame, keyCol: String,
@@ -80,8 +88,10 @@ object AsOfJoin {
       lit(null).cast(payloadType).as("__p"), lit(1).as("__side"),
       leftRow.as("__l"))
 
+    // __p asc last: among right rows tied on (key, ts) the greatest
+    // payload is carried — same deterministic rule as `asof`
     val w = Window.partitionBy("__k")
-      .orderBy(col("__ts").desc, col("__side").asc)
+      .orderBy(col("__ts").desc, col("__side").asc, col("__p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = r.unionByName(l)
       .withColumn("__carry", last(col("__p"), ignoreNulls = true).over(w))

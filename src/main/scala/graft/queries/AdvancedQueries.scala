@@ -293,36 +293,6 @@ object AdvancedQueries {
     // Deterministic across engines by construction: the IQR comes from
     // DISCRETE cent picks (rank selection, no interpolation), h is ONE
     // scalar computation on exact integers (identical double both
-    // 2-D HISTOGRAM (price × quantity density grid — the scatter-heatmap
-    // a BI tool renders over two metrics at once): both bin assignments
-    // are scan-local integer arithmetic (quantity is integral; the price
-    // bin is floor(x/10k) — identical IEEE division+floor both engines),
-    // one hash rollup over the ~50-cell grid, revenue per cell from exact
-    // per-row cents. The 1-D histogram family's shape with a composite
-    // key; no window, no join.
-    QueryDef(
-      "q_histogram_2d",
-      (s, d) =>
-        Tables.lineitem(s, d)
-          .select(
-            floor(col("l_extendedprice") / 10000).cast("long").as("price_bin"),
-            // Spark's `/` on integrals is double division; qty ≤ 50 is
-            // exactly representable, so floor(x/10) ≡ DuckDB's `// 10`
-            floor((col("l_quantity").cast("long") - 1) / 10)
-              .cast("long").as("qty_band"),
-            round(col("l_extendedprice") * 100).cast("long").as("cents"))
-          .groupBy("price_bin", "qty_band")
-          .agg(count(lit(1)).as("n"),
-            round(sum("cents") / 100.0, 2).as("revenue"))
-          .orderBy("price_bin", "qty_band"),
-      Some("""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_bin,
-                     (CAST(l_quantity AS BIGINT) - 1) // 10 AS qty_band,
-                     count(*) AS n,
-                     round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                                AS BIGINT) / 100.0, 2) AS revenue
-              FROM lineitem
-              GROUP BY 1, 2 ORDER BY price_bin, qty_band""")),
-
     // engines), quantized to whole cents, and bin ids are integer
     // division — no float accumulates anywhere. Same scale shape as
     // q_histogram_eqdepth: the heavy pass is the cents-dictionary rollup,
@@ -372,6 +342,36 @@ object AdvancedQueries {
                        AS bin_hi,
                      count(*) AS cnt
               FROM e, p GROUP BY 1, 2 ORDER BY bin_lo""")),
+
+    // 2-D HISTOGRAM (price × quantity density grid — the scatter-heatmap
+    // a BI tool renders over two metrics at once): both bin assignments
+    // are scan-local integer arithmetic (quantity is integral; the price
+    // bin is floor(x/10k) — identical IEEE division+floor both engines),
+    // one hash rollup over the ~50-cell grid, revenue per cell from exact
+    // per-row cents. The 1-D histogram family's shape with a composite
+    // key; no window, no join.
+    QueryDef(
+      "q_histogram_2d",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(
+            floor(col("l_extendedprice") / 10000).cast("long").as("price_bin"),
+            // Spark's `/` on integrals is double division; qty ≤ 50 is
+            // exactly representable, so floor(x/10) ≡ DuckDB's `// 10`
+            floor((col("l_quantity").cast("long") - 1) / 10)
+              .cast("long").as("qty_band"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .groupBy("price_bin", "qty_band")
+          .agg(count(lit(1)).as("n"),
+            round(sum("cents") / 100.0, 2).as("revenue"))
+          .orderBy("price_bin", "qty_band"),
+      Some("""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_bin,
+                     (CAST(l_quantity AS BIGINT) - 1) // 10 AS qty_band,
+                     count(*) AS n,
+                     round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                                AS BIGINT) / 100.0, 2) AS revenue
+              FROM lineitem
+              GROUP BY 1, 2 ORDER BY price_bin, qty_band""")),
 
     // GAPFILL: dense daily time axis, zero-filled where no rows exist.
     // The axis is generated, not scanned — at 100 TB the fact side stays a
@@ -2092,8 +2092,12 @@ object AdvancedQueries {
           .join(broadcast(bound), col("wday") <= col("hi"))
           .groupBy("wday")
           .agg(
-            max(when(col("wday") === col("day"),
-              thetaEstimate(col("sk")))).cast("long").as("dau"),
+            // coalesce: a window day whose own calendar day has no events
+            // (gap day reached only by earlier days' +1..6 explode) has no
+            // matching when() branch — max() is NULL, but the oracle's
+            // count(DISTINCT CASE ...) yields 0 for the same rows
+            coalesce(max(when(col("wday") === col("day"),
+              thetaEstimate(col("sk")))).cast("long"), lit(0L)).as("dau"),
             thetaEstimate(thetaUnionAgg(col("sk"), 65536)).cast("long").as("wau"))
           .select(col("wday").as("day"), col("dau"), col("wau"))
           .orderBy("day")

@@ -1412,10 +1412,17 @@ object CorpusQueries {
       "q_avro_ingest",
       (s, d) => {
         import graft.sources.AvroIngest
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        // fixture cache keyed on SOURCE CONTENT (mtime+size of the
+        // parquet), not just the path: a regenerated-in-place documents
+        // table must invalidate the avro export, or the query would read
+        // stale avro while the oracle reads fresh parquet. Written to a
+        // unique temp dir and renamed in, so concurrent suites race to an
+        // atomic winner instead of interleaving partial writes.
+        val src = new java.io.File(d, "documents.parquet")
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+          s"_${src.lastModified()}_${src.length()}"
         val dir = new java.io.File(s"/tmp/graft_avro_$tag")
         if (!new java.io.File(dir, "part0.avro").exists()) {
-          dir.mkdirs()
           val schema = org.apache.avro.SchemaBuilder.record("doc").fields()
             .optionalLong("doc_id").optionalString("text")
             .optionalString("lang").optionalString("source")
@@ -1424,8 +1431,16 @@ object CorpusQueries {
             .select("doc_id", "text", "lang", "source", "n_chars")
             .collect().toSeq
           val (even, odd) = rows.partition(r => r.getLong(0) % 2 == 0)
-          AvroIngest.writeFile(even, schema, new java.io.File(dir, "part0.avro"))
-          AvroIngest.writeFile(odd, schema, new java.io.File(dir, "part1.avro"))
+          val tmp = new java.io.File(
+            s"/tmp/graft_avro_${tag}_tmp_${java.util.UUID.randomUUID()}")
+          tmp.mkdirs()
+          AvroIngest.writeFile(even, schema, new java.io.File(tmp, "part0.avro"))
+          AvroIngest.writeFile(odd, schema, new java.io.File(tmp, "part1.avro"))
+          if (!tmp.renameTo(dir)) { // lost the race: a complete dir exists
+            new java.io.File(tmp, "part0.avro").delete()
+            new java.io.File(tmp, "part1.avro").delete()
+            tmp.delete()
+          }
         }
         AvroIngest.read(s, dir.toString)
           .groupBy("source", "lang")

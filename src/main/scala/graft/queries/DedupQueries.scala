@@ -497,7 +497,12 @@ object DedupQueries {
       "q_dedup_embedding_prod",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val n = e.count().toDouble
+        // corpus size for band tuning comes from parquet FOOTER metadata
+        // (SegmentCatalog.metadataRowCount) — a planner input, not worth
+        // a full-scan count job (at 100 TB an eager count() per query
+        // build is its own scan of the corpus)
+        val n = graft.sources.SegmentCatalog
+          .metadataRowCount(s, s"$d/embeddings.parquet").toDouble
         val (r, b) = graft.dedup.EmbeddingLsh.tunedBands(
           0.45, maxMiss = 1e-6, expectedN = n)
         graft.dedup.EmbeddingLsh

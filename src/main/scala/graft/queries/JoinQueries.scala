@@ -137,7 +137,16 @@ object JoinQueries {
       Some("""SELECT l.event_id, l.user_id, r.event_id AS p_event_id,
                      r.value AS p_value
               FROM (SELECT * FROM events WHERE event_type = 'click') l
-              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ASOF LEFT JOIN (
+                -- AsOfJoin's deterministic tie rule: among purchases tied
+                -- on (user_id, ts) the greatest payload (event_id is the
+                -- leading payload field and unique) wins — DuckDB's native
+                -- ASOF pick on such ties is arbitrary, so dedupe first
+                SELECT user_id, ts, event_id, value FROM (
+                  SELECT user_id, ts, event_id, value,
+                         row_number() OVER (PARTITION BY user_id, ts
+                                            ORDER BY event_id DESC) AS rn
+                  FROM events WHERE event_type = 'purchase') WHERE rn = 1) r
                 ON l.user_id = r.user_id AND l.ts >= r.ts
               ORDER BY l.event_id""")),
 
@@ -199,7 +208,14 @@ object JoinQueries {
       Some("""SELECT l.event_id, l.user_id, r.event_id AS p_event_id,
                      CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS lag_us
               FROM (SELECT * FROM events WHERE event_type = 'click') l
-              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ASOF LEFT JOIN (
+                -- same deterministic tie rule as q_asof_join: greatest
+                -- payload per (user_id, ts) — see AsOfJoin.scala
+                SELECT user_id, ts, event_id FROM (
+                  SELECT user_id, ts, event_id,
+                         row_number() OVER (PARTITION BY user_id, ts
+                                            ORDER BY event_id DESC) AS rn
+                  FROM events WHERE event_type = 'purchase') WHERE rn = 1) r
                 ON l.user_id = r.user_id AND l.ts <= r.ts
               ORDER BY l.event_id""")),
 

@@ -121,4 +121,27 @@ object SegmentCatalog {
       // (harmless for flat layouts).
       spark.read.option("basePath", dir).parquet(toRead: _*).filter(pred)
   }
+
+  /** Total row count from parquet FOOTER metadata — a driver-side footer
+    * read, never a Spark count job. The scale-tuning inputs a planner
+    * needs (how many rows will this scan produce?) are already sitting in
+    * every parquet file's metadata; paying a full-scan action for them
+    * (an eager `df.count()` inside a query builder) is wrong at any
+    * scale and unaffordable at 100 TB. Accepts a single .parquet file or
+    * a directory tree (Hive-partitioned layouts included).
+    */
+  def metadataRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory) listDataFiles(spark, path)
+      else Seq(path)
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }

@@ -75,6 +75,33 @@ class JoinOperatorsSpec extends SparkSpec {
     assert(fwd === dual)
   }
 
+  test("asof ties on (key, ts) resolve to the greatest payload, deterministically") {
+    import spark.implicits._
+    // three right rows on the SAME (key, ts): without a payload
+    // tiebreaker in the carry window's sort, the pick depends on
+    // partitioning (a latent hash-flake); the documented rule is
+    // lexicographically greatest payload struct
+    // right rows at the SAME instant as the left row, so both directions
+    // tie-match and the (key, ts) tie rule is what decides
+    val left = Seq((1L, 10L, ts("2024-01-01 00:00:05"))).toDF("l_id", "key", "ts")
+    val right = Seq(
+      (101L, 10L, ts("2024-01-01 00:00:05"), 1.0),
+      (103L, 10L, ts("2024-01-01 00:00:05"), 3.0),
+      (102L, 10L, ts("2024-01-01 00:00:05"), 2.0)
+    ).toDF("r_id", "key", "ts", "v")
+    for (parts <- Seq(1, 3, 7)) {
+      val r = right.repartition(parts)
+      val back = AsOfJoin.asof(left, r, "key", "ts", "ts", Seq("r_id", "v"))
+        .select("r_id", "v").collect().head
+      assert((back.getLong(0), back.getDouble(1)) === ((103L, 3.0)),
+        s"backward pick must be max payload at $parts partitions")
+      val fwd = AsOfJoin.asofForward(left, r, "key", "ts", "ts", Seq("r_id", "v"))
+        .select("r_id", "v").collect().head
+      assert((fwd.getLong(0), fwd.getDouble(1)) === ((103L, 3.0)),
+        s"forward pick must be max payload at $parts partitions")
+    }
+  }
+
   test("interval join equals the naive BETWEEN join on small data") {
     import spark.implicits._
     val points = Seq((1L, 3.0), (2L, 7.5), (3L, 12.0), (4L, 25.0))
