@@ -1,0 +1,78 @@
+package graft
+
+/** A/B evidence that the four transparent rewrites WIN, not just match.
+  *
+  * The parity specs (StarTreeSpec, TimestampIndexSpec, JsonIndexSpec,
+  * TermIndexSpec) prove each rewrite returns the raw-scan answer; this
+  * main proves the rewrite is worth shipping: each (rule, query) pair is
+  * timed on a C×-scaled corpus with the rule enabled and disabled in the
+  * SAME session against the SAME on-disk artifacts (segments and cubes
+  * stay registered either way — only the optimizer rule flips), so the
+  * ratio isolates exactly the serving-path win:
+  *
+  *  - star-tree: cube-cell union vs full fact re-aggregation
+  *  - timestamp index: stored ts_day column vs per-row date_trunc
+  *  - JSON index: stored props__k column vs per-row get_json_object
+  *  - term index: stored token array vs per-row lower+split+match
+  *
+  * Usage: runMain graft.RewriteBench [copies]   (default 10)
+  * Prints one JSON line: {"metric":"rewrite_wins","copies":C,
+  *   "rules":{"<query>":{"on":s,"off":s,"speedup":off/on},...}}.
+  * Honors SPARK_GRAFT_SCALE_REUSE like ScaleBench (skip synthesis).
+  */
+object RewriteBench {
+
+  private case class Target(name: String, conf: String)
+
+  private val targets = Seq(
+    Target("q_startree_kll", "spark.graft.starTree.enabled"),
+    Target("q_timestamp_rewrite", "spark.graft.timestampIndex.enabled"),
+    Target("q_json_index_rewrite", "spark.graft.jsonIndex.enabled"),
+    Target("q_text_index_rewrite", "spark.graft.termIndex.enabled"))
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.engine.Graft.session(
+      master = s"local[$cpus]", shufflePartitions = cpus.toInt,
+      appName = "graft-rewritebench",
+      extraConf = Map("spark.ui.enabled" -> "false"))
+
+    val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE")
+    val root = reuse.getOrElse(s"/tmp/graft_rewrite_p${ProcessHandle.current().pid()}")
+    val dirC = s"$root/x$copies"
+    if (reuse.isEmpty) ScaleBench.synthesizeAll(spark, baseDir, dirC, copies)
+
+    def time(name: String, reps: Int): Double = {
+      val fn = SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dirC).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.sorted.apply(times.size / 2)
+    }
+
+    def f3(v: Double) = "%.3f".format(v)
+    val results = targets.map { t =>
+      spark.conf.set(t.conf, "true")
+      // Warm run pays the one-time artifact build (segment write, cube
+      // materialization, catalog registration) plus codegen/JIT, so both
+      // timed arms measure pure serving.
+      time(t.name, reps = 1)
+      val on = time(t.name, reps = 3)
+      spark.conf.set(t.conf, "false")
+      val off = time(t.name, reps = 3)
+      spark.conf.set(t.conf, "true")
+      System.err.println(s"[rewrite] ${t.name}: on=${f3(on)}s off=${f3(off)}s " +
+        s"speedup=${f3(off / on)}x")
+      t.name -> ((on, off))
+    }
+    println(s"""{"metric":"rewrite_wins","copies":$copies,"rules":{${
+      results.map { case (n, (on, off)) =>
+        s"""\"$n\":{"on":${f3(on)},"off":${f3(off)},"speedup":${f3(off / on)}}"""
+      }.mkString(",")}}}""")
+    spark.stop()
+  }
+}

@@ -192,6 +192,26 @@ object ScaleBench {
           s"""\"$n\":{"slope":${f3(sl)},"rows_1x":$r1,"rows_${copies}x":$rC,"output_growth":${f3(og)},"slope_per_output":${f3(pr)},"slope_per_input":${f3(sl / copies)}}"""
         }.mkString(",")}},"fixed_cost_skipped":[${
         fixedCost.map(n => s"\"$n\"").mkString(",")}]}""")
+      // Standing WATCHLIST: the steepest sub-threshold slopes get the
+      // same output-growth adjudication as flagged queries EVERY sweep
+      // (not only when they cross the flag line) — a raw time slope on a
+      // replicated corpus says nothing about engine behavior until it is
+      // normalized by how much the true ANSWER grew (cross-copy near-dup
+      // pairs and value-band matches grow superlinearly by construction).
+      val watchlist = Seq("q_dedup_embedding_prod", "q_dedup_edit",
+        "q_range_join").filter(n => names.contains(n) && !t1(n).isNaN)
+      val watched = watchlist.map { n =>
+        val fn = SparkEntry.queries(n)
+        val rows1 = fn(spark, dir1).count()
+        val rowsC = fn(spark, dirC).count()
+        val outGrowth = rowsC.toDouble / math.max(rows1, 1L)
+        val sl = tC(n) / t1(n)
+        (n, sl, rows1, rowsC, outGrowth, sl / outGrowth)
+      }
+      println(s"""{"metric":"scale_watchlist","copies":$copies,"watched":{${
+        watched.map { case (n, sl, r1, rC, og, pr) =>
+          s"""\"$n\":{"slope":${f3(sl)},"rows_1x":$r1,"rows_${copies}x":$rC,"output_growth":${f3(og)},"slope_per_output":${f3(pr)},"slope_per_input":${f3(sl / copies)}}"""
+        }.mkString(",")}}}""")
     }
     spark.stop()
   }

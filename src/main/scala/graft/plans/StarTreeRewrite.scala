@@ -78,10 +78,19 @@ object StarTreeCatalog {
 
 class StarTreeRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case agg @ Aggregate(groups, aggExprs, child, _) if groups.nonEmpty =>
-      tryRewrite(groups, aggExprs, child).getOrElse(agg)
-  }
+  /** `spark.graft.starTree.enabled=false` disables the rule (the parity
+    * convention of the timestamp/JSON/term rewrites — the rule-off run
+    * aggregates the raw fact scan, so an A/B pair isolates the cube win).
+    */
+  private def enabled: Boolean =
+    spark.conf.get("spark.graft.starTree.enabled", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformDown {
+      case agg @ Aggregate(groups, aggExprs, child, _) if groups.nonEmpty =>
+        tryRewrite(groups, aggExprs, child).getOrElse(agg)
+    }
 
   /** fact scan + optional dim-only filter beneath the aggregate. */
   private def factScan(p: LogicalPlan): Option[(Set[String], Option[Expression])] = p match {

@@ -839,6 +839,83 @@ object CorpusQueries {
                      md5(substr(text, CAST(a + m + 1 AS INT))) AS md5_suffix
               FROM p ORDER BY doc_id""")),
 
+    // T5-STYLE SPAN CORRUPTION — the denoising-objective preprocessing
+    // pass (Raffel et al., JMLR 2020): deterministically pick span starts
+    // by a position hash (q_fim_split's content-hash discipline — no RNG,
+    // replayable on both engines), mask runs of 3 tokens, collapse each
+    // contiguous masked run to ONE sentinel in the input and emit the
+    // masked tokens as the target. Everything is scan-local HOF
+    // arithmetic over the token array (transform/filter/aggregate on
+    // sequence(0, n−1) — no explode, no (doc, token) shuffle, nothing
+    // but the final ORDER BY leaves the scan), so the pass is one
+    // projection at any corpus size. The oracle replays the identical
+    // index arithmetic with DuckDB list comprehensions.
+    QueryDef(
+      "q_span_corruption",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        // span START at 0-indexed position i (≈1/13 of positions; spans
+        // of 3 ⇒ ~20% of tokens masked, T5's neighborhood)
+        def sStart(i: org.apache.spark.sql.Column) =
+          ((col("doc_id") * lit(2654435761L) + i * lit(40503L))
+            % lit(1000003L)) % lit(13L) === 0L
+        def masked(i: org.apache.spark.sql.Column) =
+          sStart(i) ||
+            (i >= 1 && sStart(i - 1)) ||
+            (i >= 2 && sStart(i - 2))
+        // sentinel at the FIRST position of each contiguous masked run
+        def sentinelAt(i: org.apache.spark.sql.Column) =
+          masked(i) && (i === 0 || !masked(i - 1))
+        val idx = sequence(lit(0L), size(col("__toks")).cast("long") - 1L)
+        graft.engine.Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("__toks"))
+          .select(col("doc_id"), col("__toks"), idx.as("__idx"))
+          .select(
+            col("doc_id"),
+            size(col("__toks")).cast("long").as("n_tokens"),
+            size(filter(col("__idx"), i => masked(i))).cast("long").as("n_masked"),
+            size(filter(col("__idx"), i => sentinelAt(i))).cast("long").as("n_spans"),
+            concat_ws(" ", filter(
+              transform(col("__idx"), i =>
+                when(!masked(i), element_at(col("__toks"), (i + 1).cast("int")))
+                  .when(sentinelAt(i), lit("<extra_id>"))),
+              p => p.isNotNull)).as("corrupted"),
+            concat_ws(" ", filter(
+              transform(col("__idx"), i =>
+                when(masked(i), element_at(col("__toks"), (i + 1).cast("int")))),
+              p => p.isNotNull)).as("target"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                                CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                         FROM documents),
+                   f AS (SELECT doc_id, w, n,
+                                [((doc_id * 2654435761 + (i - 1) * 40503)
+                                  % 1000003) % 13 = 0
+                                 FOR i IN range(1, CAST(n + 1 AS INT))] AS ss
+                         FROM t),
+                   m AS (SELECT doc_id, w, n,
+                                [ss[i] OR (i >= 2 AND ss[i - 1])
+                                       OR (i >= 3 AND ss[i - 2])
+                                 FOR i IN range(1, CAST(n + 1 AS INT))] AS mk
+                         FROM f)
+              SELECT doc_id, n AS n_tokens,
+                     CAST(len([i FOR i IN range(1, CAST(n + 1 AS INT))
+                               IF mk[i]]) AS BIGINT) AS n_masked,
+                     CAST(len([i FOR i IN range(1, CAST(n + 1 AS INT))
+                               IF mk[i] AND (i = 1 OR NOT mk[i - 1])]) AS BIGINT)
+                       AS n_spans,
+                     coalesce(array_to_string(
+                       [CASE WHEN NOT mk[i] THEN w[i]
+                             ELSE '<extra_id>' END
+                        FOR i IN range(1, CAST(n + 1 AS INT))
+                        IF (NOT mk[i]) OR (i = 1 OR NOT mk[i - 1])],
+                       ' '), '') AS corrupted,
+                     coalesce(array_to_string(
+                       [w[i] FOR i IN range(1, CAST(n + 1 AS INT)) IF mk[i]],
+                       ' '), '') AS target
+              FROM m ORDER BY doc_id""")),
+
     // LENGTH-BUCKET batching stats — the padding-efficiency planning pass
     // a training pipeline runs before batching: deal each document into a
     // fixed power-of-two sequence-length ladder (the smallest bucket that
@@ -1235,6 +1312,72 @@ object CorpusQueries {
                      WHERE bfs.d < 6)
               SELECT node AS section, min(d) AS hops
               FROM bfs GROUP BY node ORDER BY section""")),
+
+    // NEIGHBOR-JACCARD LINK PREDICTION over the deterministic host graph
+    // (q_pagerank_hosts' edge synthesis): for every host pair sharing at
+    // least one graph neighbor, |N(a)∩N(b)| / |N(a)∪N(b)| over UNDIRECTED
+    // neighbor sets — the classic co-citation similarity / missing-link
+    // score (and the graph flavor of the dedup pipeline's Jaccard). The
+    // scalable shape: common counts come from a self-join of the
+    // (host, neighbor) list ON THE NEIGHBOR KEY (each shared neighbor
+    // contributes one match — work is Σ_v deg(v)², the standard
+    // co-occurrence bound, cappable per hot vertex like a shingle DF
+    // cap), never a host×host cross join; degrees attach by two
+    // dictionary equi-joins. Counts exact; the ratio is the one float.
+    QueryDef(
+      "q_jaccard_neighbors",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val nDocs = docs.count()
+        val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
+        val e0 = docs.select(col("doc_id"), col("source").as("src"))
+          .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
+          .select("src", "dst")
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        val und = e0.select(col("src").as("h"), col("dst").as("nb"))
+          .unionByName(e0.select(col("dst").as("h"), col("src").as("nb")))
+          .distinct()
+        val deg = und.groupBy("h").agg(count(lit(1)).as("deg"))
+        val common = und.select(col("h").as("host_a"), col("nb"))
+          .join(und.select(col("h").as("host_b"), col("nb")), "nb")
+          .filter(col("host_a") < col("host_b"))
+          .groupBy("host_a", "host_b")
+          .agg(count(lit(1)).as("n_common"))
+        common
+          .join(deg.select(col("h").as("host_a"), col("deg").as("da")), "host_a")
+          .join(deg.select(col("h").as("host_b"), col("deg").as("db")), "host_b")
+          .withColumn("jaccard",
+            col("n_common").cast("double")
+              / (col("da") + col("db") - col("n_common")).cast("double"))
+          .filter(col("jaccard") >= 0.25)
+          .select(col("host_a"), col("host_b"), col("n_common"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("host_a", "host_b")
+      },
+      Some("""WITH nd AS (SELECT count(*) AS c FROM documents),
+                   e0 AS (SELECT DISTINCT a.source AS src, b.source AS dst
+                          FROM documents a
+                          JOIN documents b
+                            ON b.doc_id = (a.doc_id * a.doc_id * 13 + 7) % (SELECT c FROM nd)
+                          WHERE a.source <> b.source),
+                   und AS (SELECT src AS h, dst AS nb FROM e0
+                           UNION SELECT dst, src FROM e0),
+                   deg AS (SELECT h, CAST(count(*) AS BIGINT) AS dg
+                           FROM und GROUP BY 1),
+                   com AS (SELECT a.h AS host_a, b.h AS host_b,
+                                  CAST(count(*) AS BIGINT) AS n_common
+                           FROM und a JOIN und b
+                             ON a.nb = b.nb AND a.h < b.h
+                           GROUP BY 1, 2),
+                   j AS (SELECT host_a, host_b, n_common,
+                                CAST(n_common AS DOUBLE)
+                                  / CAST(da.dg + db.dg - n_common AS DOUBLE) AS jac
+                         FROM com
+                         JOIN deg da ON com.host_a = da.h
+                         JOIN deg db ON com.host_b = db.h)
+              SELECT host_a, host_b, n_common, round(jac, 4) AS jaccard
+              FROM j WHERE jac >= 0.25 ORDER BY host_a, host_b""")),
 
     // K-ANONYMITY AUDIT over the customer quasi-identifiers (nation ×
     // market segment × account-balance band) — the privacy gate a

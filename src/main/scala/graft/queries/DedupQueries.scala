@@ -484,6 +484,56 @@ object DedupQueries {
               WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
               ORDER BY a_id, b_id""")),
 
+    // q_dedup_simhash's EXACT-VERIFY twin, hash-verified: SimHash is a
+    // bag-of-tokens signature (each occurrence adds ±1 to every bit sum),
+    // so ANY two docs with equal token multisets collide at Hamming 0 and
+    // land in the same chunk bucket in all 4 bands — banding recall for
+    // the multiset-equality relation is exhaustive, not probabilistic.
+    // The pipeline therefore pins end-to-end: tokenize → SimHash64 →
+    // 4-chunk pigeonhole band join → exact multiset-equality verify ≡ the
+    // DuckDB sorted-token-list self-join. Hamming-0 collisions of
+    // genuinely different multisets (possible; SimHash is lossy) are
+    // removed by the verify on BOTH engines' definitions, so the gate is
+    // deterministic. The raw fixture has zero duplicate texts at sf0.01,
+    // so the corpus is augmented with a token-REVERSED twin of every
+    // 37th doc (order permutation: same multiset, same simhash, reversed
+    // text ≠ original text) — exercising exactly the order-independence
+    // the signature claims, with deterministic non-empty output at every
+    // sf. The oracle replays the same augmentation.
+    QueryDef(
+      "q_dedup_simhash_exact",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val reversed = docs.filter(col("doc_id") % 37 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            array_join(reverse(split(lower(col("text")), " ")), " ").as("text"))
+        val corpus = docs.unionByName(reversed)
+        val cand = SimHash.nearPairs(corpus, "doc_id", "text", maxHamming = 0)
+        val toks = corpus.select(col("doc_id"),
+            array_sort(array_remove(TextShingles.wordTokens(col("text")), ""))
+              .as("tk"))
+          .filter(size(col("tk")) > 0)
+        cand
+          .join(toks.select(col("doc_id").as("a_id"), col("tk").as("a_tk")), "a_id")
+          .join(toks.select(col("doc_id").as("b_id"), col("tk").as("b_tk")), "b_id")
+          .filter(col("a_tk") === col("b_tk"))
+          .select(col("a_id"), col("b_id"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+                   rev AS (SELECT doc_id + 1000000 AS doc_id,
+                                  array_to_string(list_reverse(string_split(lower(text), ' ')), ' ') AS text
+                           FROM base WHERE doc_id % 37 = 0),
+                   corpus AS (SELECT * FROM base UNION ALL SELECT * FROM rev),
+                   t AS (SELECT doc_id,
+                                list_sort(list_filter(string_split(lower(text), ' '),
+                                                      x -> x <> '')) AS tk
+                         FROM corpus),
+                   nz AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM nz a JOIN nz b ON a.tk = b.tk AND a.doc_id < b.doc_id
+              ORDER BY a_id, b_id""")),
+
     // Embedding near-dup at the PRODUCTION posture: the engine derives
     // the banding plan from the stated similarity regime and corpus size
     // (EmbeddingLsh.tunedBands — cheapest (r, b) holding per-pair miss

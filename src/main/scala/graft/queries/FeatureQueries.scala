@@ -222,6 +222,53 @@ object FeatureQueries {
                      round(det0 / det / 100, 6) AS b0_d,
                      round(det1 / det / 100, 6) AS b_clicks_d,
                      round(det2 / det / 100, 6) AS b_views_d
-              FROM e"""))
+              FROM e""")),
+
+    // WEIGHT-OF-EVIDENCE / INFORMATION VALUE — the classic categorical-
+    // feature screening table (credit scoring, churn models): per feature
+    // bucket, WoE = ln((good_i/G)/(bad_i/B)) with symmetric +0.5 Laplace
+    // smoothing (zero-cell-safe, identical convention on both engines),
+    // and the bucket's IV contribution (g_rate − b_rate)·WoE. Shape: one
+    // map-side-combined count rollup to the bucket DICTIONARY, then the
+    // single-row (G, B) totals broadcast back (scalar-N pattern) — no
+    // second corpus pass, no window. Counts are exact longs; the WoE /
+    // IV ratios are continuous statistical estimators (class c, s=6).
+    QueryDef(
+      "q_woe_iv",
+      (s, d) => {
+        val cell = Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            sum(when(col("value") >= 100.0, 1L).otherwise(0L)).as("n_good"),
+            sum(when(col("value") >= 100.0, 0L).otherwise(1L)).as("n_bad"))
+        val tot = cell.agg(sum("n_good").as("g_tot"), sum("n_bad").as("b_tot"))
+        cell.crossJoin(broadcast(tot))
+          .withColumn("g_rate",
+            (col("n_good").cast("double") + 0.5) / (col("g_tot").cast("double") + 0.5))
+          .withColumn("b_rate",
+            (col("n_bad").cast("double") + 0.5) / (col("b_tot").cast("double") + 0.5))
+          .withColumn("woe", log(col("g_rate") / col("b_rate")))
+          .select(col("event_type"), col("n_good"), col("n_bad"),
+            round(col("woe"), 6).as("woe"),
+            round((col("g_rate") - col("b_rate")) * col("woe"), 6).as("iv_term"))
+          .orderBy("event_type")
+      },
+      Some("""WITH cell AS (SELECT event_type,
+                     CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+                     CAST(sum(CASE WHEN value >= 100 THEN 0 ELSE 1 END) AS BIGINT) AS n_bad
+              FROM events GROUP BY 1),
+                   tot AS (SELECT CAST(sum(n_good) AS BIGINT) AS g_tot,
+                                  CAST(sum(n_bad) AS BIGINT) AS b_tot
+                           FROM cell),
+                   r AS (SELECT event_type, n_good, n_bad,
+                                (CAST(n_good AS DOUBLE) + 0.5)
+                                  / (CAST(g_tot AS DOUBLE) + 0.5) AS g_rate,
+                                (CAST(n_bad AS DOUBLE) + 0.5)
+                                  / (CAST(b_tot AS DOUBLE) + 0.5) AS b_rate
+                         FROM cell, tot)
+              SELECT event_type, n_good, n_bad,
+                     round(ln(g_rate / b_rate), 6) AS woe,
+                     round((g_rate - b_rate) * ln(g_rate / b_rate), 6) AS iv_term
+              FROM r ORDER BY event_type"""))
   )
 }

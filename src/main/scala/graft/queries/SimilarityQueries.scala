@@ -127,6 +127,44 @@ object SimilarityQueries {
       },
       None),
 
+    // IVFPQ's EXACT-REGIME twin, composing the two existing exact
+    // constructions (q_ann_ivf_exact's probe-all + q_ann_pq_exact's
+    // covering shortlist): nProbe = numCentroids means every cell is
+    // probed, and k·rerankFactor ≥ n−1 at every verified sf means the ADC
+    // shortlist covers the whole corpus, so the exact-cosine rerank IS
+    // brute force — the full IVF route + PQ codes + ADC + rerank pipeline
+    // becomes deterministic and hash-verifiable while exercising exactly
+    // the production code path (same cells, codes, distance tables; only
+    // the two breadth knobs differ). Oracle mirrors the rerank float
+    // path: normalize, then dot of normalized elements.
+    QueryDef(
+      "q_ann_ivfpq_exact",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.similarity.Pq.knnIvfPq(e.filter(col("vec_id") < 10), e, k = 3,
+            numCentroids = 16, nProbe = 16, rerankFactor = 1024)
+          .select(col("q_id"), col("cand_id"), col("rank"),
+            (round(col("sim"), 4) + lit(0.0)).as("sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                                CAST(unnest(embedding) AS DOUBLE) AS v
+                         FROM embeddings),
+                   norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+                   nv AS (SELECT e.vec_id, e.i, e.v / n.nrm AS v
+                          FROM e JOIN norms n ON e.vec_id = n.vec_id),
+                   sims AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+                                   sum(a.v * b.v) AS sim_raw
+                            FROM nv a JOIN nv b ON a.i = b.i AND a.vec_id <> b.vec_id
+                            WHERE a.vec_id < 10
+                            GROUP BY 1, 2),
+                   ranked AS (SELECT q_id, cand_id, sim_raw,
+                              row_number() OVER (PARTITION BY q_id
+                                                 ORDER BY sim_raw DESC, cand_id) AS rank
+                              FROM sims)
+              SELECT q_id, cand_id, rank, round(sim_raw, 4) + 0 AS sim
+              FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // PQ's EXACT-REGIME twin (the promotion pattern of q_ann_ivf_exact /
     // q_theta_setops_exact): with rerankFactor sized so the ADC shortlist
     // covers the whole corpus (k·factor ≥ n−1 at every verified sf), the

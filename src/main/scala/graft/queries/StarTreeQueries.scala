@@ -159,6 +159,66 @@ object StarTreeQueries {
       },
       None),
 
+    // q_startree_kll's EXACT-REGIME twin (q_percentile_kll_exact's
+    // argument pushed through the TRANSPARENT REWRITE): the fact is one
+    // ship month (≤ 8k rows at every verified sf, far under KllK=16384),
+    // so no cell sketch and no serve-time union ever compacts — the
+    // cube-served kll_quantile IS the true rank-ceil(q·n) order
+    // statistic, and the whole register → rewrite → cell-union →
+    // quantile path hash-verifies against an explicit rank-selection
+    // oracle over the raw rows. The rewrite fires on the same
+    // percentile_approx shape as the approximate row (acc 5000 ≤
+    // KllK/2); if it ever stopped firing, percentile_approx's different
+    // rank/interpolation convention would hash-mismatch — the gate
+    // cannot silently pass. Raw stored doubles are SELECTED by the
+    // quantile, never combined, so no rounding discipline is needed on
+    // p50; the sum metric rounds to cents as usual.
+    QueryDef(
+      "q_startree_kll_exact",
+      (s, d) => {
+        val base = "/tmp/graft_startree_kllx_" +
+          Integer.toHexString(d.hashCode & 0x7fffffff) +
+          "_p" + ProcessHandle.current().pid()
+        val factPath = s"$base/fact"
+        if (graft.plans.StarTreeCatalog.find(Set(factPath)).isEmpty) {
+          Tables.lineitem(s, d)
+            .filter(col("l_shipdate") >= lit("1995-03-01") &&
+              col("l_shipdate") < lit("1995-04-01"))
+            .select("l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity")
+            .write.mode("overwrite").parquet(factPath)
+          StarTree.materializeAndRegister(
+            s.read.parquet(factPath), factPath,
+            dims = Seq("l_returnflag", "l_linestatus"),
+            sumMetrics = Seq("l_quantity"), cubePath = s"$base/cube",
+            quantileMetrics = Seq("l_extendedprice"))
+        }
+        s.read.parquet(factPath)
+          .groupBy("l_returnflag")
+          .agg(
+            expr("percentile_approx(l_extendedprice, 0.5D, 5000)")
+              .as("p50_price"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH f AS (SELECT l_returnflag, l_extendedprice, l_quantity
+                         FROM lineitem
+                         WHERE l_shipdate >= DATE '1995-03-01'
+                           AND l_shipdate < DATE '1995-04-01'),
+                   st AS (SELECT l_returnflag, l_extendedprice,
+                                 row_number() OVER (PARTITION BY l_returnflag
+                                                    ORDER BY l_extendedprice) AS rn,
+                                 count(*) OVER (PARTITION BY l_returnflag) AS n
+                          FROM f),
+                   q AS (SELECT l_returnflag,
+                                max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                                         THEN l_extendedprice END) AS p50_price
+                         FROM st GROUP BY 1),
+                   sq AS (SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+                          FROM f GROUP BY 1)
+              SELECT q.l_returnflag, p50_price, sum_qty
+              FROM q JOIN sq USING (l_returnflag)
+              ORDER BY l_returnflag""")),
+
     // Star-tree rollup WITH a dimension filter (Pinot star-trees answer
     // filtered group-bys as long as the predicate is on cube dimensions —
     // basics/indexing/README.md:16): the filter applies to the CUBE rows

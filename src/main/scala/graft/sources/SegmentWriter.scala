@@ -101,7 +101,17 @@ object SegmentWriter {
       else repartitioned
     val writer0 = sorted.write.mode("overwrite").option("compression", cfg.codec)
     val writer = cfg.bloomFilterCols.foldLeft(writer0) { (w, c) =>
+      // parquet-mr drops the bloom when a chunk ends fully dictionary-
+      // encoded (the dictionary page already gives readers an exact
+      // membership test), so a bloom column must opt out of dictionary
+      // encoding or small segments silently carry no filter. That is
+      // also the honest production posture: bloom columns are high-
+      // cardinality point-lookup keys that overflow the dictionary page
+      // anyway — dictionary encoding and blooms target disjoint column
+      // classes (IngestFormatsSpec asserts the filter is WRITTEN and
+      // rejects absent probes, from the footer, not from these options).
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.enable.dictionary#$c", "false")
     }
     (if (cfg.partitionCols.nonEmpty) writer.partitionBy(cfg.partitionCols: _*) else writer)
       .parquet(path)

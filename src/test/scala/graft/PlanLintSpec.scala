@@ -66,6 +66,10 @@ class PlanLintSpec extends SparkSpec {
     "q_ann_ivf_exact", "q_ann_pq_exact", "q_multimodal_embed", "q_tfidf_top",
     "q_bm25", "q_hybrid_rrf", "q_domain_cap", "q_lm_bigram", "q_mix_temperature",
     "q_lm_quality", "q_pmi_phrases", "q_ann_pq", "q_ann_ivfpq",
+    // q_ann_ivfpq's exact twin: the same broadcast ADC-table shape (the
+    // probes×dtab broadcast riding the codes scan), just with both
+    // breadth knobs opened (probe-all + covering shortlist)
+    "q_ann_ivfpq_exact",
     "q_histogram_eqdepth",
     // scalar-N pattern: the single-row max-day bound broadcasts onto the
     // exploded window-day table; all heavy joins are equi-shuffles
@@ -101,6 +105,9 @@ class PlanLintSpec extends SparkSpec {
     // scalar-N pattern: the single-row global prior broadcasts onto the
     // category dictionary
     "q_target_encode",
+    // scalar-N pattern: the single-row (G, B) class totals broadcast onto
+    // the feature-bucket dictionary for the WoE/IV rates
+    "q_woe_iv",
     // scalar-N pattern: the single-row corpus max-day broadcasts onto the
     // event scan to derive the data-relative cut
     "q_split_temporal",
@@ -459,6 +466,9 @@ class PlanLintSpec extends SparkSpec {
     "q_distinct_sum", "q_distinctcount", "q_lookup_join", "q_idset_filter",
     "q_startree_rollup", "q_startree_filtered", "q_startree_hll",
     "q_startree_kll",
+    // (b): the exact twin's sum_qty rides the same integer-valued
+    // l_quantity double sum (exact); its p50 column is unrounded
+    "q_startree_kll_exact",
     "q_upsert_partial", "q_hybrid_boundary", "q_sessionize", "q_pivot",
     "q_attribution", "q_attribution_first", "q_gapfill_prev",
     "q_timestamp_rewrite", "q_percent_change", "q_mv_agg", "q_mv_unnest",
