@@ -1448,6 +1448,46 @@ object CorpusQueries {
                      round(avg(n_chars), 2) AS avg_chars
               FROM documents GROUP BY 1 ORDER BY source""")),
 
+    // HERFINDAHL–HIRSCHMAN CONCENTRATION per language — the mixture-
+    // diversity gate next to q_domain_cap: HHI = Σ_s share_s² over the
+    // per-(lang, source) doc counts; 1/HHI is the "effective number of
+    // sources" the language actually draws from (a lang fed by one
+    // dominant crawl scores near 1 effective source however many
+    // nominal sources appear). Two dictionary rollups after one scan —
+    // the (lang, source) cell table IS the corpus-bounded state; counts
+    // exact longs, the shares class-c ratios.
+    QueryDef(
+      "q_hhi_concentration",
+      (s, d) => {
+        val cell = Tables.documents(s, d)
+          .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+        val tot = cell.groupBy("lang")
+          .agg(sum("c").as("n_docs"), count(lit(1)).as("n_sources"))
+        cell.join(tot, "lang")
+          .groupBy(col("lang"), col("n_docs"), col("n_sources"))
+          .agg(sum(
+            (col("c").cast("double") / col("n_docs").cast("double"))
+              * (col("c").cast("double") / col("n_docs").cast("double"))).as("hhi"))
+          .select(col("lang"), col("n_docs"), col("n_sources"),
+            round(col("hhi"), 6).as("hhi"),
+            round(lit(1.0) / col("hhi"), 4).as("effective_sources"))
+          .orderBy("lang")
+      },
+      Some("""WITH cell AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+                            FROM documents GROUP BY 1, 2),
+                   tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+                                  CAST(count(*) AS BIGINT) AS n_sources
+                           FROM cell GROUP BY 1),
+                   h AS (SELECT cell.lang, n_docs, n_sources,
+                                sum((CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                                    * (CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+                                  AS hhi
+                         FROM cell JOIN tot ON cell.lang = tot.lang
+                         GROUP BY 1, 2, 3)
+              SELECT lang, n_docs, n_sources, round(hhi, 6) AS hhi,
+                     round(1.0 / hhi, 4) AS effective_sources
+              FROM h ORDER BY lang""")),
+
     // SOURCE-DIVERGENCE matrix — q_source_overlap's distributional twin:
     // Jensen–Shannon divergence between per-source unigram distributions
     // (overlap sees shared SHINGLES; JS sees shifted token FREQUENCIES —

@@ -73,6 +73,39 @@ object TextAnalysisQueries {
                      CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}')) AS INT) AS bpe_ish
               FROM documents ORDER BY doc_id""")),
 
+    // TOKENIZER FERTILITY by language — the tokenizer-efficiency audit a
+    // multilingual pipeline runs before committing to a vocabulary: how
+    // many subword (BPE-ish) tokens the tokenizer spends per whitespace
+    // word, per language (fertility ≈ 1 for well-covered languages,
+    // inflates where the vocab fragments). Per-doc counts are the same
+    // scan-local regex/split projections as q_token_count; the rollup is
+    // a lang-dictionary groupBy of exact long sums, and fertility is the
+    // one float ratio of two exact longs (class c).
+    QueryDef(
+      "q_tokenizer_fertility",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("ws"),
+            regexp_count(col("text"), lit("[A-Za-z]{1,4}")).cast("long").as("bp"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("ws").as("n_words"), sum("bp").as("n_subwords"))
+          .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+            round(col("n_subwords").cast("double") / col("n_words").cast("double"), 4)
+              .as("fertility"))
+          .orderBy("lang"),
+      Some("""WITH per AS (SELECT lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}')) AS BIGINT) AS bp
+              FROM documents)
+              SELECT lang, count(*) AS n_docs,
+                     CAST(sum(ws) AS BIGINT) AS n_words,
+                     CAST(sum(bp) AS BIGINT) AS n_subwords,
+                     round(CAST(sum(bp) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 4)
+                       AS fertility
+              FROM per GROUP BY 1 ORDER BY lang""")),
+
     // Approximate TOP-K heavy hitters over the token stream (Misra–Gries
     // mergeable sketch): per-language most frequent words with O(k) state
     // per map task. Counts are lower bounds — rows-only; the error bound

@@ -474,6 +474,9 @@ class PlanLintSpec extends SparkSpec {
     "q_timestamp_rewrite", "q_percent_change", "q_mv_agg", "q_mv_unnest",
     "q_range_join", "q_outer_join", "q_argminmax", "q_tw_avg",
     // (c): statistical estimators / ratios / normalized scores at s≥2
+    // (q_hhi_concentration: the share² sum is a continuous concentration
+    // index over exact count ratios)
+    "q_hhi_concentration",
     "q_stats_agg", "q_moments", "q_corr", "q_regr", "q_zscore_outliers",
     "q_anomaly_series", "q_psi_drift", "q_char_entropy", "q_zipf_slope",
     "q_readability", "q_compression_ratio", "q_keywords_rake",
