@@ -622,6 +622,32 @@ object AdvancedQueries {
               FROM orders GROUP BY ROLLUP(yr, o_orderstatus)
               ORDER BY g_yr, g_st, yr NULLS FIRST, o_orderstatus NULLS FIRST""")),
 
+    // Full CUBE grouping (q_rollup's 2^n sibling — all four grouping
+    // combinations in one pass): the same grouping()-flag + nulls-first
+    // total-order discipline keeps the rolled NULL rows deterministic on
+    // both engines. One shuffle; partial aggregation replicates per
+    // grouping set exactly as Pinot's multi-stage GROUP BY CUBE would.
+    QueryDef(
+      "q_cube_agg",
+      (s, d) =>
+        Tables.orders(s, d)
+          .withColumn("yr", year(col("o_orderdate")))
+          .cube("yr", "o_orderpriority")
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(sum("o_totalprice"), 2).as("tp"),
+            grouping(col("yr")).cast("int").as("g_yr"),
+            grouping(col("o_orderpriority")).cast("int").as("g_pr"))
+          .orderBy(col("g_yr"), col("g_pr"),
+            col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT CAST(extract(year FROM o_orderdate) AS INT) AS yr, o_orderpriority,
+                     CAST(count(*) AS BIGINT) AS cnt,
+                     round(sum(o_totalprice), 2) AS tp,
+                     CAST(grouping(yr) AS INT) AS g_yr,
+                     CAST(grouping(o_orderpriority) AS INT) AS g_pr
+              FROM orders GROUP BY CUBE(yr, o_orderpriority)
+              ORDER BY g_yr, g_pr, yr NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
     // Skew-resistant two-stage (salted) aggregation — result must equal
     // the plain group-by (the oracle).
     QueryDef(

@@ -106,6 +106,56 @@ object TextAnalysisQueries {
                        AS fertility
               FROM per GROUP BY 1 ORDER BY lang""")),
 
+    // OUT-OF-VOCABULARY RATE by language — fertility's vocabulary-side
+    // twin: build the corpus top-20 token vocabulary (exact counts,
+    // (count desc, token asc) total order — no sketch, the vocab is the
+    // artifact a tokenizer build would freeze) and measure the share of
+    // token OCCURRENCES each language spends outside it. The vocabulary
+    // is a TakeOrdered shortlist (constant K, never a global window) and
+    // broadcasts onto the per-(lang, token) rollup; counts exact longs,
+    // the rate the one float.
+    QueryDef(
+      "q_oov_rate",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("lang"),
+            explode(split(lower(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w").asc).limit(20)
+          .select(col("w"), lit(1).as("in_vocab"))
+        toks.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+          .join(broadcast(vocab), Seq("w"), "left")
+          .groupBy("lang")
+          .agg(
+            sum("c").as("n_tokens"),
+            sum(when(col("in_vocab").isNull, col("c")).otherwise(0L)).as("n_oov"))
+          .select(col("lang"), col("n_tokens"), col("n_oov"),
+            round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 4)
+              .as("oov_rate"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (SELECT lang, w
+                            FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+                                  FROM documents)
+                            WHERE w <> ''),
+                   cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                           FROM toks GROUP BY 1),
+                   vocab AS (SELECT w FROM cnt
+                             ORDER BY c DESC, w ASC LIMIT 20),
+                   lw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+                          FROM toks GROUP BY 1, 2),
+                   agg AS (SELECT lang,
+                                  CAST(sum(c) AS BIGINT) AS n_tokens,
+                                  CAST(sum(CASE WHEN v.w IS NULL THEN c ELSE 0 END)
+                                       AS BIGINT) AS n_oov
+                           FROM lw LEFT JOIN vocab v USING (w)
+                           GROUP BY 1)
+              SELECT lang, n_tokens, n_oov,
+                     round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+                       AS oov_rate
+              FROM agg ORDER BY lang""")),
+
     // Approximate TOP-K heavy hitters over the token stream (Misra–Gries
     // mergeable sketch): per-language most frequent words with O(k) state
     // per map task. Counts are lower bounds — rows-only; the error bound

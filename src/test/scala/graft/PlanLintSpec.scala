@@ -462,7 +462,9 @@ class PlanLintSpec extends SparkSpec {
     "q_agg_filter", "q_case_when", "q_datetrunc", "q_datetimeconvert",
     "q_timeseries", "q_filter_basic", "q_filter_between", "q_filter_in",
     "q_topn_group", "q_topn_others", "q_json_match", "q_json_index_rewrite",
-    "q_grouping_sets", "q_rollup", "q_salted_agg", "q_salted_join",
+    // (a): q_cube_agg rides the same cent-granular o_totalprice sum as
+    // q_rollup, expanded over the 2^n grouping sets
+    "q_grouping_sets", "q_rollup", "q_cube_agg", "q_salted_agg", "q_salted_join",
     "q_distinct_sum", "q_distinctcount", "q_lookup_join", "q_idset_filter",
     "q_startree_rollup", "q_startree_filtered", "q_startree_hll",
     "q_startree_kll",
