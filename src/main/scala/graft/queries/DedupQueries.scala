@@ -653,6 +653,36 @@ object DedupQueries {
       },
       None),
 
+    // q_dedup_semantic's EXACT-REGIME twin (the probe-all promotion,
+    // applied to cluster blocking): numCentroids = 1 puts every vector
+    // in ONE cell, so the within-cell self-join IS the all-pairs search
+    // and SemDeDup's exact-cosine verify reproduces the brute-force
+    // near-dup answer — hash-verified against the same all-pairs oracle
+    // as q_dedup_embedding, through the KMeans-assignment + cell-join +
+    // verify production code path (only the cell count differs).
+    QueryDef(
+      "q_dedup_semantic_exact",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.dedup.SemanticDedup.pairs(e, threshold = 0.4, numCentroids = 1)
+          .select(col("a_id"), col("b_id"),
+            (round(col("cos"), 4) + lit(0.0)).as("cos"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                                CAST(unnest(embedding) AS DOUBLE) AS v
+                         FROM embeddings),
+                   dots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v * b.v) AS dot
+                            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+                            GROUP BY 1, 2),
+                   norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1)
+              SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 4) + 0 AS cos
+              FROM dots
+              JOIN norms na ON a_id = na.vec_id
+              JOIN norms nb ON b_id = nb.vec_id
+              WHERE dot / (na.nrm * nb.nrm) >= 0.4
+              ORDER BY a_id, b_id""")),
+
     // Leakage-safe train/valid/test SPLIT: hashing each DOCUMENT into a
     // split leaks near-duplicates across the train/eval boundary (the
     // contamination q_decontaminate exists to catch); hashing each

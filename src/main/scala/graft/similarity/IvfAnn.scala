@@ -124,10 +124,26 @@ object IvfAnn {
     spark.catalog.refreshByPath(s"$path/assigned")
   }
 
-  /** cell-assigned corpus + centroid table (centroid_id, centroid float[]). */
+  /** cell-assigned corpus + centroid table (centroid_id, centroid float[]).
+    *
+    * numCentroids = 1 is the DEGENERATE single-cell index (Spark ML's
+    * KMeans requires k ≥ 2, but argmin over one centroid is cell 0 by
+    * definition, no training needed): the centroid is the corpus mean
+    * (what one Lloyd step converges to) and every vector is assigned
+    * cell 0. SemanticDedup's exact-regime twin uses this to turn cluster
+    * blocking into the all-pairs search.
+    */
   def buildIndex(corpus: DataFrame, numCentroids: Int, seed: Long = 42L)
       : (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
+    if (numCentroids == 1) {
+      val assigned = corpus.withColumn("cell", lit(0))
+      val mean = corpus
+        .agg(graft.functions.VectorFns.vectorAvg(col("embedding")).as("c"))
+        .head.getSeq[Double](0).map(_.toFloat).toArray
+      val centroids = spark.createDataFrame(Seq((0, mean))).toDF("cell", "centroid")
+      return (assigned, centroids)
+    }
     val withVec = corpus.withColumn("__fv", array_to_vector(col("embedding")))
     val model = new KMeans()
       .setK(numCentroids).setSeed(seed).setMaxIter(10)
