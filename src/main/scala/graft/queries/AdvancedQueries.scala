@@ -648,6 +648,52 @@ object AdvancedQueries {
               FROM orders GROUP BY CUBE(yr, o_orderpriority)
               ORDER BY g_yr, g_pr, yr NULLS FIRST, o_orderpriority NULLS FIRST""")),
 
+    // 2-D SKYLINE (Pareto frontier: min price, max size — the classic
+    // dominance query from the OLAP literature): a part is on the
+    // skyline iff no other part is same-or-cheaper with strictly larger
+    // size, or strictly cheaper with same-or-larger size. The scalable
+    // shape is the sorted-sweep identity, not an all-pairs dominance
+    // join: roll parts up to the price-CENTS dictionary (bounded by the
+    // price domain — the q_ks_test window class), run two running-max
+    // windows over it (≤ current cents / strictly cheaper), and
+    // broadcast the dictionary back onto the scan. Exact-tie semantics:
+    // equal (price, size) points don't dominate each other and are all
+    // kept.
+    QueryDef(
+      "q_skyline",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("cents")
+        val p = Tables.part(s, d).select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("cents"),
+          col("p_size"))
+        val dd = p.groupBy("cents").agg(max("p_size").as("mx"))
+          .withColumn("m_le", max("mx").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .withColumn("m_lt", max("mx").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+        p.join(broadcast(dd.select(col("cents"), col("m_le"), col("m_lt"))), "cents")
+          .filter(col("p_size") === col("m_le") &&
+            (col("m_lt").isNull || col("p_size") > col("m_lt")))
+          .select(col("p_partkey"),
+            (col("cents").cast("double") / 100.0).as("price"), col("p_size"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH p AS (SELECT p_partkey,
+                                CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+                                p_size
+                         FROM part),
+                   dict AS (SELECT cents, max(p_size) AS mx FROM p GROUP BY 1),
+                   dd AS (SELECT cents,
+                            max(mx) OVER (ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_le,
+                            max(mx) OVER (ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_lt
+                          FROM dict)
+              SELECT p_partkey, CAST(cents AS DOUBLE) / 100.0 AS price, p_size
+              FROM p JOIN dd USING (cents)
+              WHERE p_size = m_le AND (m_lt IS NULL OR p_size > m_lt)
+              ORDER BY p_partkey""")),
+
     // Skew-resistant two-stage (salted) aggregation — result must equal
     // the plain group-by (the oracle).
     QueryDef(

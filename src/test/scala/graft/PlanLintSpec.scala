@@ -309,6 +309,9 @@ class PlanLintSpec extends SparkSpec {
       // q_gini: the tied-rank cumulative window rides the revenue-cents
       // dictionary (q_ks_test's class), never per-user rows
       "q_gini",
+      // q_skyline: the two running-max dominance windows ride the
+      // price-cents dictionary (q_ks_test's class), never part rows
+      "q_skyline",
       // q_median_ci / q_percentile_ci: the cumulative window rides the
       // purchase-cents dictionary (q_ks_test's class — bounded by the
       // price domain), never raw events; the corpus-sized work is the
