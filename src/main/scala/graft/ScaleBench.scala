@@ -162,6 +162,30 @@ object ScaleBench {
     val slopes = names.map(n => n -> tC(n) / t1(n))
     println(s"""{"metric":"scale_slope","copies":$copies,"slopes":{${
       slopes.map { case (n, s) => s"\"$n\":${f3(s)}" }.mkString(",")}}}""")
+    // Output-growth adjudication for anything slower than input-linear,
+    // in EITHER mode (the full-mode watchlist discipline, applied to the
+    // shortlist's three-point runs too): a time slope above C on a
+    // replicated corpus is only superlinear ENGINE behavior if the true
+    // answer didn't itself grow faster than C — at the shortlist's
+    // calibrated thresholds the cross-copy pair count does grow
+    // quadratically by construction, and this line records it.
+    val overLinear = slopes.collect {
+      case (n, sl) if sl > copies && !sl.isNaN && t1(n) >= 0.05 => (n, sl)
+    }
+    if (overLinear.nonEmpty) {
+      val adj = overLinear.map { case (n, sl) =>
+        val fn = SparkEntry.queries.getOrElse(n,
+          (s: SparkSession, dd: String) => dedupEmbeddingT09(s, dd))
+        val rows1 = fn(spark, dir1).count()
+        val rowsC = fn(spark, dirC).count()
+        val og = rowsC.toDouble / math.max(rows1, 1L)
+        (n, sl, rows1, rowsC, og, sl / og)
+      }
+      println(s"""{"metric":"scale_output_growth","copies":$copies,"queries":{${
+        adj.map { case (n, sl, r1, rC, og, pr) =>
+          s"""\"$n\":{"slope":${f3(sl)},"rows_1x":$r1,"rows_${copies}x":$rC,"output_growth":${f3(og)},"slope_per_output":${f3(pr)}}"""
+        }.mkString(",")}}}""")
+    }
     if (full) {
       // The headline signal of full mode: anything growing meaningfully
       // FASTER than its input. Sub-50ms-at-1× queries are fixed-cost
