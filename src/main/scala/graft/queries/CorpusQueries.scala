@@ -867,22 +867,32 @@ object CorpusQueries {
         def sentinelAt(i: org.apache.spark.sql.Column) =
           masked(i) && (i === 0 || !masked(i - 1))
         val idx = sequence(lit(0L), size(col("__toks")).cast("long") - 1L)
+        // HOF lambdas evaluate interpreted, once per element — so the
+        // mask is materialized ONCE per row (one hash eval per position)
+        // and every downstream lambda just indexes it, instead of
+        // re-deriving masked()/sentinelAt() (≈8 hash evals per token).
+        def mk(i: org.apache.spark.sql.Column) =
+          element_at(col("__mk"), (i + 1).cast("int"))
+        def sentinel(i: org.apache.spark.sql.Column) =
+          mk(i) && (i === 0 || !mk(i - 1))
         graft.engine.Tables.documents(s, d)
           .select(col("doc_id"), toks.as("__toks"))
           .select(col("doc_id"), col("__toks"), idx.as("__idx"))
+          .select(col("doc_id"), col("__toks"), col("__idx"),
+            transform(col("__idx"), i => masked(i)).as("__mk"))
           .select(
             col("doc_id"),
             size(col("__toks")).cast("long").as("n_tokens"),
-            size(filter(col("__idx"), i => masked(i))).cast("long").as("n_masked"),
-            size(filter(col("__idx"), i => sentinelAt(i))).cast("long").as("n_spans"),
+            size(filter(col("__idx"), i => mk(i))).cast("long").as("n_masked"),
+            size(filter(col("__idx"), i => sentinel(i))).cast("long").as("n_spans"),
             concat_ws(" ", filter(
               transform(col("__idx"), i =>
-                when(!masked(i), element_at(col("__toks"), (i + 1).cast("int")))
-                  .when(sentinelAt(i), lit("<extra_id>"))),
+                when(!mk(i), element_at(col("__toks"), (i + 1).cast("int")))
+                  .when(sentinel(i), lit("<extra_id>"))),
               p => p.isNotNull)).as("corrupted"),
             concat_ws(" ", filter(
               transform(col("__idx"), i =>
-                when(masked(i), element_at(col("__toks"), (i + 1).cast("int")))),
+                when(mk(i), element_at(col("__toks"), (i + 1).cast("int")))),
               p => p.isNotNull)).as("target"))
           .orderBy("doc_id")
       },
