@@ -1323,6 +1323,53 @@ object CorpusQueries {
               SELECT node AS section, min(d) AS hops
               FROM bfs GROUP BY node ORDER BY section""")),
 
+    // K-CORE over the deterministic host graph (graph.KCore): 4 peel
+    // rounds at k = 2 drop the one-link periphery and report the densely
+    // embedded core hosts with their induced degrees — the crawl-curation
+    // hub/leaf separation signal next to PageRank/HITS. Per round one
+    // degree agg + two semi-joins on the node key (the CC shuffle shape);
+    // the oracle unrolls the identical rounds as CTE levels.
+    QueryDef(
+      "q_kcore",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val nDocs = docs.count()
+        val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
+        val e0 = docs.select(col("doc_id"), col("source").as("src"))
+          .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
+          .select("src", "dst")
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        val und = e0.select(col("src").as("h"), col("dst").as("nb"))
+          .unionByName(e0.select(col("dst").as("h"), col("src").as("nb")))
+          .distinct()
+        graft.graph.KCore.core(und, k = 2, rounds = 4)
+          .select(col("h").as("host"), col("core_degree"))
+          .orderBy("host")
+      },
+      Some("""WITH nd AS (SELECT count(*) AS c FROM documents),
+                   e0 AS (SELECT DISTINCT a.source AS src, b.source AS dst
+                          FROM documents a
+                          JOIN documents b
+                            ON b.doc_id = (a.doc_id * a.doc_id * 13 + 7) % (SELECT c FROM nd)
+                          WHERE a.source <> b.source),
+                   und AS (SELECT src AS h, dst AS nb FROM e0
+                           UNION SELECT dst, src FROM e0),
+                   k1 AS (SELECT h FROM und GROUP BY h HAVING count(*) >= 2),
+                   e1 AS (SELECT u.h, u.nb FROM und u
+                          JOIN k1 a ON u.h = a.h JOIN k1 b ON u.nb = b.h),
+                   k2 AS (SELECT h FROM e1 GROUP BY h HAVING count(*) >= 2),
+                   e2 AS (SELECT u.h, u.nb FROM e1 u
+                          JOIN k2 a ON u.h = a.h JOIN k2 b ON u.nb = b.h),
+                   k3 AS (SELECT h FROM e2 GROUP BY h HAVING count(*) >= 2),
+                   e3 AS (SELECT u.h, u.nb FROM e2 u
+                          JOIN k3 a ON u.h = a.h JOIN k3 b ON u.nb = b.h),
+                   k4 AS (SELECT h FROM e3 GROUP BY h HAVING count(*) >= 2),
+                   e4 AS (SELECT u.h, u.nb FROM e3 u
+                          JOIN k4 a ON u.h = a.h JOIN k4 b ON u.nb = b.h)
+              SELECT h AS host, CAST(count(*) AS BIGINT) AS core_degree
+              FROM e4 GROUP BY 1 ORDER BY host""")),
+
     // NEIGHBOR-JACCARD LINK PREDICTION over the deterministic host graph
     // (q_pagerank_hosts' edge synthesis): for every host pair sharing at
     // least one graph neighbor, |N(a)∩N(b)| / |N(a)∪N(b)| over UNDIRECTED

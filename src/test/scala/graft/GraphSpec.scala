@@ -184,4 +184,32 @@ class GraphSpec extends SparkSpec {
     assert(hops == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3,
       "e" -> 2, "f" -> 1), hops.toString)
   }
+
+  private def symmetrized(edges: Seq[(String, String)]) = {
+    import spark.implicits._
+    val e = edges.toDF("h", "nb")
+    e.unionByName(e.select(col("nb").as("h"), col("h").as("nb"))).distinct()
+  }
+
+  test("k-core peels the pendant chain and keeps exactly the triangle") {
+    // triangle a-b-c plus a tail c-d-e: the 2-core is the triangle; the
+    // tail peels over two rounds (e first, then d).
+    val und = symmetrized(Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("c", "d"), ("d", "e")))
+    val core = graft.graph.KCore.core(und, k = 2, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core == Map("a" -> 2L, "b" -> 2L, "c" -> 2L), core.toString)
+  }
+
+  test("k-core cascade empties a path graph (no 2-core exists)") {
+    // a 5-node path has no 2-core; each round peels the current endpoints,
+    // so 4 rounds reach the (empty) fixpoint and stay there.
+    val und = symmetrized(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")))
+    assert(graft.graph.KCore.core(und, k = 2, rounds = 4).count() === 0L)
+    // monotone fixpoint: more rounds change nothing on the triangle graph
+    val tri = symmetrized(Seq(("a", "b"), ("b", "c"), ("c", "a")))
+    val r2 = graft.graph.KCore.core(tri, k = 2, rounds = 2).collect().toSet
+    val r6 = graft.graph.KCore.core(tri, k = 2, rounds = 6).collect().toSet
+    assert(r2 == r6 && r2.size == 3, s"$r2 vs $r6")
+  }
 }
