@@ -1370,6 +1370,68 @@ object CorpusQueries {
               SELECT h AS host, CAST(count(*) AS BIGINT) AS core_degree
               FROM e4 GROUP BY 1 ORDER BY host""")),
 
+    // WEIGHTED SINGLE-SOURCE SHORTEST PATHS over the host graph
+    // (graph.ShortestPaths — q_bfs_hops' weighted sibling): edge cost is
+    // inverse link strength (ceil(100 / link count), integer arithmetic
+    // on both engines — heavily-linked host pairs are "close"), 4
+    // Bellman–Ford relaxation rounds from the lexicographically smallest
+    // host. Distances are exact for every node whose shortest path uses
+    // ≤ 4 edges (the bounded-frontier convention); per round one
+    // edge-distance equi-join + one min agg on the node key. The oracle
+    // unrolls the same rounds as CTE levels.
+    QueryDef(
+      "q_sssp_hosts",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val nDocs = docs.count()
+        val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
+        val e0 = docs.select(col("doc_id"), col("source").as("src"))
+          .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
+          .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            expr("(100 + cnt - 1) div cnt").as("w"))
+        val hosts = e0.select(col("src").as("h"))
+          .unionByName(e0.select(col("dst").as("h"))).distinct()
+        val seed = hosts.agg(min("h").as("node"))
+        graft.graph.ShortestPaths.sssp(e0, seed, maxRounds = 4)
+          .select(col("node").as("host"), col("dist"))
+          .orderBy("host")
+      },
+      Some("""WITH nd AS (SELECT count(*) AS c FROM documents),
+                   cnts AS (SELECT a.source AS src, b.source AS dst,
+                                   CAST(count(*) AS BIGINT) AS cnt
+                            FROM documents a
+                            JOIN documents b
+                              ON b.doc_id = (a.doc_id * a.doc_id * 13 + 7) % (SELECT c FROM nd)
+                            GROUP BY 1, 2),
+                   e0 AS (SELECT src, dst, (100 + cnt - 1) // cnt AS w
+                          FROM cnts WHERE src <> dst),
+                   ue AS (SELECT src, dst, min(w) AS w
+                          FROM (SELECT src, dst, w FROM e0
+                                UNION ALL SELECT dst, src, w FROM e0)
+                          GROUP BY 1, 2),
+                   seed AS (SELECT min(h) AS s
+                            FROM (SELECT src AS h FROM ue UNION SELECT dst FROM ue)),
+                   d0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM seed),
+                   d1 AS (SELECT node, min(dist) AS dist
+                          FROM (SELECT * FROM d0 UNION ALL
+                                SELECT ue.dst, d0.dist + ue.w FROM ue
+                                JOIN d0 ON ue.src = d0.node) GROUP BY 1),
+                   d2 AS (SELECT node, min(dist) AS dist
+                          FROM (SELECT * FROM d1 UNION ALL
+                                SELECT ue.dst, d1.dist + ue.w FROM ue
+                                JOIN d1 ON ue.src = d1.node) GROUP BY 1),
+                   d3 AS (SELECT node, min(dist) AS dist
+                          FROM (SELECT * FROM d2 UNION ALL
+                                SELECT ue.dst, d2.dist + ue.w FROM ue
+                                JOIN d2 ON ue.src = d2.node) GROUP BY 1),
+                   d4 AS (SELECT node, min(dist) AS dist
+                          FROM (SELECT * FROM d3 UNION ALL
+                                SELECT ue.dst, d3.dist + ue.w FROM ue
+                                JOIN d3 ON ue.src = d3.node) GROUP BY 1)
+              SELECT node AS host, dist FROM d4 ORDER BY host""")),
+
     // NEIGHBOR-JACCARD LINK PREDICTION over the deterministic host graph
     // (q_pagerank_hosts' edge synthesis): for every host pair sharing at
     // least one graph neighbor, |N(a)∩N(b)| / |N(a)∪N(b)| over UNDIRECTED

@@ -212,4 +212,30 @@ class GraphSpec extends SparkSpec {
     val r6 = graft.graph.KCore.core(tri, k = 2, rounds = 6).collect().toSet
     assert(r2 == r6 && r2.size == 3, s"$r2 vs $r6")
   }
+
+  test("weighted sssp prefers the cheap two-hop path once rounds allow it") {
+    import spark.implicits._
+    // direct a-b costs 5; the a-c-b detour costs 2 — one relaxation round
+    // can only see the direct edge, two rounds find the detour.
+    val edges = Seq(("a", "b", 5L), ("a", "c", 1L), ("c", "b", 1L))
+      .toDF("src", "dst", "w")
+    val seed = Seq("a").toDF("node")
+    def distMap(rounds: Int) =
+      graft.graph.ShortestPaths.sssp(edges, seed, rounds)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(distMap(1) == Map("a" -> 0L, "b" -> 5L, "c" -> 1L))
+    assert(distMap(2) == Map("a" -> 0L, "b" -> 2L, "c" -> 1L))
+    // fixpoint: further rounds change nothing
+    assert(distMap(4) == distMap(2))
+  }
+
+  test("weighted sssp with unit weights reduces to bfs hop counts") {
+    import spark.implicits._
+    val chain = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L))
+      .toDF("src", "dst", "w")
+    val seed = Seq("a").toDF("node")
+    val dist = graft.graph.ShortestPaths.sssp(chain, seed, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+  }
 }
