@@ -261,6 +261,32 @@ object CoreSql {
       },
       None),
 
+    // Pinot DISTINCTCOUNTBITMAP: EXACT distinct count through a MERGEABLE
+    // bitmap aggregate (the RoaringBitmap posture — Pinot's exact sibling
+    // of DISTINCTCOUNTHLL). Spark's built-in bitmap family expresses it
+    // natively: keys bucket into fixed 32k-bit bitmap segments
+    // (bitmap_bucket_number), each (group, bucket) cell ORs bit positions
+    // map-side into one binary blob (bitmap_construct_agg — O(4KB) state
+    // per cell, codegen'd), and the group's distinct count is the sum of
+    // per-bucket popcounts. Two dictionary-sized aggregations; raw keys
+    // shuffle ONLY as compressed bitmap blobs, never as values — the
+    // 100 TB shape for exact distinct over a dense-ish int key domain.
+    // Hash-verified against plain count(DISTINCT).
+    QueryDef(
+      "q_distinctcount_bitmap",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"),
+            expr("bitmap_bucket_number(l_partkey)").as("__bucket"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))")
+            .as("__bm"))
+          .groupBy("l_returnflag")
+          .agg(sum(expr("bitmap_count(__bm)")).as("nd_parts"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts
+              FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
     // q_percentile_kll's EXACT-REGIME twin (the theta-twin promotion
     // pattern): with k above every group's row count nothing ever
     // compacts, the sketch IS the sorted multiset, and kll_quantile
