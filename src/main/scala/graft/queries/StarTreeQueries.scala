@@ -159,6 +159,37 @@ object StarTreeQueries {
       },
       None),
 
+    // q_startree_hll's EXACT sibling (Pinot's
+    // SEGMENTPARTITIONEDDISTINCTCOUNT posture, realized with Spark's
+    // mergeable bitmap blobs instead of HLL sketches): cube cells at
+    // (returnflag, linestatus, key-bucket) each hold ONE bitmap blob of
+    // the partkeys seen (bitmap_construct_agg — bounded 4KB state per
+    // cell), and the coarser group-by is served by OR-merging cell blobs
+    // (bitmap_or_agg) and summing popcounts — the fact is never
+    // rescanned and the rollup is LOSSLESS, so the cube-served distinct
+    // count hash-verifies against plain count(DISTINCT). The mergeable-
+    // blob rollup is exactly the star-tree serve path with exact state
+    // where the HLL row accepts ±5%.
+    QueryDef(
+      "q_startree_distinct_exact",
+      (s, d) => {
+        val cells = Tables.lineitem(s, d)
+          .select("l_returnflag", "l_linestatus", "l_partkey")
+          .groupBy(col("l_returnflag"), col("l_linestatus"),
+            expr("bitmap_bucket_number(l_partkey)").as("__bucket"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))")
+            .as("bm"))
+        cells
+          .groupBy("l_returnflag", "__bucket")
+          .agg(expr("bitmap_or_agg(bm)").as("bm"))
+          .groupBy("l_returnflag")
+          .agg(sum(expr("bitmap_count(bm)")).as("nd_parts"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+                     CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts
+              FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
     // q_startree_kll's EXACT-REGIME twin (q_percentile_kll_exact's
     // argument pushed through the TRANSPARENT REWRITE): the fact is one
     // ship month (≤ 8k rows at every verified sf, far under KllK=16384),
