@@ -1640,6 +1640,129 @@ object BehaviorQueries {
                      round(CAST(sum(p5_u) AS BIGINT) / (count(*) * 1000000.0), 4) AS p_at_5,
                      round(CAST(sum(rec_u) AS BIGINT) / (count(*) * 1000000.0), 4) AS recall_at_5,
                      round(CAST(sum(ndcg_u) AS BIGINT) / (count(*) * 1000000.0), 4) AS ndcg_at_5
-              FROM m"""))
+              FROM m""")),
+
+    // COVARIATE BALANCE CHECK (standardized mean difference) — the
+    // pre-experiment diagnostic next to q_srm_check: for each pre-period
+    // covariate (clicks, views, spend cents per user) and the
+    // deterministic 50/50 assignment (user_id % 2), SMD =
+    // (mean_t − mean_c) / sqrt((var_t + var_c)/2); |SMD| > 0.1 is the
+    // standard imbalance flag. One per-user rollup (exact longs), a
+    // 3-way stack to (covariate, arm) cells, and scalar math on the
+    // 6-cell dictionary — sums are integer-exact so both engines divide
+    // identical numbers (class-c estimator output at s=6).
+    QueryDef(
+      "q_balance_check",
+      (s, d) => {
+        val per = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+            sum(when(col("event_type") === "purchase",
+              round(col("value") * 100).cast("long")).otherwise(0L)).as("spend_c"))
+          .withColumn("arm", (col("user_id") % 2).cast("int"))
+        val long = per.select(col("arm"),
+          expr("stack(3, 'clicks', clicks, 'views', views, 'spend_c', spend_c)")
+            .as(Seq("covariate", "v")))
+        val st = long.groupBy("covariate", "arm").agg(
+          count(lit(1)).as("n"), sum("v").as("sv"),
+          sum(col("v") * col("v")).as("svv"))
+        def pick(a: Int, c: String) = max(when(col("arm") === a, col(c)))
+        val w = st.groupBy("covariate").agg(
+          pick(0, "n").as("n0"), pick(0, "sv").as("s0"), pick(0, "svv").as("ss0"),
+          pick(1, "n").as("n1"), pick(1, "sv").as("s1"), pick(1, "svv").as("ss1"))
+        def D(c: String) = col(c).cast("double")
+        val m0 = D("s0") / D("n0")
+        val m1 = D("s1") / D("n1")
+        val v0 = (D("ss0") - D("s0") * D("s0") / D("n0")) / (D("n0") - 1)
+        val v1 = (D("ss1") - D("s1") * D("s1") / D("n1")) / (D("n1") - 1)
+        w.select(col("covariate"), col("n0"), col("n1"),
+            round(m0, 4).as("mean_ctl"), round(m1, 4).as("mean_trt"),
+            round((m1 - m0) / sqrt((v0 + v1) / 2), 6).as("smd"))
+          .orderBy("covariate")
+      },
+      Some("""WITH per AS (SELECT user_id,
+                     CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+                     CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                                   THEN CAST(round(value * 100) AS BIGINT)
+                                   ELSE 0 END) AS BIGINT) AS spend_c
+              FROM events GROUP BY 1),
+                   lg AS (SELECT CAST(user_id % 2 AS INT) AS arm, 'clicks' AS covariate, clicks AS v FROM per
+                          UNION ALL SELECT CAST(user_id % 2 AS INT), 'views', views FROM per
+                          UNION ALL SELECT CAST(user_id % 2 AS INT), 'spend_c', spend_c FROM per),
+                   st AS (SELECT covariate, arm, CAST(count(*) AS BIGINT) AS n,
+                                 CAST(sum(v) AS BIGINT) AS sv,
+                                 CAST(sum(v * v) AS BIGINT) AS svv
+                          FROM lg GROUP BY 1, 2),
+                   w AS (SELECT covariate,
+                                max(CASE WHEN arm = 0 THEN n END) AS n0,
+                                max(CASE WHEN arm = 0 THEN sv END) AS s0,
+                                max(CASE WHEN arm = 0 THEN svv END) AS ss0,
+                                max(CASE WHEN arm = 1 THEN n END) AS n1,
+                                max(CASE WHEN arm = 1 THEN sv END) AS s1,
+                                max(CASE WHEN arm = 1 THEN svv END) AS ss1
+                         FROM st GROUP BY 1),
+                   m AS (SELECT covariate, n0, n1,
+                                CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+                                CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                                (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                                  / (CAST(n0 AS DOUBLE) - 1) AS v0,
+                                (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                                  / (CAST(n1 AS DOUBLE) - 1) AS v1
+                         FROM w)
+              SELECT covariate, n0, n1,
+                     round(m0, 4) AS mean_ctl, round(m1, 4) AS mean_trt,
+                     round((m1 - m0) / sqrt((v0 + v1) / 2), 6) AS smd
+              FROM m ORDER BY covariate""")),
+
+    // MINIMUM DETECTABLE EFFECT — the power-analysis planning row every
+    // experimentation platform serves before a test launches: per metric
+    // stream (event type), the smallest absolute/relative lift a 50/50
+    // split of the observed population detects at α = 0.05 (two-sided)
+    // and 80% power: MDE = (z_{0.975} + z_{0.8}) · sqrt(2·s²/(n/2)).
+    // Values quantize to cents first, so n/Σx/Σx² are EXACT longs and
+    // both engines run identical closed-form scalar math (class c, s=6);
+    // the z constants are hard-coded identically on both sides.
+    QueryDef(
+      "q_mde",
+      (s, d) => {
+        val g = Tables.events(s, d)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("vc"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("vc").as("sx"),
+            sum(col("vc") * col("vc")).as("sxx"))
+        def D(c: String) = col(c).cast("double")
+        val mean = D("sx") / D("n")
+        val varS = (D("sxx") - D("sx") * D("sx") / D("n")) / (D("n") - 1)
+        val nArm = floor(col("n") / 2).cast("double")
+        val mdeC = lit(1.959964 + 0.841621) * sqrt(lit(2.0) * varS / nArm)
+        g.select(col("event_type"), col("n"),
+            round(mean / 100, 4).as("mean_value"),
+            round(mdeC / 100, 4).as("mde_abs"),
+            round(mdeC / mean, 6).as("mde_rel"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sx,
+                                CAST(sum(CAST(round(value * 100) AS BIGINT)
+                                         * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxx
+                         FROM events GROUP BY 1),
+                   m AS (SELECT event_type, n,
+                                CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                                (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                                  / (CAST(n AS DOUBLE) - 1) AS vs,
+                                CAST(floor(n / 2) AS DOUBLE) AS n_arm
+                         FROM g),
+                   e AS (SELECT event_type, n, mean,
+                                (1.959964 + 0.841621) * sqrt(2.0 * vs / n_arm) AS mde_c
+                         FROM m)
+              SELECT event_type, n,
+                     round(mean / 100, 4) AS mean_value,
+                     round(mde_c / 100, 4) AS mde_abs,
+                     round(mde_c / mean, 6) AS mde_rel
+              FROM e ORDER BY event_type"""))
   )
 }
