@@ -81,6 +81,23 @@ object ScaleBench {
     * near-dup setting (cos ≥ 0.9, r=8/b=16 per EmbeddingLsh's analysis) is
     * the 100 TB-relevant slope, measured here alongside it.
     */
+  /** Resolve a shortlist name to its builder. The only name NOT in
+    * SparkEntry.queries is the calibrated-threshold custom entry
+    * `dedup_embedding_t09`; anything else unknown is a wiring bug and
+    * must throw, not silently fall back to measuring the wrong query
+    * (output-growth adjudication against a mismatched builder would
+    * quietly mis-grade a future shortlist entry).
+    */
+  private def resolve(name: String): (SparkSession, String) => DataFrame =
+    SparkEntry.queries.get(name) match {
+      case Some(fn) => fn
+      case None if name == "dedup_embedding_t09" =>
+        (s: SparkSession, d: String) => dedupEmbeddingT09(s, d)
+      case None => throw new IllegalArgumentException(
+        s"ScaleBench: unknown shortlist query '$name' - not in " +
+          "SparkEntry.queries and not the known custom entry")
+    }
+
   private def dedupEmbeddingT09(s: SparkSession, d: String): DataFrame =
     graft.dedup.EmbeddingLsh.nearPairs(
       graft.engine.Tables.embeddings(s, d), "vec_id", "embedding",
@@ -120,8 +137,7 @@ object ScaleBench {
         .filter(n => only.forall(_.contains(n)))
 
     def timeAll(dir: String, reps: Int): Map[String, Double] = names.map { name =>
-      val fn = SparkEntry.queries.getOrElse(name,
-        (s: SparkSession, d: String) => dedupEmbeddingT09(s, d))
+      val fn = resolve(name)
       val times = (1 to reps).flatMap { _ =>
         // Cold per rep: the session-scoped pairs/cluster/IVF caches would
         // otherwise make reps 2..N measure a cache lookup instead of the
@@ -174,8 +190,7 @@ object ScaleBench {
     }
     if (overLinear.nonEmpty) {
       val adj = overLinear.map { case (n, sl) =>
-        val fn = SparkEntry.queries.getOrElse(n,
-          (s: SparkSession, dd: String) => dedupEmbeddingT09(s, dd))
+        val fn = resolve(n)
         val rows1 = fn(spark, dir1).count()
         val rowsC = fn(spark, dirC).count()
         val og = rowsC.toDouble / math.max(rows1, 1L)

@@ -26,8 +26,19 @@ object ShortestPaths {
     */
   def sssp(edges: DataFrame, seed: DataFrame, maxRounds: Int): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
-    val ue = edges.select(col("src"), col("dst"), col("w"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    // Enforce the documented non-negativity contract IN-PLAN (a
+    // scan-local assert, zero extra jobs — the BuildLazinessSpec
+    // discipline): a negative-weight edge fails the query loudly at
+    // execution instead of silently producing ≤R-round distances that
+    // mean nothing under negative cycles.
+    val guarded = edges.withColumn("w",
+      when(col("w") < 0, raise_error(concat(
+        lit("ShortestPaths.sssp: negative edge weight "), col("w").cast("string"),
+        lit(" on "), col("src").cast("string"), lit("->"), col("dst").cast("string"),
+        lit(" — Bellman-Ford's bounded-round regime requires w >= 0"))))
+        .otherwise(col("w")))
+    val ue = guarded.select(col("src"), col("dst"), col("w"))
+      .union(guarded.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .groupBy("src", "dst").agg(min("w").as("w"))
       .localCheckpoint(eager = false)
     var dist = seed.select(col("node"), lit(0L).as("dist"))

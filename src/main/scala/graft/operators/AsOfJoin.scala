@@ -28,10 +28,28 @@ object AsOfJoin {
   /** @param payloadCols right-side columns delivered onto each left row
     *                    (null when no right row precedes the left row).
     */
+  /** The payload struct joins the (key, ts) tie-break SORT key, so every
+    * payload column must be orderable — validated up front with a named
+    * column in the error, instead of letting an unorderable type (e.g.
+    * MapType) surface as a generic analyzer exception deep in the window
+    * sort.
+    */
+  private def requireOrderablePayload(
+      right: DataFrame, payloadCols: Seq[String]): Unit =
+    payloadCols.foreach { c =>
+      val dt = right.select(col(c)).schema.head.dataType
+      require(
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt),
+        s"as-of payload column '$c' has unorderable type ${dt.simpleString}; " +
+          "payload columns join the deterministic (key, ts) tie-break sort " +
+          "key — drop it from payloadCols or cast it to an orderable type")
+    }
+
   def asof(
       left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String,
       payloadCols: Seq[String]): DataFrame = {
+    requireOrderablePayload(right, payloadCols)
     val payload = struct(payloadCols.map(col): _*)
     val payloadType = right.select(payload).schema.head.dataType
     val leftRow = struct(left.columns.map(col).toSeq: _*)
@@ -74,6 +92,7 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String,
       payloadCols: Seq[String]): DataFrame = {
+    requireOrderablePayload(right, payloadCols)
     val payload = struct(payloadCols.map(col): _*)
     val payloadType = right.select(payload).schema.head.dataType
     val leftRow = struct(left.columns.map(col).toSeq: _*)

@@ -75,6 +75,6 @@ object LmScore {
       spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
       lmPath: String): DataFrame =
     score(docs, idCol, textCol,
-      spark.read.parquet(s"$lmPath/vocab"),
-      spark.read.parquet(s"$lmPath/meta"))
+      graft.sources.SegmentCatalog.readStableSchema(spark, s"$lmPath/vocab"),
+      graft.sources.SegmentCatalog.readStableSchema(spark, s"$lmPath/meta"))
 }

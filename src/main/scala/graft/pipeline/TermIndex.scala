@@ -54,7 +54,7 @@ object TermIndex {
     */
   def topTermsIndexed(spark: SparkSession, path: String, k: Int = 15): DataFrame = {
     spark.catalog.refreshByPath(path)
-    spark.read.parquet(path)
+    graft.sources.SegmentCatalog.readStableSchema(spark, path)
       .select(explode(col("top")).as("t"))
       .groupBy(col("t.item").as("term"))
       .agg(sum("t.est_count").as("cnt"))

@@ -67,6 +67,6 @@ object Tfidf {
       spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, k: Int): DataFrame =
     topTerms(docs, idCol, textCol,
-      spark.read.parquet(s"$indexPath/df"),
-      spark.read.parquet(s"$indexPath/meta"), k)
+      graft.sources.SegmentCatalog.readStableSchema(spark, s"$indexPath/df"),
+      graft.sources.SegmentCatalog.readStableSchema(spark, s"$indexPath/meta"), k)
 }

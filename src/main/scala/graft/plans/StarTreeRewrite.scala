@@ -65,7 +65,7 @@ object StarTreeCatalog {
     */
   def cubeRelation(spark: SparkSession, cubePath: String): LogicalPlan =
     relations.computeIfAbsent(cubePath,
-      p => spark.read.parquet(p).queryExecution.analyzed)
+      p => graft.sources.SegmentCatalog.readStableSchema(spark, p).queryExecution.analyzed)
 
   def find(paths: Set[String]): Option[CubeDef] = {
     val norm = paths.map(normalize)

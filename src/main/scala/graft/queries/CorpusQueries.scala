@@ -622,7 +622,12 @@ object CorpusQueries {
       "q_pagerank_hosts",
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-        val nDocs = docs.count()
+        // corpus size from parquet FOOTER metadata, not an eager
+        // count() job (at 100 TB that count is its own corpus scan;
+        // the footer read is driver-side and free) — same discipline
+        // as q_dedup_embedding_prod's band tuning.
+        val nDocs = graft.sources.SegmentCatalog
+          .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
         val edges = docs.select(col("doc_id"), col("source").as("src"))
           .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
@@ -686,7 +691,12 @@ object CorpusQueries {
       "q_hits_hosts",
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-        val nDocs = docs.count()
+        // corpus size from parquet FOOTER metadata, not an eager
+        // count() job (at 100 TB that count is its own corpus scan;
+        // the footer read is driver-side and free) — same discipline
+        // as q_dedup_embedding_prod's band tuning.
+        val nDocs = graft.sources.SegmentCatalog
+          .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
         val edges = docs.select(col("doc_id"), col("source").as("src"))
           .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
@@ -1095,7 +1105,12 @@ object CorpusQueries {
       "q_communities",
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-        val nDocs = docs.count()
+        // corpus size from parquet FOOTER metadata, not an eager
+        // count() job (at 100 TB that count is its own corpus scan;
+        // the footer read is driver-side and free) — same discipline
+        // as q_dedup_embedding_prod's band tuning.
+        val nDocs = graft.sources.SegmentCatalog
+          .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
         val edges = docs.select(col("doc_id"), col("source").as("src"))
           .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
@@ -1168,11 +1183,17 @@ object CorpusQueries {
         // vacuous; rank arithmetic over the host dictionary guarantees
         // every consecutive triple closes a triangle.
         val hosts = Tables.documents(s, d).select(col("source")).distinct()
-        val n = hosts.count()
+        // The host-dictionary size can't come from parquet footers (it's
+        // a DISTINCT count), so instead of an eager count() job at build
+        // time it stays inside the plan as a broadcast scalar aggregate —
+        // one dictionary-sized agg fused into the same Spark job that
+        // consumes it.
+        val nDf = hosts.agg(count(lit(1)).as("__n"))
         val w = org.apache.spark.sql.expressions.Window.orderBy("source")
         val ids = hosts.withColumn("id", row_number().over(w) - 1)
-        val raw = ids.select(col("id"),
-            explode(array((col("id") + 1) % n, (col("id") + 2) % n)).as("id2"))
+        val raw = ids.crossJoin(broadcast(nDf)).select(col("id"),
+            explode(array((col("id") + 1) % col("__n"),
+              (col("id") + 2) % col("__n"))).as("id2"))
           .join(ids.select(col("id").as("i1"), col("source").as("src")),
             col("id") === col("i1"))
           .join(ids.select(col("id").as("i2"), col("source").as("dst")),
@@ -1233,7 +1254,12 @@ object CorpusQueries {
       "q_connected_components",
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-        val nDocs = docs.count()
+        // corpus size from parquet FOOTER metadata, not an eager
+        // count() job (at 100 TB that count is its own corpus scan;
+        // the footer read is driver-side and free) — same discipline
+        // as q_dedup_embedding_prod's band tuning.
+        val nDocs = graft.sources.SegmentCatalog
+          .metadataRowCount(s, s"$d/documents.parquet")
         val a = docs.filter(col("doc_id") % 6 === 0)
           .select(col("doc_id"),
             concat_ws("#", col("source"),
@@ -1283,7 +1309,12 @@ object CorpusQueries {
       "q_bfs_hops",
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-        val nDocs = docs.count()
+        // corpus size from parquet FOOTER metadata, not an eager
+        // count() job (at 100 TB that count is its own corpus scan;
+        // the footer read is driver-side and free) — same discipline
+        // as q_dedup_embedding_prod's band tuning.
+        val nDocs = graft.sources.SegmentCatalog
+          .metadataRowCount(s, s"$d/documents.parquet")
         val a = docs.filter(col("doc_id") % 6 === 0)
           .select(col("doc_id"),
             concat_ws("#", col("source"),
@@ -1333,7 +1364,12 @@ object CorpusQueries {
       "q_kcore",
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-        val nDocs = docs.count()
+        // corpus size from parquet FOOTER metadata, not an eager
+        // count() job (at 100 TB that count is its own corpus scan;
+        // the footer read is driver-side and free) — same discipline
+        // as q_dedup_embedding_prod's band tuning.
+        val nDocs = graft.sources.SegmentCatalog
+          .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
         val e0 = docs.select(col("doc_id"), col("source").as("src"))
           .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
@@ -1383,7 +1419,12 @@ object CorpusQueries {
       "q_sssp_hosts",
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-        val nDocs = docs.count()
+        // corpus size from parquet FOOTER metadata, not an eager
+        // count() job (at 100 TB that count is its own corpus scan;
+        // the footer read is driver-side and free) — same discipline
+        // as q_dedup_embedding_prod's band tuning.
+        val nDocs = graft.sources.SegmentCatalog
+          .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
         val e0 = docs.select(col("doc_id"), col("source").as("src"))
           .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
@@ -1447,7 +1488,12 @@ object CorpusQueries {
       "q_jaccard_neighbors",
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-        val nDocs = docs.count()
+        // corpus size from parquet FOOTER metadata, not an eager
+        // count() job (at 100 TB that count is its own corpus scan;
+        // the footer read is driver-side and free) — same discipline
+        // as q_dedup_embedding_prod's band tuning.
+        val nDocs = graft.sources.SegmentCatalog
+          .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
         val e0 = docs.select(col("doc_id"), col("source").as("src"))
           .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
@@ -1724,6 +1770,17 @@ object CorpusQueries {
         val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
           s"_${src.lastModified()}_${src.length()}"
         val dir = new java.io.File(s"/tmp/graft_avro_$tag")
+        // prune superseded cache generations for THIS fixture path (same
+        // dir prefix, different mtime/size key) so regenerated fixtures
+        // don't accumulate unbounded /tmp state across rounds
+        val prefix = "graft_avro_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+        Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(prefix) && f.getName != dir.getName &&
+            !f.getName.contains("_tmp_"))
+          .foreach { stale =>
+            Option(stale.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+            stale.delete()
+          }
         if (!new java.io.File(dir, "part0.avro").exists()) {
           val schema = org.apache.avro.SchemaBuilder.record("doc").fields()
             .optionalLong("doc_id").optionalString("text")
@@ -1738,10 +1795,23 @@ object CorpusQueries {
           tmp.mkdirs()
           AvroIngest.writeFile(even, schema, new java.io.File(tmp, "part0.avro"))
           AvroIngest.writeFile(odd, schema, new java.io.File(tmp, "part1.avro"))
-          if (!tmp.renameTo(dir)) { // lost the race: a complete dir exists
-            new java.io.File(tmp, "part0.avro").delete()
-            new java.io.File(tmp, "part1.avro").delete()
-            tmp.delete()
+          if (!tmp.renameTo(dir)) {
+            // "lost the race" is only TRUE if a complete destination
+            // actually exists — verify before discarding the fresh tmp
+            // files; any other rename failure (permissions, partial
+            // state) must surface here, not as an obscure read error on
+            // a nonexistent cache dir two lines later.
+            if (new java.io.File(dir, "part0.avro").exists() &&
+                new java.io.File(dir, "part1.avro").exists()) {
+              new java.io.File(tmp, "part0.avro").delete()
+              new java.io.File(tmp, "part1.avro").delete()
+              tmp.delete()
+            } else {
+              throw new java.io.IOException(
+                s"q_avro_ingest: rename $tmp -> $dir failed and the " +
+                  "destination is absent or incomplete — not a benign " +
+                  "concurrent-writer race; investigate the tmp dir state")
+            }
           }
         }
         AvroIngest.read(s, dir.toString)

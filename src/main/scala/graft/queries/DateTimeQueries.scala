@@ -203,7 +203,7 @@ object DateTimeQueries {
     QueryDef(
       "q_timestamp_rewrite",
       (s, d) =>
-        s.read.parquet(tsSegment(s, d))
+        graft.sources.SegmentCatalog.readStableSchema(s, tsSegment(s, d))
           .groupBy(date_trunc("day", col("ts")).as("day"))
           .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
           .orderBy("day"),
@@ -575,12 +575,20 @@ object DateTimeQueries {
           .agg(sum(round(col("value") * 100).cast("long")).as("rev_c"))
         // Machine-check the exact-regime precondition instead of letting
         // it silently expire: the KLL sketch is the exact sorted multiset
-        // only while k ≥ n(n−1)/2 slope pairs, so k is DERIVED from the
-        // day count (one cheap action on the day dictionary). Past ~15
-        // years of daily data the exact sketch would stop being a
-        // sensible buffer — fail loudly with the alternative rather than
-        // silently turning approximate under an exactness oracle.
-        val nd = day.count()
+        // only while k ≥ n(n−1)/2 slope pairs. The day count is BOUNDED
+        // from parquet FOOTER ts statistics (span in days ≥ distinct
+        // days — a driver-side footer read, zero Spark jobs at build;
+        // the BuildLazinessSpec discipline), falling back to a day-
+        // dictionary count only when a writer omitted column stats.
+        // k sized to the bound is still exact: k ≥ bound ≥ actual pairs.
+        // Past ~15 years of daily data the exact sketch would stop being
+        // a sensible buffer — fail loudly with the alternative rather
+        // than silently turning approximate under an exactness oracle.
+        val nd = graft.sources.SegmentCatalog
+          .metadataColumnRangeLong(s, s"$d/events.parquet", "ts") match {
+            case Some((loNs, hiNs)) => (hiNs - loNs) / 86400000000000L + 1
+            case None => day.count()
+          }
         val pairs = nd * (nd - 1) / 2
         require(pairs <= (1L << 24),
           s"q_theil_sen exact regime needs a k >= n(n-1)/2 = $pairs buffer; " +

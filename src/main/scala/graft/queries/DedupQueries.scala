@@ -504,8 +504,16 @@ object DedupQueries {
       "q_dedup_simhash_exact",
       (s, d) => {
         val docs = Tables.documents(s, d).select("doc_id", "text")
+        // The reversed-twin id namespace is provably disjoint: offset =
+        // max(doc_id)+1 from parquet FOOTER stats (exact for int64, zero
+        // Spark jobs), not a fixed 1e6 that would alias real doc_ids on
+        // a >1M-doc corpus. The oracle replays the same max(doc_id)+1.
+        val idOffset = graft.sources.SegmentCatalog
+          .metadataColumnRangeLong(s, s"$d/documents.parquet", "doc_id")
+          .map(_._2 + 1L)
+          .getOrElse(docs.agg(max("doc_id")).head.getLong(0) + 1L)
         val reversed = docs.filter(col("doc_id") % 37 === 0)
-          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          .select((col("doc_id") + lit(idOffset)).as("doc_id"),
             array_join(reverse(split(lower(col("text")), " ")), " ").as("text"))
         val corpus = docs.unionByName(reversed)
         val cand = SimHash.nearPairs(corpus, "doc_id", "text", maxHamming = 0)
@@ -521,7 +529,8 @@ object DedupQueries {
           .orderBy("a_id", "b_id")
       },
       Some("""WITH base AS (SELECT doc_id, text FROM documents),
-                   rev AS (SELECT doc_id + 1000000 AS doc_id,
+                   off AS (SELECT max(doc_id) + 1 AS o FROM base),
+                   rev AS (SELECT doc_id + (SELECT o FROM off) AS doc_id,
                                   array_to_string(list_reverse(string_split(lower(text), ' ')), ' ') AS text
                            FROM base WHERE doc_id % 37 = 0),
                    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM rev),

@@ -159,7 +159,7 @@ object JsonQueries {
     QueryDef(
       "q_json_index_rewrite",
       (s, d) =>
-        s.read.parquet(jsonSegment(s, d))
+        graft.sources.SegmentCatalog.readStableSchema(s, jsonSegment(s, d))
           .filter(get_json_object(col("props"), "$.k").cast("int") >= 50)
           .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
           .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))

@@ -287,6 +287,71 @@ object MultimodalQueries {
       },
       None),
 
+    // q_dedup_image's EXACT-REGIME twin (the q_dedup_simhash_exact
+    // pattern): radius-0 image dedup is EXACT pixel equality, so the
+    // fingerprint tightens from lossy aHash to the md5 of the decoded
+    // RGB buffer and the result is SQL-decidable. Every 11th doc emits a
+    // PNG, a GIF and a BMP of the SAME synthesized 32×32 buffer (all
+    // three codecs are lossless — MediaCodecFormatsSpec pins the
+    // round-trips) plus a PNG of a +24-shifted buffer that must NOT
+    // match. The engine work — format-dispatched decode, fingerprint,
+    // equi-join on the fingerprint (the q_dedup_exact shape, never
+    // pairwise pixels) — must therefore produce EXACTLY the
+    // {png,gif,bmp} triangle per doc and nothing else; the oracle
+    // replays that closed form. A lossy decode, a codec round-trip bug,
+    // or a fingerprint collision with the shifted twin all break the
+    // hash.
+    QueryDef(
+      "q_dedup_image_exact",
+      (s, d) => {
+        import s.implicits._
+        val fp = Tables.documents(s, d)
+          .filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val (w, h, bs) = (32, 32, 8)
+            val rgb = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < w * h) {
+              val block = (i / w / bs) * (w / bs) + (i % w / bs)
+              val v = id * 2654435761L + block * 40503L
+              rgb(i * 3) = (32 + (v % 5) * 48).toByte
+              rgb(i * 3 + 1) = (32 + ((v >> 3) % 5) * 48).toByte
+              rgb(i * 3 + 2) = (32 + ((v >> 6) % 5) * 48).toByte
+              i += 1
+            }
+            val img = MediaCodec.PngImage(w, h, rgb)
+            val shifted = MediaCodec.PngImage(w, h,
+              rgb.map(b => ((b & 0xff) + 24).toByte)) // 224+24 < 256: no clip
+            Seq(
+              (id, 0, MediaCodec.encodePng(img)),
+              (id, 2, graft.multimodal.GifCodec.encodeGif(img).get),
+              (id, 3, MediaCodec.encodeBmp(img)),
+              (id, 4, MediaCodec.encodePng(shifted)))
+          }
+          .flatMap { case (id, variant, bytes) =>
+            Multimodal.decodeImage(bytes).map { img =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              (id, variant, md.digest(img.rgb)
+                .map(b => f"${b & 0xff}%02x").mkString)
+            }
+          }
+          .toDF("doc_id", "variant", "fp")
+        fp.as("a")
+          .join(fp.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("a.fp") === col("b.fp") &&
+              col("a.variant") < col("b.variant"))
+          .select(col("a.doc_id").as("doc_id"),
+            col("a.variant").as("variant_a"),
+            col("b.variant").as("variant_b"))
+          .orderBy("doc_id", "variant_a", "variant_b")
+      },
+      Some("""SELECT doc_id, a AS variant_a, b AS variant_b
+              FROM (SELECT doc_id FROM documents WHERE doc_id % 11 = 0),
+                   (VALUES (0, 2), (0, 3), (2, 3)) AS v(a, b)
+              ORDER BY doc_id, variant_a, variant_b""")),
+
     // Frame sampling over video rows: the frame axis is deterministic
     // arithmetic over the synthesized duration, so DuckDB can verify the
     // sampled frame counts exactly (floor((dur-1)/step)+1 per clip).

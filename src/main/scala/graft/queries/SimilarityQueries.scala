@@ -97,6 +97,43 @@ object SimilarityQueries {
       },
       None),
 
+    // q_ann_multiprobe's EXACT-REGIME twin (the q_ann_lsh_exact
+    // construction composed with multiprobe): at numPlanes = 1 there are
+    // exactly two buckets and nProbe = 2 probes the base bucket plus its
+    // one flip — every candidate is scored through the SAME probe-
+    // generation/join/k-heap machinery the approximate row runs, and the
+    // result must equal brute-force cosine top-k, hash-verified against
+    // the all-pairs DuckDB oracle. Each candidate lives in exactly one
+    // bucket, so probe-all introduces no duplicate pairs.
+    QueryDef(
+      "q_ann_multiprobe_exact",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Ann.knnLshMultiProbe(e.filter(col("vec_id") < 10), e, k = 3,
+            nProbe = 2, numPlanes = 1)
+          .select(col("q_id"), col("cand_id"), col("rank"),
+            (round(col("sim"), 4) + lit(0.0)).as("sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                                CAST(unnest(embedding) AS DOUBLE) AS v
+                         FROM embeddings),
+                   norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+                   dots AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id, sum(a.v * b.v) AS dot
+                            FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+                            WHERE a.vec_id < 10
+                            GROUP BY 1, 2),
+                   sims AS (SELECT q_id, cand_id, dot / (nq.nrm * nc.nrm) AS sim_raw
+                            FROM dots
+                            JOIN norms nq ON q_id = nq.vec_id
+                            JOIN norms nc ON cand_id = nc.vec_id),
+                   ranked AS (SELECT q_id, cand_id, sim_raw,
+                              row_number() OVER (PARTITION BY q_id
+                                                 ORDER BY sim_raw DESC, cand_id) AS rank
+                              FROM sims)
+              SELECT q_id, cand_id, rank, round(sim_raw, 4) + 0 AS sim
+              FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // Product-quantization ANN: each 64-float vector stored as 8 one-byte
     // codes (32× memory), queries score via an asymmetric distance table
     // — m lookups per candidate, no float vector touched at scan time.
@@ -606,13 +643,20 @@ object SimilarityQueries {
             (lit(1.0) / (lit(61.0) + col("pos"))).as("c"))
 
         val e = Tables.embeddings(s, d)
-        val qv = e.filter(col("vec_id") === 0)
-          .select("embedding").head().getSeq[Float](0).map(_.toDouble)
-        val qn = math.sqrt(qv.foldLeft(0.0)((acc, x) => acc + x * x))
+        // The query vector stays IN-PLAN as a broadcast one-row frame
+        // (cast to double element-wise, matching the old driver-side
+        // Float→Double collect bit-for-bit) instead of a .head() point
+        // lookup that cost a Spark job on every build; its norm is the
+        // same left-to-right double accumulation VectorFns.dot performs.
+        val q0 = e.filter(col("vec_id") === 0)
+          .select(transform(col("embedding"),
+            x => x.cast("double")).as("__qv"))
         val dense = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q0))
           .select(col("vec_id").as("doc_id"),
-            round(VectorFns.dot(col("embedding"), typedlit(qv)) /
-              (VectorFns.norm(col("embedding")) * lit(qn)), 4).as("sc"))
+            round(VectorFns.dot(col("embedding"), col("__qv")) /
+              (VectorFns.norm(col("embedding")) *
+                sqrt(VectorFns.dot(col("__qv"), col("__qv")))), 4).as("sc"))
           .agg(VectorFns.topKBy(col("sc"), col("doc_id"), 20).as("h"))
           .select(posexplode(col("h")).as(Seq("pos", "hit")))
           .select(col("hit.cand_id").as("doc_id"),

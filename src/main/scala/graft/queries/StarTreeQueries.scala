@@ -28,24 +28,36 @@ object StarTreeQueries {
       "q_rollup_agg",
       (s, d) => {
         import graft.sources.SegmentWriter
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        // mtime in the tag = content key: a regenerated fixture gets a
+        // fresh lifecycle dir instead of a stale done-marker hit
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+          "_" + new java.io.File(s"$d/events.parquet").lastModified()
         val src = s"/tmp/graft_rollup_src_$tag"
         val dest = s"/tmp/graft_rollup_dest_$tag"
         val partCol = SegmentWriter.derivedName("ts", "week")
-        val ev = Tables.events(s, d)
-          .select(col("event_type"), col("ts"),
-            round(col("value") * 100).cast("long").as("vc"))
-        SegmentWriter.write(ev, src, SegmentWriter.Config(
-          partitionCols = Seq(partCol),
-          derivedTimeCols = Seq(("ts", "week"))))
-        val weeks = s.read.parquet(src)
-          .selectExpr(s"CAST(`$partCol` AS STRING)").distinct()
-          .collect().map(_.getString(0)).sorted
-        SegmentWriter.mergeRollup(
-          s, src, dest, partCol, cutoff = weeks.last,
-          timeCol = "ts", granularity = "day",
-          dims = Seq("event_type"), sumMetrics = Seq("vc"))
-        s.read.parquet(dest)
+        // The write→rollup LIFECYCLE is fixture construction (the thing
+        // under test is that the rolled layout answers the day query
+        // exactly); it runs once per sf dir and is done-marker cached —
+        // rebuilding a segment lifecycle on every query BUILD would be
+        // 17 Spark jobs of pure re-setup (the BuildLazinessSpec class).
+        val doneMarker = new java.io.File(s"$dest/_graft_lifecycle_done")
+        if (!doneMarker.exists()) {
+          val ev = Tables.events(s, d)
+            .select(col("event_type"), col("ts"),
+              round(col("value") * 100).cast("long").as("vc"))
+          SegmentWriter.write(ev, src, SegmentWriter.Config(
+            partitionCols = Seq(partCol),
+            derivedTimeCols = Seq(("ts", "week"))))
+          val weeks = s.read.parquet(src)
+            .selectExpr(s"CAST(`$partCol` AS STRING)").distinct()
+            .collect().map(_.getString(0)).sorted
+          SegmentWriter.mergeRollup(
+            s, src, dest, partCol, cutoff = weeks.last,
+            timeCol = "ts", granularity = "day",
+            dims = Seq("event_type"), sumMetrics = Seq("vc"))
+          doneMarker.createNewFile()
+        }
+        graft.sources.SegmentCatalog.readStableSchema(s, dest)
           .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
           .agg((sum("vc") / 100.0).as("sum_v"), sum("rollup_count").as("n"))
           .select(col("event_type"), col("day"),
@@ -109,12 +121,12 @@ object StarTreeQueries {
             .select("l_returnflag", "l_linestatus", "l_partkey", "l_quantity")
             .write.mode("overwrite").parquet(factPath)
           StarTree.materializeAndRegister(
-            s.read.parquet(factPath), factPath,
+            graft.sources.SegmentCatalog.readStableSchema(s, factPath), factPath,
             dims = Seq("l_returnflag", "l_linestatus"),
             sumMetrics = Seq("l_quantity"), cubePath = s"$base/cube",
             distinctMetrics = Seq("l_partkey"))
         }
-        s.read.parquet(factPath)
+        graft.sources.SegmentCatalog.readStableSchema(s, factPath)
           .groupBy("l_returnflag")
           .agg(
             approx_count_distinct(col("l_partkey")).as("nd_parts"),
@@ -144,12 +156,12 @@ object StarTreeQueries {
             .select("l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity")
             .write.mode("overwrite").parquet(factPath)
           StarTree.materializeAndRegister(
-            s.read.parquet(factPath), factPath,
+            graft.sources.SegmentCatalog.readStableSchema(s, factPath), factPath,
             dims = Seq("l_returnflag", "l_linestatus"),
             sumMetrics = Seq("l_quantity"), cubePath = s"$base/cube",
             quantileMetrics = Seq("l_extendedprice"))
         }
-        s.read.parquet(factPath)
+        graft.sources.SegmentCatalog.readStableSchema(s, factPath)
           .groupBy("l_returnflag")
           .agg(
             round(expr("percentile_approx(l_extendedprice, 0.5D, 5000)"), 2)
@@ -218,12 +230,12 @@ object StarTreeQueries {
             .select("l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity")
             .write.mode("overwrite").parquet(factPath)
           StarTree.materializeAndRegister(
-            s.read.parquet(factPath), factPath,
+            graft.sources.SegmentCatalog.readStableSchema(s, factPath), factPath,
             dims = Seq("l_returnflag", "l_linestatus"),
             sumMetrics = Seq("l_quantity"), cubePath = s"$base/cube",
             quantileMetrics = Seq("l_extendedprice"))
         }
-        s.read.parquet(factPath)
+        graft.sources.SegmentCatalog.readStableSchema(s, factPath)
           .groupBy("l_returnflag")
           .agg(
             expr("percentile_approx(l_extendedprice, 0.5D, 5000)")

@@ -485,6 +485,66 @@ object TextAnalysisQueries {
       },
       None),
 
+    // q_compression_ratio's EXACT-REGIME twin: the deflate byte count is
+    // not SQL-expressible, but a run-length codec exercises the SAME
+    // engine seam (per-partition stateful encode inside mapPartitions,
+    // scan-local, zero shuffles before the source rollup) with an output
+    // DuckDB replays exactly — runs of equal characters counted via
+    // char-list comparison. Restricted to ASCII-printable texts so chars
+    // ≡ bytes ≡ UTF-16 units on both engines; ratios are basis-point
+    // INTEGER-quantized (rle_bytes·10⁴ div chars) and the per-source
+    // aggregates are integer sums/min/max — no float summation anywhere,
+    // so the hash can't drift.
+    QueryDef(
+      "q_compression_ratio_exact",
+      (s, d) => {
+        import s.implicits._
+        val measured = Tables.documents(s, d)
+          .filter(col("text").rlike("^[ -~\\t\\n\\r]*$"))
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+          .mapPartitions { it =>
+            it.map { case (id, src, text) =>
+              var runs = 0L
+              var i = 0
+              while (i < text.length) {
+                if (i == 0 || text.charAt(i) != text.charAt(i - 1)) runs += 1
+                i += 1
+              }
+              (id, src, text.length.toLong, 2L * runs)
+            }
+          }
+          .toDF("doc_id", "source", "raw_chars", "rle_bytes")
+        measured
+          .withColumn("ratio_bp",
+            expr("rle_bytes * 10000 div greatest(raw_chars, 1L)"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("raw_chars").as("total_chars"),
+            sum("rle_bytes").as("total_rle"),
+            min("ratio_bp").as("min_ratio_bp"),
+            max("ratio_bp").as("max_ratio_bp"))
+          .orderBy("source")
+      },
+      Some("""WITH docs AS (SELECT doc_id, source, text,
+                                   len(text) AS n
+                            FROM documents
+                            WHERE regexp_matches(text, '^[ -~\t\n\r]*$')),
+                   runs AS (SELECT doc_id, source, n,
+                                   2 * (CASE WHEN n = 0 THEN 0
+                                        ELSE 1 + len(list_filter(range(2, n + 1),
+                                               i -> string_split(text, '')[i]
+                                                    <> string_split(text, '')[i - 1]))
+                                        END) AS rle
+                            FROM docs)
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(n) AS BIGINT) AS total_chars,
+                     CAST(sum(rle) AS BIGINT) AS total_rle,
+                     CAST(min(rle * 10000 // greatest(n, 1)) AS BIGINT) AS min_ratio_bp,
+                     CAST(max(rle * 10000 // greatest(n, 1)) AS BIGINT) AS max_ratio_bp
+              FROM runs GROUP BY 1 ORDER BY source""")),
+
     // RAKE keyword extraction (Rose et al. 2010): candidate phrases are
     // the maximal stopword-free token runs capped at 4 words (the
     // standard RAKE candidate-length cap — uncapped runs degenerate to

@@ -170,7 +170,7 @@ object TextQueries {
     QueryDef(
       "q_text_index_rewrite",
       (s, d) =>
-        s.read.parquet(termSegment(s, d))
+        graft.sources.SegmentCatalog.readStableSchema(s, termSegment(s, d))
           .filter(graft.functions.TextSearch.textMatch(col("text"),
             "(spark OR scan) AND NOT merge"))
           .groupBy("lang")

@@ -78,8 +78,8 @@ object IvfAnn {
       queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
     spark.catalog.refreshByPath(s"$path/assigned")
     spark.catalog.refreshByPath(s"$path/centroids")
-    val assigned = spark.read.parquet(s"$path/assigned")
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val assigned = graft.sources.SegmentCatalog.readStableSchema(spark, s"$path/assigned")
+    val centroids = graft.sources.SegmentCatalog.readStableSchema(spark, s"$path/centroids")
     knnIvfOn(assigned, centroids, queries, k, nProbe)
   }
 
@@ -115,7 +115,7 @@ object IvfAnn {
       spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame): Unit = {
     spark.catalog.refreshByPath(s"$path/centroids")
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = graft.sources.SegmentCatalog.readStableSchema(spark, s"$path/centroids")
     assignCells(batch, centroids)
       .repartition(col("cell")).write.mode("append")
       .partitionBy("cell").parquet(s"$path/assigned")
@@ -138,9 +138,15 @@ object IvfAnn {
     val spark = corpus.sparkSession
     if (numCentroids == 1) {
       val assigned = corpus.withColumn("cell", lit(0))
-      val mean = corpus
+      val meanRow = corpus
         .agg(graft.functions.VectorFns.vectorAvg(col("embedding")).as("c"))
-        .head.getSeq[Double](0).map(_.toFloat).toArray
+        .head
+      // an empty corpus yields a NULL vectorAvg aggregate — fail with the
+      // same explicit message class the KMeans path produces, not an NPE
+      require(!meanRow.isNullAt(0),
+        "IvfAnn.buildIndex: empty corpus — cannot derive the single-cell " +
+          "centroid (no vectors to average)")
+      val mean = meanRow.getSeq[Double](0).map(_.toFloat).toArray
       val centroids = spark.createDataFrame(Seq((0, mean))).toDF("cell", "centroid")
       return (assigned, centroids)
     }

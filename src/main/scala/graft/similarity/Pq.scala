@@ -60,8 +60,8 @@ object Pq {
       bind(VectorFns.norm(col(vecCol)))(nrm =>
         transform(col(vecCol), x => x.cast("double") / nrm)).as("nvec"))
 
-  private def subSlice(vec: Column, sub: Column, subDim: Int): Column =
-    slice(vec, sub * subDim + 1, lit(subDim))
+  private def subSlice(vec: Column, sub: Column, subDim: Column): Column =
+    slice(vec, sub * subDim + 1, subDim)
 
   /** Per-subspace codebooks: (sub, cid, cvec), fit DRIVER-LOCALLY on a
     * bounded deterministic sample — the FAISS codebook discipline. The
@@ -233,10 +233,13 @@ object Pq {
     * from a tiny cross of (queries × m·kCodes centroids), broadcast back.
     */
   private def adcTable(q: DataFrame, codebooks: DataFrame): DataFrame = {
-    val subDim = codebooks.select(size(col("cvec"))).head().getInt(0)
+    // sub-dimension comes from THIS row's centroid length — in-plan,
+    // instead of a one-row .head() probe that cost a Spark job on every
+    // query build (the BuildLazinessSpec class)
     q.crossJoin(broadcast(codebooks))
       .select(col("q_id"), col("sub"), col("cid"),
-        VectorFns.dot(subSlice(col("qvec"), col("sub"), subDim), col("cvec"))
+        VectorFns.dot(
+          subSlice(col("qvec"), col("sub"), size(col("cvec"))), col("cvec"))
           .as("partial"))
       .groupBy(col("q_id"), col("sub"))
       .agg(transform(array_sort(collect_list(struct(col("cid"), col("partial")))),
@@ -295,7 +298,7 @@ object Pq {
   def appendToIndex(
       spark: SparkSession, path: String, batch: DataFrame): Unit = {
     spark.catalog.refreshByPath(s"$path/codebooks")
-    val codebooks = spark.read.parquet(s"$path/codebooks")
+    val codebooks = graft.sources.SegmentCatalog.readStableSchema(spark, s"$path/codebooks")
     val m = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
     encode(batch, "vec_id", "embedding", codebooks, m)
       .write.mode("append").parquet(s"$path/codes")
@@ -314,8 +317,8 @@ object Pq {
       rerankFactor: Int = 8): DataFrame = {
     spark.catalog.refreshByPath(s"$path/codebooks")
     spark.catalog.refreshByPath(s"$path/codes")
-    val codebooks = spark.read.parquet(s"$path/codebooks")
-    val codes = spark.read.parquet(s"$path/codes")
+    val codebooks = graft.sources.SegmentCatalog.readStableSchema(spark, s"$path/codebooks")
+    val codes = graft.sources.SegmentCatalog.readStableSchema(spark, s"$path/codes")
     val q = normalized(queries, "vec_id", "embedding")
       .select(col("vec_id").as("q_id"), col("nvec").as("qvec"))
     val sims = codes.crossJoin(broadcast(adcTable(q, codebooks)))

@@ -122,6 +122,64 @@ object SegmentCatalog {
       spark.read.option("basePath", dir).parquet(toRead: _*).filter(pred)
   }
 
+  /** Schema-cached parquet read for ARTIFACTS whose schema is fixed by
+    * construction (index/codebook/cube layouts: rows may append, the
+    * column set never changes). Without an explicit schema every
+    * `spark.read.parquet` runs a footer-inference Spark job, so a query
+    * builder that consults an index artifact paid one job per BUILD —
+    * the BuildLazinessSpec class. First touch of a path infers once;
+    * every later read passes the cached StructType and plans with zero
+    * jobs. Do NOT use for paths whose schema can change in place (none
+    * of the engine's artifact layouts do).
+    */
+  private val artifactSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def readStableSchema(spark: SparkSession, path: String): DataFrame = {
+    val sch = artifactSchemaCache.computeIfAbsent(
+      path, p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
+  /** Min/max of an int64 column from parquet FOOTER statistics — the
+    * same zero-job discipline as metadataRowCount, for RANGE-derived
+    * planner inputs (e.g. bounding how many distinct days a timestamp
+    * column can span). Returns None when any row group lacks stats for
+    * the column (the caller falls back to its data-derived path).
+    */
+  def metadataColumnRangeLong(
+      spark: SparkSession, path: String, column: String): Option[(Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory) listDataFiles(spark, path)
+      else Seq(path)
+    val ranges = files.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.map { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (lo: java.lang.Long, hi: java.lang.Long) =>
+                  Some((lo.longValue, hi.longValue))
+                case _ => None
+              }
+            }
+        }
+      } finally r.close()
+    }
+    if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
+    else Some((ranges.map(_.get._1).min, ranges.map(_.get._2).max))
+  }
+
   /** Total row count from parquet FOOTER metadata — a driver-side footer
     * read, never a Spark count job. The scale-tuning inputs a planner
     * needs (how many rows will this scan produce?) are already sitting in

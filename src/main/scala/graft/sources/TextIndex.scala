@@ -72,7 +72,7 @@ object TextIndex {
       spark: SparkSession, path: String, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "need a non-empty phrase")
     spark.catalog.refreshByPath(path)
-    val idx = spark.read.parquet(path)
+    val idx = SegmentCatalog.readStableSchema(spark, path)
     val parts = phrase.map(_.toLowerCase).zipWithIndex.map { case (t, i) =>
       idx.filter(col("term") === t)
         .select(col("doc_id"), col("positions").as(s"__p$i"))
@@ -102,7 +102,7 @@ object TextIndex {
       universe: DataFrame): DataFrame = {
     import graft.functions.TextSearch._
     spark.catalog.refreshByPath(path)
-    val idx = spark.read.parquet(path)
+    val idx = SegmentCatalog.readStableSchema(spark, path)
     val Phrase = "\"([^\"]*)\"".r
     def eval(n: QNode): DataFrame = n match {
       case QTerm(raw) =>
@@ -135,7 +135,7 @@ object TextIndex {
       requireAll: Boolean = true): DataFrame = {
     require(terms.nonEmpty, "need at least one search term")
     spark.catalog.refreshByPath(path)
-    val hits = spark.read.parquet(path)
+    val hits = SegmentCatalog.readStableSchema(spark, path)
       .filter(col("term").isin(terms.map(_.toLowerCase): _*))
     if (!requireAll) hits.select("doc_id").distinct()
     else hits

@@ -1,0 +1,114 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+import graft.queries.Registry
+
+/** Registry-wide laziness lint: invoking a query BUILDER (the
+  * `(SparkSession, sfDir) => DataFrame` function) must not run Spark jobs.
+  * A builder's contract is to declare a plan; any action it takes — an
+  * eager `count()`, a premature `collect()` — is a corpus scan that
+  * repeats on every build and is unaffordable at 100 TB (the r10/r11
+  * verdict class: q_dedup_embedding_prod's band-tuning count, then the 8
+  * graph builders' `docs.count()`). Row counts a planner needs come from
+  * parquet FOOTER metadata (SegmentCatalog.metadataRowCount — a
+  * driver-side footer read, zero jobs) or stay inside the plan as a
+  * broadcast scalar aggregate (q_triangles).
+  *
+  * Each builder runs TWICE and the lint grades the SECOND build: the
+  * first pass absorbs one-time session warmup that is amortized, not
+  * per-build — parquet schema inference (cached in Tables after the
+  * first touch) and content-keyed index/artifact materialization
+  * (star-tree rollups, term indexes, IVF/PQ codebooks — built once,
+  * reused from cache). The steady-state build cost is what repeats per
+  * query at scale, and it must be ZERO jobs.
+  *
+  * The allowlist below is the exhaustive set of builders whose SEMANTICS
+  * require driver-side iteration on EVERY build — training/fixpoint
+  * engines where round t+1's plan embeds round t's data as literals
+  * (k-means centroids, BPE merge argmax, PageRank dangling mass,
+  * hash-to-min convergence counts). The spec asserts the list is EXACT
+  * both ways: no unlisted builder fires a job, and no listed builder is
+  * silently lazy (so stale entries can't hide a regression elsewhere).
+  */
+class BuildLazinessSpec extends SparkSpec {
+
+  /** Builders with inherent per-build actions, each justified. */
+  private val buildTimeActionOk: Map[String, String] = Map(
+    "q_range_join" -> ("RangeJoin.intervalAggJoin derives the adaptive band " +
+      "width from a 5-number interval-stats aggregate — driver-resident " +
+      "bounded state by design (RangeJoin.scala:58-63), the scalar-N collect"),
+    "q_dedup_embedding_prod" -> ("EmbeddingLsh.cappedBands occupancy-cap " +
+      "split rounds aggregate the over-cap bucket list per round (bounded: " +
+      "hot keys only) — the skew defense is data-adaptive by definition"),
+    "q_dedup_embedding_clusters" -> ("connected-components fixpoint: each " +
+      "round's moved-count scalar decides whether another round runs — " +
+      "convergence is data-dependent, round t+1's plan embeds round t"),
+    "q_kmeans" -> ("Lloyd iterations collect k centroids per round; round " +
+      "t+1's assignment plan embeds round t's centroids as literals"),
+    "q_cluster_topics" -> "k-means training inside the builder (q_kmeans)",
+    "q_coreset_kcenter" -> ("greedy k-center: each of k rounds collects the " +
+      "current farthest point — the next round's distance plan embeds it"),
+    "q_topk_diverse" -> ("MMR greedy selection collects the shortlist then " +
+      "picks sequentially — each pick conditions on those before it"),
+    "q_curation" -> ("end-to-end curation pipeline entry: stage artifacts " +
+      "(vocab, quality gates) materialize between stages by construction"),
+    "q_pagerank_hosts" -> ("power iteration: per-round dangling-mass scalar " +
+      "+ lazy-checkpoint materialization; round t+1 embeds round t"),
+    "q_hits_hosts" -> ("power iteration with per-half-round scalar L1 " +
+      "normalizers; same shape as PageRank"),
+    "q_connected_components" -> ("hash-to-min fixpoint: per-round moved- " +
+      "count scalar decides convergence"),
+    "q_bfs_hops" -> ("frontier expansion to fixpoint: per-round frontier- " +
+      "size scalar decides termination"),
+    "q_kcore" -> ("iterative peel: per-round removed-count scalar decides " +
+      "whether another peel runs"),
+    "q_sssp_hosts" -> ("Bellman-Ford rounds: per-round improved-count " +
+      "scalar decides convergence"))
+
+  private def flushListenerBus(): Unit = {
+    val sc = spark.sparkContext
+    val bus = sc.getClass.getMethods
+      .find(_.getName == "listenerBus").get.invoke(sc)
+    val m = bus.getClass.getMethods
+      .filter(_.getName == "waitUntilEmpty")
+      .minBy(_.getParameterCount)
+    if (m.getParameterCount == 0) m.invoke(bus)
+    else m.invoke(bus, java.lang.Long.valueOf(30000L))
+  }
+
+  test("no registry builder runs Spark jobs at steady-state build time (except the documented training/fixpoint set)") {
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val offenders = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+      val silentlyLazy = scala.collection.mutable.ArrayBuffer.empty[String]
+      Registry.all.foreach { q =>
+        q.run(spark, sfDir) // warmup build: schema + artifact caches
+        flushListenerBus()
+        val before = jobs.get()
+        q.run(spark, sfDir) // steady-state build — never acted on
+        flushListenerBus()
+        val delta = jobs.get() - before
+        if (delta > 0 && !buildTimeActionOk.contains(q.name))
+          offenders += ((q.name, delta))
+        if (delta == 0 && buildTimeActionOk.contains(q.name))
+          silentlyLazy += q.name
+      }
+      assert(offenders.isEmpty,
+        s"builders ran Spark jobs at steady-state BUILD time (eager action — " +
+          s"migrate to footer metadata / in-plan scalar / content-keyed cache, " +
+          s"or justify in buildTimeActionOk): " +
+          offenders.map { case (n, d) => s"$n($d jobs)" }.mkString(", "))
+      assert(silentlyLazy.isEmpty,
+        s"allowlisted builders fired no jobs — remove stale entries: " +
+          silentlyLazy.mkString(", "))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}

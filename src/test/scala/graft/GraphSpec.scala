@@ -238,4 +238,17 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(dist == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
   }
+
+  test("weighted sssp rejects negative edge weights at execution") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 2L), ("b", "c", -1L)).toDF("src", "dst", "w")
+    val seed = Seq("a").toDF("node")
+    val ex = intercept[Exception] {
+      graft.graph.ShortestPaths.sssp(edges, seed, 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("negative edge weight")),
+      s"expected the sssp negative-weight guard, got: $ex")
+  }
 }

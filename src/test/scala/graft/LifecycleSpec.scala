@@ -59,6 +59,61 @@ class LifecycleSpec extends SparkSpec {
       ("2024-01-01 02:00:00.0", 1L, 4.0)))
   }
 
+  test("10x-scale file-stream cube lifecycle: cube state stays dictionary-bounded, compaction + parity hold") {
+    // The J-section sinks are spec-tested at MemoryStream fixture size;
+    // this runs the same cube-refresh lifecycle at ~100× that volume
+    // (the full sf0.1 events table, 100k rows, streamed as 10 real
+    // file-source micro-batches) and pins the SCALE claims: per-batch
+    // cube state is bounded by the dims dictionary (never by rows
+    // ingested), the fact archive compacts to sized segments, and both
+    // the cube and the compacted table agree with the batch aggregate
+    // EXACTLY (cents-quantized metric — no float fold drift).
+    val src = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val base = Files.createTempDirectory("lc10x").toString
+    val incoming = s"$base/in"
+    src.repartition(10).write.parquet(incoming) // 10 files -> 10 micro-batches
+    val factPath = s"$base/fact"; val cubePath = s"$base/cube"
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(incoming)
+    val q = Realtime.cubeRefreshSink(stream, factPath, cubePath,
+      dims = Seq("event_type"), sumMetrics = Seq("vc"),
+      checkpointDir = s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    // state bound: the cube (incl. star rollup rows) is dictionary-sized
+    val nTypes = src.select("event_type").distinct().count()
+    val cubeRows = spark.read.parquet(cubePath).count()
+    assert(cubeRows <= nTypes * 2 + 2,
+      s"cube grew past the dictionary bound: $cubeRows rows for $nTypes types")
+    // all 10 micro-batches archived under batch-id-keyed subdirs
+    val batchDirs = new java.io.File(factPath).listFiles()
+      .count(_.getName.startsWith("batch_id="))
+    assert(batchDirs === 10, s"expected 10 archived batches, got $batchDirs")
+
+    val expected = src.groupBy("event_type")
+      .agg(sum("vc").as("sv"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // cube parity: ten incremental folds lost nothing
+    val fromCube = spark.read.parquet(cubePath)
+      .groupBy("event_type")
+      .agg(sum("s_vc").as("sv"), sum("cube_cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromCube === expected)
+
+    // compaction: 10 consuming batch dirs -> 2 completed segments, parity
+    val completed = s"$base/completed"
+    val stats = SegmentWriter.compact(spark, factPath, completed,
+      SegmentWriter.Config(numSegments = 2))
+    assert(stats.rows === 100000L)
+    val fromCompacted = spark.read.parquet(completed)
+      .groupBy("event_type")
+      .agg(sum("vc").as("sv"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromCompacted === expected)
+  }
+
   test("tolerant json ingestion splits good rows from corrupt lines") {
     val dir = Files.createTempDirectory("jsonl")
     Files.writeString(dir.resolve("part1.json"),

@@ -162,7 +162,11 @@ class PlanLintSpec extends SparkSpec {
     "q_median_ci",
     // q_median_ci's pattern at p90: single-row binomial rank bounds onto
     // the same cents dictionary
-    "q_percentile_ci")
+    "q_percentile_ci",
+    // scalar-N pattern: the single-row host-dictionary COUNT broadcasts
+    // onto the host dictionary for the ring-neighbor modulus (the lazy
+    // replacement for the eager hosts.count() BuildLazinessSpec banned)
+    "q_triangles")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
