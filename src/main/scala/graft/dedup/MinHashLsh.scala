@@ -64,8 +64,8 @@ object MinHashLsh {
     */
   def materializeBands(
       docs: DataFrame, idCol: String, textCol: String, path: String,
-      shingleSize: Int = 3): Unit =
-    bands(docs, idCol, textCol, shingleSize)
+      shingleSize: Int = 3, numBands: Int = NumBands): Unit =
+    bands(docs, idCol, textCol, shingleSize, numBands)
       .withColumnRenamed(idCol, "doc_id")
       .write.mode("overwrite").partitionBy("band_idx").parquet(path)
 
@@ -78,8 +78,9 @@ object MinHashLsh {
     */
   def candidatePairsAgainst(
       newDocs: DataFrame, idCol: String, textCol: String,
-      indexedBands: DataFrame, shingleSize: Int = 3): DataFrame = {
-    val nb = bands(newDocs, idCol, textCol, shingleSize)
+      indexedBands: DataFrame, shingleSize: Int = 3,
+      numBands: Int = NumBands): DataFrame = {
+    val nb = bands(newDocs, idCol, textCol, shingleSize, numBands)
       .select(col(idCol).as("new_id"), col("band_idx"), col("band_hash"))
     nb.join(indexedBands.select(col("doc_id").as("corpus_id"),
         col("band_idx"), col("band_hash")),

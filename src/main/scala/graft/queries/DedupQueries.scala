@@ -760,6 +760,74 @@ object DedupQueries {
                      CAST(count(*) AS BIGINT) AS n_docs,
                      CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
                      CAST(sum(doc_id) AS BIGINT) AS id_checksum
-              FROM spl GROUP BY 1 ORDER BY split"""))
+              FROM spl GROUP BY 1 ORDER BY split""")),
+
+    // INCREMENTAL near-dup dedup — the daily-ingest production shape at
+    // 100 TB: the standing corpus's MinHash band index is materialized
+    // ONCE at ingest (MinHashLsh.materializeBands, partitioned by band);
+    // each new batch is shingled/hashed scan-locally and probes the
+    // index with an equi-join on (band_idx, band_hash), so per-batch
+    // cost is O(batch) + index join — the corpus is never re-shingled.
+    // Registry form uses the EXHAUSTIVE-RECALL banding regime
+    // (numBands = NumHashes, one minhash per band: a J ≥ 0.8 pair is
+    // missed with probability (1−J)^32 ≤ 4e-23 — the q_dedup_minhash_exact
+    // construction) plus an exact trigram-Jaccard verify, so the result
+    // equals the all-(batch×corpus)-pairs Jaccard filter and is
+    // DuckDB-hash-verifiable. Fixture split: doc_id % 5 == 0 is the
+    // incoming batch, the rest is the standing corpus. The index build is
+    // a one-time content-keyed artifact (done-marker cached, keyed by sf
+    // dir + pid like the star-tree fixtures) — steady-state builds fire
+    // zero jobs. DedupSpec covers the production 8-band posture of
+    // candidatePairsAgainst; this row hash-verifies the semantics.
+    QueryDef(
+      "q_dedup_incremental",
+      (s, d) => {
+        val base = "/tmp/graft_bandidx_" +
+          Integer.toHexString(d.hashCode & 0x7fffffff) +
+          "_p" + ProcessHandle.current().pid()
+        val idxPath = s"$base/bands"
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        val done = new java.io.File(s"$base/_graft_bandidx_done")
+        if (!done.exists()) {
+          MinHashLsh.materializeBands(corpus, "doc_id", "text", idxPath,
+            numBands = MinHashLsh.NumHashes)
+          done.createNewFile()
+        }
+        val idx = graft.sources.SegmentCatalog.readStableSchema(s, idxPath)
+        val cands = MinHashLsh.candidatePairsAgainst(
+          batch, "doc_id", "text", idx, numBands = MinHashLsh.NumHashes)
+        val sh = TextShingles.withShingleHashes(docs, "doc_id", "text", 3)
+        val aSh = sh.select(col("doc_id").as("new_id"), col("sh").as("a_sh"))
+        val bSh = sh.select(col("doc_id").as("corpus_id"), col("sh").as("b_sh"))
+        cands.join(aSh, "new_id").join(bSh, "corpus_id")
+          .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("new_id"), col("corpus_id"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("new_id", "corpus_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+                   sh AS (SELECT doc_id,
+                          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                         FOR i IN range(1, len(w) - 1)]) AS s
+                          FROM docs WHERE len(w) >= 3),
+                   ex AS (SELECT doc_id, unnest(s) AS shg FROM sh),
+                   pairs AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+                                    count(*) AS inter
+                             FROM ex a JOIN ex b ON a.shg = b.shg
+                             WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+                             GROUP BY 1, 2),
+                   sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+              SELECT new_id, corpus_id,
+                     round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+              FROM pairs p
+              JOIN sizes sa ON p.new_id = sa.doc_id
+              JOIN sizes sb ON p.corpus_id = sb.doc_id
+              WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+              ORDER BY new_id, corpus_id"""))
   )
 }

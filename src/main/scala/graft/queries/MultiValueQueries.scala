@@ -166,6 +166,34 @@ object MultiValueQueries {
                      CAST(len(i) AS INT) AS n_inter,
                      CAST(len(e) AS INT) AS n_diff,
                      array_to_string(list_sort(u), ',') AS union_sorted
-              FROM ops ORDER BY vec_id"""))
+              FROM ops ORDER BY vec_id""")),
+
+    // PERCENTILEMV (Pinot's MV percentile aggregate family): exact
+    // interpolated percentiles over every element of a multi-valued
+    // column per group. Elements are widened float→double BEFORE the
+    // percentile on BOTH engines so the interpolation arithmetic is
+    // identical. Unlike the pre-reducible SUMMV/MINMV family (q_mv_agg),
+    // an exact percentile needs the element population — the explode is
+    // semantic, not an implementation shortcut; the approximate scale
+    // path for wide arrays is the KLL sketch over exploded values
+    // (q_percentile_kll), which pre-reduces per scan task to O(k) state.
+    QueryDef(
+      "q_mv_percentile",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("label"), explode(col("embedding")).as("v0"))
+          .select(col("label"), col("v0").cast("double").as("v"))
+          .groupBy("label")
+          .agg(
+            round(expr("percentile(v, 0.5)"), 4).as("p50_v"),
+            round(expr("percentile(v, 0.9)"), 4).as("p90_v"),
+            count(lit(1)).as("n_vals"))
+          .orderBy("label"),
+      Some("""SELECT label,
+                     round(quantile_cont(CAST(v AS DOUBLE), 0.5), 4) AS p50_v,
+                     round(quantile_cont(CAST(v AS DOUBLE), 0.9), 4) AS p90_v,
+                     CAST(count(*) AS BIGINT) AS n_vals
+              FROM (SELECT label, unnest(embedding) AS v FROM embeddings)
+              GROUP BY label ORDER BY label"""))
   )
 }

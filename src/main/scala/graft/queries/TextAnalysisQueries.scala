@@ -749,6 +749,71 @@ object TextAnalysisQueries {
               SELECT count(*) AS n_terms,
                      round(regr_slope(ln(cnt), ln(rank)), 4) + 0 AS zipf_slope,
                      round(regr_r2(ln(cnt), ln(rank)), 4) + 0 AS r2
-              FROM top"""))
+              FROM top""")),
+
+    // Linear quality CLASSIFIER scoring — the fastText-style filter every
+    // LLM curation pipeline runs at ingest (a trained linear model over
+    // bag-of-words features, applied to every document). Weights here are
+    // a fixed INTEGER vocabulary table so the per-doc feature sum is
+    // integer-exact on both engines (a float weight vector would make the
+    // hash gate hostage to summation order); the score is one double
+    // division at the end: score = Σ w[token] / n_tokens, keep = Σ > 0.
+    // Spark-first shape: the weight table is a LITERAL MAP probed inside
+    // a codegen'd aggregate HOF — fully scan-local, zero joins, zero
+    // shuffles before the final ORDER BY; at 100 TB this is the same
+    // single-pass scan as any transform. A real model's 100k-term vector
+    // ships the same way (broadcast map), or as a broadcast join for
+    // million-term vocabularies.
+    QueryDef(
+      "q_quality_classifier",
+      (s, d) => {
+        val w: Map[String, Long] = Map(
+          "research" -> 8L, "analysis" -> 7L, "theory" -> 6L, "data" -> 5L,
+          "model" -> 5L, "results" -> 4L, "method" -> 4L,
+          "click" -> -9L, "free" -> -7L, "buy" -> -8L, "subscribe" -> -6L,
+          "winner" -> -5L, "offer" -> -5L, "deal" -> -4L)
+        val wmap = typedlit(w)
+        val toks = TextShingles.wordTokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("t"))
+          .select(
+            col("doc_id"),
+            size(col("t")).as("n_tokens"),
+            size(filter(col("t"), t => element_at(wmap, t).isNotNull))
+              .as("n_matched"),
+            aggregate(col("t"), lit(0L),
+              (acc, t) => acc + coalesce(element_at(wmap, t), lit(0L)))
+              .as("sw"))
+          .select(
+            col("doc_id"), col("n_tokens"), col("n_matched"),
+            round(col("sw").cast("double") / col("n_tokens"), 4).as("score"),
+            (col("sw") > 0).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     len(string_split(lower(text), ' ')) AS n_tokens,
+                     unnest(string_split(lower(text), ' ')) AS tok
+                   FROM documents),
+                   sc AS (SELECT doc_id,
+                            any_value(n_tokens) AS n_tokens,
+                            count(CASE WHEN tok IN ('research','analysis','theory',
+                                  'data','model','results','method','click','free',
+                                  'buy','subscribe','winner','offer','deal')
+                                  THEN 1 END) AS matched,
+                            sum(CASE tok WHEN 'research' THEN 8 WHEN 'analysis' THEN 7
+                                WHEN 'theory' THEN 6 WHEN 'data' THEN 5
+                                WHEN 'model' THEN 5 WHEN 'results' THEN 4
+                                WHEN 'method' THEN 4 WHEN 'click' THEN -9
+                                WHEN 'free' THEN -7 WHEN 'buy' THEN -8
+                                WHEN 'subscribe' THEN -6 WHEN 'winner' THEN -5
+                                WHEN 'offer' THEN -5 WHEN 'deal' THEN -4
+                                ELSE 0 END) AS sw
+                          FROM t GROUP BY doc_id)
+              SELECT doc_id,
+                     CAST(n_tokens AS INT) AS n_tokens,
+                     CAST(matched AS INT) AS n_matched,
+                     round(CAST(sw AS BIGINT) * 1.0 / n_tokens, 4) AS score,
+                     CAST(sw AS BIGINT) > 0 AS keep
+              FROM sc ORDER BY doc_id"""))
   )
 }

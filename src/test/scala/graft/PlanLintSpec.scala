@@ -486,6 +486,10 @@ class PlanLintSpec extends SparkSpec {
     // (q_hhi_concentration: the share² sum is a continuous concentration
     // index over exact count ratios)
     "q_hhi_concentration",
+    // (c): q_mv_percentile's interpolated percentile over float→double
+    // widened MV elements — continuous order-statistic estimator at s=4,
+    // same class as the q_percentile family's quantile_cont columns
+    "q_mv_percentile",
     "q_stats_agg", "q_moments", "q_corr", "q_regr", "q_zscore_outliers",
     "q_anomaly_series", "q_psi_drift", "q_char_entropy", "q_zipf_slope",
     "q_readability", "q_compression_ratio", "q_keywords_rake",
