@@ -666,6 +666,100 @@ object Realtime {
       }
       .start()
 
+  /** Streaming INGEST dedup against a SELF-GROWING MinHash band index —
+    * the q_dedup_incremental loop run continuously: each micro-batch
+    * probes the on-disk band index (only the batch is shingled; the
+    * index join prunes by band partition), exact-Jaccard-verifies the
+    * candidates at `threshold` (bands recall, Jaccard decides — the same
+    * two-stage contract as the batch operator), drops docs near-dupping
+    * the standing corpus, then drops within-batch near-dup followers
+    * (greater id of any verified pair — conservative on chains), and
+    * appends BOTH the accepted docs and their bands as
+    * `batch_id=<id>` partitions. Replay is IDEMPOTENT by construction:
+    * a re-delivered batch excludes its OWN batch_id from the index read
+    * (otherwise its prior attempt's bands would mark every doc dup) and
+    * overwrites exactly its own partitions, re-deriving byte-identical
+    * output. State lives entirely on disk — the stream side holds none;
+    * doc ids must be globally unique across batches (the upsert-key
+    * contract every ingest sink here shares).
+    */
+  def dedupIngestSink(
+      stream: DataFrame, idCol: String, textCol: String,
+      indexPath: String, acceptedPath: String, checkpointDir: String,
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      numBands: Int = graft.dedup.MinHashLsh.NumBands)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processDedupBatch(batch, id, idCol, textCol, indexPath,
+          acceptedPath, threshold, shingleSize, numBands)
+      }
+      .start()
+
+  private[graft] def processDedupBatch(
+      batch: DataFrame, id: Long, idCol: String, textCol: String,
+      indexPath: String, acceptedPath: String, threshold: Double,
+      shingleSize: Int, numBands: Int): Unit = {
+    import graft.dedup.MinHashLsh
+    import graft.functions.TextShingles
+    val spark = batch.sparkSession
+    // exact trigram-Jaccard verify of band candidates (the same second
+    // stage as q_dedup_incremental — a lone shared band is a RECALL
+    // device, not a duplicate verdict; without this, exhaustive banding
+    // would drop any doc sharing one shingle with the corpus)
+    def verified(cands: DataFrame, aIdAlias: String, a: DataFrame,
+        bIdAlias: String, b: DataFrame): DataFrame = {
+      val aSh = TextShingles.withShingleHashes(a, idCol, textCol, shingleSize)
+        .select(col(idCol).as(aIdAlias), col("sh").as("__a_sh"))
+      val bSh = TextShingles.withShingleHashes(b, idCol, textCol, shingleSize)
+        .select(col(idCol).as(bIdAlias), col("sh").as("__b_sh"))
+      cands.join(aSh, aIdAlias).join(bSh, bIdAlias)
+        .withColumn("__inter",
+          size(array_intersect(col("__a_sh"), col("__b_sh"))))
+        .filter(col("__inter").cast("double") /
+          (size(col("__a_sh")) + size(col("__b_sh")) - col("__inter"))
+          >= threshold)
+    }
+    batch.persist()
+    try {
+      if (batch.isEmpty) ()
+      else {
+        val hc = spark.sparkContext.hadoopConfiguration
+        val ip = new org.apache.hadoop.fs.Path(indexPath)
+        val vsIndex =
+          if (!ip.getFileSystem(hc).exists(ip)) batch
+          else {
+            // exclude this batch's OWN partition: present only on replay,
+            // where it would otherwise mark the whole batch duplicate
+            val idx = spark.read.parquet(indexPath)
+              .filter(col("batch_id") =!= lit(id))
+            val corpus = spark.read.parquet(acceptedPath)
+              .filter(col("batch_id") =!= lit(id))
+              .select(col(idCol), col(textCol))
+            val cands = MinHashLsh.candidatePairsAgainst(
+              batch, idCol, textCol, idx, shingleSize, numBands)
+            val dup = verified(cands, "new_id", batch, "corpus_id", corpus)
+              .select(col("new_id").as(idCol)).distinct()
+            batch.join(dup, Seq(idCol), "left_anti")
+          }
+        val withinCands = MinHashLsh.candidatePairs(
+          vsIndex, idCol, textCol, shingleSize, numBands)
+        val follower = verified(withinCands, "a_id", vsIndex, "b_id", vsIndex)
+          .select(col("b_id").as(idCol)).distinct()
+        val novel = vsIndex.join(follower, Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        novel.write.mode("overwrite")
+          .parquet(s"$acceptedPath/batch_id=$id")
+        MinHashLsh.bands(novel, idCol, textCol, shingleSize, numBands)
+          .withColumnRenamed(idCol, "doc_id")
+          .write.mode("overwrite").partitionBy("band_idx")
+          .parquet(s"$indexPath/batch_id=$id")
+      }
+    } finally batch.unpersist()
+  }
+
   /** Streaming ANN serving: each micro-batch of query vectors
     * (vec_id, embedding) probes the MATERIALIZED IVF index
     * (similarity.IvfAnn.materialize — cell-partitioned parquet, nProbe

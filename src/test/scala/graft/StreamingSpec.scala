@@ -911,4 +911,43 @@ class StreamingSpec extends SparkSpec {
       s"streamed AUC $a1 != batch $batchAuc")
     assert(np1 === batchRow.getAs[Long]("n_pos") && nn1 === batchRow.getAs[Long]("n_neg"))
   }
+
+  test("streaming ingest dedup: self-growing band index drops cross-batch and within-batch near-dups; replay is idempotent") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dedup_ingest").toString
+    val indexPath = s"$base/bandidx"
+    val acceptedPath = s"$base/accepted"
+    // exhaustive-recall banding (numBands = NumHashes) so exact duplicates
+    // are caught deterministically — the q_dedup_incremental regime
+    val nb = graft.dedup.MinHashLsh.NumHashes
+    def run(rows: Seq[(Long, String)], id: Long): Unit =
+      Realtime.processDedupBatch(rows.toDF("doc_id", "text"), id,
+        "doc_id", "text", indexPath, acceptedPath, 0.8, 3, nb)
+    def accepted(): Set[Long] =
+      spark.read.parquet(acceptedPath).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+
+    val tA = "the quick brown fox jumps over the lazy dog tonight"
+    val tB = "pack my box with five dozen fresh liquor jugs today"
+    val tC = "sphinx of black quartz judge my vow at once again"
+    run(Seq((1L, tA), (2L, tB)), 0L)
+    assert(accepted() === Set(1L, 2L), "first batch is all-novel")
+
+    // batch 1: 10 re-posts tA (cross-batch dup), 11 is novel, 12/13 are
+    // within-batch duplicates of each other (follower 13 must drop)
+    run(Seq((10L, tA), (11L, tC), (12L, tB + " extra words appended here"),
+      (13L, tB + " extra words appended here")), 1L)
+    assert(accepted() === Set(1L, 2L, 11L, 12L),
+      "cross-batch dup and within-batch follower are dropped")
+
+    // the index grew: batch 2 re-posting batch-1's accepted text is dup
+    run(Seq((20L, tC)), 2L)
+    assert(accepted() === Set(1L, 2L, 11L, 12L), "index includes batch 1")
+
+    // at-least-once replay of batch 1 re-derives identical partitions —
+    // its own prior bands must not mark the batch duplicate
+    run(Seq((10L, tA), (11L, tC), (12L, tB + " extra words appended here"),
+      (13L, tB + " extra words appended here")), 1L)
+    assert(accepted() === Set(1L, 2L, 11L, 12L), "replay is idempotent")
+  }
 }
