@@ -229,6 +229,71 @@ object JoinQueries {
                 ON l.user_id = r.user_id AND l.ts <= r.ts
               ORDER BY l.event_id""")),
 
+    // NEAREST as-of join — the third member of the as-of family: each
+    // click matches its temporally CLOSEST purchase in EITHER direction
+    // (sensor-alignment / nearest-snapshot semantics; kdb's `aj` nearest
+    // variant). Composed from the two audited directional operators —
+    // backward carry + forward carry on the same key — then one
+    // left-id-keyed join picks the smaller exact integer-microsecond
+    // distance, ties to the backward match (same-instant purchases are a
+    // 0-distance backward match on both engines). Distances are integer
+    // micros end-to-end: no float anywhere, engine-exact.
+    QueryDef(
+      "q_asof_join_nearest",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("p_event_id"), col("ts").as("p_ts"))
+        val back = AsOfJoin.asof(clicks, purchases, "user_id", "ts", "ts",
+            Seq("p_event_id", "p_ts"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("p_event_id").as("b_id"), col("p_ts").as("b_ts"))
+        val fwd = AsOfJoin.asofForward(clicks, purchases, "user_id", "ts", "ts",
+            Seq("p_event_id", "p_ts"))
+          .select(col("event_id"),
+            col("p_event_id").as("f_id"), col("p_ts").as("f_ts"))
+        back.join(fwd, Seq("event_id"))
+          .withColumn("b_dist", unix_micros(col("ts")) - unix_micros(col("b_ts")))
+          .withColumn("f_dist", unix_micros(col("f_ts")) - unix_micros(col("ts")))
+          .withColumn("pick_b",
+            col("b_ts").isNotNull &&
+              (col("f_ts").isNull || col("b_dist") <= col("f_dist")))
+          .select(col("event_id"), col("user_id"),
+            when(col("pick_b"), col("b_id")).otherwise(col("f_id")).as("p_event_id"),
+            when(col("pick_b"), col("b_dist")).otherwise(col("f_dist")).as("dist_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH r AS (SELECT user_id, ts, event_id FROM (
+                     SELECT user_id, ts, event_id,
+                            row_number() OVER (PARTITION BY user_id, ts
+                                               ORDER BY event_id DESC) AS rn
+                     FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+                   l AS (SELECT event_id, user_id, ts FROM events
+                         WHERE event_type = 'click'),
+                   b AS (SELECT l.event_id, r.event_id AS b_id, r.ts AS b_ts
+                         FROM l ASOF LEFT JOIN r
+                           ON l.user_id = r.user_id AND l.ts >= r.ts),
+                   f AS (SELECT l.event_id, r.event_id AS f_id, r.ts AS f_ts
+                         FROM l ASOF LEFT JOIN r
+                           ON l.user_id = r.user_id AND l.ts <= r.ts)
+              SELECT l.event_id, l.user_id,
+                     CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+                            epoch_us(l.ts) - epoch_us(b_ts)
+                              <= epoch_us(f_ts) - epoch_us(l.ts))
+                          THEN b_id ELSE f_id END AS p_event_id,
+                     CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+                            epoch_us(l.ts) - epoch_us(b_ts)
+                              <= epoch_us(f_ts) - epoch_us(l.ts))
+                          THEN CAST(epoch_us(l.ts) - epoch_us(b_ts) AS BIGINT)
+                          ELSE CAST(epoch_us(f_ts) - epoch_us(l.ts) AS BIGINT)
+                     END AS dist_us
+              FROM l JOIN b ON l.event_id = b.event_id
+              JOIN f ON l.event_id = f.event_id
+              ORDER BY l.event_id""")),
+
     // Interval (range) join with NO shared key: per-customer price-band
     // order statistics via the range-AGGREGATION decomposition (RangeJoin.
     // intervalAggJoin): points pre-aggregate into a bucket dictionary,
