@@ -629,8 +629,13 @@ object CorpusQueries {
         val nDocs = graft.sources.SegmentCatalog
           .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
+        // Edge arithmetic reduces mod nDocs BEFORE the ×13 — identical
+        // value by modular arithmetic, but (d²%n)·13 fits a long for any
+        // d ≤ ~3e9 where d²·13 overflows at d ≈ 8.4e8 (the 100× sweep's
+        // shifted ids hit exactly that under ANSI mode). Same expression
+        // in every graph builder and its oracle.
         val edges = docs.select(col("doc_id"), col("source").as("src"))
-          .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
+          .join(b, col("b_id") === (col("doc_id") * col("doc_id") % lit(nDocs) * 13 + 7) % lit(nDocs))
           .groupBy("src", "dst")
           .agg(count(lit(1)).cast("double").as("weight"))
         graft.graph.PageRank.ranks(edges, iterations = 5, damping = 0.85)
@@ -642,7 +647,7 @@ object CorpusQueries {
                                  CAST(count(*) AS DOUBLE) AS w
                           FROM documents a
                           JOIN documents b
-                            ON b.doc_id = (a.doc_id * a.doc_id * 13 + 7) % (SELECT c FROM nd)
+                            ON b.doc_id = (a.doc_id * a.doc_id % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
                           GROUP BY 1, 2),
                    hosts AS (SELECT src AS host FROM e0 UNION SELECT dst FROM e0),
                    nh AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hosts),
@@ -699,7 +704,7 @@ object CorpusQueries {
           .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
         val edges = docs.select(col("doc_id"), col("source").as("src"))
-          .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
+          .join(b, col("b_id") === (col("doc_id") * col("doc_id") % lit(nDocs) * 13 + 7) % lit(nDocs))
           .groupBy("src", "dst")
           .agg(count(lit(1)).cast("double").as("weight"))
         graft.graph.Hits.hubsAndAuthorities(edges, iterations = 2)
@@ -713,7 +718,7 @@ object CorpusQueries {
                                  CAST(count(*) AS DOUBLE) AS w
                           FROM documents a
                           JOIN documents b
-                            ON b.doc_id = (a.doc_id * a.doc_id * 13 + 7) % (SELECT c FROM nd)
+                            ON b.doc_id = (a.doc_id * a.doc_id % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
                           GROUP BY 1, 2),
                    hosts AS (SELECT src AS host FROM e0 UNION SELECT dst FROM e0),
                    a1r AS (SELECT e.dst, sum(e.w * 1.0) AS a
@@ -1113,7 +1118,7 @@ object CorpusQueries {
           .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
         val edges = docs.select(col("doc_id"), col("source").as("src"))
-          .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
+          .join(b, col("b_id") === (col("doc_id") * col("doc_id") % lit(nDocs) * 13 + 7) % lit(nDocs))
           .select("src", "dst")
         graft.graph.LabelProp.propagate(edges, rounds = 3)
           .groupBy(col("lab").as("community"))
@@ -1125,7 +1130,7 @@ object CorpusQueries {
                    e0 AS (SELECT DISTINCT a.source AS src, b.source AS dst
                           FROM documents a
                           JOIN documents b
-                            ON b.doc_id = (a.doc_id * a.doc_id * 13 + 7) % (SELECT c FROM nd)),
+                            ON b.doc_id = (a.doc_id * a.doc_id % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)),
                    ue AS (SELECT src, dst FROM e0
                           UNION SELECT dst, src FROM e0),
                    nodes AS (SELECT DISTINCT src AS node FROM ue),
@@ -1269,7 +1274,7 @@ object CorpusQueries {
             (col("doc_id") % 7).cast("string")).as("dst"),
           col("doc_id").as("b_id"))
         val edges = a
-          .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
+          .join(b, col("b_id") === (col("doc_id") * col("doc_id") % lit(nDocs) * 13 + 7) % lit(nDocs))
           .select("src", "dst")
         graft.graph.ConnectedComponents.components(edges)
           .groupBy(col("comp").as("component"))
@@ -1283,7 +1288,7 @@ object CorpusQueries {
                             b.source || '#' || CAST(b.doc_id % 7 AS VARCHAR) AS dst
                           FROM documents a
                           JOIN documents b
-                            ON b.doc_id = (a.doc_id * a.doc_id * 13 + 7) % (SELECT c FROM nd)
+                            ON b.doc_id = (a.doc_id * a.doc_id % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
                           WHERE a.doc_id % 6 = 0),
                    ue AS (SELECT src, dst FROM e0
                           UNION SELECT dst, src FROM e0),
@@ -1324,7 +1329,7 @@ object CorpusQueries {
             (col("doc_id") % 7).cast("string")).as("dst"),
           col("doc_id").as("b_id"))
         val edges = a
-          .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
+          .join(b, col("b_id") === (col("doc_id") * col("doc_id") % lit(nDocs) * 13 + 7) % lit(nDocs))
           .select("src", "dst")
         val seed = edges
           .select(least(col("src"), col("dst")).as("n"))
@@ -1340,7 +1345,7 @@ object CorpusQueries {
                             b.source || '#' || CAST(b.doc_id % 7 AS VARCHAR) AS dst
                           FROM documents a
                           JOIN documents b
-                            ON b.doc_id = (a.doc_id * a.doc_id * 13 + 7) % (SELECT c FROM nd)
+                            ON b.doc_id = (a.doc_id * a.doc_id % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
                           WHERE a.doc_id % 6 = 0),
                    ue AS (SELECT src, dst FROM e0
                           UNION SELECT dst, src FROM e0),
@@ -1372,7 +1377,7 @@ object CorpusQueries {
           .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
         val e0 = docs.select(col("doc_id"), col("source").as("src"))
-          .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
+          .join(b, col("b_id") === (col("doc_id") * col("doc_id") % lit(nDocs) * 13 + 7) % lit(nDocs))
           .select("src", "dst")
           .filter(col("src") =!= col("dst"))
           .distinct()
@@ -1387,7 +1392,7 @@ object CorpusQueries {
                    e0 AS (SELECT DISTINCT a.source AS src, b.source AS dst
                           FROM documents a
                           JOIN documents b
-                            ON b.doc_id = (a.doc_id * a.doc_id * 13 + 7) % (SELECT c FROM nd)
+                            ON b.doc_id = (a.doc_id * a.doc_id % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
                           WHERE a.source <> b.source),
                    und AS (SELECT src AS h, dst AS nb FROM e0
                            UNION SELECT dst, src FROM e0),
@@ -1427,7 +1432,7 @@ object CorpusQueries {
           .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
         val e0 = docs.select(col("doc_id"), col("source").as("src"))
-          .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
+          .join(b, col("b_id") === (col("doc_id") * col("doc_id") % lit(nDocs) * 13 + 7) % lit(nDocs))
           .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
           .filter(col("src") =!= col("dst"))
           .select(col("src"), col("dst"),
@@ -1444,7 +1449,7 @@ object CorpusQueries {
                                    CAST(count(*) AS BIGINT) AS cnt
                             FROM documents a
                             JOIN documents b
-                              ON b.doc_id = (a.doc_id * a.doc_id * 13 + 7) % (SELECT c FROM nd)
+                              ON b.doc_id = (a.doc_id * a.doc_id % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
                             GROUP BY 1, 2),
                    e0 AS (SELECT src, dst, (100 + cnt - 1) // cnt AS w
                           FROM cnts WHERE src <> dst),
@@ -1496,7 +1501,7 @@ object CorpusQueries {
           .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
         val e0 = docs.select(col("doc_id"), col("source").as("src"))
-          .join(b, col("b_id") === (col("doc_id") * col("doc_id") * 13 + 7) % lit(nDocs))
+          .join(b, col("b_id") === (col("doc_id") * col("doc_id") % lit(nDocs) * 13 + 7) % lit(nDocs))
           .select("src", "dst")
           .filter(col("src") =!= col("dst"))
           .distinct()
@@ -1524,7 +1529,7 @@ object CorpusQueries {
                    e0 AS (SELECT DISTINCT a.source AS src, b.source AS dst
                           FROM documents a
                           JOIN documents b
-                            ON b.doc_id = (a.doc_id * a.doc_id * 13 + 7) % (SELECT c FROM nd)
+                            ON b.doc_id = (a.doc_id * a.doc_id % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
                           WHERE a.source <> b.source),
                    und AS (SELECT src AS h, dst AS nb FROM e0
                            UNION SELECT dst, src FROM e0),
