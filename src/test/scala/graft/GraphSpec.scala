@@ -251,4 +251,26 @@ class GraphSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("negative edge weight")),
       s"expected the sssp negative-weight guard, got: $ex")
   }
+
+  test("graph builders survive 100x-scale document ids (edge arithmetic must not overflow)") {
+    // Regression for the class the 100x sweep caught: the synthetic
+    // host-graph edge expression d*d*13 wraps past Long.MaxValue at
+    // d ≈ 8.4e8 (an ANSI-mode runtime error); the builders now reduce
+    // mod nDocs before multiplying. Fixture ids sit exactly in the
+    // overflow band of the OLD form (~9.9e8, the 100x sweep's shifted
+    // id range).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigid").toString
+    // half the ids sit in the overflow band (the old form throws while
+    // EVALUATING them, matched or not); half are small so edge targets
+    // (always in [0, nDocs)) exist and the graph is non-trivial
+    ((0 until 100).map(_.toLong) ++ (0 until 100).map(990000000L + _)).map { id =>
+      (id, s"section $id body words here now", "en",
+        s"host${id % 7}.example", 30L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Registry.queries("q_connected_components")(spark, dir)
+    assert(out.count() > 0, "big-id graph builder must execute without overflow")
+  }
 }
