@@ -798,9 +798,13 @@ object DedupQueries {
         val idx = graft.sources.SegmentCatalog.readStableSchema(s, idxPath)
         val cands = MinHashLsh.candidatePairsAgainst(
           batch, "doc_id", "text", idx, numBands = MinHashLsh.NumHashes)
-        val sh = TextShingles.withShingleHashes(docs, "doc_id", "text", 3)
-        val aSh = sh.select(col("doc_id").as("new_id"), col("sh").as("a_sh"))
-        val bSh = sh.select(col("doc_id").as("corpus_id"), col("sh").as("b_sh"))
+        // verify sides shingle only their own split (new_id ∈ batch,
+        // corpus_id ∈ corpus by construction) — one corpus-worth of
+        // shingling total, not two
+        val aSh = TextShingles.withShingleHashes(batch, "doc_id", "text", 3)
+          .select(col("doc_id").as("new_id"), col("sh").as("a_sh"))
+        val bSh = TextShingles.withShingleHashes(corpus, "doc_id", "text", 3)
+          .select(col("doc_id").as("corpus_id"), col("sh").as("b_sh"))
         cands.join(aSh, "new_id").join(bSh, "corpus_id")
           .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
           .withColumn("jaccard", col("inter").cast("double") /
