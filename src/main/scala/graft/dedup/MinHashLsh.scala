@@ -49,8 +49,13 @@ object MinHashLsh {
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numBands: Int = NumBands): DataFrame = {
     val b = bands(docs, idCol, textCol, shingleSize, numBands)
+    // sort-merge pinned on both exploded sides — same discipline as
+    // EmbeddingLsh.nearPairs (stats on a post-explode projection are
+    // unreliable, and a band side must never be broadcast at scale)
     val a = b.select(col(idCol).as("a_id"), col("band_idx"), col("band_hash"))
+      .hint("merge")
     val c = b.select(col(idCol).as("b_id"), col("band_idx"), col("band_hash"))
+      .hint("merge")
     a.join(c, Seq("band_idx", "band_hash"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
@@ -75,13 +80,23 @@ object MinHashLsh {
     * side is the index read back from disk, so corpus cost is paid once
     * at build, not per batch. Returns (new_id, corpus_id) pairs sharing
     * ≥1 band; verify with exact Jaccard downstream as usual.
+    *
+    * Join strategy is PINNED, never stats-derived: the batch side is an
+    * EXPLODED projection (one row per band), whose size estimate rides
+    * the pre-explode scan — the same stats trap that broadcast-OOM'd the
+    * r10 band self-join. Default is sort-merge (huge-batch-safe, both
+    * sides spill); `broadcastBatch = true` broadcasts the batch bands
+    * EXPLICITLY for the streaming micro-batch posture, where batch size
+    * is bounded by the trigger and a per-batch shuffle of the
+    * corpus-sized index would break the O(batch) contract.
     */
   def candidatePairsAgainst(
       newDocs: DataFrame, idCol: String, textCol: String,
       indexedBands: DataFrame, shingleSize: Int = 3,
-      numBands: Int = NumBands): DataFrame = {
-    val nb = bands(newDocs, idCol, textCol, shingleSize, numBands)
+      numBands: Int = NumBands, broadcastBatch: Boolean = false): DataFrame = {
+    val raw = bands(newDocs, idCol, textCol, shingleSize, numBands)
       .select(col(idCol).as("new_id"), col("band_idx"), col("band_hash"))
+    val nb = if (broadcastBatch) broadcast(raw) else raw.hint("merge")
     nb.join(indexedBands.select(col("doc_id").as("corpus_id"),
         col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))

@@ -739,7 +739,8 @@ object Realtime {
               .filter(col("batch_id") =!= lit(id))
               .select(col(idCol), col(textCol))
             val cands = MinHashLsh.candidatePairsAgainst(
-              batch, idCol, textCol, idx, shingleSize, numBands)
+              batch, idCol, textCol, idx, shingleSize, numBands,
+              broadcastBatch = true)
             val dup = verified(cands, "new_id", batch, "corpus_id", corpus)
               .select(col("new_id").as(idCol)).distinct()
             batch.join(dup, Seq(idCol), "left_anti")
