@@ -28,7 +28,10 @@ object RewriteBench {
     Target("q_startree_kll", "spark.graft.starTree.enabled"),
     Target("q_timestamp_rewrite", "spark.graft.timestampIndex.enabled"),
     Target("q_json_index_rewrite", "spark.graft.jsonIndex.enabled"),
-    Target("q_text_index_rewrite", "spark.graft.termIndex.enabled"))
+    Target("q_text_index_rewrite", "spark.graft.termIndex.enabled"),
+    // denormalized-view join elimination: view scan vs the real
+    // fact⋈dim join against the same /tmp fact+dim copies
+    Target("q_denorm_join", "spark.graft.denorm.enabled"))
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -99,5 +99,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // transparent text-index rewrite (fires only on scans carrying
     // SegmentWriter-derived token-array columns)
     ext.injectOptimizerRule(session => new graft.plans.TermIndexRewriteRule(session))
+    // transparent denormalized-view join elimination (fires only on
+    // fact⋈dim joins registered in graft.plans.DenormCatalog)
+    ext.injectOptimizerRule(session => new graft.plans.DenormRewriteRule(session))
   }
 }

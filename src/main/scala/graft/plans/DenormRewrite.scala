@@ -1,0 +1,172 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Transparent DENORMALIZED-VIEW join elimination — the join sibling of
+  * StarTreeRewriteRule (reference: /root/reference/basics/Architecture.md
+  * lookup joins + import-data/README.md ingest transforms: Pinot resolves
+  * dimensions INTO fact segments at ingest so queries never pay the join).
+  *
+  * `DenormCatalog.register` binds a (fact paths, dim paths, key) triple to
+  * a view materialized by graft.sources.DenormView. The rule then rewrites
+  *
+  *   Join(Inner, fact.key = dim.key,
+  *        [Project/Filter] Scan(fact), [Project/Filter] Scan(dim))
+  *
+  * into a scan of the view with both sides' filters re-applied and the
+  * join's output projected by NAME from the view's columns — at 100 TB
+  * that removes the fact-sized shuffle (or per-query broadcast) entirely,
+  * which is precisely why Pinot denormalizes at ingest.
+  *
+  * Semantics contract (spec-pinned, DenormRewriteSpec): the registration
+  * asserts the view was built from EXACTLY the registered fact+dim files.
+  * The rule fires only when both scans' root paths match a registration —
+  * a different dim table, an unregistered fact, or a non-equi/non-inner
+  * join is left untouched. After a dim change, re-materialize and
+  * re-register (the same freshness discipline as StarTreeCatalog after a
+  * fact rewrite); DenormView.refreshIncremental keeps the view current
+  * for fact APPENDS without touching history.
+  */
+object DenormCatalog {
+
+  final case class ViewDef(
+      factPaths: Set[String],
+      dimPaths: Set[String],
+      key: String,
+      viewPath: String)
+
+  private val views = new java.util.concurrent.ConcurrentHashMap[String, ViewDef]()
+  private val relations =
+    new java.util.concurrent.ConcurrentHashMap[String, LogicalPlan]()
+
+  def register(factPath: String, dimPath: String, key: String, viewPath: String): Unit = {
+    relations.remove(viewPath) // view may have been rebuilt
+    views.put(normalize(factPath),
+      ViewDef(Set(normalize(factPath)), Set(normalize(dimPath)), key, viewPath))
+  }
+
+  def clear(): Unit = { views.clear(); relations.clear() }
+
+  /** Analyzed view relation, resolved once per registration (no parquet
+    * footer work inside the optimizer); fresh exprIds per use.
+    */
+  def viewRelation(spark: SparkSession, viewPath: String): LogicalPlan =
+    relations.computeIfAbsent(viewPath,
+      p => graft.sources.SegmentCatalog.readStableSchema(spark, p)
+        .queryExecution.analyzed)
+
+  def find(factPaths: Set[String], dimPaths: Set[String]): Option[ViewDef] = {
+    val f = factPaths.map(normalize); val d = dimPaths.map(normalize)
+    views.values.asScala.find(v =>
+      f.nonEmpty && d.nonEmpty && f.subsetOf(v.factPaths) && d.subsetOf(v.dimPaths))
+  }
+
+  private def normalize(p: String): String =
+    p.stripPrefix("file:").stripSuffix("/")
+}
+
+class DenormRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** `spark.graft.denorm.enabled=false` disables the rule — the A/B
+    * parity convention shared with the star-tree/timestamp/json/term
+    * rewrites (rule-off runs the real join).
+    */
+  private def enabled: Boolean =
+    spark.conf.get("spark.graft.denorm.enabled", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformDown {
+      case j: Join => tryRewrite(j).getOrElse(j)
+    }
+
+  /** Scan beneath attribute-only Projects and Filters; returns the scan's
+    * root paths plus the accumulated filter condition.
+    */
+  private def scanSide(p: LogicalPlan): Option[(Set[String], Option[Expression])] = p match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      Some((fs.location.rootPaths.map(_.toString).toSet, None))
+    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      scanSide(child)
+    case Filter(cond, child) =>
+      scanSide(child).map { case (paths, f) =>
+        (paths, f.map(And(_, cond)).orElse(Some(cond)))
+      }
+    case _ => None
+  }
+
+  private def tryRewrite(j: Join): Option[LogicalPlan] = {
+    if (j.joinType != Inner) return None
+    // single equi-join key, same column name both sides (the DenormView
+    // materialize contract: fact.join(dim, key))
+    val (leftKey, rightKey) = j.condition match {
+      case Some(EqualTo(a: AttributeReference, b: AttributeReference)) => (a, b)
+      case _ => return None
+    }
+    val (lPaths, lFilter) = scanSide(j.left).getOrElse(return None)
+    val (rPaths, rFilter) = scanSide(j.right).getOrElse(return None)
+    // fact on either side of the join
+    val (view, factFilter, dimFilter, factKey, dimKey) =
+      DenormCatalog.find(lPaths, rPaths) match {
+        case Some(v) => (v, lFilter, rFilter, leftKey, rightKey)
+        case None => DenormCatalog.find(rPaths, lPaths) match {
+          case Some(v) => (v, rFilter, lFilter, rightKey, leftKey)
+          case None => return None
+        }
+      }
+    if (factKey.name != view.key || dimKey.name != view.key) return None
+
+    val viewRel = DenormCatalog.viewRelation(spark, view.viewPath) match {
+      case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+        m.newInstance().asInstanceOf[LogicalPlan]
+      case other => other
+    }
+    val byName = viewRel.output.map(a => a.name -> a).toMap
+
+    // every column the join produces must exist in the view by name. The
+    // join output carries BOTH sides' key attributes (a USING join prunes
+    // one later, above the Join) — both map onto the view's single key
+    // column; all other names must be unique, or the by-name remap is
+    // ambiguous (fact self-join, dim column shadowing a fact column).
+    val keyAttr = byName.getOrElse(view.key, return None)
+    val keyIds = Set(leftKey.exprId, rightKey.exprId)
+    val nonKeyOut = j.output.filterNot(a => keyIds.contains(a.exprId))
+    if (nonKeyOut.map(_.name).distinct.size != nonKeyOut.size) return None
+    if (nonKeyOut.exists(_.name == view.key)) return None
+    val remap: Map[ExprId, Attribute] =
+      (nonKeyOut.flatMap(a => byName.get(a.name).map(a.exprId -> _)) ++
+        keyIds.toSeq.map(_ -> keyAttr)).toMap
+    if (!j.output.forall(a => remap.contains(a.exprId))) return None
+
+    def remapped(e: Expression): Option[Expression] = {
+      var ok = true
+      val r = e.transformUp {
+        case a: AttributeReference =>
+          remap.get(a.exprId).orElse(
+            // filter may reference the dim key pruned from j.output
+            byName.get(a.name)).getOrElse { ok = false; a }
+      }
+      if (ok) Some(r) else None
+    }
+
+    val conds = Seq(factFilter, dimFilter).flatten
+      .map(f => remapped(f).getOrElse(return None))
+    val filtered = conds.reduceOption(And) match {
+      case Some(c) => Filter(c, viewRel)
+      case None => viewRel
+    }
+    // project to the join's exact output, preserving the original exprIds
+    // so parents resolve unchanged
+    val projectList: Seq[NamedExpression] = j.output.map { a =>
+      Alias(remap(a.exprId), a.name)(exprId = a.exprId)
+    }
+    Some(Project(projectList, filtered))
+  }
+}

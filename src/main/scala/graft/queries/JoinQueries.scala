@@ -564,6 +564,56 @@ object JoinQueries {
               ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
                            (1 - CAST(l_discount AS DECIMAL(18,4)))) DESC,
                        c_custkey
-              LIMIT 20"""))
+              LIMIT 20""")),
+
+    // DENORMALIZED-VIEW join elimination end-to-end (Pinot's ingest-time
+    // lookup join: dims resolved INTO fact segments so queries never pay
+    // the join — plans/DenormRewrite.scala). The builder materializes the
+    // orders⋈customer view ONCE (content-keyed /tmp copies + catalog
+    // registration, the q_startree_hll lifecycle) and then declares the
+    // RAW join — DenormRewriteRule serves it from the view, so the plan
+    // the driver hashes has NO Join node, and the oracle (DuckDB's real
+    // join) proves the elimination answer-exact. RewriteBench measures
+    // the serving win A/B under spark.graft.denorm.enabled.
+    QueryDef(
+      "q_denorm_join",
+      (s, d) => {
+        import graft.plans.DenormCatalog
+        import graft.sources.{DenormView, SegmentCatalog}
+        val base = "/tmp/graft_denorm_" +
+          Integer.toHexString(d.hashCode & 0x7fffffff) +
+          "_p" + ProcessHandle.current().pid()
+        val factPath = s"$base/fact"
+        val dimPath = s"$base/dim"
+        val viewPath = s"$base/view"
+        if (DenormCatalog.find(Set(factPath), Set(dimPath)).isEmpty) {
+          Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey").as("cust_key"),
+              col("o_totalprice"), col("o_orderpriority"))
+            .write.mode("overwrite").parquet(factPath)
+          Tables.customer(s, d)
+            .select(col("c_custkey").as("cust_key"), col("c_mktsegment"),
+              col("c_acctbal"))
+            .write.mode("overwrite").parquet(dimPath)
+          DenormView.materialize(
+            SegmentCatalog.readStableSchema(s, factPath),
+            SegmentCatalog.readStableSchema(s, dimPath), "cust_key", viewPath)
+          DenormCatalog.register(factPath, dimPath, "cust_key", viewPath)
+        }
+        SegmentCatalog.readStableSchema(s, factPath)
+          .join(SegmentCatalog.readStableSchema(s, dimPath), "cust_key")
+          .filter(col("o_orderpriority") =!= "3-MEDIUM")
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+                     CAST(count(*) AS BIGINT) AS n_orders,
+                     round(sum(o_totalprice), 2) AS revenue
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE o_orderpriority <> '3-MEDIUM'
+              GROUP BY 1 ORDER BY c_mktsegment"""))
   )
 }

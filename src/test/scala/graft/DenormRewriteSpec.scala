@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.DenormCatalog
+import graft.sources.DenormView
+
+/** Transparent denormalized-view join elimination (plans/DenormRewrite.scala):
+  * a registered fact⋈dim equi-join is served from the materialized view —
+  * no Join in the plan — with results exactly equal to the rule-off join,
+  * and the rule never fires on unregistered tables, other join types, or
+  * other keys.
+  */
+class DenormRewriteSpec extends SparkSpec {
+
+  private def freshTables(): (String, String, String, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("denorm_rw").toString
+    val factPath = s"$base/fact"
+    val dimPath = s"$base/dim"
+    val viewPath = s"$base/view"
+    (1 to 200).map(i => (i.toLong, i % 7L, (i * 3 % 100).toDouble))
+      .toDF("order_id", "tier_key", "amount")
+      .write.mode("overwrite").parquet(factPath)
+    (0L until 7L).map(k => (k, s"tier-$k", k % 2 == 0))
+      .toDF("tier_key", "tier_name", "premium")
+      .write.mode("overwrite").parquet(dimPath)
+    val fact = spark.read.parquet(factPath)
+    val dim = spark.read.parquet(dimPath)
+    DenormView.materialize(fact, dim, "tier_key", viewPath)
+    DenormCatalog.register(factPath, dimPath, "tier_key", viewPath)
+    (factPath, dimPath, viewPath, fact, dim)
+  }
+
+  private def collectSorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("registered fact-dim join is served from the view: no Join in the plan, results identical to rule-off") {
+    val (_, _, viewPath, fact, dim) = freshTables()
+    try {
+      def q() = fact.filter(col("amount") > 20)
+        .join(dim.filter(col("premium")), "tier_key")
+        .groupBy("tier_name")
+        .agg(count(lit(1)).as("n"), round(sum("amount"), 2).as("amt"))
+        .orderBy("tier_name")
+      val on = q()
+      val optimized = on.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("Join"),
+        s"join must be eliminated by the view rewrite:\n$optimized")
+      assert(on.queryExecution.executedPlan.toString.contains("view"),
+        "physical plan must scan the materialized view")
+      val expected =
+        try { spark.conf.set("spark.graft.denorm.enabled", "false"); collectSorted(q()) }
+        finally spark.conf.set("spark.graft.denorm.enabled", "true")
+      assert(collectSorted(on) === expected, "rule-on must equal the real join")
+    } finally DenormCatalog.clear()
+  }
+
+  test("projection of mixed fact and dim columns survives the rewrite with exact rows") {
+    val (_, _, _, fact, dim) = freshTables()
+    try {
+      def q() = fact.join(dim, "tier_key")
+        .select(col("order_id"), col("tier_name"), col("amount"), col("premium"))
+        .orderBy("order_id")
+      val on = collectSorted(q())
+      val off =
+        try { spark.conf.set("spark.graft.denorm.enabled", "false"); collectSorted(q()) }
+        finally spark.conf.set("spark.graft.denorm.enabled", "true")
+      assert(on === off)
+    } finally DenormCatalog.clear()
+  }
+
+  test("the rule must not overfire: unregistered dim, outer join, or a different key keep the real join") {
+    import spark.implicits._
+    val (_, _, _, fact, dim) = freshTables()
+    try {
+      // 1) unregistered dim (same schema, different files)
+      val otherDim = spark.createDataFrame(
+        (0L until 7L).map(k => (k, s"other-$k", false))).toDF("tier_key", "tier_name", "premium")
+      val p1 = fact.join(otherDim, "tier_key").queryExecution.optimizedPlan.toString
+      assert(p1.contains("Join"), "in-memory/unregistered dim must keep the join")
+      // 2) left-outer join (view was built inner)
+      val p2 = fact.join(dim, Seq("tier_key"), "left_outer")
+        .queryExecution.optimizedPlan.toString
+      assert(p2.contains("Join"), "outer join must keep the join")
+      // 3) non-key equi-condition
+      val p3 = fact.join(dim, fact("order_id") === dim("tier_key"))
+        .queryExecution.optimizedPlan.toString
+      assert(p3.contains("Join"), "a non-registered key must keep the join")
+    } finally DenormCatalog.clear()
+  }
+
+  test("incremental fact refresh keeps the rewrite current after re-registration") {
+    import spark.implicits._
+    val (factPath, dimPath, viewPath, _, _) = freshTables()
+    try {
+      val batch = Seq((9001L, 3L, 999.0)).toDF("order_id", "tier_key", "amount")
+      batch.write.mode("append").parquet(factPath)
+      DenormView.refreshIncremental(spark, viewPath, batch,
+        spark.read.parquet(dimPath), "tier_key")
+      DenormCatalog.register(factPath, dimPath, "tier_key", viewPath)
+      val fact = spark.read.parquet(factPath)
+      val dim = spark.read.parquet(dimPath)
+      val q = fact.join(dim, "tier_key").filter(col("order_id") === 9001L)
+        .select("order_id", "tier_name")
+      assert(!q.queryExecution.optimizedPlan.toString.contains("Join"))
+      assert(collectSorted(q) === Seq("[9001,tier-3]"))
+    } finally DenormCatalog.clear()
+  }
+}

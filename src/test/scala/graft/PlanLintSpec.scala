@@ -473,6 +473,9 @@ class PlanLintSpec extends SparkSpec {
     // q_rollup, expanded over the 2^n grouping sets
     "q_grouping_sets", "q_rollup", "q_cube_agg", "q_salted_agg", "q_salted_join",
     "q_distinct_sum", "q_distinctcount", "q_lookup_join", "q_idset_filter",
+    // (a): q_denorm_join sums the same cent-granular o_totalprice at s=2
+    // (through the view rewrite — the view carries the column verbatim)
+    "q_denorm_join",
     "q_startree_rollup", "q_startree_filtered", "q_startree_hll",
     "q_startree_kll",
     // (b): the exact twin's sum_qty rides the same integer-valued
