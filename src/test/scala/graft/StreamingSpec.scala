@@ -950,4 +950,25 @@ class StreamingSpec extends SparkSpec {
       (13L, tB + " extra words appended here")), 1L)
     assert(accepted() === Set(1L, 2L, 11L, 12L), "replay is idempotent")
   }
+
+  test("dedupIngestSink wiring: a MemoryStream drives the self-growing index end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dedup_sink").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = Realtime.dedupIngestSink(
+      input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/bandidx", s"$base/accepted", s"$base/ckpt",
+      threshold = 0.8, numBands = graft.dedup.MinHashLsh.NumHashes)
+    try {
+      val t = "the quick brown fox jumps over the lazy dog tonight"
+      input.addData((1L, t))
+      stream.processAllAvailable()
+      input.addData((2L, t), (3L, "sphinx of black quartz judge my vow at once again"))
+      stream.processAllAvailable()
+      val ids = spark.read.parquet(s"$base/accepted")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L), "re-posted text dropped; novel doc accepted")
+    } finally stream.stop()
+  }
 }
