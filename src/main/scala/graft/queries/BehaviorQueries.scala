@@ -280,7 +280,12 @@ object BehaviorQueries {
             col("n"), col("dof"),
             round((col("r") * col("c")).cast("double") / col("n"), 4)
               .as("expected_d"),
-            round(dev * dev / (col("n") * col("r") * col("c")).cast("double"), 8)
+            // denominator widens each factor BEFORE multiplying: the long
+            // product n·r·c wraps at n ≈ 3e6 rows (the 100× corpus hit it
+            // under ANSI mode); n, r, c are each < 2^53 so the double
+            // product is identical IEEE arithmetic on both engines
+            round(dev * dev / (col("n").cast("double") *
+              col("r").cast("double") * col("c").cast("double")), 8)
               .as("contrib_d"))
           .orderBy("et", "dow")
       },
@@ -300,7 +305,8 @@ object BehaviorQueries {
                      round(CAST(r * c AS DOUBLE) / n, 4) AS expected_d,
                      round(CAST(o * n - r * c AS DOUBLE) *
                            CAST(o * n - r * c AS DOUBLE) /
-                           CAST(n * r * c AS DOUBLE), 8) AS contrib_d
+                           (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) *
+                            CAST(c AS DOUBLE)), 8) AS contrib_d
               FROM cells
               JOIN rm USING (et) JOIN cm USING (dow), tot
               ORDER BY et, dow""")),
