@@ -33,7 +33,10 @@ object ConnectedComponents {
   /** edges (src, dst) → (node, comp) for every endpoint node, where comp
     * is the smallest node id in the component. Exact (run to fixpoint).
     */
-  def components(edges: DataFrame): DataFrame = {
+  def components(edges: DataFrame): DataFrame =
+    componentsWithRounds(edges)._1
+
+  def componentsWithRounds(edges: DataFrame): (DataFrame, Int) = {
     val ue = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -41,6 +44,7 @@ object ConnectedComponents {
     var labels = ue.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
     var moved = 1L
+    var rounds = 0
     while (moved > 0) {
       val nbrMin = ue.join(labels, col("src") === col("node"))
         .groupBy(col("dst").as("n2"))
@@ -55,8 +59,76 @@ object ConnectedComponents {
       // round's checkpoint. Bounded by the diameter, not the data.
       moved = next.filter(col("moved")).count()
       labels = next.select("node", "comp")
+      rounds += 1
     }
-    labels
+    (labels, rounds)
+  }
+
+  /** Small-star / large-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the WEB-SCALE CC
+    * path: converges in O(log² n) rounds INDEPENDENT of graph diameter,
+    * where hash-to-min pays O(diameter) rounds (a long chain of weakly
+    * linked hosts stalls it; star contraction halves path lengths every
+    * alternation). Same fixpoint as `components` — comp = minimum node
+    * id reachable — and the same per-round shape: equi-joins + hash
+    * aggregations on the node key, nothing collected, lineage truncated
+    * per round. Spec-pinned label parity with `components`
+    * (GraphSpec), and the round-count win is asserted on a path graph
+    * whose diameter dwarfs log² n.
+    */
+  def componentsStar(edges: DataFrame): DataFrame =
+    componentsStarWithRounds(edges)._1
+
+  def componentsStarWithRounds(edges: DataFrame): (DataFrame, Int) = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    // canonical orientation (u > v), self-loops dropped
+    var e = edges.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var eCount = e.count()
+    var rounds = 0
+    var done = eCount == 0L
+    while (!done) {
+      // LARGE-STAR: each node links its strictly LARGER neighbors to
+      // min(Γ(u) ∪ {u}) — output is canonical by construction (the
+      // larger neighbor vs a minimum).
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u").as("lu"), least(col("u"), col("mv")).as("m"))
+      val large = nbrs.join(mins, col("u") === col("lu"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      // SMALL-STAR: with canonical edges, each node's strictly smaller
+      // neighbors are exactly its out-edges; link them — and the node
+      // itself — to the smallest of them.
+      val minsS = large.groupBy("u").agg(min("v").as("m"))
+      val next = large.join(minsS, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(eager = false)
+      // exact set-equality convergence: equal size + empty difference
+      // (both sides are distinct canonical edge sets)
+      val nextCount = next.count()
+      val diff = next.join(e, Seq("u", "v"), "left_anti").count()
+      done = nextCount == eCount && diff == 0L
+      e = next; eCount = nextCount; rounds += 1
+    }
+    // fixpoint is a disjoint star per component: every non-min node has
+    // exactly one edge (node, component-min); mins and isolated nodes
+    // label themselves
+    val comps = e.select(col("u").as("node"), col("v").as("comp"))
+    (nodes.join(comps, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp")),
+      rounds)
   }
 
   /** Breadth-first hop distance from `seed` (a 1-row DataFrame with a

@@ -26,13 +26,17 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * which is precisely why Pinot denormalizes at ingest.
   *
   * Semantics contract (spec-pinned, DenormRewriteSpec): the registration
-  * asserts the view was built from EXACTLY the registered fact+dim files.
-  * The rule fires only when both scans' root paths match a registration —
-  * a different dim table, an unregistered fact, or a non-equi/non-inner
-  * join is left untouched. After a dim change, re-materialize and
+  * captures the EXACT fact+dim file listings the view was built from.
+  * The rule fires only when both scans' root paths match a registration
+  * AND their current listings equal the captured ones — a different dim
+  * table, an unregistered fact, a non-equi/non-inner join, or files
+  * appended/removed since registration all fall back to the real join
+  * (drift is detected at rewrite time, never served stale). Several dims
+  * of the same fact table register independently (keyed by the full
+  * (fact, dim, key) triple). After a dim change, re-materialize and
   * re-register (the same freshness discipline as StarTreeCatalog after a
   * fact rewrite); DenormView.refreshIncremental keeps the view current
-  * for fact APPENDS without touching history.
+  * for fact APPENDS without touching history — followed by re-register.
   */
 object DenormCatalog {
 
@@ -40,7 +44,15 @@ object DenormCatalog {
       factPaths: Set[String],
       dimPaths: Set[String],
       key: String,
-      viewPath: String)
+      viewPath: String,
+      /** Exact data-file listings of fact and dim AT REGISTRATION — the
+        * freshness contract: the rule serves the view only while the
+        * scans' current listings match, so files appended to the fact
+        * path without refreshIncremental + re-register degrade to the
+        * real join instead of silently missing rows.
+        */
+      factSig: Set[String],
+      dimSig: Set[String])
 
   private val views = new java.util.concurrent.ConcurrentHashMap[String, ViewDef]()
   private val relations =
@@ -48,8 +60,37 @@ object DenormCatalog {
 
   def register(factPath: String, dimPath: String, key: String, viewPath: String): Unit = {
     relations.remove(viewPath) // view may have been rebuilt
-    views.put(normalize(factPath),
-      ViewDef(Set(normalize(factPath)), Set(normalize(dimPath)), key, viewPath))
+    val f = normalize(factPath); val d = normalize(dimPath)
+    // keyed by the full (fact, dim, key) triple so several dims of the
+    // same fact table coexist — a fact-only key silently evicted every
+    // registration but the last
+    views.put(s"$f|$d|$key",
+      ViewDef(Set(f), Set(d), key, viewPath, listSig(factPath), listSig(dimPath)))
+  }
+
+  /** Data-file signature of a path (recursive listing, hidden files
+    * excluded — the same set a FileIndex exposes as inputFiles). A
+    * driver-side metadata operation, same cost class as any scan's own
+    * listing; captured once per registration.
+    */
+  private def listSig(path: String): Set[String] = {
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
+          b += normalize(f.toString)
+      }
+      b.result()
+    }
   }
 
   def clear(): Unit = { views.clear(); relations.clear() }
@@ -68,8 +109,8 @@ object DenormCatalog {
       f.nonEmpty && d.nonEmpty && f.subsetOf(v.factPaths) && d.subsetOf(v.dimPaths))
   }
 
-  private def normalize(p: String): String =
-    p.stripPrefix("file:").stripSuffix("/")
+  private[plans] def normalize(p: String): String =
+    p.replaceFirst("^file:/*", "/").stripSuffix("/")
 }
 
 class DenormRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -88,16 +129,20 @@ class DenormRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   /** Scan beneath attribute-only Projects and Filters; returns the scan's
-    * root paths plus the accumulated filter condition.
+    * root paths, the accumulated filter condition, and the scan's CURRENT
+    * data-file listing (already materialized in the relation's FileIndex —
+    * reading it costs no I/O) for the freshness check.
     */
-  private def scanSide(p: LogicalPlan): Option[(Set[String], Option[Expression])] = p match {
+  private def scanSide(p: LogicalPlan)
+      : Option[(Set[String], Option[Expression], Set[String])] = p match {
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      Some((fs.location.rootPaths.map(_.toString).toSet, None))
+      Some((fs.location.rootPaths.map(_.toString).toSet, None,
+        fs.location.inputFiles.map(DenormCatalog.normalize).toSet))
     case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
       scanSide(child)
     case Filter(cond, child) =>
-      scanSide(child).map { case (paths, f) =>
-        (paths, f.map(And(_, cond)).orElse(Some(cond)))
+      scanSide(child).map { case (paths, f, files) =>
+        (paths, f.map(And(_, cond)).orElse(Some(cond)), files)
       }
     case _ => None
   }
@@ -110,18 +155,23 @@ class DenormRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Some(EqualTo(a: AttributeReference, b: AttributeReference)) => (a, b)
       case _ => return None
     }
-    val (lPaths, lFilter) = scanSide(j.left).getOrElse(return None)
-    val (rPaths, rFilter) = scanSide(j.right).getOrElse(return None)
+    val (lPaths, lFilter, lFiles) = scanSide(j.left).getOrElse(return None)
+    val (rPaths, rFilter, rFiles) = scanSide(j.right).getOrElse(return None)
     // fact on either side of the join
-    val (view, factFilter, dimFilter, factKey, dimKey) =
+    val (view, factFilter, dimFilter, factKey, dimKey, factFiles, dimFiles) =
       DenormCatalog.find(lPaths, rPaths) match {
-        case Some(v) => (v, lFilter, rFilter, leftKey, rightKey)
+        case Some(v) => (v, lFilter, rFilter, leftKey, rightKey, lFiles, rFiles)
         case None => DenormCatalog.find(rPaths, lPaths) match {
-          case Some(v) => (v, rFilter, lFilter, rightKey, leftKey)
+          case Some(v) => (v, rFilter, lFilter, rightKey, leftKey, rFiles, lFiles)
           case None => return None
         }
       }
     if (factKey.name != view.key || dimKey.name != view.key) return None
+    // FRESHNESS: the view was materialized from exactly the registered
+    // files. Files appended/removed since (without refreshIncremental +
+    // re-register) would silently serve missing/stale rows — decline and
+    // fall back to the real join instead.
+    if (factFiles != view.factSig || dimFiles != view.dimSig) return None
 
     val viewRel = DenormCatalog.viewRelation(spark, view.viewPath) match {
       case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>

@@ -629,13 +629,14 @@ object CorpusQueries {
         val nDocs = graft.sources.SegmentCatalog
           .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
-        // Edge arithmetic reduces mod nDocs BEFORE the ×13 — identical
-        // value by modular arithmetic, but (d²%n)·13 fits a long for any
-        // d ≤ ~3e9 where d²·13 overflows at d ≈ 8.4e8 (the 100× sweep's
-        // shifted ids hit exactly that under ANSI mode). Same expression
-        // in every graph builder and its oracle.
+        // Edge arithmetic reduces ids mod nDocs BEFORE squaring —
+        // identical value by modular arithmetic, and (d%n)² < n² fits a
+        // long for any n ≤ ~3e9 (any realistic host-graph dictionary)
+        // REGARDLESS of how large doc ids grow: the r12 form reduced
+        // only after d², which still ANSI-overflowed at ids ≈ 3.04e9.
+        // Same expression in every graph builder and its oracle.
         val edges = docs.select(col("doc_id"), col("source").as("src"))
-          .join(b, col("b_id") === (col("doc_id") * col("doc_id") % lit(nDocs) * 13 + 7) % lit(nDocs))
+          .join(b, col("b_id") === (col("doc_id") % lit(nDocs) * (col("doc_id") % lit(nDocs)) % lit(nDocs) * 13 + 7) % lit(nDocs))
           .groupBy("src", "dst")
           .agg(count(lit(1)).cast("double").as("weight"))
         graft.graph.PageRank.ranks(edges, iterations = 5, damping = 0.85)
@@ -647,7 +648,7 @@ object CorpusQueries {
                                  CAST(count(*) AS DOUBLE) AS w
                           FROM documents a
                           JOIN documents b
-                            ON b.doc_id = (a.doc_id * a.doc_id % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
+                            ON b.doc_id = (a.doc_id % (SELECT c FROM nd) * (a.doc_id % (SELECT c FROM nd)) % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
                           GROUP BY 1, 2),
                    hosts AS (SELECT src AS host FROM e0 UNION SELECT dst FROM e0),
                    nh AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hosts),
@@ -704,7 +705,7 @@ object CorpusQueries {
           .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
         val edges = docs.select(col("doc_id"), col("source").as("src"))
-          .join(b, col("b_id") === (col("doc_id") * col("doc_id") % lit(nDocs) * 13 + 7) % lit(nDocs))
+          .join(b, col("b_id") === (col("doc_id") % lit(nDocs) * (col("doc_id") % lit(nDocs)) % lit(nDocs) * 13 + 7) % lit(nDocs))
           .groupBy("src", "dst")
           .agg(count(lit(1)).cast("double").as("weight"))
         graft.graph.Hits.hubsAndAuthorities(edges, iterations = 2)
@@ -718,7 +719,7 @@ object CorpusQueries {
                                  CAST(count(*) AS DOUBLE) AS w
                           FROM documents a
                           JOIN documents b
-                            ON b.doc_id = (a.doc_id * a.doc_id % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
+                            ON b.doc_id = (a.doc_id % (SELECT c FROM nd) * (a.doc_id % (SELECT c FROM nd)) % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
                           GROUP BY 1, 2),
                    hosts AS (SELECT src AS host FROM e0 UNION SELECT dst FROM e0),
                    a1r AS (SELECT e.dst, sum(e.w * 1.0) AS a
@@ -1118,7 +1119,7 @@ object CorpusQueries {
           .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
         val edges = docs.select(col("doc_id"), col("source").as("src"))
-          .join(b, col("b_id") === (col("doc_id") * col("doc_id") % lit(nDocs) * 13 + 7) % lit(nDocs))
+          .join(b, col("b_id") === (col("doc_id") % lit(nDocs) * (col("doc_id") % lit(nDocs)) % lit(nDocs) * 13 + 7) % lit(nDocs))
           .select("src", "dst")
         graft.graph.LabelProp.propagate(edges, rounds = 3)
           .groupBy(col("lab").as("community"))
@@ -1130,7 +1131,7 @@ object CorpusQueries {
                    e0 AS (SELECT DISTINCT a.source AS src, b.source AS dst
                           FROM documents a
                           JOIN documents b
-                            ON b.doc_id = (a.doc_id * a.doc_id % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)),
+                            ON b.doc_id = (a.doc_id % (SELECT c FROM nd) * (a.doc_id % (SELECT c FROM nd)) % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)),
                    ue AS (SELECT src, dst FROM e0
                           UNION SELECT dst, src FROM e0),
                    nodes AS (SELECT DISTINCT src AS node FROM ue),
@@ -1243,6 +1244,62 @@ object CorpusQueries {
               SELECT host, count(*) AS n_triangles
               FROM corners GROUP BY 1 ORDER BY host""")),
 
+    // DEGREE-ORDERED triangle counting (Schank & Wagner 2005 / Cohen's
+    // MapReduce orientation) over the SAME ring+chord host graph and the
+    // SAME oracle as q_triangles — the web-scale path: edges orient from
+    // the lower-(degree, id) endpoint to the higher, so each triangle is
+    // generated exactly once at its minimum corner and wedge fan-out is
+    // bounded by out-degree ≤ O(√m) REGARDLESS of hub skew, where the
+    // plain a<b<c orientation can square on a low-id hub. Hash-parity
+    // with q_triangles pins the orientation change as result-invariant.
+    QueryDef(
+      "q_triangles_ordered",
+      (s, d) => {
+        val hosts = Tables.documents(s, d).select(col("source")).distinct()
+        val nDf = hosts.agg(count(lit(1)).as("__n"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("source")
+        val ids = hosts.withColumn("id", row_number().over(w) - 1)
+        val raw = ids.crossJoin(broadcast(nDf)).select(col("id"),
+            explode(array((col("id") + 1) % col("__n"),
+              (col("id") + 2) % col("__n"))).as("id2"))
+          .join(ids.select(col("id").as("i1"), col("source").as("src")),
+            col("id") === col("i1"))
+          .join(ids.select(col("id").as("i2"), col("source").as("dst")),
+            col("id2") === col("i2"))
+          .select("src", "dst")
+        val ue = raw.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        graft.graph.Triangles.perNodeDegreeOrdered(ue)
+          .select(col("node").as("host"), col("n_triangles"))
+          .orderBy("host")
+      },
+      Some("""WITH hosts AS (SELECT DISTINCT source FROM documents),
+                   nh AS (SELECT count(*) AS n FROM hosts),
+                   ids AS (SELECT source,
+                                  row_number() OVER (ORDER BY source) - 1 AS id
+                           FROM hosts),
+                   e0 AS (SELECT a.source AS src, b.source AS dst
+                          FROM ids a
+                          JOIN ids b ON b.id = (a.id + 1) % (SELECT n FROM nh)
+                          UNION ALL
+                          SELECT a.source, b.source
+                          FROM ids a
+                          JOIN ids b ON b.id = (a.id + 2) % (SELECT n FROM nh)),
+                   ue AS (SELECT DISTINCT least(src, dst) AS a,
+                                          greatest(src, dst) AS b
+                          FROM e0 WHERE src <> dst),
+                   tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                           FROM ue e1
+                           JOIN ue e2 ON e1.b = e2.a
+                           JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b),
+                   corners AS (SELECT x AS host FROM tri
+                               UNION ALL SELECT y FROM tri
+                               UNION ALL SELECT z FROM tri)
+              SELECT host, count(*) AS n_triangles
+              FROM corners GROUP BY 1 ORDER BY host""")),
+
     // CONNECTED COMPONENTS over the site-SECTION graph (node = host #
     // doc_id-mod-7 section, edges = the deterministic doc-hash links
     // restricted to every sixth doc so the graph is sparse enough to
@@ -1274,7 +1331,7 @@ object CorpusQueries {
             (col("doc_id") % 7).cast("string")).as("dst"),
           col("doc_id").as("b_id"))
         val edges = a
-          .join(b, col("b_id") === (col("doc_id") * col("doc_id") % lit(nDocs) * 13 + 7) % lit(nDocs))
+          .join(b, col("b_id") === (col("doc_id") % lit(nDocs) * (col("doc_id") % lit(nDocs)) % lit(nDocs) * 13 + 7) % lit(nDocs))
           .select("src", "dst")
         graft.graph.ConnectedComponents.components(edges)
           .groupBy(col("comp").as("component"))
@@ -1288,7 +1345,62 @@ object CorpusQueries {
                             b.source || '#' || CAST(b.doc_id % 7 AS VARCHAR) AS dst
                           FROM documents a
                           JOIN documents b
-                            ON b.doc_id = (a.doc_id * a.doc_id % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
+                            ON b.doc_id = (a.doc_id % (SELECT c FROM nd) * (a.doc_id % (SELECT c FROM nd)) % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
+                          WHERE a.doc_id % 6 = 0),
+                   ue AS (SELECT src, dst FROM e0
+                          UNION SELECT dst, src FROM e0),
+                   reach(node, r) AS (
+                     SELECT src AS node, src AS r FROM ue
+                     UNION
+                     SELECT ue.dst, reach.r
+                     FROM ue JOIN reach ON ue.src = reach.node),
+                   comps AS (SELECT node, min(r) AS comp
+                             FROM reach GROUP BY node)
+              SELECT comp AS component, count(*) AS n_sections,
+                     max(node) AS last_section
+              FROM comps GROUP BY 1 ORDER BY component""")),
+
+    // SMALL-STAR / LARGE-STAR connected components (Kiveris et al.,
+    // SoCC'14) over the SAME section graph and the SAME oracle as
+    // q_connected_components — the web-scale path: star contraction
+    // converges in O(log² n) rounds independent of graph DIAMETER,
+    // where hash-to-min pays one round per hop of the longest min-label
+    // path (a chain of weakly-linked hosts stalls it). Same fixpoint
+    // (comp = min reachable node id), hash-parity against the identical
+    // recursive-CTE oracle; the round-count win is spec-asserted on a
+    // path graph (GraphSpec) whose diameter dwarfs log² n.
+    QueryDef(
+      "q_cc_star",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        // corpus size from parquet FOOTER metadata — no eager count()
+        // job; same discipline as q_connected_components.
+        val nDocs = graft.sources.SegmentCatalog
+          .metadataRowCount(s, s"$d/documents.parquet")
+        val a = docs.filter(col("doc_id") % 6 === 0)
+          .select(col("doc_id"),
+            concat_ws("#", col("source"),
+              (col("doc_id") % 7).cast("string")).as("src"))
+        val b = docs.select(
+          concat_ws("#", col("source"),
+            (col("doc_id") % 7).cast("string")).as("dst"),
+          col("doc_id").as("b_id"))
+        val edges = a
+          .join(b, col("b_id") === (col("doc_id") % lit(nDocs) * (col("doc_id") % lit(nDocs)) % lit(nDocs) * 13 + 7) % lit(nDocs))
+          .select("src", "dst")
+        graft.graph.ConnectedComponents.componentsStar(edges)
+          .groupBy(col("comp").as("component"))
+          .agg(count(lit(1)).as("n_sections"), max("node").as("last_section"))
+          .orderBy("component")
+      },
+      Some("""WITH RECURSIVE
+                   nd AS (SELECT count(*) AS c FROM documents),
+                   e0 AS (SELECT DISTINCT
+                            a.source || '#' || CAST(a.doc_id % 7 AS VARCHAR) AS src,
+                            b.source || '#' || CAST(b.doc_id % 7 AS VARCHAR) AS dst
+                          FROM documents a
+                          JOIN documents b
+                            ON b.doc_id = (a.doc_id % (SELECT c FROM nd) * (a.doc_id % (SELECT c FROM nd)) % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
                           WHERE a.doc_id % 6 = 0),
                    ue AS (SELECT src, dst FROM e0
                           UNION SELECT dst, src FROM e0),
@@ -1329,7 +1441,7 @@ object CorpusQueries {
             (col("doc_id") % 7).cast("string")).as("dst"),
           col("doc_id").as("b_id"))
         val edges = a
-          .join(b, col("b_id") === (col("doc_id") * col("doc_id") % lit(nDocs) * 13 + 7) % lit(nDocs))
+          .join(b, col("b_id") === (col("doc_id") % lit(nDocs) * (col("doc_id") % lit(nDocs)) % lit(nDocs) * 13 + 7) % lit(nDocs))
           .select("src", "dst")
         val seed = edges
           .select(least(col("src"), col("dst")).as("n"))
@@ -1345,7 +1457,7 @@ object CorpusQueries {
                             b.source || '#' || CAST(b.doc_id % 7 AS VARCHAR) AS dst
                           FROM documents a
                           JOIN documents b
-                            ON b.doc_id = (a.doc_id * a.doc_id % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
+                            ON b.doc_id = (a.doc_id % (SELECT c FROM nd) * (a.doc_id % (SELECT c FROM nd)) % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
                           WHERE a.doc_id % 6 = 0),
                    ue AS (SELECT src, dst FROM e0
                           UNION SELECT dst, src FROM e0),
@@ -1377,7 +1489,7 @@ object CorpusQueries {
           .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
         val e0 = docs.select(col("doc_id"), col("source").as("src"))
-          .join(b, col("b_id") === (col("doc_id") * col("doc_id") % lit(nDocs) * 13 + 7) % lit(nDocs))
+          .join(b, col("b_id") === (col("doc_id") % lit(nDocs) * (col("doc_id") % lit(nDocs)) % lit(nDocs) * 13 + 7) % lit(nDocs))
           .select("src", "dst")
           .filter(col("src") =!= col("dst"))
           .distinct()
@@ -1392,7 +1504,7 @@ object CorpusQueries {
                    e0 AS (SELECT DISTINCT a.source AS src, b.source AS dst
                           FROM documents a
                           JOIN documents b
-                            ON b.doc_id = (a.doc_id * a.doc_id % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
+                            ON b.doc_id = (a.doc_id % (SELECT c FROM nd) * (a.doc_id % (SELECT c FROM nd)) % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
                           WHERE a.source <> b.source),
                    und AS (SELECT src AS h, dst AS nb FROM e0
                            UNION SELECT dst, src FROM e0),
@@ -1432,7 +1544,7 @@ object CorpusQueries {
           .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
         val e0 = docs.select(col("doc_id"), col("source").as("src"))
-          .join(b, col("b_id") === (col("doc_id") * col("doc_id") % lit(nDocs) * 13 + 7) % lit(nDocs))
+          .join(b, col("b_id") === (col("doc_id") % lit(nDocs) * (col("doc_id") % lit(nDocs)) % lit(nDocs) * 13 + 7) % lit(nDocs))
           .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
           .filter(col("src") =!= col("dst"))
           .select(col("src"), col("dst"),
@@ -1449,7 +1561,7 @@ object CorpusQueries {
                                    CAST(count(*) AS BIGINT) AS cnt
                             FROM documents a
                             JOIN documents b
-                              ON b.doc_id = (a.doc_id * a.doc_id % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
+                              ON b.doc_id = (a.doc_id % (SELECT c FROM nd) * (a.doc_id % (SELECT c FROM nd)) % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
                             GROUP BY 1, 2),
                    e0 AS (SELECT src, dst, (100 + cnt - 1) // cnt AS w
                           FROM cnts WHERE src <> dst),
@@ -1501,7 +1613,7 @@ object CorpusQueries {
           .metadataRowCount(s, s"$d/documents.parquet")
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
         val e0 = docs.select(col("doc_id"), col("source").as("src"))
-          .join(b, col("b_id") === (col("doc_id") * col("doc_id") % lit(nDocs) * 13 + 7) % lit(nDocs))
+          .join(b, col("b_id") === (col("doc_id") % lit(nDocs) * (col("doc_id") % lit(nDocs)) % lit(nDocs) * 13 + 7) % lit(nDocs))
           .select("src", "dst")
           .filter(col("src") =!= col("dst"))
           .distinct()
@@ -1529,7 +1641,7 @@ object CorpusQueries {
                    e0 AS (SELECT DISTINCT a.source AS src, b.source AS dst
                           FROM documents a
                           JOIN documents b
-                            ON b.doc_id = (a.doc_id * a.doc_id % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
+                            ON b.doc_id = (a.doc_id % (SELECT c FROM nd) * (a.doc_id % (SELECT c FROM nd)) % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
                           WHERE a.source <> b.source),
                    und AS (SELECT src AS h, dst AS nb FROM e0
                            UNION SELECT dst, src FROM e0),

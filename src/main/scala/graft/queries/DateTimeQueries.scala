@@ -211,6 +211,31 @@ object DateTimeQueries {
                      round(sum(value), 2) AS sum_val
               FROM events GROUP BY 1 ORDER BY day""")),
 
+    // SELECTIVE day lookup through the same timestamp-index segment —
+    // the SCAN-dominated shape where the rewrite earns its keep (the
+    // aggregate row above is rollup-dominated; REWRITE_WINS_r12 measured
+    // its serving win at ~1×): `date_trunc('day', ts) = <day>` is opaque
+    // to pushdown as written, but the rewrite turns it into a plain
+    // predicate on the stored ts_day PARTITION column, so the plan reads
+    // ONE day directory out of the whole corpus — Pinot's timestamp
+    // index + time-partitioned segment behavior end to end. Rule-off
+    // parity (same rows via per-row truncation over the full scan) is
+    // pinned by TimestampIndexSpec; the A/B serving win is measured by
+    // RewriteBench.
+    QueryDef(
+      "q_timestamp_filter",
+      (s, d) =>
+        graft.sources.SegmentCatalog.readStableSchema(s, tsSegment(s, d))
+          .filter(date_trunc("day", col("ts")) ===
+            to_timestamp(lit("2024-01-15 00:00:00")))
+          .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, round(value, 2) AS value
+              FROM events
+              WHERE CAST(date_trunc('day', ts) AS TIMESTAMP)
+                    = TIMESTAMP '2024-01-15 00:00:00'
+              ORDER BY event_id""")),
+
     // Week-over-week PERCENT CHANGE — the delta column every trend
     // dashboard renders next to a timeseries: weekly per-type revenue,
     // each week compared to the type's previous week via one lag window
@@ -884,9 +909,17 @@ object DateTimeQueries {
   private def tsSegment(s: org.apache.spark.sql.SparkSession, d: String): String =
     tsSegCache.getOrElseUpdate((s, d), {
       val dir = java.nio.file.Files.createTempDirectory("graft_tsidx_q").toString
+      // Pinot's timestamp-index layout in full: the derived day column is
+      // also the PARTITION key (one segment dir per day, rows time-sorted
+      // within), so a rewritten day-filter prunes whole directories and a
+      // rewritten group-by reads the dir value — the 100-TB time-series
+      // posture (time partition first; see SURVEY §4).
       graft.sources.SegmentWriter.write(
         Tables.events(s, d).select("event_id", "user_id", "ts", "value"), dir,
-        graft.sources.SegmentWriter.Config(derivedTimeCols = Seq(("ts", "day"))))
+        graft.sources.SegmentWriter.Config(
+          derivedTimeCols = Seq(("ts", "day")),
+          partitionCols = Seq(graft.sources.SegmentWriter.derivedName("ts", "day")),
+          sortCols = Seq("ts")))
       dir
     })
 }

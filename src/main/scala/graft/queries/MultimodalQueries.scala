@@ -160,6 +160,57 @@ object MultimodalQueries {
       },
       None),
 
+    // q_multimodal_embed's EXACT-REGIME twin (the q_ann_ivf_exact
+    // promotion pattern): the image corpus is CLASS-CONSTANT — bytes
+    // depend only on doc_id % 4 — so decode → JL embedding maps every
+    // class member to the IDENTICAL vector (the projection is a pure
+    // deterministic function of the pixels): within-class cosine is
+    // exactly 1 (same float bits pairwise, so the (sim desc, cand_id asc)
+    // tie-break is fully determined), cross-class strictly lower, and
+    // top-3 of every query is the 3 smallest other same-class ids —
+    // an arithmetically derivable answer DuckDB hash-verifies. Any drift
+    // in the PNG encode/decode loop, the grayscale downsample, the JL
+    // projection, or the kNN heap ordering breaks class identity and
+    // hash-mismatches. Same decode → embedImages → knnBruteForce code
+    // path as the rows-only row, only the pixel fixture differs.
+    QueryDef(
+      "q_multimodal_embed_exact",
+      (s, d) => {
+        import s.implicits._
+        val items = Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val c = (id % 4).toInt
+            val w = 4 + c
+            val h = 3 + c
+            // distinct non-flat ramp per class (flat images embed to the
+            // zero vector and are filtered — keep every class alive)
+            val rgb = Array.tabulate(w * h * 3)(i =>
+              ((c * 89 + i * (2 * c + 7)) % 256).toByte)
+            MediaItem(id, "image",
+              MediaCodec.encodePng(MediaCodec.PngImage(w, h, rgb)),
+              "image/png", w, h, 0L)
+          }
+        val emb = Multimodal.embedImages(items, batchSize = 128)
+          .filter(col("embedding").isNotNull)
+          .select(col("media_id").as("vec_id"), col("embedding"))
+        graft.similarity.Ann
+          .knnBruteForce(emb.filter(col("vec_id") < 20), emb, k = 3)
+          .select(col("q_id"), col("cand_id"), col("rank"),
+            round(col("sim"), 4).as("sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH q AS (SELECT doc_id AS q_id FROM documents WHERE doc_id < 20),
+                   pairs AS (SELECT q.q_id, c.doc_id AS cand_id,
+                                    row_number() OVER (PARTITION BY q.q_id
+                                                       ORDER BY c.doc_id) AS rk
+                             FROM q JOIN documents c
+                               ON c.doc_id % 4 = q.q_id % 4
+                              AND c.doc_id <> q.q_id)
+              SELECT q_id, cand_id, CAST(rk AS INT) AS rank,
+                     CAST(1.0 AS DOUBLE) AS sim
+              FROM pairs WHERE rk <= 3 ORDER BY q_id, rank""")),
+
     // RESIZE through the real decode path: PNG decode → nearest-neighbor
     // resize to 4×3 → re-encode → re-decode, probing two pixels of the
     // round-tripped result. The oracle recomputes the nearest-neighbor

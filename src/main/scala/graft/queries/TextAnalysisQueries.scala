@@ -24,6 +24,32 @@ object TextAnalysisQueries {
           .orderBy("doc_id"),
       None),
 
+    // q_text_langid's EXACT-REGIME twin (the q_ann_ivf_exact promotion
+    // pattern): synthetic per-doc texts built from three stopwords UNIQUE
+    // to one language, so the stopword-overlap argmax is provably that
+    // language — score 3 vs 0 for every other set, no tie-break reachable
+    // — and the oracle derives the same answer arithmetically. This
+    // hash-pins the ENTIRE LangId.predict code path (tokenization, the
+    // per-language filter counts, the struct-ordering argmax) that the
+    // rows-only heuristic row exercises on real text.
+    QueryDef(
+      "q_text_langid_exact",
+      (s, d) => {
+        // words chosen to appear in exactly ONE stopword set each
+        val samples = array(lit("the that for"), lit("der und nicht"),
+          lit("les dans pour"), lit("los una por"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            element_at(samples, (col("doc_id") % 4).cast("int") + 1).as("synth_text"))
+          .select(col("doc_id"), LangId.predict(col("synth_text")).as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                       WHEN 2 THEN 'fr' ELSE 'es' END AS pred_lang
+              FROM documents ORDER BY doc_id""")),
+
     QueryDef(
       "q_text_quality",
       (s, d) => {

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -708,12 +708,25 @@ object Realtime {
     // exact trigram-Jaccard verify of band candidates (the same second
     // stage as q_dedup_incremental — a lone shared band is a RECALL
     // device, not a duplicate verdict; without this, exhaustive banding
-    // would drop any doc sharing one shingle with the corpus)
-    def verified(cands: DataFrame, aIdAlias: String, a: DataFrame,
+    // would drop any doc sharing one shingle with the corpus).
+    // The corpus side is semi-join-PRUNED to the candidate ids before it
+    // is shingled: candidates are bounded by the batch's band matches, so
+    // the verify stage costs O(batch + matches) — without the prune every
+    // micro-batch would re-shingle the ENTIRE accepted corpus and
+    // per-batch cost would grow with corpus size, breaking the O(batch)
+    // contract the index exists to provide. The candidate id set is
+    // micro-batch-bounded, hence safe to broadcast explicitly.
+    def verified(cands0: DataFrame, aIdAlias: String, a: DataFrame,
         bIdAlias: String, b: DataFrame): DataFrame = {
+      // materialized once — feeds both the id prune and the verify join
+      // (recomputing candidatePairsAgainst per consumer would re-probe
+      // the on-disk index twice per batch)
+      val cands = cands0.localCheckpoint(true)
+      val bIds = cands.select(col(bIdAlias).as(idCol)).distinct()
+      val bPruned = b.join(broadcast(bIds), Seq(idCol), "left_semi")
       val aSh = TextShingles.withShingleHashes(a, idCol, textCol, shingleSize)
         .select(col(idCol).as(aIdAlias), col("sh").as("__a_sh"))
-      val bSh = TextShingles.withShingleHashes(b, idCol, textCol, shingleSize)
+      val bSh = TextShingles.withShingleHashes(bPruned, idCol, textCol, shingleSize)
         .select(col(idCol).as(bIdAlias), col("sh").as("__b_sh"))
       cands.join(aSh, aIdAlias).join(bSh, bIdAlias)
         .withColumn("__inter",
@@ -759,6 +772,110 @@ object Realtime {
           .parquet(s"$indexPath/batch_id=$id")
       }
     } finally batch.unpersist()
+  }
+
+  final case class DedupCompactionStats(
+      batchesCompacted: Long, indexFilesBefore: Long, indexFilesAfter: Long,
+      acceptedFilesBefore: Long, acceptedFilesAfter: Long)
+
+  /** Compaction for `dedupIngestSink`'s self-growing state — the
+    * SegmentWriter.compact discipline applied to the band index. The sink
+    * appends one `batch_id=N` partition per micro-batch to BOTH roots, so
+    * after 10k batches each root is 10k directories and the probe
+    * equi-join's file listing + per-file open cost grow linearly with
+    * batch count — the quiet scale-killer in an otherwise zero-state
+    * design. `compactDedupIndex` rewrites every COMMITTED batch partition
+    * (plus any previous compaction output) into ONE fresh sentinel
+    * partition `batch_id=<negative>`, with few large sorted files.
+    *
+    * Replay-contract preservation: Structured Streaming's foreachBatch
+    * re-delivers at most the LATEST batch after a failure — earlier ids
+    * are sealed in the checkpoint commit log — so the newest live
+    * partition is always KEPT in place. A replayed latest batch therefore
+    * still (a) excludes exactly its own bands via the
+    * `batch_id =!= id` probe filter (compacted rows live at a negative
+    * id no real batch — ids are >= 0 — ever matches) and (b) overwrites
+    * exactly its own partitions, re-deriving byte-identical output.
+    *
+    * Crash-safety is CONVERGENT rather than atomic: the compacted
+    * partition is fully written under a temp path and renamed in before
+    * the source partitions are deleted, so no committed row is ever lost;
+    * a crash between rename and delete leaves duplicate rows, and the
+    * next compaction run collapses them (it re-reads survivors + the
+    * previous output and `dropDuplicates` on the natural key). Sentinel
+    * ids are fresh per run (min(existing) - 1), so a half-finished run
+    * never collides with its successor.
+    */
+  def compactDedupIndex(
+      spark: SparkSession, indexPath: String, acceptedPath: String,
+      idCol: String = "doc_id", numFiles: Int = 1): DedupCompactionStats = {
+    import org.apache.hadoop.fs.Path
+    val hc = spark.sparkContext.hadoopConfiguration
+    def listIds(root: String): Seq[Long] = {
+      val p = new Path(root)
+      val fs = p.getFileSystem(hc)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+    }
+    def countFiles(root: String): Long = {
+      val p = new Path(root)
+      val fs = p.getFileSystem(hc)
+      if (!fs.exists(p)) 0L
+      else {
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+    }
+    val allIds = (listIds(indexPath) ++ listIds(acceptedPath)).distinct
+    // both roots keep the same newest batch (they are written by the same
+    // foreachBatch; a crash between the two writes is healed by replay,
+    // which must find both own-partitions overwritable)
+    val live = allIds.filter(_ >= 0)
+    val keepId = if (live.isEmpty) Long.MinValue else live.max
+    val newId = (allIds :+ 0L).min - 1L
+    val ibefore = countFiles(indexPath); val abefore = countFiles(acceptedPath)
+
+    def compactRoot(root: String, dedupKey: Seq[String],
+        bandPartitioned: Boolean): Long = {
+      val ids = listIds(root).filter(_ != keepId)
+      if (ids.isEmpty) return 0L
+      val fs = new Path(root).getFileSystem(hc)
+      val tmp = new Path(root.stripSuffix("/") + s"__compact_tmp")
+      fs.delete(tmp, true) // stale temp from a crashed run
+      val df = spark.read.parquet(root)
+        .filter(col("batch_id").isin(ids: _*))
+        .drop("batch_id")
+        .dropDuplicates(dedupKey)
+      if (bandPartitioned)
+        // one sorted file per band dir: band_hash row groups stay tight so
+        // the probe's min/max pruning survives compaction
+        df.repartition(col("band_idx"))
+          .sortWithinPartitions("band_hash", "doc_id")
+          .write.mode("overwrite").partitionBy("band_idx")
+          .parquet(tmp.toString)
+      else
+        df.repartition(numFiles).sortWithinPartitions(idCol)
+          .write.mode("overwrite").parquet(tmp.toString)
+      require(fs.rename(tmp, new Path(s"$root/batch_id=$newId")),
+        s"compactDedupIndex: rename into $root/batch_id=$newId failed")
+      ids.foreach(i => fs.delete(new Path(s"$root/batch_id=$i"), true))
+      ids.length.toLong
+    }
+
+    val n = compactRoot(indexPath, Seq("doc_id", "band_idx", "band_hash"),
+      bandPartitioned = true)
+    compactRoot(acceptedPath, Seq(idCol), bandPartitioned = false)
+    // path-keyed session materializations over these dirs must rebuild —
+    // same staleness rule as SegmentWriter.compact
+    graft.queries.DedupQueries.invalidateCaches()
+    DedupCompactionStats(n, ibefore, countFiles(indexPath),
+      abefore, countFiles(acceptedPath))
   }
 
   /** Streaming ANN serving: each micro-batch of query vectors

@@ -108,4 +108,52 @@ class DenormRewriteSpec extends SparkSpec {
       assert(collectSorted(q) === Seq("[9001,tier-3]"))
     } finally DenormCatalog.clear()
   }
+
+  test("files appended WITHOUT re-registration make the rule decline — the real join serves the fresh rows") {
+    import spark.implicits._
+    val (factPath, dimPath, _, _, _) = freshTables()
+    try {
+      // append to the fact path, do NOT refresh or re-register: the
+      // registered signature no longer matches the scan's listing, so
+      // the rewrite must fall back to the real join (which sees the row)
+      Seq((9002L, 2L, 555.0)).toDF("order_id", "tier_key", "amount")
+        .write.mode("append").parquet(factPath)
+      val fact = spark.read.parquet(factPath)
+      val dim = spark.read.parquet(dimPath)
+      val q = fact.join(dim, "tier_key").filter(col("order_id") === 9002L)
+        .select("order_id", "tier_name")
+      assert(q.queryExecution.optimizedPlan.toString.contains("Join"),
+        "stale registration must keep the real join")
+      assert(collectSorted(q) === Seq("[9002,tier-2]"),
+        "the appended row must be visible")
+    } finally DenormCatalog.clear()
+  }
+
+  test("two dims registered for the same fact table coexist — both joins rewrite") {
+    import spark.implicits._
+    val (factPath, dimPath, _, fact, dim) = freshTables()
+    try {
+      val base = java.nio.file.Files.createTempDirectory("denorm_rw2").toString
+      val dim2Path = s"$base/dim2"
+      val view2Path = s"$base/view2"
+      (0L until 7L).map(k => (k, (k * 5).toDouble))
+        .toDF("tier_key", "discount")
+        .write.mode("overwrite").parquet(dim2Path)
+      val dim2 = spark.read.parquet(dim2Path)
+      DenormView.materialize(fact, dim2, "tier_key", view2Path)
+      // this registration must NOT evict the freshTables one (the r12
+      // map was keyed by fact path only and kept a single dim per fact)
+      DenormCatalog.register(factPath, dim2Path, "tier_key", view2Path)
+      val q1 = fact.join(dim, "tier_key").select("order_id", "tier_name")
+      val q2 = fact.join(dim2, "tier_key").select("order_id", "discount")
+      assert(!q1.queryExecution.optimizedPlan.toString.contains("Join"),
+        "first-registered dim stopped rewriting after a second registration")
+      assert(!q2.queryExecution.optimizedPlan.toString.contains("Join"),
+        "second dim must rewrite too")
+      val off1 =
+        try { spark.conf.set("spark.graft.denorm.enabled", "false"); collectSorted(q1) }
+        finally spark.conf.set("spark.graft.denorm.enabled", "true")
+      assert(collectSorted(q1) === off1)
+    } finally DenormCatalog.clear()
+  }
 }

@@ -272,5 +272,84 @@ class GraphSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = graft.queries.Registry.queries("q_connected_components")(spark, dir)
     assert(out.count() > 0, "big-id graph builder must execute without overflow")
+    // The r12 form reduced mod nDocs only AFTER d² — still an ANSI
+    // overflow at ids ≈ 3.04e9. The r13 form reduces ids BEFORE
+    // squaring, so ids past that bound must also survive.
+    ((0 until 100).map(_.toLong) ++ (0 until 100).map(4000000000L + _)).map { id =>
+      (id, s"section $id body words here now", "en",
+        s"host${id % 7}.example", 30L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Tables' schema cache and the footer row count are identical across
+    // the two writes (same columns, 200 rows) — no invalidation needed;
+    // the data files themselves re-list per build.
+    val out2 = graft.queries.Registry.queries("q_connected_components")(spark, dir)
+    assert(out2.count() > 0, "ids past 3.04e9 must not overflow the edge arithmetic")
+  }
+
+  test("componentsStar matches hash-to-min labels exactly") {
+    // the mixed fixture (two chains + a pair) and a modular tangle
+    val edges = plainEdges(Seq(("b", "a"), ("b", "c"), ("c", "d"),
+      ("f", "e"), ("f", "g"), ("y", "x")))
+    val star = graft.graph.ConnectedComponents.componentsStar(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(star == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "e" -> "e", "f" -> "e", "g" -> "e", "x" -> "x", "y" -> "x"), star.toString)
+    val tangle = plainEdges((1 to 40).map(i => (s"n${i}", s"n${(i * 7) % 41}")))
+    val hashMin = graft.graph.ConnectedComponents.components(tangle)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val starT = graft.graph.ConnectedComponents.componentsStar(tangle)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(starT == hashMin)
+  }
+
+  test("componentsStar converges in far fewer rounds than hash-to-min on a path graph") {
+    // 32-node path, min id at one end: hash-to-min moves the min label
+    // ONE hop per round (O(diameter)); star contraction halves path
+    // lengths per alternation (O(log² n)) — the Kiveris et al. win the
+    // web-scale claim rests on.
+    val path = plainEdges((1 until 32).map(i => (f"p$i%03d", f"p${i + 1}%03d")))
+    val (lh, roundsHash) =
+      graft.graph.ConnectedComponents.componentsWithRounds(path)
+    val (ls, roundsStar) =
+      graft.graph.ConnectedComponents.componentsStarWithRounds(path)
+    val a = lh.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val b = ls.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(a == b, "labels diverged between the two CC algorithms")
+    assert(roundsHash >= 30,
+      s"hash-to-min should pay the diameter here, took $roundsHash")
+    assert(roundsStar * 2 < roundsHash,
+      s"star took $roundsStar rounds vs hash-to-min $roundsHash — no win")
+  }
+
+  test("degree-ordered triangle counting matches naive orientation, hub included") {
+    import spark.implicits._
+    // ring of 20 with chords (every consecutive triple closes) PLUS a
+    // LOW-id high-degree hub linked to every ring node — the shape
+    // where a<b<c orientation fans out quadratically at the hub while
+    // the degree order points INTO it.
+    val ring = (0 until 20).flatMap { i =>
+      Seq((f"r$i%02d", f"r${(i + 1) % 20}%02d"),
+        (f"r$i%02d", f"r${(i + 2) % 20}%02d"))
+    }
+    val hub = (0 until 20).map(i => ("a_hub", f"r$i%02d"))
+    val ue = (ring ++ hub).toDF("s", "t")
+      .select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val naive = ue.as("e1")
+      .join(ue.as("e2"), col("e1.b") === col("e2.a"))
+      .join(ue.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ordered = graft.graph.Triangles.perNodeDegreeOrdered(ue)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ordered == naive, s"ordered $ordered != naive $naive")
+    // hub participates in every (hub, r_i, r_i±{1,2}) triangle — sanity
+    // that the fixture exercises the hub path at all
+    assert(naive("a_hub") >= 20L)
   }
 }

@@ -62,8 +62,11 @@ class PlanLintSpec extends SparkSpec {
   // broadcast shape, just rerankFactor sized to cover the corpus
   // q_multimodal_embed: q_knn_brute's exact shape over the embedded
   // image corpus (bounded query set broadcasts onto the candidate scan)
+  // q_multimodal_embed_exact: the class-constant exact twin — identical
+  // broadcast-probe shape, only the pixel fixture differs
   private val broadcastBoundedOk = Set("q_knn_brute", "q_ann_ivf",
-    "q_ann_ivf_exact", "q_ann_pq_exact", "q_multimodal_embed", "q_tfidf_top",
+    "q_ann_ivf_exact", "q_ann_pq_exact", "q_multimodal_embed",
+    "q_multimodal_embed_exact", "q_tfidf_top",
     "q_bm25", "q_hybrid_rrf", "q_domain_cap", "q_lm_bigram", "q_mix_temperature",
     "q_lm_quality", "q_pmi_phrases", "q_ann_pq", "q_ann_ivfpq",
     // q_ann_ivfpq's exact twin: the same broadcast ADC-table shape (the
@@ -166,7 +169,10 @@ class PlanLintSpec extends SparkSpec {
     // scalar-N pattern: the single-row host-dictionary COUNT broadcasts
     // onto the host dictionary for the ring-neighbor modulus (the lazy
     // replacement for the eager hosts.count() BuildLazinessSpec banned)
-    "q_triangles")
+    "q_triangles",
+    // identical fixture-graph construction to q_triangles (the degree-
+    // ordered counting twin)
+    "q_triangles_ordered")
 
   test("no registry query plans a cartesian or nested-loop join (scalar combines excepted)") {
     val allowed = scalarCrossJoinOk ++ broadcastBoundedOk
@@ -281,7 +287,8 @@ class PlanLintSpec extends SparkSpec {
     //    metrics), never raw rows.
     val globalWindowOk = Set("q_gapfill_prev", "q_topn_others",
       "q_histogram_eqdepth", "q_rfm_segments", "q_top_p_vocab",
-      "q_seasonal_decompose", "q_triangles", "q_pareto_revenue",
+      "q_seasonal_decompose", "q_triangles", "q_triangles_ordered",
+      "q_pareto_revenue",
       // q_key_skew: the Gini rank window runs over the AGGREGATED
       // key-frequency dictionary (n_keys rows), not raw events
       "q_key_skew",

@@ -971,4 +971,198 @@ class StreamingSpec extends SparkSpec {
       assert(ids === Set(1L, 3L), "re-posted text dropped; novel doc accepted")
     } finally stream.stop()
   }
+
+  test("band-index compaction: 24 micro-batches -> compact -> probe parity, replay idempotence, bounded file count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("dedup_compact").toString
+    val indexPath = s"$base/bandidx"
+    val acceptedPath = s"$base/accepted"
+    val nb = graft.dedup.MinHashLsh.NumHashes
+    def text(i: Int): String =
+      (0 until 8).map(w => s"w${i}x$w").mkString(" ") // word-disjoint docs
+    def run(rows: Seq[(Long, String)], id: Long): Unit =
+      Realtime.processDedupBatch(rows.toDF("doc_id", "text"), id,
+        "doc_id", "text", indexPath, acceptedPath, 0.8, 3, nb)
+    def countFiles(root: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    // 24 micro-batches: one novel doc each; from batch 1 on, also a
+    // re-post of an earlier batch's text (must drop against the index)
+    (0 until 24).foreach { i =>
+      val rows = Seq((100L + i, text(i))) ++
+        (if (i > 0) Seq((1000L + i, text(i / 2))) else Nil)
+      run(rows, i.toLong)
+    }
+    val expected = (0 until 24).map(100L + _).toSet
+    def accepted(): Set[Long] =
+      spark.read.parquet(acceptedPath).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    assert(accepted() === expected, "pre-compaction: only novel docs accepted")
+
+    // probe parity input: candidates of a fixed probe batch against the
+    // full index, before vs after compaction
+    val probe = Seq((9001L, text(5)), (9002L, text(999))).toDF("doc_id", "text")
+    def probeCands(): Set[(Long, Long)] =
+      graft.dedup.MinHashLsh.candidatePairsAgainst(
+        probe, "doc_id", "text",
+        spark.read.parquet(indexPath), 3, nb, broadcastBatch = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candsBefore = probeCands()
+    assert(candsBefore.nonEmpty, "probe fixture must hit the index")
+
+    val filesBefore = countFiles(indexPath)
+    val stats = Realtime.compactDedupIndex(spark, indexPath, acceptedPath)
+    assert(stats.batchesCompacted === 23L, "all committed batches compact; newest kept")
+    // (c) bounded file count: compacted = one file per band dir + the kept
+    // newest batch's own files; must be far below one-dir-per-batch
+    assert(stats.indexFilesAfter < filesBefore / 2,
+      s"index files ${stats.indexFilesAfter} not bounded (before: $filesBefore)")
+    assert(stats.acceptedFilesAfter <= stats.acceptedFilesBefore / 2,
+      s"accepted files ${stats.acceptedFilesAfter} vs ${stats.acceptedFilesBefore}")
+    // (a) probe parity: identical candidate set from the compacted index
+    assert(probeCands() === candsBefore, "compaction changed probe candidates")
+    assert(accepted() === expected, "compaction changed the accepted corpus")
+    val acceptedRows = spark.read.parquet(acceptedPath)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(acceptedRows.size === expected.size, "no duplicate accepted rows")
+
+    // (b) replay of the newest batch — the only one Structured Streaming
+    // re-delivers — re-derives identical partitions: its own bands are
+    // still excluded (they were kept, not compacted), docs 123/1023 get
+    // the same verdicts, and the corpus is unchanged
+    run(Seq((100L + 23, text(23)), (1000L + 23, text(11))), 23L)
+    assert(accepted() === expected, "replay after compaction is idempotent")
+    assert(probeCands() === candsBefore, "replay after compaction changed the index")
+  }
+
+  /** State-collection sizes from a checkpoint via the Spark 4 state data
+    * source: (number of state rows, per-row length of the collection at
+    * `arrayField` inside the flatMapGroupsWithState state encoding) — the
+    * observable for "state stays at its documented bound". Computed with
+    * the declarative `size()` so no driver-side row reflection is
+    * involved.
+    */
+  private def stateSizes(ckpt: String, arrayField: Option[String]): (Long, Seq[Int]) = {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val st = spark.read.format("statestore").load(ckpt)
+    val lens = arrayField.map { f =>
+      st.select(asize(col(s"value.groupState.$f")).as("n"))
+        .collect().map(_.getInt(0)).toSeq
+    }.getOrElse(Seq.empty)
+    (st.count(), lens)
+  }
+
+  test("50-micro-batch soak: monitor state stays at its documented bound, outputs stay single-shot-parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // ---------- AUC monitor: state = score-cents histogram ----------
+    // 2000 examples over a FIXED cents dictionary (<=160 distinct values:
+    // 80 negative cents + 80 shifted positive cents) — the documented
+    // bound is the dictionary, never the example count.
+    val pts = (0 until 2000).map { i =>
+      val pos = i % 3 == 0
+      graft.streaming.ScorePoint("m1", pos,
+        (i % 80).toLong * 25 + (if (pos) 500 else 0))
+    }
+    def runAuc(parts: Int): (Seq[(Long, Long, Double)], String) = {
+      val input = MemoryStream[graft.streaming.ScorePoint]
+      val ckpt = java.nio.file.Files.createTempDirectory(s"auc_soak_$parts").toString
+      val name = s"auc_soak_$parts"
+      val q = Realtime.aucMonitor(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        pts.grouped(math.max(1, pts.length / parts)).foreach { chunk =>
+          input.addData(chunk); q.processAllAvailable()
+        }
+        (spark.table(name).collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq, ckpt)
+      } finally q.stop()
+    }
+    val (oneShot, _) = runAuc(1)
+    val (soaked, aucCkpt) = runAuc(50)
+    assert(soaked.size >= 50, s"soak emitted only ${soaked.size} snapshots")
+    assert(soaked.last === oneShot.last,
+      "50-batch soak final AUC diverged from the single-shot run")
+    val (aucKeys, histLens) = stateSizes(aucCkpt, Some("entries"))
+    assert(aucKeys === 1L, "one state row per model")
+    val histLen = histLens.max
+    assert(histLen > 0 && histLen <= 160,
+      s"score histogram grew past the cents dictionary: $histLen entries " +
+        "(bound 160) — state must never track example count (2000)")
+
+    // ---------- anomaly monitor: state = 7-day ring ----------
+    def dayTs(i: Int): java.sql.Timestamp = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 3, 1).plusDays(i.toLong).atStartOfDay())
+    val days = (1 to 50).map(i => graft.streaming.SeriesPoint("rev",
+      dayTs(i), if (i == 40) 900.0 else 100.0 + (i % 5)))
+    def runAnomaly(parts: Int): (Seq[String], String) = {
+      val input = MemoryStream[graft.streaming.SeriesPoint]
+      val ckpt = java.nio.file.Files.createTempDirectory(s"anom_soak_$parts").toString
+      val name = s"anom_soak_$parts"
+      val q = Realtime.anomalySeries(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        days.grouped(math.max(1, days.length / parts)).foreach { chunk =>
+          input.addData(chunk); q.processAllAvailable()
+        }
+        (spark.table(name).collect().map(_.toString).sorted.toSeq, ckpt)
+      } finally q.stop()
+    }
+    val (flags1, _) = runAnomaly(1)
+    val (flags50, anomCkpt) = runAnomaly(50)
+    assert(flags50 === flags1, "anomaly flags diverged under the 50-batch soak")
+    assert(flags1.nonEmpty, "the 9x spike day must flag")
+    val (anomKeys, ringLens) = stateSizes(anomCkpt, Some("points"))
+    assert(anomKeys === 1L, "one state row per series")
+    val ringLen = ringLens.max
+    assert(ringLen > 0 && ringLen <= 7,
+      s"day ring grew past its 7-point bound after 50 batches: $ringLen")
+
+    // ---------- CUSUM monitor: state = 6 scalars, one row per series ----------
+    val cusumDays = (1 to 50).map(i => graft.streaming.SeriesPoint(
+      if (i % 2 == 0) "rev" else "clicks",
+      dayTs(i), if (i > 30) 160.0 else 100.0))
+    def runCusum(parts: Int): (Seq[String], String) = {
+      val input = MemoryStream[graft.streaming.SeriesPoint]
+      val ckpt = java.nio.file.Files.createTempDirectory(s"cusum_soak_$parts").toString
+      val name = s"cusum_soak_$parts"
+      val q = Realtime.cusumMonitor(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        cusumDays.grouped(math.max(1, cusumDays.length / parts)).foreach { chunk =>
+          input.addData(chunk); q.processAllAvailable()
+        }
+        (spark.table(name).collect().map(_.toString).sorted.toSeq, ckpt)
+      } finally q.stop()
+    }
+    val (alarms1, _) = runCusum(1)
+    val (alarms50, cusumCkpt) = runCusum(50)
+    assert(alarms50 === alarms1, "CUSUM alarms diverged under the 50-batch soak")
+    val (cusumKeys, _) = stateSizes(cusumCkpt, None)
+    assert(cusumKeys === 2L, "one fixed-width state row per series")
+    // fixed-width by SCHEMA: the CUSUM state encoding carries no
+    // collection type at all (6 scalars only)
+    val cusumValueSchema = spark.read.format("statestore").load(cusumCkpt)
+      .schema("value").dataType
+    def hasCollection(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasCollection(f.dataType))
+      case _: org.apache.spark.sql.types.ArrayType => true
+      case _: org.apache.spark.sql.types.MapType => true
+      case _ => false
+    }
+    assert(!hasCollection(cusumValueSchema),
+      "CUSUM state must hold no unbounded collection (6 scalars only)")
+  }
 }
