@@ -115,11 +115,18 @@ object ConnectedComponents {
         .union(minsS.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(eager = false)
-      // exact set-equality convergence: equal size + empty difference
-      // (both sides are distinct canonical edge sets)
-      val nextCount = next.count()
-      val diff = next.join(e, Seq("u", "v"), "left_anti").count()
-      done = nextCount == eCount && diff == 0L
+      // exact set-equality convergence — equal size + empty difference
+      // (both sides are distinct canonical edge sets) — computed in ONE
+      // action: a left-outer probe of the old set counts the new set and
+      // its fresh edges together, and doubles as the materializer of
+      // this round's lazy checkpoint.
+      val stats = next
+        .join(e.withColumn("__old", lit(1)), Seq("u", "v"), "left_outer")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__old").isNull, 1L).otherwise(0L)).as("fresh"))
+        .head()
+      val nextCount = stats.getLong(0)
+      done = nextCount == eCount && stats.getLong(1) == 0L
       e = next; eCount = nextCount; rounds += 1
     }
     // fixpoint is a disjoint star per component: every non-min node has

@@ -687,7 +687,17 @@ object Realtime {
       stream: DataFrame, idCol: String, textCol: String,
       indexPath: String, acceptedPath: String, checkpointDir: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
-      numBands: Int = graft.dedup.MinHashLsh.NumBands)
+      numBands: Int = graft.dedup.MinHashLsh.NumBands,
+      /** Auto-compaction cadence: every `compactEvery` micro-batches the
+        * sink folds all COMMITTED batch partitions into the sentinel
+        * partition (see compactDedupIndex) so the roots stay at O(1)
+        * directories instead of one per batch forever. Runs AFTER the
+        * batch's own writes, so the batch being processed is always the
+        * kept-newest partition and replay semantics are untouched.
+        * 0 disables (the operational default for an external maintenance
+        * job owning the cadence).
+        */
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -695,6 +705,10 @@ object Realtime {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         processDedupBatch(batch, id, idCol, textCol, indexPath,
           acceptedPath, threshold, shingleSize, numBands)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+          compactDedupIndex(batch.sparkSession, indexPath, acceptedPath, idCol)
+          ()
+        }
       }
       .start()
 

@@ -61,8 +61,9 @@ class BuildLazinessSpec extends SparkSpec {
       "normalizers; same shape as PageRank"),
     "q_connected_components" -> ("hash-to-min fixpoint: per-round moved- " +
       "count scalar decides convergence"),
-    "q_cc_star" -> ("small-star/large-star fixpoint: per-round edge-set " +
-      "equality (count + anti-join scalar) decides convergence"),
+    "q_cc_star" -> ("small-star/large-star fixpoint: per-round exact " +
+      "edge-set-equality scalar (one probe-join aggregate) decides " +
+      "convergence"),
     "q_bfs_hops" -> ("frontier expansion to fixpoint: per-round frontier- " +
       "size scalar decides termination"),
     "q_kcore" -> ("iterative peel: per-round removed-count scalar decides " +

@@ -956,19 +956,31 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("dedup_sink").toString
     val input = MemoryStream[(Long, String)]
+    // compactEvery = 2: the maintenance cadence runs INSIDE the sink —
+    // batch 2 folds batches 0-1 into the sentinel partition right after
+    // its own writes
     val stream = Realtime.dedupIngestSink(
       input.toDF().toDF("doc_id", "text"),
       "doc_id", "text", s"$base/bandidx", s"$base/accepted", s"$base/ckpt",
-      threshold = 0.8, numBands = graft.dedup.MinHashLsh.NumHashes)
+      threshold = 0.8, numBands = graft.dedup.MinHashLsh.NumHashes,
+      compactEvery = 2)
     try {
       val t = "the quick brown fox jumps over the lazy dog tonight"
       input.addData((1L, t))
       stream.processAllAvailable()
       input.addData((2L, t), (3L, "sphinx of black quartz judge my vow at once again"))
       stream.processAllAvailable()
+      input.addData((4L, t), (5L, "pack my box with five dozen fresh liquor jugs today"))
+      stream.processAllAvailable()
       val ids = spark.read.parquet(s"$base/accepted")
         .select("doc_id").collect().map(_.getLong(0)).toSet
-      assert(ids === Set(1L, 3L), "re-posted text dropped; novel doc accepted")
+      assert(ids === Set(1L, 3L, 5L), "re-posted text dropped; novel docs accepted")
+      // batch 2 compacted batches 0-1 into batch_id=-1; batch 2 itself
+      // (the newest at compaction time) stayed in place
+      val dirs = new java.io.File(s"$base/accepted").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs === Set("batch_id=-1", "batch_id=2"),
+        s"cadence compaction should fold committed batches: $dirs")
     } finally stream.stop()
   }
 
