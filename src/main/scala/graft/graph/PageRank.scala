@@ -95,4 +95,81 @@ object PageRank {
     }
     ranks
   }
+
+  /** TrustRank-style SEEDED PageRank (Gyöngyi, Garcia-Molina & Pedersen,
+    * "Combating Web Spam with TrustRank", VLDB 2004): the identical power
+    * iteration, but the teleport vector is uniform over a trusted SEED
+    * set instead of all nodes — trust flows outward from the seeds along
+    * links, decaying by the damping factor per hop, and hosts unreachable
+    * from any seed converge to 0. This is the crawl-curation standard for
+    * propagating a small editorial whitelist to the unlabeled host
+    * universe (a per-host quality column, like the reference's derived
+    * ingestion-time quality features).
+    *
+    * Same scale shape as `ranks`: one equi-join + hash aggregation per
+    * iteration on the node key, the seed set broadcast onto the node
+    * dictionary once, dangling mass recycled through the SEED teleport
+    * (trust never leaks to untrusted nodes). Σ rank = 1 every round.
+    */
+  def seededRanks(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e0 = edges.select(
+      col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"),
+      col("weight").cast("double").as("weight"))
+    val nodes = e0.select(col("src").as("host"))
+      .unionByName(e0.select(col("dst").as("host")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val seedSet = seeds.select(col("host").cast("string").as("host")).distinct()
+      .localCheckpoint(eager = false)
+    // scalar seed count — the teleport normalizer (seed lists are
+    // whitelist-sized by definition; the count also materializes the
+    // checkpoint)
+    val sCount = seedSet.count().toDouble
+    require(sCount > 0, "seededRanks needs a non-empty seed set")
+
+    val outW = e0.groupBy("src").agg(sum("weight").as("out_w"))
+    val trans = e0.join(outW, "src")
+      .select(col("src"), col("dst"), (col("weight") / col("out_w")).as("p"))
+      .localCheckpoint(eager = false)
+    val danglingNodes = nodes.join(outW, nodes("host") === outW("src"), "left_anti")
+      .localCheckpoint(eager = false)
+    val hasDangling = danglingNodes.limit(1).count() > 0
+
+    // per-node teleport: 1/|S| on seeds, 0 elsewhere — broadcast-joined
+    // onto the node dictionary once, reused every round
+    val tele = nodes
+      .join(broadcast(seedSet.withColumn("__s", lit(1))), Seq("host"), "left_outer")
+      .select(col("host"),
+        (coalesce(col("__s"), lit(0)).cast("double") / sCount).as("tele"))
+      .localCheckpoint(eager = false)
+
+    var ranks = tele.select(col("host"), col("tele").as("rank"))
+    var iter = 0
+    while (iter < iterations) {
+      val dangling =
+        if (!hasDangling) 0.0
+        else ranks.join(danglingNodes.select(col("host").as("dhost")),
+            ranks("host") === col("dhost"))
+          .agg(coalesce(sum("rank"), lit(0.0)))
+          .head().getDouble(0)
+      val inflow = trans.join(ranks, trans("src") === ranks("host"))
+        .groupBy(col("dst"))
+        .agg(sum(col("p") * col("rank")).as("inflow"))
+      ranks = tele
+        .join(inflow, tele("host") === inflow("dst"), "left_outer")
+        .select(
+          col("host"),
+          (lit(1.0 - damping + damping * dangling) * col("tele") +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .localCheckpoint(eager = false)
+      iter += 1
+    }
+    ranks
+  }
 }

@@ -688,6 +688,84 @@ object CorpusQueries {
                             ON h.host = i.dst)
               SELECT host, round(rank, 6) AS rank FROM r5 ORDER BY host""")),
 
+    // SEEDED PageRank (TrustRank — Gyöngyi et al., VLDB 2004) over the
+    // SAME host graph: the teleport vector is uniform over the 3
+    // lexicographically-smallest hosts (a deterministic stand-in for an
+    // editorial whitelist), so trust flows outward from the seeds and
+    // decays per hop — the standard crawl-curation signal for propagating
+    // a small trusted list to the unlabeled host universe. Same round
+    // shape as q_pagerank_hosts; the oracle unrolls the 5 rounds with the
+    // seed teleport, every division CAST to DOUBLE so both engines run
+    // identical IEEE arithmetic (round(·,6) absorbs parallel-sum ulp).
+    QueryDef(
+      "q_pagerank_seeded",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val nDocs = graft.sources.SegmentCatalog
+          .metadataRowCount(s, s"$d/documents.parquet")
+        val b = docs.select(col("doc_id").as("b_id"), col("source").as("dst"))
+        val edges = docs.select(col("doc_id"), col("source").as("src"))
+          .join(b, col("b_id") === (col("doc_id") % lit(nDocs) * (col("doc_id") % lit(nDocs)) % lit(nDocs) * 13 + 7) % lit(nDocs))
+          .groupBy("src", "dst")
+          .agg(count(lit(1)).cast("double").as("weight"))
+        val hosts = edges.select(col("src").as("host"))
+          .union(edges.select(col("dst").as("host"))).distinct()
+        val seeds = hosts.orderBy("host").limit(3)
+        graft.graph.PageRank.seededRanks(edges, seeds, iterations = 5, damping = 0.85)
+          .select(col("host"), round(col("rank"), 6).as("trust"))
+          .orderBy("host")
+      },
+      Some("""WITH nd AS (SELECT count(*) AS c FROM documents),
+                   e0 AS (SELECT a.source AS src, b.source AS dst,
+                                 CAST(count(*) AS DOUBLE) AS w
+                          FROM documents a
+                          JOIN documents b
+                            ON b.doc_id = (a.doc_id % (SELECT c FROM nd) * (a.doc_id % (SELECT c FROM nd)) % (SELECT c FROM nd) * 13 + 7) % (SELECT c FROM nd)
+                          GROUP BY 1, 2),
+                   hosts AS (SELECT src AS host FROM e0 UNION SELECT dst FROM e0),
+                   seeds AS (SELECT host FROM hosts ORDER BY host LIMIT 3),
+                   ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+                   tele AS (SELECT h.host,
+                                   CASE WHEN s.host IS NOT NULL
+                                        THEN CAST(1.0 AS DOUBLE) / (SELECT n FROM ns)
+                                        ELSE CAST(0.0 AS DOUBLE) END AS t
+                            FROM hosts h LEFT JOIN seeds s ON h.host = s.host),
+                   outw AS (SELECT src, sum(w) AS ow FROM e0 GROUP BY 1),
+                   e AS (SELECT e0.src, e0.dst, e0.w / outw.ow AS p
+                         FROM e0 JOIN outw ON e0.src = outw.src),
+                   r0 AS (SELECT host, t AS rank FROM tele),
+                   r1 AS (SELECT te.host, (1.0 - 0.85) * te.t
+                                          + 0.85 * coalesce(i.fl, 0) AS rank
+                          FROM tele te LEFT JOIN
+                            (SELECT e.dst, sum(e.p * r.rank) AS fl
+                             FROM e JOIN r0 r ON e.src = r.host GROUP BY 1) i
+                            ON te.host = i.dst),
+                   r2 AS (SELECT te.host, (1.0 - 0.85) * te.t
+                                          + 0.85 * coalesce(i.fl, 0) AS rank
+                          FROM tele te LEFT JOIN
+                            (SELECT e.dst, sum(e.p * r.rank) AS fl
+                             FROM e JOIN r1 r ON e.src = r.host GROUP BY 1) i
+                            ON te.host = i.dst),
+                   r3 AS (SELECT te.host, (1.0 - 0.85) * te.t
+                                          + 0.85 * coalesce(i.fl, 0) AS rank
+                          FROM tele te LEFT JOIN
+                            (SELECT e.dst, sum(e.p * r.rank) AS fl
+                             FROM e JOIN r2 r ON e.src = r.host GROUP BY 1) i
+                            ON te.host = i.dst),
+                   r4 AS (SELECT te.host, (1.0 - 0.85) * te.t
+                                          + 0.85 * coalesce(i.fl, 0) AS rank
+                          FROM tele te LEFT JOIN
+                            (SELECT e.dst, sum(e.p * r.rank) AS fl
+                             FROM e JOIN r3 r ON e.src = r.host GROUP BY 1) i
+                            ON te.host = i.dst),
+                   r5 AS (SELECT te.host, (1.0 - 0.85) * te.t
+                                          + 0.85 * coalesce(i.fl, 0) AS rank
+                          FROM tele te LEFT JOIN
+                            (SELECT e.dst, sum(e.p * r.rank) AS fl
+                             FROM e JOIN r4 r ON e.src = r.host GROUP BY 1) i
+                            ON te.host = i.dst)
+              SELECT host, round(rank, 6) AS trust FROM r5 ORDER BY host""")),
+
     // HITS hub/authority over the SAME deterministic host graph as
     // q_pagerank_hosts (graph.Hits): two full power-iteration rounds with
     // scalar L1 normalizers — per round, one join+agg per direction, the

@@ -723,10 +723,19 @@ object DateTimeQueries {
           .agg(sum(round(col("value") * 100).cast("long")).as("c"))
         val w = org.apache.spark.sql.expressions.Window.orderBy(asc("day"))
         val idx = day.withColumn("i", row_number().over(w))
+        // Third instance of the Long-overflow class (graph d²·13, chisq
+        // n·r·c): c² and s² wrap Long once daily cents pass ~3e9 (the
+        // 100× value-shifted corpus reaches ~3e15). The variance chain
+        // stays EXACT integer arithmetic in DECIMAL(38,0) — c² ≤ 1e31,
+        // n·sxx − s² ≤ 1e33, both well inside 38 digits — and converts
+        // to double only at the final sqrt; the oracle mirrors with
+        // HUGEINT, so both engines cast the identical exact integer.
+        val cDec = col("c").cast("decimal(19,0)")
         val base = idx.filter(col("i") <= 10).agg(
           count(lit(1)).as("n"), sum("c").as("s"),
-          sum(col("c") * col("c")).as("sxx"))
-        val sv = sqrt((col("n") * col("sxx") - col("s") * col("s"))
+          sum(cDec * cDec).as("sxx"))
+        val sDec = col("s").cast("decimal(19,0)")
+        val sv = sqrt((col("n").cast("decimal(38,0)") * col("sxx") - sDec * sDec)
           .cast("double"))
         val devd = (col("c") * col("n") - col("s")).cast("double")
         val marked = idx.crossJoin(broadcast(base))
@@ -765,11 +774,13 @@ object DateTimeQueries {
                            FROM day),
                    base AS (SELECT CAST(count(*) AS BIGINT) AS n,
                                    CAST(sum(c) AS BIGINT) AS s,
-                                   CAST(sum(c * c) AS BIGINT) AS sxx
+                                   sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sxx
                             FROM idx WHERE i <= 10),
                    m AS (SELECT day, i, c, c * n - s AS dev_c,
                                 CAST(c * n - s AS DOUBLE) AS devd,
-                                sqrt(CAST(n * sxx - s * s AS DOUBLE)) AS sv
+                                sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                                          - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+                                     AS DOUBLE)) AS sv
                          FROM idx, base),
                    f AS (SELECT day, i, c, dev_c,
                                 CASE WHEN devd > 0 THEN 1 ELSE 0 END AS hi0,

@@ -57,6 +57,9 @@ class BuildLazinessSpec extends SparkSpec {
       "(vocab, quality gates) materialize between stages by construction"),
     "q_pagerank_hosts" -> ("power iteration: per-round dangling-mass scalar " +
       "+ lazy-checkpoint materialization; round t+1 embeds round t"),
+    "q_pagerank_seeded" -> ("TrustRank power iteration: the seed-count " +
+      "teleport normalizer scalar + the same per-round shape as " +
+      "q_pagerank_hosts"),
     "q_hits_hosts" -> ("power iteration with per-half-round scalar L1 " +
       "normalizers; same shape as PageRank"),
     "q_connected_components" -> ("hash-to-min fixpoint: per-round moved- " +

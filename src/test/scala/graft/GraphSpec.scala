@@ -287,6 +287,40 @@ class GraphSpec extends SparkSpec {
     assert(out2.count() > 0, "ids past 3.04e9 must not overflow the edge arithmetic")
   }
 
+  test("seeded pagerank (TrustRank): mass conserved, trust decays per hop, unreachable hosts get exactly zero") {
+    import spark.implicits._
+    // chain s -> a -> b -> c (c dangling), plus x -> y unreachable from
+    // the seed: trust must decay along the chain and never reach x/y
+    val edges = edgeDf(Seq(("s", "a", 1.0), ("a", "b", 1.0),
+      ("b", "c", 1.0), ("x", "y", 1.0)))
+    val seeds = Seq("s").toDF("host")
+    // the s->a->b->c->(dangling recycles to s) loop contracts at
+    // 0.85^4 ~ 0.52 per cycle; 48 rounds leave residual ~4e-4, well under
+    // the ~0.04 fixpoint gaps the decay assertion reads
+    val r = PageRank.seededRanks(edges, seeds, iterations = 48)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9,
+      s"mass ${r.values.sum} != 1 (dangling mass must recycle to the seed teleport)")
+    assert(r("s") > r("a") && r("a") > r("b") && r("b") > r("c"),
+      s"trust must decay per hop: $r")
+    assert(r("x") == 0.0 && r("y") == 0.0,
+      s"unreachable-from-seed hosts must hold zero trust: $r")
+  }
+
+  test("seeded pagerank with an all-node seed set equals uniform pagerank") {
+    import spark.implicits._
+    val es = Seq(("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0), ("c", "d", 1.0))
+    val edges = edgeDf(es)
+    val allNodes = es.flatMap(e => Seq(e._1, e._2)).distinct.toDF("host")
+    val uniform = PageRank.ranks(edges, iterations = 8)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val seeded = PageRank.seededRanks(edges, allNodes, iterations = 8)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    uniform.foreach { case (h, v) =>
+      assert(math.abs(seeded(h) - v) < 1e-12, s"$h: $v vs ${seeded(h)}")
+    }
+  }
+
   test("componentsStar matches hash-to-min labels exactly") {
     // the mixed fixture (two chains + a pair) and a modular tangle
     val edges = plainEdges(Seq(("b", "a"), ("b", "c"), ("c", "d"),

@@ -126,6 +126,24 @@ class TimeseriesSpec extends SparkSpec {
     assert(out("2024-01-22")._2 == 0L && out("2024-01-22")._3 == 0L)
   }
 
+  test("q_spc_rules survives 100x-scale daily revenue (variance chain must not overflow)") {
+    // Regression for the THIRD instance of the Long-overflow class (after
+    // the graph d²·13 and q_chisq n·r·c): daily cents past ~3.04e9 wrap
+    // Long in the old sum(c²)/s² variance chain (the 100× value-shifted
+    // corpus reaches ~3e15 cents/day). The chain now runs in exact
+    // DECIMAL(38,0) (HUGEINT in the oracle) and converts to double only
+    // at the final sqrt. Values here put c ≈ 5e9 — squarely in the old
+    // overflow band — while keeping the alternating-baseline shape.
+    val rows = (1 to 12).map { i =>
+      val v =
+        if (i <= 10) { if (i % 2 == 0) 5.0e7 + 1 else 5.0e7 - 1 }
+        else 5.0e7
+      (i.toLong, day(i), 1L, "purchase", v)
+    }
+    val out = run("q_spc_rules", eventsDir(rows)).collect()
+    assert(out.length == 2, s"big-cents SPC screen must execute: ${out.length} rows")
+  }
+
   test("q_forecast_hw matches an independent in-memory Holt-Winters fold") {
     // trending + weekly-seasonal series, one event per day for 28 days
     val seas = Array(70.0, 0.0, -70.0, 35.0, -35.0, 14.0, -14.0)
