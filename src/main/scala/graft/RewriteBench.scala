@@ -31,6 +31,10 @@ object RewriteBench {
     // rewrite converts into partition pruning (the aggregate shape above
     // is rollup-dominated and measures ~1× — kept as the honest record)
     Target("q_timestamp_filter", "spark.graft.timestampIndex.enabled"),
+    // the needle shape: day partition pruning + pushed user filter with
+    // a handful of output rows, so the ratio reads the scan saving
+    // itself (q_timestamp_filter's day lookup is output-bounded)
+    Target("q_timestamp_needle", "spark.graft.timestampIndex.enabled"),
     Target("q_json_index_rewrite", "spark.graft.jsonIndex.enabled"),
     Target("q_text_index_rewrite", "spark.graft.termIndex.enabled"),
     // denormalized-view join elimination: view scan vs the real

@@ -236,6 +236,29 @@ object DateTimeQueries {
                     = TIMESTAMP '2024-01-15 00:00:00'
               ORDER BY event_id""")),
 
+    // NEEDLE lookup through the timestamp-index segment — the
+    // dashboard-drilldown shape whose output is a handful of rows, so
+    // the A/B ratio reads the SCAN saving itself (q_timestamp_filter's
+    // 2.19× is output-bounded: a day lookup returns the whole day). The
+    // rewritten day predicate prunes to ONE partition dir; the user
+    // range predicate additionally pushes to parquet as a plain column
+    // filter (PushedFilters) on both arms — the rule-off arm still
+    // scans all 30 day dirs and re-truncates every row.
+    QueryDef(
+      "q_timestamp_needle",
+      (s, d) =>
+        graft.sources.SegmentCatalog.readStableSchema(s, tsSegment(s, d))
+          .filter(date_trunc("day", col("ts")) ===
+            to_timestamp(lit("2024-01-15 00:00:00")) && col("user_id") < 20)
+          .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, round(value, 2) AS value
+              FROM events
+              WHERE CAST(date_trunc('day', ts) AS TIMESTAMP)
+                    = TIMESTAMP '2024-01-15 00:00:00'
+                AND user_id < 20
+              ORDER BY event_id""")),
+
     // Week-over-week PERCENT CHANGE — the delta column every trend
     // dashboard renders next to a timeseries: weekly per-type revenue,
     // each week compared to the type's previous week via one lag window
