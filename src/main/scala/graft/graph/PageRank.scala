@@ -131,7 +131,14 @@ object PageRank {
     // whitelist-sized by definition; the count also materializes the
     // checkpoint)
     val sCount = seedSet.count().toDouble
-    require(sCount > 0, "seededRanks needs a non-empty seed set")
+    // Degrade like every sibling graph op instead of throwing: an empty
+    // edge set (hence empty host/seed universe) — e.g. an id-shifted scale
+    // corpus whose modular edge join yields zero edges — returns the
+    // all-zero fixpoint over whatever hosts exist (empty hosts → empty
+    // result). Mathematically this IS the limit: with no seed mass the
+    // teleport vector is zero everywhere and the power iteration stays at
+    // zero.
+    if (sCount == 0) return nodes.withColumn("rank", lit(0.0))
 
     val outW = e0.groupBy("src").agg(sum("weight").as("out_w"))
     val trans = e0.join(outW, "src")

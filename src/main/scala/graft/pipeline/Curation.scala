@@ -32,7 +32,14 @@ object Curation {
       /** per-stratum keep rate in [0,1]; strata absent from the map keep
         * `defaultKeepRate` of their docs. */
       keepRates: Map[String, Double] = Map.empty,
-      defaultKeepRate: Double = 1.0) {
+      defaultKeepRate: Double = 1.0,
+      /** LSH bands for the near-dup candidate stage. The production
+        * default trades recall for band-join fan-in; numBands =
+        * MinHashLsh.NumHashes (one minhash per band) is the
+        * exhaustive-recall regime — any J ≥ threshold pair is missed with
+        * probability ≤ (1−J)^NumHashes — which makes the whole pipeline
+        * equal its all-pairs oracle (q_curation_exact). */
+      numBands: Int = MinHashLsh.NumBands) {
     require(shingleSize > 0, s"shingleSize must be positive, got $shingleSize")
     require(jaccardThreshold > 0.0 && jaccardThreshold <= 1.0,
       s"jaccardThreshold $jaccardThreshold outside (0, 1]")
@@ -47,7 +54,8 @@ object Curation {
     * components. Returns doc ids to DROP.
     */
   private def nearDupLosers(docs: DataFrame, cfg: Config): DataFrame = {
-    val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text", cfg.shingleSize)
+    val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text",
+      cfg.shingleSize, cfg.numBands)
     val sh = TextShingles.withShingleHashes(docs, "doc_id", "text", cfg.shingleSize)
       .select(col("doc_id"), col("sh"))
     val verified = cands

@@ -72,6 +72,14 @@ object DenormCatalog {
     * excluded — the same set a FileIndex exposes as inputFiles). A
     * driver-side metadata operation, same cost class as any scan's own
     * listing; captured once per registration.
+    *
+    * EVERY path component below the root is checked for the hidden
+    * prefixes, not just the leaf name: InMemoryFileIndex prunes whole
+    * hidden DIRECTORIES (a `_temporary` left by a crashed write, a
+    * `.staging` dir), so a leaf-only filter would bake their files into
+    * the signature and the freshness equality against
+    * `FileIndex.inputFiles` could never pass again — silently disabling
+    * the rewrite forever.
     */
   private def listSig(path: String): Set[String] = {
     val conf = SparkSession.getActiveSession
@@ -80,14 +88,23 @@ object DenormCatalog {
       .getOrElse(new org.apache.hadoop.conf.Configuration())
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
+    val root = fs.makeQualified(p)
+    def hiddenUnderRoot(f: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = f
+      while (cur != null && cur != root) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
     if (!fs.exists(p)) Set.empty
     else {
       val it = fs.listFiles(p, true)
       val b = Set.newBuilder[String]
       while (it.hasNext) {
         val f = it.next().getPath
-        if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
-          b += normalize(f.toString)
+        if (!hiddenUnderRoot(f)) b += normalize(f.toString)
       }
       b.result()
     }
@@ -103,10 +120,18 @@ object DenormCatalog {
       p => graft.sources.SegmentCatalog.readStableSchema(spark, p)
         .queryExecution.analyzed)
 
-  def find(factPaths: Set[String], dimPaths: Set[String]): Option[ViewDef] = {
+  /** Path match is necessary but not sufficient: two registrations can
+    * share the same fact+dim paths with DIFFERENT join keys (a dim joined
+    * on more than one foreign key), so the lookup selects by the full
+    * (fact, dim, key) triple — a first-path-match would return the
+    * wrong-key ViewDef and the rewrite would silently decline.
+    */
+  def find(factPaths: Set[String], dimPaths: Set[String], key: String)
+      : Option[ViewDef] = {
     val f = factPaths.map(normalize); val d = dimPaths.map(normalize)
     views.values.asScala.find(v =>
-      f.nonEmpty && d.nonEmpty && f.subsetOf(v.factPaths) && d.subsetOf(v.dimPaths))
+      f.nonEmpty && d.nonEmpty && v.key == key &&
+        f.subsetOf(v.factPaths) && d.subsetOf(v.dimPaths))
   }
 
   private[plans] def normalize(p: String): String =
@@ -155,18 +180,20 @@ class DenormRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Some(EqualTo(a: AttributeReference, b: AttributeReference)) => (a, b)
       case _ => return None
     }
+    // the materialize contract needs ONE key name shared by both sides;
+    // checking it up front lets the catalog lookup select by key too
+    if (leftKey.name != rightKey.name) return None
     val (lPaths, lFilter, lFiles) = scanSide(j.left).getOrElse(return None)
     val (rPaths, rFilter, rFiles) = scanSide(j.right).getOrElse(return None)
     // fact on either side of the join
-    val (view, factFilter, dimFilter, factKey, dimKey, factFiles, dimFiles) =
-      DenormCatalog.find(lPaths, rPaths) match {
-        case Some(v) => (v, lFilter, rFilter, leftKey, rightKey, lFiles, rFiles)
-        case None => DenormCatalog.find(rPaths, lPaths) match {
-          case Some(v) => (v, rFilter, lFilter, rightKey, leftKey, rFiles, lFiles)
+    val (view, factFilter, dimFilter, factFiles, dimFiles) =
+      DenormCatalog.find(lPaths, rPaths, leftKey.name) match {
+        case Some(v) => (v, lFilter, rFilter, lFiles, rFiles)
+        case None => DenormCatalog.find(rPaths, lPaths, leftKey.name) match {
+          case Some(v) => (v, rFilter, lFilter, rFiles, lFiles)
           case None => return None
         }
       }
-    if (factKey.name != view.key || dimKey.name != view.key) return None
     // FRESHNESS: the view was materialized from exactly the registered
     // files. Files appended/removed since (without refreshIncremental +
     // re-register) would silently serve missing/stale rows — decline and

@@ -695,7 +695,10 @@ object CorpusQueries {
     // decays per hop — the standard crawl-curation signal for propagating
     // a small trusted list to the unlabeled host universe. Same round
     // shape as q_pagerank_hosts; the oracle unrolls the 5 rounds with the
-    // seed teleport, every division CAST to DOUBLE so both engines run
+    // seed teleport INCLUDING the dangling-mass recycle term
+    // ((1-d+d·danglingMass)·tele — the dK CTEs), so implementation and
+    // oracle stay equal even on a corpus that produces a dst-only host;
+    // every division CAST to DOUBLE so both engines run
     // identical IEEE arithmetic (round(·,6) absorbs parallel-sum ulp).
     QueryDef(
       "q_pagerank_seeded",
@@ -733,32 +736,50 @@ object CorpusQueries {
                    outw AS (SELECT src, sum(w) AS ow FROM e0 GROUP BY 1),
                    e AS (SELECT e0.src, e0.dst, e0.w / outw.ow AS p
                          FROM e0 JOIN outw ON e0.src = outw.src),
+                   dhosts AS (SELECT h.host FROM hosts h
+                              LEFT JOIN outw o ON h.host = o.src
+                              WHERE o.src IS NULL),
                    r0 AS (SELECT host, t AS rank FROM tele),
-                   r1 AS (SELECT te.host, (1.0 - 0.85) * te.t
+                   d0 AS (SELECT coalesce(sum(r.rank), 0) AS m
+                          FROM r0 r JOIN dhosts d ON r.host = d.host),
+                   r1 AS (SELECT te.host,
+                                 (1.0 - 0.85 + 0.85 * (SELECT m FROM d0)) * te.t
                                           + 0.85 * coalesce(i.fl, 0) AS rank
                           FROM tele te LEFT JOIN
                             (SELECT e.dst, sum(e.p * r.rank) AS fl
                              FROM e JOIN r0 r ON e.src = r.host GROUP BY 1) i
                             ON te.host = i.dst),
-                   r2 AS (SELECT te.host, (1.0 - 0.85) * te.t
+                   d1 AS (SELECT coalesce(sum(r.rank), 0) AS m
+                          FROM r1 r JOIN dhosts d ON r.host = d.host),
+                   r2 AS (SELECT te.host,
+                                 (1.0 - 0.85 + 0.85 * (SELECT m FROM d1)) * te.t
                                           + 0.85 * coalesce(i.fl, 0) AS rank
                           FROM tele te LEFT JOIN
                             (SELECT e.dst, sum(e.p * r.rank) AS fl
                              FROM e JOIN r1 r ON e.src = r.host GROUP BY 1) i
                             ON te.host = i.dst),
-                   r3 AS (SELECT te.host, (1.0 - 0.85) * te.t
+                   d2 AS (SELECT coalesce(sum(r.rank), 0) AS m
+                          FROM r2 r JOIN dhosts d ON r.host = d.host),
+                   r3 AS (SELECT te.host,
+                                 (1.0 - 0.85 + 0.85 * (SELECT m FROM d2)) * te.t
                                           + 0.85 * coalesce(i.fl, 0) AS rank
                           FROM tele te LEFT JOIN
                             (SELECT e.dst, sum(e.p * r.rank) AS fl
                              FROM e JOIN r2 r ON e.src = r.host GROUP BY 1) i
                             ON te.host = i.dst),
-                   r4 AS (SELECT te.host, (1.0 - 0.85) * te.t
+                   d3 AS (SELECT coalesce(sum(r.rank), 0) AS m
+                          FROM r3 r JOIN dhosts d ON r.host = d.host),
+                   r4 AS (SELECT te.host,
+                                 (1.0 - 0.85 + 0.85 * (SELECT m FROM d3)) * te.t
                                           + 0.85 * coalesce(i.fl, 0) AS rank
                           FROM tele te LEFT JOIN
                             (SELECT e.dst, sum(e.p * r.rank) AS fl
                              FROM e JOIN r3 r ON e.src = r.host GROUP BY 1) i
                             ON te.host = i.dst),
-                   r5 AS (SELECT te.host, (1.0 - 0.85) * te.t
+                   d4 AS (SELECT coalesce(sum(r.rank), 0) AS m
+                          FROM r4 r JOIN dhosts d ON r.host = d.host),
+                   r5 AS (SELECT te.host,
+                                 (1.0 - 0.85 + 0.85 * (SELECT m FROM d4)) * te.t
                                           + 0.85 * coalesce(i.fl, 0) AS rank
                           FROM tele te LEFT JOIN
                             (SELECT e.dst, sum(e.p * r.rank) AS fl
@@ -1940,6 +1961,59 @@ object CorpusQueries {
       },
       None),
 
+    // EXACT-REGIME twin of q_bpe_train: the SAME trainer (Bpe.train, 8
+    // merges, identical tie-break) over a synthetic corpus whose merge
+    // sequence is analytically derivable, so the whole train loop is
+    // hash-pinned by a DuckDB oracle. Construction: every doc contributes
+    // the word "abcdefghi" (2 + doc_id % 3) times and "jklmnop" once, so
+    // every adjacent pair of the first word counts cx = Σ(2 + doc_id % 3)
+    // ≥ 2·n_docs > cy = n_docs (the second word's count) and all 8 merges
+    // go to the first word's cascade; within the all-equal-count cascade
+    // the (count desc, a, b) tie-break is purely lexicographic and the
+    // growing prefix always starts with 'a' (strictly smallest), so step
+    // k provably merges (prefix_k, next_char) with pair_cnt = cx. The
+    // oracle derives exactly that table arithmetically.
+    QueryDef(
+      "q_bpe_train_exact",
+      (s, d) => {
+        val (merges, _) = bpeTrainedExact(s, d)
+        import s.implicits._
+        merges.toDF("step", "a", "b", "pair_cnt").orderBy("step")
+      },
+      Some("""WITH cx AS (SELECT CAST(sum(2 + doc_id % 3) AS BIGINT) AS n
+                          FROM documents)
+              SELECT step, a, b, (SELECT n FROM cx) AS pair_cnt
+              FROM (VALUES (1,'a','b'), (2,'ab','c'), (3,'abc','d'),
+                           (4,'abcd','e'), (5,'abcde','f'), (6,'abcdef','g'),
+                           (7,'abcdefg','h'), (8,'abcdefgh','i'))
+                   AS m(step, a, b)
+              ORDER BY step""")),
+
+    // EXACT-REGIME twin of q_bpe_encode over the same provable corpus:
+    // after the 8 cascade merges "abcdefghi" encodes to exactly 2 symbols
+    // ([abcdefghi, </w>]) and "jklmnop" stays at its 8 initial symbols
+    // (7 chars + </w>, untouched by any merge), so every per-source
+    // statistic is a closed form of cx_s (weighted first-word count) and
+    // cy_s (doc count) — the oracle computes it arithmetically and the
+    // whole train→broadcast-dict→rollup encode path is hash-pinned.
+    QueryDef(
+      "q_bpe_encode_exact",
+      (s, d) => {
+        val (_, dict) = bpeTrainedExact(s, d)
+        graft.pipeline.Bpe.encodeStats(bpeExactDocs(s, d), "text", "source", dict)
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source,
+                                CAST(sum(2 + doc_id % 3) AS BIGINT) AS cx,
+                                CAST(count(*) AS BIGINT) AS cy
+                         FROM documents GROUP BY 1)
+              SELECT source, cx + cy AS n_words,
+                     10 * cx + 8 * cy AS n_char_syms,
+                     2 * cx + 8 * cy AS n_bpe_syms,
+                     round(CAST(2 * cx + 8 * cy AS DOUBLE)
+                           / (10 * cx + 8 * cy), 6) AS compression
+              FROM c ORDER BY source""")),
+
     // AVRO batch ingestion (Introduction.md:46 — the reference's batch
     // formats include Avro) through a written-then-read container-file
     // fixture: the documents table is exported ONCE per sf-dir to two
@@ -2035,6 +2109,21 @@ object CorpusQueries {
   private def bpeTrained(s: org.apache.spark.sql.SparkSession, d: String) =
     bpeCache.getOrElseUpdate((s, d),
       graft.pipeline.Bpe.train(graft.engine.Tables.documents(s, d), "text", k = 8))
+
+  /** The exact-regime twins' provable corpus: word "abcdefghi" weighted
+    * (2 + doc_id % 3) per doc plus "jklmnop" once per doc — see
+    * q_bpe_train_exact for why this makes all 8 merges (and the encode
+    * statistics) analytically derivable.
+    */
+  private def bpeExactDocs(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.engine.Tables.documents(s, d).select(
+      col("source"),
+      expr("concat(repeat(' abcdefghi', cast(2 + doc_id % 3 as int))," +
+        " ' jklmnop')").as("text"))
+
+  private def bpeTrainedExact(s: org.apache.spark.sql.SparkSession, d: String) =
+    bpeCache.getOrElseUpdate((s, s"bpe_exact#$d"),
+      graft.pipeline.Bpe.train(bpeExactDocs(s, d), "text", k = 8))
 
   /** Drop (and unpersist) memoized BPE artifacts — ScaleBench calls this
     * per rep so scale slopes measure the training work, not a cache hit.

@@ -586,7 +586,7 @@ object JoinQueries {
         val factPath = s"$base/fact"
         val dimPath = s"$base/dim"
         val viewPath = s"$base/view"
-        if (DenormCatalog.find(Set(factPath), Set(dimPath)).isEmpty) {
+        if (DenormCatalog.find(Set(factPath), Set(dimPath), "cust_key").isEmpty) {
           Tables.orders(s, d)
             .select(col("o_orderkey"), col("o_custkey").as("cust_key"),
               col("o_totalprice"), col("o_orderpriority"))

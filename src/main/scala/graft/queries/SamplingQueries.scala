@@ -226,6 +226,78 @@ object SamplingQueries {
           .orderBy("lang"),
       None),
 
+    // q_curation's EXACT-REGIME twin, hash-verified end-to-end: the SAME
+    // Curation.curate composition (exact dedup → MinHash-LSH → exact-
+    // Jaccard verify → connected components → quality gate → md5
+    // stratified sampling), run with numBands = NumHashes — the
+    // q_dedup_minhash_exact exhaustive-recall regime, where a J ≥ 0.8
+    // pair escapes banding with probability ≤ (1−J)^32 ≤ 4e-23 — so the
+    // near-dup stage provably equals its all-pairs answer and the WHOLE
+    // pipeline is one DuckDB expression: md5 keep-min window, shingle
+    // self-join Jaccard, recursive-CTE components with min-id reps, the
+    // token gates, and the documented ('0x' || md5-prefix)/65536 draw.
+    QueryDef(
+      "q_curation_exact",
+      (s, d) =>
+        graft.pipeline.Curation.curate(
+          Tables.documents(s, d),
+          graft.pipeline.Curation.Config(
+            keepRates = Map("en" -> 0.5), defaultKeepRate = 0.9,
+            numBands = graft.dedup.MinHashLsh.NumHashes))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            round(avg("n_tokens"), 2).as("avg_tokens"),
+            round(avg("uniq_ratio"), 4).as("avg_uniq"))
+          .orderBy("lang"),
+      Some("""WITH RECURSIVE
+                   ex AS (SELECT doc_id, text, lang
+                          FROM (SELECT doc_id, text, lang,
+                                       min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+                                FROM documents)
+                          WHERE doc_id = rep),
+                   wt AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM ex),
+                   sh AS (SELECT doc_id,
+                                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                                FOR i IN range(1, len(w) - 1)]) AS s
+                          FROM wt WHERE len(w) >= 3),
+                   exsh AS (SELECT doc_id, unnest(s) AS shg FROM sh),
+                   prs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                           FROM exsh a JOIN exsh b
+                             ON a.shg = b.shg AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                   sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+                   jp AS (SELECT a_id, b_id
+                          FROM prs p
+                          JOIN sizes sa ON p.a_id = sa.doc_id
+                          JOIN sizes sb ON p.b_id = sb.doc_id
+                          WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+                   edges AS (SELECT a_id AS u, b_id AS v FROM jp
+                             UNION SELECT b_id, a_id FROM jp),
+                   reach(u, v) AS (
+                     SELECT DISTINCT u, u FROM edges
+                     UNION
+                     SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+                   comp AS (SELECT u AS doc_id, min(v) AS cluster_id
+                            FROM reach GROUP BY u),
+                   losers AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+                   ded AS (SELECT * FROM ex
+                           WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+                   q AS (SELECT lang, text,
+                                len(string_split(lower(text), ' ')) AS n_tokens,
+                                len(list_distinct(string_split(lower(text), ' '))) * 1.0
+                                  / greatest(len(string_split(lower(text), ' ')), 1)
+                                  AS uniq_ratio
+                         FROM ded),
+                   f AS (SELECT * FROM q
+                         WHERE n_tokens BETWEEN 5 AND 100000
+                           AND uniq_ratio >= 0.1
+                           AND CAST(('0x' || substr(md5(text), 1, 4)) AS INT) / 65536.0
+                               < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.9 END)
+              SELECT lang, count(*) AS n_kept,
+                     round(avg(n_tokens), 2) AS avg_tokens,
+                     round(avg(uniq_ratio), 4) AS avg_uniq
+              FROM f GROUP BY 1 ORDER BY lang""")),
+
     // WEIGHTED (PPS) sampling without replacement — priority sampling
     // (Duffield-Lund-Thorup): priority = w/u with u a deterministic
     // multiplicative-congruential uniform (Knuth) derived from the row

@@ -706,7 +706,10 @@ object Realtime {
         processDedupBatch(batch, id, idCol, textCol, indexPath,
           acceptedPath, threshold, shingleSize, numBands)
         if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
-          compactDedupIndex(batch.sparkSession, indexPath, acceptedPath, idCol)
+          // skip-on-held-lease: a concurrent external compactor must not
+          // fail the streaming batch; the next cadence tick retries
+          tryCompactDedupIndex(batch.sparkSession, indexPath, acceptedPath,
+            idCol)
           ()
         }
       }
@@ -819,10 +822,100 @@ object Realtime {
     * previous output and `dropDuplicates` on the natural key). Sentinel
     * ids are fresh per run (min(existing) - 1), so a half-finished run
     * never collides with its successor.
+    *
+    * CONCURRENCY contract — single compactor, enforced by a lease:
+    * two compactions planning over the same listing would each pick a
+    * fresh sentinel and double-materialize every row (converged by the
+    * next run, but a real window), so the run takes an exclusive lease
+    * file `_compact_lease` under the index root via atomic
+    * create-if-absent and throws IllegalStateException if another
+    * compactor holds it (`tryCompactDedupIndex` is the skip-instead-of-
+    * throw form the in-sink cadence uses). A lease older than
+    * `leaseTtlMs` is presumed crashed and broken. The lease serializes
+    * compactor-vs-compactor only: an EXTERNAL compactor racing a live
+    * `dedupIngestSink` micro-batch can still delete source partitions
+    * between the batch's probe LISTING and its read — a transient
+    * FileNotFoundException batch failure (data stays safe: rename
+    * precedes delete, and replay re-probes the compacted index). Either
+    * let the sink's own `compactEvery` cadence own compaction (it runs
+    * between batches, inside the lease), or schedule the external job in
+    * the stream's idle windows.
     */
   def compactDedupIndex(
       spark: SparkSession, indexPath: String, acceptedPath: String,
-      idCol: String = "doc_id", numFiles: Int = 1): DedupCompactionStats = {
+      idCol: String = "doc_id", numFiles: Int = 1,
+      leaseTtlMs: Long = 15 * 60 * 1000L): DedupCompactionStats =
+    withCompactionLease(spark, indexPath, leaseTtlMs) {
+      compactDedupIndexLocked(spark, indexPath, acceptedPath, idCol, numFiles)
+    }.getOrElse(throw new IllegalStateException(
+      s"compactDedupIndex: another compactor holds $indexPath/$LeaseName " +
+        s"(younger than ${leaseTtlMs}ms); compaction must be serialized"))
+
+  /** Non-throwing form: returns None (skips the run) when another
+    * compactor holds a live lease — the in-sink cadence path, where a
+    * concurrent external job must not fail the streaming batch.
+    */
+  def tryCompactDedupIndex(
+      spark: SparkSession, indexPath: String, acceptedPath: String,
+      idCol: String = "doc_id", numFiles: Int = 1,
+      leaseTtlMs: Long = 15 * 60 * 1000L): Option[DedupCompactionStats] =
+    withCompactionLease(spark, indexPath, leaseTtlMs) {
+      compactDedupIndexLocked(spark, indexPath, acceptedPath, idCol, numFiles)
+    }
+
+  private val LeaseName = "_compact_lease"
+
+  /** Same-JVM serialization of lease holders, keyed by index root: the
+    * in-sink cadence and a same-session maintenance call race INSIDE one
+    * JVM, where `FileSystem.create(overwrite = false)` on the LOCAL
+    * filesystem is a non-atomic exists-then-create (both racers can pass
+    * the exists check — caught by the lease spec's two-thread case). On
+    * HDFS the file create is atomic, so the file lease alone covers
+    * cross-process compactors.
+    */
+  private val inProcessLeases =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Acquire `<indexRoot>/_compact_lease` (JVM set for same-process
+    * racers + create-if-absent lease file, atomic on HDFS, for
+    * cross-process ones), run `body`, release. Returns None without
+    * running when a concurrent holder's lease is younger than
+    * `leaseTtlMs`; an older lease is a crashed compactor's leftover and
+    * is broken (deleted and re-acquired). Hidden-prefixed, so FileIndex
+    * listings and the sink's batch_id partition discovery never see it.
+    */
+  private def withCompactionLease[A](
+      spark: SparkSession, indexPath: String, leaseTtlMs: Long)(body: => A)
+      : Option[A] = {
+    import org.apache.hadoop.fs.Path
+    if (!inProcessLeases.add(indexPath)) return None
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      val root = new Path(indexPath)
+      val fs = root.getFileSystem(hc)
+      if (!fs.exists(root)) fs.mkdirs(root)
+      val lease = new Path(root, LeaseName)
+      def tryAcquire(): Boolean =
+        try { fs.create(lease, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      val acquired = tryAcquire() || {
+        // lease exists: break it only if its holder looks dead (mtime
+        // older than the TTL); getFileStatus can race the holder's own
+        // release, in which case just try once more
+        val stale =
+          try fs.getFileStatus(lease).getModificationTime <
+            System.currentTimeMillis() - leaseTtlMs
+          catch { case _: java.io.FileNotFoundException => true }
+        stale && { fs.delete(lease, false); tryAcquire() }
+      }
+      if (!acquired) None
+      else try Some(body) finally fs.delete(lease, false)
+    } finally inProcessLeases.remove(indexPath)
+  }
+
+  private def compactDedupIndexLocked(
+      spark: SparkSession, indexPath: String, acceptedPath: String,
+      idCol: String, numFiles: Int): DedupCompactionStats = {
     import org.apache.hadoop.fs.Path
     val hc = spark.sparkContext.hadoopConfiguration
     def listIds(root: String): Seq[Long] = {

@@ -55,6 +55,9 @@ class BuildLazinessSpec extends SparkSpec {
       "picks sequentially — each pick conditions on those before it"),
     "q_curation" -> ("end-to-end curation pipeline entry: stage artifacts " +
       "(vocab, quality gates) materialize between stages by construction"),
+    "q_curation_exact" -> ("the same curation pipeline in the exhaustive-" +
+      "recall banding regime — identical stage materialization (the " +
+      "connected-components fixpoint's per-round moved-count scalar)"),
     "q_pagerank_hosts" -> ("power iteration: per-round dangling-mass scalar " +
       "+ lazy-checkpoint materialization; round t+1 embeds round t"),
     "q_pagerank_seeded" -> ("TrustRank power iteration: the seed-count " +

@@ -156,4 +156,81 @@ class DenormRewriteSpec extends SparkSpec {
       assert(collectSorted(q1) === off1)
     } finally DenormCatalog.clear()
   }
+
+  test("two registrations on the SAME fact+dim paths with different keys: lookup selects by key, both rewrite") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("denorm_rw3").toString
+    val factPath = s"$base/fact"; val dimPath = s"$base/dim"
+    (1 to 100).map(i => (i.toLong, i % 7L, i % 5L, (i * 2).toDouble))
+      .toDF("order_id", "tier_key", "alt_key", "amount")
+      .write.mode("overwrite").parquet(factPath)
+    (0L until 7L).map(k => (k, k % 5L, s"label-$k"))
+      .toDF("tier_key", "alt_key", "label")
+      .write.mode("overwrite").parquet(dimPath)
+    try {
+      val fact = spark.read.parquet(factPath)
+      val dim = spark.read.parquet(dimPath)
+      // one view per join key over the same path pair (a dim joined on
+      // two different foreign keys) — pruned inputs so neither view
+      // carries the other key as a duplicate column
+      DenormView.materialize(fact.select("order_id", "tier_key", "amount"),
+        dim.select("tier_key", "label"), "tier_key", s"$base/view_tier")
+      DenormCatalog.register(factPath, dimPath, "tier_key", s"$base/view_tier")
+      DenormView.materialize(fact.select("order_id", "alt_key", "amount"),
+        dim.select("alt_key", "label").dropDuplicates("alt_key"),
+        "alt_key", s"$base/view_alt")
+      DenormCatalog.register(factPath, dimPath, "alt_key", s"$base/view_alt")
+      // the pre-fix find() returned the FIRST path match regardless of
+      // key, so whichever of these two hit the wrong-key ViewDef silently
+      // kept the real join; key-aware lookup must pick the right one
+      assert(DenormCatalog.find(Set(factPath), Set(dimPath), "tier_key")
+        .exists(_.key == "tier_key"))
+      assert(DenormCatalog.find(Set(factPath), Set(dimPath), "alt_key")
+        .exists(_.key == "alt_key"))
+      val q1 = fact.select("order_id", "tier_key", "amount")
+        .join(dim.select("tier_key", "label"), "tier_key")
+      assert(!q1.queryExecution.optimizedPlan.toString.contains("Join"),
+        "tier_key join must rewrite with both registrations present")
+      val q2 = fact.select("order_id", "alt_key", "amount")
+        .join(dim.select("alt_key", "label").dropDuplicates("alt_key"), "alt_key")
+      // q2 carries a dropDuplicates over the dim side, which the rule's
+      // scanSide does not traverse — assert only the catalog selection
+      // here; the q1 plan plus the find() assertions pin the fix
+      val off1 =
+        try { spark.conf.set("spark.graft.denorm.enabled", "false"); collectSorted(q1) }
+        finally spark.conf.set("spark.graft.denorm.enabled", "true")
+      assert(collectSorted(q1) === off1)
+      assert(q2.count() == 100L)
+    } finally DenormCatalog.clear()
+  }
+
+  test("a hidden directory under the fact path (stale _temporary) does not disable the rewrite") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("denorm_rw4").toString
+    val factPath = s"$base/fact"; val dimPath = s"$base/dim"
+    (1 to 50).map(i => (i.toLong, i % 7L, i.toDouble))
+      .toDF("order_id", "tier_key", "amount")
+      .write.mode("overwrite").parquet(factPath)
+    (0L until 7L).map(k => (k, s"tier-$k"))
+      .toDF("tier_key", "tier_name")
+      .write.mode("overwrite").parquet(dimPath)
+    // a crashed write's leftover: a file INSIDE a hidden directory. The
+    // FileIndex never lists it, so a leaf-only hidden filter would bake
+    // it into the registration signature and the freshness equality would
+    // never pass — permanently (and silently) disabling the rewrite.
+    val junkDir = java.nio.file.Paths.get(factPath, "_temporary", "0")
+    java.nio.file.Files.createDirectories(junkDir)
+    java.nio.file.Files.writeString(junkDir.resolve("part-junk.parquet"),
+      "not a real parquet file")
+    try {
+      val fact = spark.read.parquet(factPath)
+      val dim = spark.read.parquet(dimPath)
+      DenormView.materialize(fact, dim, "tier_key", s"$base/view")
+      DenormCatalog.register(factPath, dimPath, "tier_key", s"$base/view")
+      val q = fact.join(dim, "tier_key").select("order_id", "tier_name")
+      assert(!q.queryExecution.optimizedPlan.toString.contains("Join"),
+        "hidden-dir leftovers must not poison the freshness signature")
+      assert(q.count() == 50L)
+    } finally DenormCatalog.clear()
+  }
 }

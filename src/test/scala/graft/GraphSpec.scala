@@ -321,6 +321,56 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("seeded pagerank degrades to empty/zero output on an empty edge or seed set instead of throwing") {
+    import spark.implicits._
+    // an id-shifted scale corpus whose modular join yields zero edges must
+    // degrade like every sibling graph op (empty result), not require()-crash
+    val empty = Seq.empty[(String, String, Double)].toDF("src", "dst", "weight")
+    val noSeeds = Seq.empty[String].toDF("host")
+    val out = PageRank.seededRanks(empty, noSeeds, iterations = 3)
+    assert(out.columns.toSeq == Seq("host", "rank"))
+    assert(out.count() == 0L)
+    // non-empty graph + empty whitelist: the zero-teleport fixpoint (all
+    // zeros) — the limit as the seed mass vanishes — again not a crash
+    val zero = PageRank.seededRanks(edgeDf(Seq(("a", "b", 1.0))), noSeeds,
+        iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(zero.keySet == Set("a", "b") && zero.values.forall(_ == 0.0),
+      s"empty seed set must yield the all-zero fixpoint: $zero")
+  }
+
+  test("seeded pagerank equals the oracle's unrolled recurrence on a graph WITH a dangling host") {
+    // Pins the q_pagerank_seeded oracle formula — the dK dangling-mass
+    // CTEs mirror the implementation's (1-d+d·dangling)·tele term — on the
+    // one topology the driver fixture can't produce: a dst-only host
+    // holding recycled trust. If either side dropped the term, this
+    // hand-unrolled recurrence (the oracle SQL, transcribed) would diverge
+    // from seededRanks by ~d·dangling·tele within 2 rounds.
+    import spark.implicits._
+    val edges = edgeDf(Seq(("s", "a", 1.0), ("s", "d", 1.0), ("a", "d", 2.0)))
+    val seeds = Seq("s").toDF("host")
+    val damp = 0.85
+    val hosts = Seq("s", "a", "d") // d is dangling (never a src)
+    val tele = Map("s" -> 1.0, "a" -> 0.0, "d" -> 0.0)
+    val p = Map(("s", "a") -> 0.5, ("s", "d") -> 0.5, ("a", "d") -> 1.0)
+    var rank = tele
+    (1 to 5).foreach { _ =>
+      val dang = rank("d")
+      rank = hosts.map { h =>
+        val inflow = p.collect { case ((u, v), w) if v == h => w * rank(u) }.sum
+        h -> ((1.0 - damp + damp * dang) * tele(h) + damp * inflow)
+      }.toMap
+    }
+    val got = PageRank.seededRanks(edges, seeds, iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-9,
+      s"mass ${got.values.sum} != 1 with a dangling host")
+    hosts.foreach { h =>
+      assert(math.abs(got(h) - rank(h)) < 1e-12,
+        s"$h: impl ${got(h)} vs oracle-recurrence ${rank(h)}")
+    }
+  }
+
   test("componentsStar matches hash-to-min labels exactly") {
     // the mixed fixture (two chains + a pair) and a modular tangle
     val edges = plainEdges(Seq(("b", "a"), ("b", "c"), ("c", "d"),

@@ -1053,6 +1053,121 @@ class StreamingSpec extends SparkSpec {
     assert(probeCands() === candsBefore, "replay after compaction changed the index")
   }
 
+  test("compaction lease: concurrent compactors are serialized — held lease rejects, stale lease breaks, interleaved runs converge") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dedup_lease").toString
+    val indexPath = s"$base/bandidx"; val acceptedPath = s"$base/accepted"
+    val nb = graft.dedup.MinHashLsh.NumHashes
+    def text(i: Int): String = (0 until 8).map(w => s"w${i}x$w").mkString(" ")
+    (0 until 6).foreach { i =>
+      Realtime.processDedupBatch(Seq((100L + i, text(i))).toDF("doc_id", "text"),
+        i.toLong, "doc_id", "text", indexPath, acceptedPath, 0.8, 3, nb)
+    }
+    val expected = (0 until 6).map(100L + _).toSet
+    def accepted(): Set[Long] = spark.read.parquet(acceptedPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def dirs(root: String): Set[String] = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val hc = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(hc)
+    val lease = new org.apache.hadoop.fs.Path(indexPath, "_compact_lease")
+
+    // (a) a LIVE lease held by another compactor: the throwing form fails
+    // fast, the skip form returns None, and neither touches the data
+    fs.create(lease, false).close()
+    val dirsBefore = dirs(indexPath)
+    intercept[IllegalStateException] {
+      Realtime.compactDedupIndex(spark, indexPath, acceptedPath)
+    }
+    assert(Realtime.tryCompactDedupIndex(spark, indexPath, acceptedPath).isEmpty,
+      "in-sink cadence form must skip, not fail, on a held lease")
+    assert(dirs(indexPath) === dirsBefore, "a rejected run must not touch data")
+
+    // (b) a STALE lease (crashed compactor): broken and the run proceeds
+    fs.setTimes(lease, System.currentTimeMillis() - 60 * 60 * 1000L, -1)
+    val stats = Realtime.compactDedupIndex(spark, indexPath, acceptedPath)
+    assert(stats.batchesCompacted === 5L, "stale lease must be broken")
+    assert(!fs.exists(lease), "lease must be released after the run")
+    assert(accepted() === expected)
+
+    // (c) two compactors racing from two threads: the lease serializes
+    // them — whatever the interleaving (one skips, or they run back to
+    // back), the index converges with zero row loss and no duplicates
+    (6 until 10).foreach { i =>
+      Realtime.processDedupBatch(Seq((100L + i, text(i))).toDF("doc_id", "text"),
+        i.toLong, "doc_id", "text", indexPath, acceptedPath, 0.8, 3, nb)
+    }
+    val all = (0 until 10).map(100L + _).toSet
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val outcomes = (0 until 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = {
+          go.await()
+          try {
+            if (Realtime.tryCompactDedupIndex(spark, indexPath, acceptedPath)
+                .isDefined) "ran" else "skipped"
+          } catch { case e: Throwable => s"failed: $e" }
+        }
+      })
+    }
+    go.countDown()
+    val results = outcomes.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(results.forall(r => r == "ran" || r == "skipped"),
+      s"racing compactors must run or skip, never fail: $results")
+    assert(results.contains("ran"), s"at least one compactor must win: $results")
+    assert(accepted() === all, "no row lost under racing compactors")
+    val rows = spark.read.parquet(acceptedPath).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length === rows.toSet.size,
+      "no duplicate rows under racing compactors")
+    assert(!fs.exists(lease), "lease must be released by both paths")
+  }
+
+  test("dedup sink soak: 50 batches at compactEvery=5 with a mid-soak replay equal the no-compaction run") {
+    import spark.implicits._
+    // the r13 spec compacts once; this soaks the CADENCE — repeated folds
+    // while the index keeps growing, plus a forced replay right after a
+    // fold — and pins accepted-set parity against an untouched control
+    val base = java.nio.file.Files.createTempDirectory("dedup_soak").toString
+    val soakIdx = s"$base/s_idx"; val soakAcc = s"$base/s_acc"
+    val ctlIdx = s"$base/c_idx"; val ctlAcc = s"$base/c_acc"
+    val nb = graft.dedup.MinHashLsh.NumHashes
+    def text(i: Int): String = (0 until 8).map(w => s"w${i}x$w").mkString(" ")
+    def batch(i: Int): Seq[(Long, String)] =
+      Seq((100L + i, text(i))) ++
+        (if (i > 0) Seq((1000L + i, text(i / 2))) else Nil) // re-post: dup
+    def run(idx: String, acc: String, rows: Seq[(Long, String)], id: Long): Unit =
+      Realtime.processDedupBatch(rows.toDF("doc_id", "text"), id,
+        "doc_id", "text", idx, acc, 0.8, 3, nb)
+    (0 until 50).foreach { i =>
+      run(soakIdx, soakAcc, batch(i), i.toLong)
+      // the sink's own cadence (dedupIngestSink compactEvery = 5)
+      if (i > 0 && i % 5 == 0)
+        Realtime.tryCompactDedupIndex(spark, soakIdx, soakAcc)
+      if (i == 25) // forced replay of the newest batch right after a fold
+        run(soakIdx, soakAcc, batch(i), i.toLong)
+      run(ctlIdx, ctlAcc, batch(i), i.toLong) // control: never compacted
+    }
+    def rowsOf(acc: String): Set[(Long, String)] =
+      spark.read.parquet(acc).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val soak = rowsOf(soakAcc)
+    assert(soak === rowsOf(ctlAcc),
+      "soak accepted set must equal the no-compaction control")
+    assert(soak.map(_._1) === (0 until 50).map(100L + _).toSet,
+      "exactly the novel docs survive")
+    // state bound: the cadence keeps the roots at O(1) directories — the
+    // sentinel fold + the ≤5 batches since the last fold — vs 50 for the
+    // control
+    def nDirs(root: String): Int = new java.io.File(root).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(nDirs(soakIdx) <= 7, s"index dirs ${nDirs(soakIdx)} not bounded")
+    assert(nDirs(ctlIdx) === 50, "control grows one dir per batch")
+  }
+
   /** State-collection sizes from a checkpoint via the Spark 4 state data
     * source: (number of state rows, per-row length of the collection at
     * `arrayField` inside the flatMapGroupsWithState state encoding) — the
