@@ -503,7 +503,12 @@ class PlanLintSpec extends SparkSpec {
     "q_stats_agg", "q_moments", "q_corr", "q_regr", "q_zscore_outliers",
     "q_anomaly_series", "q_psi_drift", "q_char_entropy", "q_zipf_slope",
     "q_readability", "q_compression_ratio", "q_keywords_rake",
-    "q_lm_quality", "q_curation", "q_dataset_card", "q_source_divergence",
+    // (c): q_curation_exact rounds the same avg(n_tokens)/avg(uniq_ratio)
+    // estimator columns as q_curation (s=2/s=4 continuous ratios over
+    // exact counts) — the exhaustive-recall twin shares the class-c
+    // argument verbatim, and its DuckDB oracle rounds identically
+    "q_lm_quality", "q_curation", "q_curation_exact", "q_dataset_card",
+    "q_source_divergence",
     "q_mix_temperature", "q_domain_cap", "q_hybrid_rrf", "q_kmeans",
     "q_dedup_semantic", "q_embed_quantize", "q_target_encode",
     "q_geo_distance", "q_geo_join", "q_geo_grid_agg", "q_histogram_bins",
