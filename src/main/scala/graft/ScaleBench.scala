@@ -72,7 +72,11 @@ object ScaleBench {
     // q_rolling_active_theta_exact reads EVENTS, which the shortlist
     // synthesizer doesn't build — it is covered by full mode instead.
     "q_dedup_embedding_prod", "q_dedup_minhash_exact",
-    "q_ann_lsh_exact")
+    "q_ann_lsh_exact",
+    // round-14 addition: the exhaustive-recall curation twin — the most
+    // expensive new registry row (banding at numBands = NumHashes), so
+    // its slope stays under standing measurement (7.8x at 100x in r14).
+    "q_curation_exact")
 
   /** The registry's q_dedup_embedding runs the fixture-calibrated
     * threshold 0.4, where ~0.4% of RANDOM pairs qualify — so the true-pair

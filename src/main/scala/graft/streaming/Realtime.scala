@@ -831,7 +831,12 @@ object Realtime {
     * create-if-absent and throws IllegalStateException if another
     * compactor holds it (`tryCompactDedupIndex` is the skip-instead-of-
     * throw form the in-sink cadence uses). A lease older than
-    * `leaseTtlMs` is presumed crashed and broken. The lease serializes
+    * `leaseTtlMs` is presumed crashed and broken — so the TTL must
+    * exceed the longest expected compaction (the default 15 min is ~100×
+    * the spec-scale runtimes; a deployment whose compactions approach the
+    * TTL should raise it or add heartbeat refreshes — breaking a
+    * still-live holder reopens the double-materialize window, which the
+    * next run converges but should not be routine). The lease serializes
     * compactor-vs-compactor only: an EXTERNAL compactor racing a live
     * `dedupIngestSink` micro-batch can still delete source partitions
     * between the batch's probe LISTING and its read — a transient
