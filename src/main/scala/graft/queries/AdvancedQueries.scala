@@ -2047,7 +2047,13 @@ object AdvancedQueries {
           .groupBy("l_returnflag")
           .agg(
             count(lit(1)).as("n_rows"),
-            first("lo").as("p05_c"), first("hi").as("p95_c"),
+            // caps are interpolated-percentile ESTIMATES (continuous) —
+            // displayed rounded like every class-c estimator column; the
+            // raw double's shortest-repr differs across engines at 1 ulp
+            // (caught by the r14 sf0.1 multi-scale gate: 9980885.4 vs
+            // …399999999), and the unrounded column was the only reason
+            round(first("lo"), 4).as("p05_c"),
+            round(first("hi"), 4).as("p95_c"),
             round(sum("c") / count(lit(1)), 4).as("mean_raw_c"),
             round(sum("w") / count(lit(1)), 4).as("mean_wins_c"))
           .orderBy("l_returnflag")
@@ -2061,7 +2067,8 @@ object AdvancedQueries {
                            FROM li GROUP BY 1)
               SELECT li.l_returnflag,
                      count(*) AS n_rows,
-                     any_value(lo) AS p05_c, any_value(hi) AS p95_c,
+                     round(any_value(lo), 4) AS p05_c,
+                     round(any_value(hi), 4) AS p95_c,
                      round(CAST(sum(c) AS DOUBLE) / count(*), 4) AS mean_raw_c,
                      round(sum(least(greatest(CAST(c AS DOUBLE), lo), hi))
                            / count(*), 4) AS mean_wins_c
