@@ -362,21 +362,31 @@ object CoreSql {
     // each percentile level over the same column without rescanning).
     QueryDef(
       "q_percentile_multi",
+      // interpolates on exact integer CENTS (l_extendedprice is
+      // cent-granular, so round(·*100) is lossless): with dyadic
+      // fractions (0.25/0.5/0.75) over integer order statistics, BOTH
+      // engines' interpolation — whatever formula each uses, a+f·(b−a)
+      // or (1−f)·a+f·b — is exact IEEE arithmetic, so the results are
+      // bit-identical at every data size and the round(·,2) can never
+      // sit on a cross-engine boundary (the r14 sf0.001 multi-scale
+      // gate caught the raw-double form one ulp across 52724.245)
       (s, d) =>
         Tables.lineitem(s, d)
+          .withColumn("c", round(col("l_extendedprice") * 100).cast("long"))
           .groupBy("l_returnflag")
           .agg(expr(
-            "transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))," +
-              " v -> round(v, 2))").as("qs"))
+            "transform(percentile(c, array(0.25D, 0.5D, 0.75D))," +
+              " v -> round(v / 100.0, 2))").as("qs"))
           .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("pos", "q")))
           .select(col("l_returnflag"), col("pos"), (col("q") + lit(0.0)).as("q"))
           .orderBy("l_returnflag", "pos"),
       Some("""SELECT l_returnflag, CAST(i - 1 AS INT) AS pos,
-                     round(q, 2) + 0 AS q
+                     round(q / 100.0, 2) + 0 AS q
               FROM (SELECT l_returnflag,
                            generate_subscripts(qs, 1) AS i, unnest(qs) AS q
                     FROM (SELECT l_returnflag,
-                                 quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs
+                                 quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                                               [0.25, 0.5, 0.75]) AS qs
                           FROM lineitem GROUP BY 1))
               ORDER BY l_returnflag, pos""")),
 

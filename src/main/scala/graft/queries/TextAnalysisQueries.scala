@@ -714,12 +714,29 @@ object TextAnalysisQueries {
           .withColumn("flesch",
             lit(206.835) - lit(1.015) * (col("n_words") / col("n_sents")) -
               lit(84.6) * (col("n_syl") / col("n_words")))
+          // Per-row flesch IS bit-identical across engines (integer-
+          // derived doubles through the same correctly-rounded flops) —
+          // but flesch values live on fine RATIONAL grids that can hit a
+          // true .xx5 exactly (the r14 multi-scale gate caught doc 493:
+          // 206.835 − 1.015·18 − 84.6·22/18 = 85.165 EXACTLY, where
+          // Spark's decimal-repr rounding said 85.16 and DuckDB's
+          // float-multiply rounding said 85.17). Display rounding
+          // therefore happens in INTEGER space: micro-unit quantization,
+          // then a half-representable /10⁴ to cent counts — 8516.5 is an
+          // exact double, and both engines round a true half away from
+          // zero — then one exact /100 for display. No step depends on
+          // engine-specific round() semantics of non-representable
+          // decimals.
+          .withColumn("flesch_u", round(col("flesch") * 1e6).cast("long"))
         docs.groupBy("lang")
           .agg(
             count(lit(1)).as("n_docs"),
-            (round(avg("flesch"), 2) + lit(0.0)).as("avg_flesch"),
-            (round(min("flesch"), 2) + lit(0.0)).as("min_flesch"),
-            (round(max("flesch"), 2) + lit(0.0)).as("max_flesch"))
+            (round(sum("flesch_u").cast("double") / count(lit(1)) / lit(10000.0))
+              / lit(100.0) + lit(0.0)).as("avg_flesch"),
+            (round(min("flesch_u").cast("double") / lit(10000.0))
+              / lit(100.0) + lit(0.0)).as("min_flesch"),
+            (round(max("flesch_u").cast("double") / lit(10000.0))
+              / lit(100.0) + lit(0.0)).as("max_flesch"))
           .orderBy("lang")
       },
       Some("""WITH f AS (SELECT lang,
@@ -733,12 +750,18 @@ object TextAnalysisQueries {
                    sc AS (SELECT lang,
                                  206.835 - 1.015 * (n_words / n_sents)
                                          - 84.6 * (n_syl / n_words) AS flesch
-                          FROM f WHERE n_words > 0 AND n_sents > 0)
+                          FROM f WHERE n_words > 0 AND n_sents > 0),
+                   scu AS (SELECT lang,
+                                  CAST(round(flesch * 1e6) AS BIGINT) AS flesch_u
+                           FROM sc)
               SELECT lang, count(*) AS n_docs,
-                     round(avg(flesch), 2) + 0 AS avg_flesch,
-                     round(min(flesch), 2) + 0 AS min_flesch,
-                     round(max(flesch), 2) + 0 AS max_flesch
-              FROM sc GROUP BY 1 ORDER BY lang""")),
+                     round(CAST(sum(flesch_u) AS DOUBLE) / count(*) / 10000.0)
+                       / 100.0 + 0 AS avg_flesch,
+                     round(CAST(min(flesch_u) AS DOUBLE) / 10000.0)
+                       / 100.0 + 0 AS min_flesch,
+                     round(CAST(max(flesch_u) AS DOUBLE) / 10000.0)
+                       / 100.0 + 0 AS max_flesch
+              FROM scu GROUP BY 1 ORDER BY lang""")),
 
     // Zipf-slope fit of the term-frequency distribution — the one-number
     // corpus health check (natural text sits near slope −1; synthetic or
