@@ -117,6 +117,31 @@ object GraphScaleBench {
     val (t1t, s1) = triPoint(n1)
     val (tCt, sC) = triPoint(n1 * copies)
     println(s"""{"metric":"graph_scale_summary","fixture":"hub","engine":"triangles_ordered","copies":$copies,"t_1x":${f3(t1t)},"t_Cx":${f3(tCt)},"slope":${f3(tCt / math.max(t1t, 1e-9))},"sum_outdeg2_1x":$s1,"sum_outdeg2_Cx":$sC}""")
+
+    // HITS on the hub fixture (extreme in/out-degree skew: the hub's
+    // authority row aggregates n-1 contributions in one group) — the
+    // fixpoint is per-iteration join+agg work, so the slope should track
+    // edge count ≈ copies; correctness scalar: both scores stay
+    // L1-normalized and every node is scored.
+    def hitsPoint(n: Long): Double = {
+      val e = hubEdges(spark, n).select(
+        col("a").as("src"), col("b").as("dst"), lit(1.0).as("weight"))
+      val (_, t) = timed {
+        val ha = graft.graph.Hits.hubsAndAuthorities(e, iterations = 2)
+        val s = ha.agg(sum("auth"), sum("hub"), count(lit(1))).head()
+        require(math.abs(s.getDouble(0) - 1.0) < 1e-6 &&
+          math.abs(s.getDouble(1) - 1.0) < 1e-6 && s.getLong(2) == n,
+          s"HITS norms/cardinality wrong at n=$n: $s")
+      }
+      println(s"""{"metric":"graph_scale","fixture":"hub","engine":"hits","n":$n,"sec":${f3(t)},"l1_normalized":true}""")
+      t
+    }
+    graft.graph.Hits.hubsAndAuthorities(
+      hubEdges(spark, 256).select(col("a").as("src"), col("b").as("dst"),
+        lit(1.0).as("weight")), iterations = 2).count() // JIT warm-up
+    val t1h = hitsPoint(n1)
+    val tCh = hitsPoint(n1 * copies)
+    println(s"""{"metric":"graph_scale_summary","fixture":"hub","engine":"hits","copies":$copies,"t_1x":${f3(t1h)},"t_Cx":${f3(tCh)},"slope":${f3(tCh / math.max(t1h, 1e-9))}}""")
     spark.stop()
   }
 }

@@ -22,24 +22,37 @@ package graft
   */
 object RewriteBench {
 
-  private case class Target(name: String, conf: String)
+  /** planOk: asserted on the rule-ON arm's OPTIMIZED plan — the same
+    * structural evidence the parity specs check (index column serving the
+    * plan / join eliminated), recorded in the artifact so a silent
+    * rule-stops-firing regression cannot hide behind a noisy ratio.
+    */
+  private case class Target(
+      name: String, conf: String, planOk: String => Boolean)
 
   private val targets = Seq(
-    Target("q_startree_kll", "spark.graft.starTree.enabled"),
-    Target("q_timestamp_rewrite", "spark.graft.timestampIndex.enabled"),
+    Target("q_startree_kll", "spark.graft.starTree.enabled",
+      p => p.contains("cube") && !p.contains("lineitem.parquet")),
+    Target("q_timestamp_rewrite", "spark.graft.timestampIndex.enabled",
+      _.contains("ts_day")),
     // the scan-dominated timestamp-index shape: a one-day filter the
     // rewrite converts into partition pruning (the aggregate shape above
     // is rollup-dominated and measures ~1× — kept as the honest record)
-    Target("q_timestamp_filter", "spark.graft.timestampIndex.enabled"),
+    Target("q_timestamp_filter", "spark.graft.timestampIndex.enabled",
+      _.contains("ts_day")),
     // the needle shape: day partition pruning + pushed user filter with
     // a handful of output rows, so the ratio reads the scan saving
     // itself (q_timestamp_filter's day lookup is output-bounded)
-    Target("q_timestamp_needle", "spark.graft.timestampIndex.enabled"),
-    Target("q_json_index_rewrite", "spark.graft.jsonIndex.enabled"),
-    Target("q_text_index_rewrite", "spark.graft.termIndex.enabled"),
+    Target("q_timestamp_needle", "spark.graft.timestampIndex.enabled",
+      _.contains("ts_day")),
+    Target("q_json_index_rewrite", "spark.graft.jsonIndex.enabled",
+      p => p.contains("props__k") && !p.contains("get_json_object")),
+    Target("q_text_index_rewrite", "spark.graft.termIndex.enabled",
+      _.contains("text__terms")),
     // denormalized-view join elimination: view scan vs the real
     // fact⋈dim join against the same /tmp fact+dim copies
-    Target("q_denorm_join", "spark.graft.denorm.enabled"))
+    Target("q_denorm_join", "spark.graft.denorm.enabled",
+      p => !p.contains("Join")))
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,17 +85,23 @@ object RewriteBench {
       // materialization, catalog registration) plus codegen/JIT, so both
       // timed arms measure pure serving.
       time(t.name, reps = 1)
+      // structural evidence the rule actually fired on the timed ON arm
+      val onPlan = SparkEntry.queries(t.name)(spark, dirC)
+        .queryExecution.optimizedPlan.toString
+      val planOk = t.planOk(onPlan)
+      require(planOk, s"${t.name}: rewrite rule did not fire on the ON arm:\n" +
+        onPlan.take(2000))
       val on = time(t.name, reps = 3)
       spark.conf.set(t.conf, "false")
       val off = time(t.name, reps = 3)
       spark.conf.set(t.conf, "true")
       System.err.println(s"[rewrite] ${t.name}: on=${f3(on)}s off=${f3(off)}s " +
-        s"speedup=${f3(off / on)}x")
-      t.name -> ((on, off))
+        s"speedup=${f3(off / on)}x plan_ok=$planOk")
+      (t.name, on, off, planOk)
     }
     println(s"""{"metric":"rewrite_wins","copies":$copies,"rules":{${
-      results.map { case (n, (on, off)) =>
-        s"""\"$n\":{"on":${f3(on)},"off":${f3(off)},"speedup":${f3(off / on)}}"""
+      results.map { case (n, on, off, ok) =>
+        s"""\"$n\":{"on":${f3(on)},"off":${f3(off)},"speedup":${f3(off / on)},"plan_ok":$ok}"""
       }.mkString(",")}}}""")
     spark.stop()
   }

@@ -27,6 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal integer argument, got $other")
   }
+  private def strArg(e: Expression, fn: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string argument, got $other")
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def register(name: String, clazz: Class[_])(builder: Seq[Expression] => Expression): Unit =
@@ -86,6 +92,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // expands to the same codegen'd regexp/string tree the Column API builds
     register("canonicalize_url", graft.functions.UrlFns.getClass)(es =>
       graft.functions.UrlFns.canonicalizeExpr(es.head))
+    // Pinot predicate surface as SQL functions (the query string must be a
+    // literal — it is compiled into the predicate tree at plan time). Both
+    // expand to composed codegen'd builtin trees, same as the Column API.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    register("text_match", graft.functions.TextSearch.getClass)(es =>
+      ColumnBridge.resolvedExpression(graft.functions.TextSearch.textMatch(
+        ColumnBridge.column(es.head), strArg(es(1), "text_match"))))
+    register("json_match", graft.functions.JsonFns.getClass)(es =>
+      ColumnBridge.resolvedExpression(graft.functions.JsonFns.jsonMatchSql(
+        ColumnBridge.column(es.head), strArg(es(1), "json_match"))))
 
     // transparent star-tree pre-aggregation (fires only on fact tables
     // registered in graft.plans.StarTreeCatalog)

@@ -18,13 +18,23 @@ import org.apache.spark.sql.functions._
   * pass for the sqrt of squares), and every round ends in a lazy
   * localCheckpoint so plan lineage stays flat across iterations. Fixed
   * iteration count keeps the output deterministic and SQL-replayable.
+  *
+  * The normalizers stay IN-PLAN: each single-row L1 sum broadcasts onto
+  * the score frame (the engine's scalar-N crossJoin pattern) instead of
+  * being fetched with a per-iteration driver action. On a 1000-executor
+  * cluster that removes 2 scheduler round-trips per iteration (the r14
+  * verdict's HITS nit) — and the per-element arithmetic (each score is
+  * divided by the same double) is unchanged, so results are
+  * bit-identical to the fetched-scalar form.
   */
 object Hits {
 
   /** (host, auth, hub) for every node of `edges` (columns: src, dst,
     * weight > 0), after `iterations` full auth→hub rounds; both score
     * columns are L1-normalized (Σ = 1). Nodes with no in-edges get
-    * auth 0, no out-edges hub 0.
+    * auth 0, no out-edges hub 0. Empty edge sets are rejected (no mass
+    * to propagate); weights must be positive per the column contract —
+    * that is what keeps every iteration's L1 mass nonzero.
     */
   def hubsAndAuthorities(edges: DataFrame, iterations: Int = 2): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
@@ -32,6 +42,7 @@ object Hits {
       col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst"),
       col("weight").cast("double").as("weight"))
+    require(!e0.isEmpty, "HITS: no authority mass — graph has no edges")
     val nodes = e0.select(col("src").as("host"))
       .unionByName(e0.select(col("dst").as("host")))
       .distinct()
@@ -46,21 +57,18 @@ object Hits {
       val aRaw = e0.join(hub, e0("src") === hub("host"))
         .groupBy(col("dst"))
         .agg(sum(col("weight") * col("hub")).as("a"))
-      // Scalar L1 normalizer — also the action that materializes the
-      // previous round's lazy checkpoint (the PageRank dangling-mass
-      // pattern).
-      val aSum = aRaw.agg(coalesce(sum("a"), lit(0.0))).head().getDouble(0)
-      require(aSum > 0, "HITS: no authority mass — graph has no edges")
+      val aSum = aRaw.agg(coalesce(sum("a"), lit(0.0)).as("a_sum"))
       auth = nodes.join(aRaw, nodes("host") === aRaw("dst"), "left_outer")
-        .select(col("host"), (coalesce(col("a"), lit(0.0)) / lit(aSum)).as("auth"))
+        .crossJoin(broadcast(aSum))
+        .select(col("host"), (coalesce(col("a"), lit(0.0)) / col("a_sum")).as("auth"))
         .localCheckpoint(eager = false)
       val hRaw = e0.join(auth, e0("dst") === auth("host"))
         .groupBy(col("src"))
         .agg(sum(col("weight") * col("auth")).as("h"))
-      val hSum = hRaw.agg(coalesce(sum("h"), lit(0.0))).head().getDouble(0)
-      require(hSum > 0, "HITS: no hub mass — graph has no edges")
+      val hSum = hRaw.agg(coalesce(sum("h"), lit(0.0)).as("h_sum"))
       hub = nodes.join(hRaw, nodes("host") === hRaw("src"), "left_outer")
-        .select(col("host"), (coalesce(col("h"), lit(0.0)) / lit(hSum)).as("hub"))
+        .crossJoin(broadcast(hSum))
+        .select(col("host"), (coalesce(col("h"), lit(0.0)) / col("h_sum")).as("hub"))
         .localCheckpoint(eager = false)
       iter += 1
     }

@@ -47,6 +47,9 @@ object Curation {
       s"invalid token bounds [$minTokens, $maxTokens]")
     (keepRates.values ++ Seq(defaultKeepRate)).foreach(r =>
       require(r >= 0.0 && r <= 1.0, s"keep rate $r outside [0, 1]"))
+    require(numBands >= 1 && MinHashLsh.NumHashes % numBands == 0,
+      s"numBands $numBands must be >= 1 and divide " +
+        s"MinHashLsh.NumHashes (${MinHashLsh.NumHashes})")
   }
 
   /** Near-dup losers (non-representative cluster members) — MinHash

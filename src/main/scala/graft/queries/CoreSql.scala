@@ -366,22 +366,28 @@ object CoreSql {
       // cent-granular, so round(·*100) is lossless): with dyadic
       // fractions (0.25/0.5/0.75) over integer order statistics, BOTH
       // engines' interpolation — whatever formula each uses, a+f·(b−a)
-      // or (1−f)·a+f·b — is exact IEEE arithmetic, so the results are
-      // bit-identical at every data size and the round(·,2) can never
-      // sit on a cross-engine boundary (the r14 sf0.001 multi-scale
-      // gate caught the raw-double form one ulp across 52724.245)
+      // or (1−f)·a+f·b — is exact IEEE arithmetic (the r14 sf0.001
+      // multi-scale gate caught the raw-double form one ulp across
+      // 52724.245). The display rounding also happens in INTEGER-CENT
+      // space — round(v) THEN /100.0 — because the quantile can end on
+      // a true quarter-cent (.25/.5/.75 × an integer gap): a half in
+      // cent space is an exact double both engines round away from
+      // zero, whereas round(v/100.0, 2) sits on a non-representable
+      // .xx5 decimal where Spark's BigDecimal-repr rounding and
+      // DuckDB's scaled-double rounding can legitimately disagree
+      // (the q_readability micro-unit fix, same class).
       (s, d) =>
         Tables.lineitem(s, d)
           .withColumn("c", round(col("l_extendedprice") * 100).cast("long"))
           .groupBy("l_returnflag")
           .agg(expr(
             "transform(percentile(c, array(0.25D, 0.5D, 0.75D))," +
-              " v -> round(v / 100.0, 2))").as("qs"))
+              " v -> round(v) / 100.0)").as("qs"))
           .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("pos", "q")))
           .select(col("l_returnflag"), col("pos"), (col("q") + lit(0.0)).as("q"))
           .orderBy("l_returnflag", "pos"),
       Some("""SELECT l_returnflag, CAST(i - 1 AS INT) AS pos,
-                     round(q / 100.0, 2) + 0 AS q
+                     round(q) / 100.0 + 0 AS q
               FROM (SELECT l_returnflag,
                            generate_subscripts(qs, 1) AS i, unnest(qs) AS q
                     FROM (SELECT l_returnflag,

@@ -789,9 +789,10 @@ object CorpusQueries {
 
     // HITS hub/authority over the SAME deterministic host graph as
     // q_pagerank_hosts (graph.Hits): two full power-iteration rounds with
-    // scalar L1 normalizers — per round, one join+agg per direction, the
-    // PageRank shuffle shape exactly. The oracle unrolls both rounds as
-    // CTE levels; round(·, 6) absorbs parallel-sum ulp drift.
+    // IN-PLAN broadcast L1 normalizers (zero driver round-trips per
+    // iteration) — per round, one join+agg per direction, the PageRank
+    // shuffle shape exactly. The oracle unrolls both rounds as CTE
+    // levels; round(·, 6) absorbs parallel-sum ulp drift.
     QueryDef(
       "q_hits_hosts",
       (s, d) => {

@@ -21,7 +21,7 @@ object Registry {
       UpsertQueries.defs ++ StarTreeQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextAnalysisQueries.defs ++ MultimodalQueries.defs ++
       SamplingQueries.defs ++ CorpusQueries.defs ++ BehaviorQueries.defs ++
-      FeatureQueries.defs
+      FeatureQueries.defs ++ PqlQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -156,6 +156,50 @@ object UpsertQueries {
                      round(sum(value), 2) AS sum_val
               FROM events GROUP BY 1 ORDER BY day""")),
 
+    // Hybrid table with a CATALOG-DERIVED boundary + realtime→offline
+    // PROMOTION (sources.HybridTable — Pinot's broker time-boundary rule
+    // and RealtimeToOfflineSegments task): builds the two-sided layout
+    // from events, reads the union with the boundary derived from offline
+    // parquet FOOTER metadata (no boundary file yet), promotes the
+    // completed realtime granules (one atomic boundary-file rename flips
+    // visibility), and reads again. Both phases must equal the
+    // whole-table oracle — no row lost or double-served across the swap.
+    QueryDef(
+      "q_hybrid_catalog",
+      (s, d) => {
+        val root = "/tmp/graft_hybrid_" +
+          Integer.toHexString(d.hashCode & 0x7fffffff) +
+          "_p" + ProcessHandle.current().pid()
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = Tables.events(s, d)
+        val cut = to_timestamp(lit("2024-01-15"))
+        graft.sources.HybridTable.withMicrosTimestamps(s) {
+          ev.filter(col("ts") < cut).write
+            .parquet(graft.sources.HybridTable.offlineDir(root))
+          ev.filter(col("ts") >= cut).write
+            .parquet(graft.sources.HybridTable.realtimeDir(root))
+        }
+        def phase(name: String) =
+          graft.sources.HybridTable.read(s, root, "ts")
+            .groupBy(date_trunc("day", col("ts")).as("day"))
+            .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
+            .withColumn("phase", lit(name))
+        val before = phase("before").localCheckpoint() // pin pre-promotion state
+        graft.sources.HybridTable.promoteRealtime(s, root, "ts")
+          .getOrElse(throw new IllegalStateException("promotion lease denied"))
+        before.unionByName(phase("after"))
+          .select("phase", "day", "cnt", "sum_val")
+          .orderBy("phase", "day")
+      },
+      Some("""WITH agg AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                                  count(*) AS cnt, round(sum(value), 2) AS sum_val
+                           FROM events GROUP BY 1),
+                   phases AS (SELECT 'after' AS phase UNION ALL SELECT 'before')
+              SELECT phase, day, cnt, sum_val FROM phases, agg
+              ORDER BY phase, day""")),
+
     // SCD TYPE-2 history build — the history-PRESERVING dual of
     // q_upsert_latest: instead of keeping only each key's newest state,
     // collapse its event stream into versioned validity intervals

@@ -870,53 +870,18 @@ object Realtime {
 
   private val LeaseName = "_compact_lease"
 
-  /** Same-JVM serialization of lease holders, keyed by index root: the
-    * in-sink cadence and a same-session maintenance call race INSIDE one
-    * JVM, where `FileSystem.create(overwrite = false)` on the LOCAL
-    * filesystem is a non-atomic exists-then-create (both racers can pass
-    * the exists check — caught by the lease spec's two-thread case). On
-    * HDFS the file create is atomic, so the file lease alone covers
-    * cross-process compactors.
-    */
-  private val inProcessLeases =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** Acquire `<indexRoot>/_compact_lease` (JVM set for same-process
-    * racers + create-if-absent lease file, atomic on HDFS, for
-    * cross-process ones), run `body`, release. Returns None without
-    * running when a concurrent holder's lease is younger than
-    * `leaseTtlMs`; an older lease is a crashed compactor's leftover and
-    * is broken (deleted and re-acquired). Hidden-prefixed, so FileIndex
-    * listings and the sink's batch_id partition discovery never see it.
+  /** Acquire `<indexRoot>/_compact_lease`, run `body`, release — the
+    * shared graft.sources.FsLease discipline (JVM set for same-process
+    * racers; token-verified, TTL-breakable lease file for cross-process
+    * ones — see FsLease for the race analysis). Returns None without
+    * running when a concurrent holder's lease is live. Hidden-prefixed,
+    * so FileIndex listings and the sink's batch_id partition discovery
+    * never see it.
     */
   private def withCompactionLease[A](
       spark: SparkSession, indexPath: String, leaseTtlMs: Long)(body: => A)
-      : Option[A] = {
-    import org.apache.hadoop.fs.Path
-    if (!inProcessLeases.add(indexPath)) return None
-    try {
-      val hc = spark.sparkContext.hadoopConfiguration
-      val root = new Path(indexPath)
-      val fs = root.getFileSystem(hc)
-      if (!fs.exists(root)) fs.mkdirs(root)
-      val lease = new Path(root, LeaseName)
-      def tryAcquire(): Boolean =
-        try { fs.create(lease, false).close(); true }
-        catch { case _: java.io.IOException => false }
-      val acquired = tryAcquire() || {
-        // lease exists: break it only if its holder looks dead (mtime
-        // older than the TTL); getFileStatus can race the holder's own
-        // release, in which case just try once more
-        val stale =
-          try fs.getFileStatus(lease).getModificationTime <
-            System.currentTimeMillis() - leaseTtlMs
-          catch { case _: java.io.FileNotFoundException => true }
-        stale && { fs.delete(lease, false); tryAcquire() }
-      }
-      if (!acquired) None
-      else try Some(body) finally fs.delete(lease, false)
-    } finally inProcessLeases.remove(indexPath)
-  }
+      : Option[A] =
+    graft.sources.FsLease.withLease(spark, indexPath, LeaseName, leaseTtlMs)(body)
 
   private def compactDedupIndexLocked(
       spark: SparkSession, indexPath: String, acceptedPath: String,

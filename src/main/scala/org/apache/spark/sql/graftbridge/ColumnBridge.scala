@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER ColumnNode → Catalyst conversion. `expression` wraps the node
+    * lazily (fine when the result flows back through the Dataset API,
+    * which runs the converter itself); an Expression handed to the
+    * ANALYZER directly — e.g. from a SparkSessionExtensions-registered
+    * function builder — must already be a real Catalyst tree, or analysis
+    * sees an opaque VOID-typed wrapper.
+    */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -63,8 +63,13 @@ class BuildLazinessSpec extends SparkSpec {
     "q_pagerank_seeded" -> ("TrustRank power iteration: the seed-count " +
       "teleport normalizer scalar + the same per-round shape as " +
       "q_pagerank_hosts"),
-    "q_hits_hosts" -> ("power iteration with per-half-round scalar L1 " +
-      "normalizers; same shape as PageRank"),
+    "q_hits_hosts" -> ("power iteration: ONE emptiness-guard action per " +
+      "build (edges.isEmpty) — the L1 normalizers themselves stay in-plan " +
+      "as broadcast scalar aggregates, zero per-iteration driver jobs"),
+    "q_hybrid_catalog" -> ("hybrid-table LIFECYCLE query: the builder " +
+      "writes the two-sided layout, pins the pre-promotion phase (eager " +
+      "checkpoint) and runs the promotion task between phases — the " +
+      "actions ARE the semantics under test (boundary swap parity)"),
     "q_connected_components" -> ("hash-to-min fixpoint: per-round moved- " +
       "count scalar decides convergence"),
     "q_cc_star" -> ("small-star/large-star fixpoint: per-round exact " +

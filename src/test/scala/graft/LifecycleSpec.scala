@@ -148,4 +148,49 @@ class LifecycleSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]")
       || plan.contains("EqualTo(user_id,7)"), plan.take(800))
   }
+
+  test("hybrid promotion: catalog boundary, no loss/double-serve across the swap, idempotent replay") {
+    import graft.sources.HybridTable
+    val root = Files.createTempDirectory("hybrid").toString
+    val ev = graft.engine.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val cut = to_timestamp(lit("2024-01-10"))
+    HybridTable.withMicrosTimestamps(spark) {
+      ev.filter(col("ts") < cut).write.parquet(HybridTable.offlineDir(root))
+      ev.filter(col("ts") >= cut).write.parquet(HybridTable.realtimeDir(root))
+    }
+    def snapshot(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_id").collect().toSeq
+    val whole = snapshot(ev)
+    assert(whole.nonEmpty)
+
+    // catalog-derived boundary (no boundary file yet): floor(max offline
+    // ts) + 1 day == the build cut, read-back parity exact
+    assert(HybridTable.readBoundary(spark, root).isEmpty)
+    val derived = HybridTable.deriveBoundary(spark, root, "ts").get
+    assert(derived ===
+      java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L)
+    assert(snapshot(HybridTable.read(spark, root, "ts")) === whole,
+      "pre-promotion hybrid read lost or duplicated rows")
+
+    // promotion: completed realtime granules move, boundary file advances
+    val stats = HybridTable.promoteRealtime(spark, root, "ts").get
+    assert(stats.oldBoundaryUs === derived)
+    assert(stats.newBoundaryUs > stats.oldBoundaryUs)
+    assert(stats.promotedRows > 0)
+    assert(HybridTable.readBoundary(spark, root) === Some(stats.newBoundaryUs))
+    assert(snapshot(HybridTable.read(spark, root, "ts")) === whole,
+      "post-promotion hybrid read lost or duplicated rows")
+    // GC really dropped the promoted rows from the realtime side
+    val rtMin = spark.read.option("recursiveFileLookup", "true")
+      .parquet(HybridTable.realtimeDir(root))
+      .agg(min(unix_micros(col("ts")))).head().getLong(0)
+    assert(rtMin >= stats.newBoundaryUs, "realtime GC left promoted rows behind")
+
+    // replay is a no-op: nothing new completed, boundary holds, parity holds
+    val replay = HybridTable.promoteRealtime(spark, root, "ts").get
+    assert(replay.promotedRows === 0L)
+    assert(replay.newBoundaryUs === stats.newBoundaryUs)
+    assert(snapshot(HybridTable.read(spark, root, "ts")) === whole)
+  }
 }

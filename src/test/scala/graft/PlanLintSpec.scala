@@ -488,7 +488,10 @@ class PlanLintSpec extends SparkSpec {
     // (b): the exact twin's sum_qty rides the same integer-valued
     // l_quantity double sum (exact); its p50 column is unrounded
     "q_startree_kll_exact",
-    "q_upsert_partial", "q_hybrid_boundary", "q_sessionize", "q_pivot",
+    // q_hybrid_catalog: q_hybrid_boundary's identical per-day round(sum
+    // (value), 2) display column, computed twice (before/after promotion)
+    "q_upsert_partial", "q_hybrid_boundary", "q_hybrid_catalog",
+    "q_sessionize", "q_pivot",
     "q_attribution", "q_attribution_first", "q_gapfill_prev",
     "q_timestamp_rewrite", "q_percent_change", "q_mv_agg", "q_mv_unnest",
     "q_range_join", "q_outer_join", "q_argminmax", "q_tw_avg",

@@ -1292,4 +1292,60 @@ class StreamingSpec extends SparkSpec {
     assert(!hasCollection(cusumValueSchema),
       "CUSUM state must hold no unbounded collection (6 scalars only)")
   }
+
+  test("restart from checkpoint: a NEW sink instance resumes the soak with accepted-set byte-parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 16 micro-batches, 2 docs each; every 4th batch re-posts the text of
+    // a doc from two batches earlier (a cross-RESTART near-dup once the
+    // stop lands between them), so recovered state is load-bearing.
+    def text(i: Int): String = (0 until 8).map(w => s"w${i}x$w").mkString(" ")
+    def rows(b: Int): Seq[(Long, String)] = Seq(
+      (b * 10L, if (b % 4 == 0 && b >= 4) text((b - 2) * 10) else text(b * 10)),
+      (b * 10L + 1, text(b * 10 + 1)))
+    val nb = graft.dedup.MinHashLsh.NumHashes
+
+    def sink(input: MemoryStream[(Long, String)], base: String) =
+      Realtime.dedupIngestSink(
+        input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$base/bandidx", s"$base/accepted", s"$base/ckpt",
+        threshold = 0.8, numBands = nb, compactEvery = 5)
+    def acceptedIds(base: String): Seq[Long] =
+      spark.read.parquet(s"$base/accepted")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+
+    // interrupted run: STOP after batch 7, restart a NEW query instance
+    // from the same checkpointLocation, finish the soak
+    val baseA = java.nio.file.Files.createTempDirectory("restart_a").toString
+    val inA = MemoryStream[(Long, String)]
+    val q1 = sink(inA, baseA)
+    try {
+      (0 until 8).foreach { b => inA.addData(rows(b)); q1.processAllAvailable() }
+    } finally q1.stop()
+    val q2 = sink(inA, baseA) // new instance, same checkpoint + state roots
+    try {
+      (8 until 16).foreach { b => inA.addData(rows(b)); q2.processAllAvailable() }
+    } finally q2.stop()
+
+    // uninterrupted twin
+    val baseB = java.nio.file.Files.createTempDirectory("restart_b").toString
+    val inB = MemoryStream[(Long, String)]
+    val q3 = sink(inB, baseB)
+    try {
+      (0 until 16).foreach { b => inB.addData(rows(b)); q3.processAllAvailable() }
+    } finally q3.stop()
+
+    val a = acceptedIds(baseA)
+    val b = acceptedIds(baseB)
+    assert(a === b, s"restart diverged: ${a.diff(b)} / ${b.diff(a)}")
+    // the re-posts really were dropped (state survived the restart,
+    // including the one spanning it: batch 8 duplicates batch 6)
+    assert(!a.contains(80L), "batch-8 re-post of batch-6 text must be dropped across the restart")
+    // index side: same surviving doc ids visible to the probe path
+    def indexIds(base: String): Seq[Long] =
+      spark.read.parquet(s"$base/bandidx")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSeq.sorted
+    assert(indexIds(baseA) === indexIds(baseB),
+      "band-index contents diverged across the restart")
+  }
 }
