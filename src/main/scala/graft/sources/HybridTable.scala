@@ -143,13 +143,25 @@ object HybridTable {
     */
   def read(spark: SparkSession, root: String, tsCol: String,
       granuleUs: Long = 86400000000L): DataFrame = {
+    // No sentinel literal in the plan: Long.MinValue micros overflows the
+    // INT96 rebase when the comparison is evaluated against legacy
+    // timestamps (streaming sinks write the session default). Bootstrap
+    // (no committed/derivable boundary = no offline data) serves
+    // everything from realtime, unfiltered.
     val boundaryUs = readBoundary(spark, root)
       .orElse(deriveBoundary(spark, root, tsCol, granuleUs))
-      .getOrElse(Long.MinValue)
-    val off = readDir(spark, offlineDir(root))
-      .map(_.filter(col(tsCol) < timestamp_micros(lit(boundaryUs))))
-    val rt = readDir(spark, realtimeDir(root))
-      .map(_.filter(col(tsCol) >= timestamp_micros(lit(boundaryUs))))
+    val off = readDir(spark, offlineDir(root)).map { df =>
+      boundaryUs match {
+        case Some(b) => df.filter(col(tsCol) < timestamp_micros(lit(b)))
+        case None => df.filter(lit(false))
+      }
+    }
+    val rt = readDir(spark, realtimeDir(root)).map { df =>
+      boundaryUs match {
+        case Some(b) => df.filter(col(tsCol) >= timestamp_micros(lit(b)))
+        case None => df
+      }
+    }
     (off, rt) match {
       case (Some(o), Some(r)) => o.unionByName(r)
       case (Some(o), None) => o
@@ -203,9 +215,10 @@ object HybridTable {
           if (oldB == Long.MinValue) "promoted=bootstrap"
           else s"promoted=$oldB"
         val stage = s"${offlineDir(root)}/$stageName"
-        val toPromote = rt.filter(
-          col(tsCol) >= timestamp_micros(lit(oldB)) &&
-            col(tsCol) < timestamp_micros(lit(newB)))
+        val upper = col(tsCol) < timestamp_micros(lit(newB))
+        val toPromote =
+          if (oldB == Long.MinValue) rt.filter(upper) // bootstrap: no lower bound
+          else rt.filter(col(tsCol) >= timestamp_micros(lit(oldB)) && upper)
         withMicrosTimestamps(spark) {
           toPromote.write.mode("overwrite").parquet(stage)
         }

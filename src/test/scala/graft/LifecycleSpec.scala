@@ -193,4 +193,54 @@ class LifecycleSpec extends SparkSpec {
     assert(replay.newBoundaryUs === stats.newBoundaryUs)
     assert(snapshot(HybridTable.read(spark, root, "ts")) === whole)
   }
+
+  test("streaming ingest + mid-stream promotions: the hybrid view stays whole-stream-exact") {
+    import graft.sources.HybridTable
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("hybrid_stream").toString
+    val ckpt = Files.createTempDirectory("hybrid_ckpt").toString
+    val input = MemoryStream[Event]
+    // the realtime side IS a streaming parquet sink (Pinot's consuming
+    // segments); promotions run in the stream's idle windows. The sink
+    // dir keeps its _spark_metadata exactly-once log, so this layout
+    // promotes with gcRealtime = false — the boundary filter retires the
+    // promoted rows from serving, and the sink's own retention owns
+    // physical cleanup (rewriting a live sink dir would break its log).
+    val q = input.toDS().writeStream
+      .format("parquet").option("path", HybridTable.realtimeDir(root))
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val fed = scala.collection.mutable.ArrayBuffer[Event]()
+    def feed(evs: Event*): Unit = { fed ++= evs; input.addData(evs); q.processAllAvailable() }
+    def served(): Seq[(Long, java.sql.Timestamp)] =
+      HybridTable.read(spark, root, "ts")
+        .select("event_id", "ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSeq.sortBy(_._1)
+    def wholeStream(): Seq[(Long, java.sql.Timestamp)] =
+      fed.map(e => (e.event_id, e.ts)).sortBy(_._1).toSeq
+    try {
+      feed(ev(1, "2024-02-01 08:00:00", 1, "click", 1.0),
+        ev(2, "2024-02-01 20:00:00", 2, "view", 2.0),
+        ev(3, "2024-02-02 09:00:00", 1, "click", 3.0))
+      feed(ev(4, "2024-02-03 07:00:00", 3, "view", 4.0))
+      assert(served() === wholeStream(), "pre-promotion stream view wrong")
+
+      // promotion 1: days 02-01 and 02-02 complete; 02-03 stays realtime
+      val s1 = HybridTable.promoteRealtime(spark, root, "ts", gcRealtime = false).get
+      assert(s1.promotedRows === 3L)
+      assert(served() === wholeStream(), "promotion 1 lost or duplicated rows")
+
+      // stream keeps landing into the open granule and beyond
+      feed(ev(5, "2024-02-03 18:00:00", 2, "purchase", 5.0),
+        ev(6, "2024-02-04 06:00:00", 3, "click", 6.0))
+      assert(served() === wholeStream(), "post-promotion ingest not served")
+
+      // promotion 2: day 02-03 completes (both its rows, one ingested
+      // AFTER promotion 1), boundary advances again
+      val s2 = HybridTable.promoteRealtime(spark, root, "ts", gcRealtime = false).get
+      assert(s2.promotedRows === 2L)
+      assert(s2.newBoundaryUs > s1.newBoundaryUs)
+      assert(served() === wholeStream(), "promotion 2 lost or duplicated rows")
+    } finally q.stop()
+  }
 }
