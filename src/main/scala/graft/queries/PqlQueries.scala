@@ -76,6 +76,34 @@ object PqlQueries {
                 AND list_contains(string_split(lower(text), ' '), 'data')
               GROUP BY source ORDER BY cnt DESC, source LIMIT 3""")),
 
+    // The wider Pinot aggregate-alias family: DISTINCTSUM/DISTINCTAVG,
+    // MINMAXRANGE, SEGMENTPARTITIONEDDISTINCTCOUNT (exact under Pinot's
+    // partitioning assumption; Spark's shuffle makes it exact
+    // unconditionally) and DISTINCTCOUNTTHETASKETCH. The theta mapping is
+    // hash-exact HERE because every group's distinct count stays below the
+    // sketch's 4096 nominal entries at all gated scale factors (theta
+    // never decays, so the estimate IS the exact count — the same
+    // exact-regime discipline as q_theta_setops_exact); the approximate
+    // regime is bounded by ThetaSketchSpec.
+    QueryDef(
+      "q_pql_distinct_fns",
+      (s, d) => pql(s, d,
+        """SELECT round(DISTINCTSUM(l_quantity), 2) AS dsum_qty,
+                  round(DISTINCTAVG(l_quantity), 2) AS davg_qty,
+                  round(MINMAXRANGE(l_extendedprice), 2) AS price_range,
+                  SEGMENTPARTITIONEDDISTINCTCOUNT(l_partkey) AS dc_part,
+                  DISTINCTCOUNTTHETASKETCH(l_suppkey) AS dc_supp_theta
+           FROM lineitem
+           GROUP BY l_returnflag
+           ORDER BY l_returnflag"""),
+      Some("""SELECT l_returnflag,
+                     round(sum(DISTINCT l_quantity), 2) AS dsum_qty,
+                     round(avg(DISTINCT l_quantity), 2) AS davg_qty,
+                     round(max(l_extendedprice) - min(l_extendedprice), 2) AS price_range,
+                     count(DISTINCT l_partkey) AS dc_part,
+                     count(DISTINCT l_suppkey) AS dc_supp_theta
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // JSON_MATCH (json-index.md:306 condition syntax, schema-free) +
     // DATETIMECONVERT (epoch-day buckets) — the time-series dashboard
     // query Pinot's docs build from these two functions.

@@ -292,6 +292,22 @@ object PinotSql {
         arity(1); s"count(DISTINCT ${args.head})"
       case "DISTINCTCOUNTHLL" =>
         arity(1, 2); s"approx_count_distinct(${args.head})"
+      case "DISTINCTCOUNTTHETASKETCH" =>
+        // Pinot returns the rounded LONG estimate; trailing args are
+        // sketch-parameter strings (nominal entries default 4096)
+        arity(1, 2)
+        s"CAST(round(theta_estimate(theta_sketch_agg(${args.head}, 4096))) AS BIGINT)"
+      case "SEGMENTPARTITIONEDDISTINCTCOUNT" =>
+        // exact under Pinot's partitioning assumption; Spark's shuffle
+        // makes it exact unconditionally
+        arity(1); s"count(DISTINCT ${args.head})"
+      case "DISTINCTSUM" => arity(1); s"sum(DISTINCT ${args.head})"
+      case "DISTINCTAVG" => arity(1); s"avg(DISTINCT ${args.head})"
+      case "MINMAXRANGE" =>
+        arity(1); s"(max(${args.head}) - min(${args.head}))"
+      case "MINMAXRANGEMV" =>
+        arity(1)
+        s"(max(array_max(${args.head})) - min(array_min(${args.head})))"
       case "FIRSTWITHTIME" =>
         arity(2, 3); s"min_by(${args(0)}, ${args(1)})"
       case "LASTWITHTIME" =>

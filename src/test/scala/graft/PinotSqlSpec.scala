@@ -53,6 +53,24 @@ class PinotSqlSpec extends SparkSpec {
         "approx_count_distinct(u) AS dc FROM t")
   }
 
+  test("distinct-agg and range aliases expand to exact builtins") {
+    val t = PinotSql.translate(
+      "SELECT DISTINCTSUM(q) AS ds, DISTINCTAVG(q) AS da, MINMAXRANGE(p) AS r, " +
+        "SEGMENTPARTITIONEDDISTINCTCOUNT(k) AS dc, " +
+        "DISTINCTCOUNTTHETASKETCH(u) AS dt FROM t")
+    assert(t.sql ===
+      "SELECT sum(DISTINCT q) AS ds, avg(DISTINCT q) AS da, " +
+        "(max(p) - min(p)) AS r, count(DISTINCT k) AS dc, " +
+        "CAST(round(theta_estimate(theta_sketch_agg(u, 4096))) AS BIGINT) AS dt FROM t")
+    // the theta mapping runs end-to-end through the registered session
+    // functions and is EXACT below the nominal-entry count
+    val n = spark.sql(PinotSql.translate(
+      "SELECT DISTINCTCOUNTTHETASKETCH(id) AS dt FROM src").sql
+      .replace("FROM src", "FROM (SELECT explode(sequence(1, 500)) AS id)"))
+      .head().getLong(0)
+    assert(n === 500L)
+  }
+
   test("FIRSTWITHTIME/LASTWITHTIME drop the type tag; MV aggs expand") {
     val t = PinotSql.translate(
       "SELECT FIRSTWITHTIME(v, ts, 'LONG') AS f, COUNTMV(a) AS c, MAXMV(a) AS m FROM t")

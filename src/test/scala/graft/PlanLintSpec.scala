@@ -495,6 +495,12 @@ class PlanLintSpec extends SparkSpec {
     "q_attribution", "q_attribution_first", "q_gapfill_prev",
     "q_timestamp_rewrite", "q_percent_change", "q_mv_agg", "q_mv_unnest",
     "q_range_join", "q_outer_join", "q_argminmax", "q_tw_avg",
+    // (b): q_pql_distinct_fns — sum/avg(DISTINCT l_quantity) ride the
+    // integer-valued quantity (distinct set ≤50 values, double sum EXACT,
+    // avg one identical scalar division); MINMAXRANGE is max−min of
+    // cent-granular prices (two exact order-statistic picks, one exact
+    // cent-granular subtraction)
+    "q_pql_distinct_fns",
     // (c): statistical estimators / ratios / normalized scores at s≥2
     // (q_hhi_concentration: the share² sum is a continuous concentration
     // index over exact count ratios)
