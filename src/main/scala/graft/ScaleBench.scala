@@ -110,12 +110,14 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val full = args.headOption.contains("full")
-    val scaleArgs = if (full) args.drop(1) else args
+    val hybrid = args.headOption.contains("hybrid")
+    val scaleArgs = if (full || hybrid) args.drop(1) else args
     val copies = scaleArgs.headOption.map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.engine.Graft.session(
       master = s"local[$cpus]", shufflePartitions = cpus.toInt,
       appName = "graft-scalebench", extraConf = Map("spark.ui.enabled" -> "false"))
+    if (hybrid) { hybridScale(spark, baseDir, copies); spark.stop(); return }
 
     // Builder-side reruns: SPARK_GRAFT_SCALE_REUSE points at a previous
     // run's root (skips synthesis); SPARK_GRAFT_SCALE_ONLY=csv restricts
@@ -299,6 +301,77 @@ object ScaleBench {
       }: _*)
     }.reduce(_ unionByName _)
     replicas.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+  }
+
+  /** Hybrid-table promotion scale check (`runMain graft.ScaleBench hybrid
+    * [copies]`): the 100 TB claim under test is that promotion touches
+    * ONLY the promoted granules — O(delta), never O(history) — and that
+    * the boundary derivation is a driver-side footer read. Fixture: the
+    * realtime delta is IDENTICAL at both scales (the events table's last
+    * 4 days: 3 complete granules + the open one) while the offline
+    * history deepens C× (each copy shifted 31·k days earlier, so history
+    * granule count grows C× too). A flat promote/derive slope as history
+    * grows 100× is the evidence; a slope tracking C would mean promotion
+    * secretly rewrites history.
+    */
+  def hybridScale(spark: SparkSession, baseDir: String, copies: Int): Unit = {
+    import graft.sources.HybridTable
+    val ev = graft.engine.Tables.events(spark, baseDir)
+    val cut = to_timestamp(lit("2024-01-27"))
+    def f3(v: Double) = "%.3f".format(v)
+    val results = Seq(1, copies).map { c =>
+      val root = s"/tmp/graft_hybrid_scale_p${ProcessHandle.current().pid()}/x$c"
+      val fsPath = new org.apache.hadoop.fs.Path(root)
+      val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(fsPath, true)
+      val history = (0 until c).map { k =>
+        ev.filter(col("ts") < cut)
+          .withColumn("ts", col("ts") - expr(s"INTERVAL ${31L * k} DAYS"))
+          .withColumn("event_id", col("event_id") + lit(10000000L * k))
+      }.reduce(_ unionByName _)
+      HybridTable.withMicrosTimestamps(spark) {
+        history.write.parquet(HybridTable.offlineDir(root))
+      }
+      val rtSlice = ev.filter(col("ts") >= cut)
+      // 3 timed reps; the boundary file and stage dirs are reset between
+      // reps so every rep promotes the same 3 complete granules.
+      val times = (1 to 3).map { _ =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, "_time_boundary"), false)
+        // drop every stage dir from the previous rep (named promoted=<range
+        // start>), or rep 2 would derive its boundary from rep 1's output
+        fs.listStatus(new org.apache.hadoop.fs.Path(HybridTable.offlineDir(root)))
+          .filter(_.getPath.getName.startsWith("promoted="))
+          .foreach(st => fs.delete(st.getPath, true))
+        fs.delete(new org.apache.hadoop.fs.Path(HybridTable.realtimeDir(root)), true)
+        HybridTable.withMicrosTimestamps(spark) {
+          rtSlice.write.parquet(HybridTable.realtimeDir(root))
+        }
+        val d0 = System.nanoTime()
+        val derived = HybridTable.deriveBoundary(spark, root, "ts")
+        val dSec = (System.nanoTime() - d0) / 1e9
+        require(derived.nonEmpty, "boundary must derive from offline footers")
+        val p0 = System.nanoTime()
+        val stats = HybridTable
+          .promoteRealtime(spark, root, "ts", gcRealtime = false)
+          .getOrElse(throw new IllegalStateException("promotion lease denied"))
+        val pSec = (System.nanoTime() - p0) / 1e9
+        require(stats.promotedRows > 0, "promotion must move the complete granules")
+        (dSec, pSec, stats.promotedRows)
+      }
+      val derive = times.map(_._1).sorted.apply(1)
+      val promote = times.map(_._2).sorted.apply(1)
+      println(s"""{"metric":"hybrid_scale","history_copies":$c,""" +
+        s""""derive_sec":${f3(derive)},"promote_sec":${f3(promote)},""" +
+        s""""promoted_rows":${times.head._3}}""")
+      fs.delete(fsPath, true)
+      (c, derive, promote, times.head._3)
+    }
+    val (_, d1, p1, rows1) = results.head
+    val (c, dC, pC, rowsC) = results.last
+    require(rows1 == rowsC, s"delta must be scale-invariant: $rows1 vs $rowsC")
+    println(s"""{"metric":"hybrid_scale_summary","copies":$c,""" +
+      s""""derive_slope":${f3(dC / d1)},"promote_slope":${f3(pC / p1)},""" +
+      s""""promoted_rows":$rows1,"note":"fixed realtime delta, history x$c"}""")
   }
 
   /** Full-registry corpus: every table the registry reads, C×. Documents

@@ -155,13 +155,18 @@ object SegmentCatalog {
     val files =
       if (fs.getFileStatus(p).isDirectory) listDataFiles(spark, path)
       else Seq(path)
-    val ranges = files.flatMap { f =>
+    // Footer reads are independent driver-side IO: run them on a bounded
+    // pool so a deep layout (the hybrid bootstrap derivation walks EVERY
+    // offline segment once) costs O(files/16) wall, not O(files). Results
+    // fold through order-independent min/max, so parallelism cannot
+    // change the answer.
+    def readOne(f: String): Seq[Option[(Long, Long)]] = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new org.apache.hadoop.fs.Path(f), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         import scala.jdk.CollectionConverters._
-        r.getFooter.getBlocks.asScala.map { b =>
+        r.getFooter.getBlocks.asScala.toSeq.map { b =>
           b.getColumns.asScala
             .find(_.getPath.toDotString == column)
             .flatMap { c =>
@@ -176,6 +181,19 @@ object SegmentCatalog {
         }
       } finally r.close()
     }
+    val ranges =
+      if (files.size <= 1) files.flatMap(readOne)
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(16, files.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          files.map(f => pool.submit(
+            new java.util.concurrent.Callable[Seq[Option[(Long, Long)]]] {
+              def call(): Seq[Option[(Long, Long)]] = readOne(f)
+            })).flatMap(_.get())
+        } finally pool.shutdown()
+      }
     if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
     else Some((ranges.map(_.get._1).min, ranges.map(_.get._2).max))
   }

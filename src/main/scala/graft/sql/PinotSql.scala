@@ -55,11 +55,55 @@ object PinotSql {
     Translated(rebuildClauses(rewritten), opts)
   }
 
+  /** OPTION keys this engine APPLIES (not merely records), lowercased →
+    * the rule-enable conf they scope. `useStarTree` is Pinot's own query
+    * option for bypassing the star-tree index; the other four extend the
+    * same convention to this engine's transparent index/view rules.
+    * Every other option (timeoutMs, useMultistageEngine, …) is an
+    * execution hint for a cluster this engine doesn't have — recorded in
+    * `Translated.options`, intentionally not applied.
+    */
+  private val AppliedOptions: Map[String, String] = Map(
+    "usestartree" -> "spark.graft.starTree.enabled",
+    "usetimestampindex" -> "spark.graft.timestampIndex.enabled",
+    "usejsonindex" -> "spark.graft.jsonIndex.enabled",
+    "usetextindex" -> "spark.graft.termIndex.enabled",
+    "usedenormview" -> "spark.graft.denorm.enabled")
+
   /** Translate and run against `spark` (tables must be registered, e.g.
     * via `graft.engine.Graft.registerTables`).
+    *
+    * Recognized OPTIONs are applied by pinning the OPTIMIZED plan inside
+    * a scoped conf window: the rule-enable flag is set, the lazy
+    * `optimizedPlan` is forced (rewrite rules read their flag at
+    * apply-time, and QueryExecution caches the result), then the session
+    * value is restored — so `OPTION(useStarTree=false)` affects exactly
+    * this query, never the session or a concurrently-planned one in
+    * another thread beyond the forcing window.
     */
-  def sql(spark: SparkSession, pql: String): DataFrame =
-    spark.sql(translate(pql).sql)
+  def sql(spark: SparkSession, pql: String): DataFrame = {
+    val t = translate(pql)
+    val applied = t.options.toSeq.flatMap { case (k, v) =>
+      AppliedOptions.get(k.toLowerCase).map { conf =>
+        require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+          s"OPTION $k expects true/false, got '$v'")
+        conf -> v.toLowerCase
+      }
+    }
+    if (applied.isEmpty) spark.sql(t.sql)
+    else {
+      val prev = applied.map { case (k, _) => k -> spark.conf.getOption(k) }
+      applied.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val df = spark.sql(t.sql)
+        df.queryExecution.optimizedPlan // force while the flags are scoped
+        df
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 
   // ---------------------------------------------------------------- lexing
 

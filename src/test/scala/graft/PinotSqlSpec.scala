@@ -124,6 +124,35 @@ class PinotSqlSpec extends SparkSpec {
 
   // ------------------------------------------- dialect semantics on data
 
+  test("OPTION(useStarTree=false) is APPLIED: it pins the un-rewritten plan") {
+    import graft.operators.StarTree
+    import graft.plans.StarTreeCatalog
+    Graft.registerTables(spark, sfDir)
+    val factPath = s"$sfDir/lineitem.parquet"
+    val cubeDir =
+      java.nio.file.Files.createTempDirectory("pql_startree").toString + "/cube"
+    StarTree.materializeAndRegister(
+      spark.read.parquet(factPath), factPath,
+      dims = Seq("l_returnflag", "l_linestatus"),
+      sumMetrics = Seq("l_quantity"), cubePath = cubeDir)
+    try {
+      val q = "SELECT SUM(l_quantity) AS s FROM lineitem GROUP BY l_returnflag"
+      val served = PinotSql.sql(spark, q)
+      assert(served.queryExecution.optimizedPlan.toString.contains("cube"),
+        "default: the star-tree rule must serve the cube")
+      val bypassed = PinotSql.sql(spark, s"$q OPTION(useStarTree=false)")
+      assert(!bypassed.queryExecution.optimizedPlan.toString.contains("cube"),
+        "OPTION(useStarTree=false) must pin the fact-table plan")
+      // identical answers either way; session flag restored after scoping
+      assert(bypassed.collect().map(_.toSeq).toSet ===
+        served.collect().map(_.toSeq).toSet)
+      assert(spark.conf.getOption("spark.graft.starTree.enabled").isEmpty)
+      val boolErr = intercept[IllegalArgumentException](
+        PinotSql.sql(spark, s"$q OPTION(useStarTree=7)"))
+      assert(boolErr.getMessage.contains("true/false"))
+    } finally StarTreeCatalog.clear()
+  }
+
   test("TOP query matches the engine's own DataFrame ranking") {
     Graft.registerTables(spark, sfDir)
     import org.apache.spark.sql.functions._
