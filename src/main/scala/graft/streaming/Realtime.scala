@@ -666,6 +666,48 @@ object Realtime {
       }
       .start()
 
+  /** Streaming ingest INTO A HYBRID TABLE with cadenced realtime→offline
+    * promotion — Pinot's consuming-segment + RealtimeToOfflineSegments
+    * pair as one sink (reference: /root/reference/basics/Architecture.md,
+    * hybrid tables): each micro-batch lands as a
+    * `realtime/batch_id=<id>` parquet partition (INT64-micros timestamps
+    * so the promotion decision stays a footer read), and every
+    * `promoteEvery` batches the sink promotes the complete granules and
+    * advances the boundary — in the stream's own cadence, lease-guarded,
+    * and SKIP-on-held-lease so a concurrent external promoter can never
+    * fail a streaming batch.
+    *
+    * Replay is idempotent: a re-delivered batch overwrites exactly its
+    * own partition, and promotion staging overwrites its range-named
+    * stage dir. The sink keeps realtime APPEND-ONLY (promotion runs with
+    * gcRealtime = false, pinned): physically rewriting realtime under
+    * batch-id replay could double-serve a replayed batch's rows next to
+    * their GC-survivor copies, whereas the boundary filter retires
+    * promoted rows from serving unconditionally. Physical cleanup
+    * belongs to retention once the boundary has passed the data
+    * (SegmentWriter.applyRetention), not to the ingest path.
+    */
+  def hybridIngestSink(
+      stream: DataFrame, root: String, tsCol: String, checkpointDir: String,
+      promoteEvery: Int = 0, granuleUs: Long = 86400000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        graft.sources.HybridTable.withMicrosTimestamps(spark) {
+          batch.write.mode("overwrite")
+            .parquet(s"${graft.sources.HybridTable.realtimeDir(root)}/batch_id=$id")
+        }
+        if (promoteEvery > 0 && id > 0 && id % promoteEvery == 0) {
+          graft.sources.HybridTable.promoteRealtime(
+            spark, root, tsCol, granuleUs, gcRealtime = false)
+          () // None = lease held elsewhere: skip, next cadence tick retries
+        }
+      }
+      .start()
+
   /** Streaming INGEST dedup against a SELF-GROWING MinHash band index —
     * the q_dedup_incremental loop run continuously: each micro-batch
     * probes the on-disk band index (only the batch is shingled; the

@@ -984,6 +984,56 @@ class StreamingSpec extends SparkSpec {
     } finally stream.stop()
   }
 
+  test("hybridIngestSink: batches land in realtime, cadence promotes, a held lease skips without failing the batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.{FsLease, HybridTable}
+    def ev(id: Long, t: String) =
+      Event(id, Timestamp.valueOf(t), id % 3, "click", id.toDouble)
+    val root = java.nio.file.Files.createTempDirectory("hybrid_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hybrid_sink_ckpt").toString
+    val input = MemoryStream[Event]
+    val q = Realtime.hybridIngestSink(
+      input.toDS().toDF(), root, "ts", ckpt, promoteEvery = 2)
+    val fed = scala.collection.mutable.ArrayBuffer[Long]()
+    def feed(evs: Event*): Unit = {
+      fed ++= evs.map(_.event_id); input.addData(evs); q.processAllAvailable()
+    }
+    def served(): Set[Long] = HybridTable.read(spark, root, "ts")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    try {
+      // batch 0 (no cadence): everything serves from realtime, bootstrap
+      feed(ev(1, "2024-03-01 08:00:00"), ev(2, "2024-03-02 09:00:00"),
+        ev(3, "2024-03-03 10:00:00"))
+      assert(HybridTable.readBoundary(spark, root).isEmpty)
+      assert(served() === fed.toSet)
+      feed(ev(4, "2024-03-03 18:00:00")) // batch 1: still no cadence
+      assert(HybridTable.readBoundary(spark, root).isEmpty)
+      // batch 2: cadence fires — days 03-01..03 complete, 03-04 stays open
+      feed(ev(5, "2024-03-04 07:00:00"))
+      val b1 = HybridTable.readBoundary(spark, root)
+        .getOrElse(fail("cadence promotion must commit a boundary"))
+      assert(served() === fed.toSet, "no loss/double-serve across the swap")
+      feed(ev(6, "2024-03-04 09:00:00")) // batch 3: off-cadence
+      // batch 4: cadence tick under an EXTERNALLY HELD lease — the batch
+      // must land and serve; promotion skips; boundary unchanged
+      val leased = FsLease.withLease(spark, root, "_promote_lease", 60000L) {
+        feed(ev(7, "2024-03-05 08:00:00"))
+        assert(HybridTable.readBoundary(spark, root).contains(b1),
+          "held lease must skip promotion, not race it")
+        served()
+      }
+      assert(leased.contains(fed.toSet), "batch under held lease still serves")
+      // next cadence tick after release promotes the backlog
+      feed(ev(8, "2024-03-05 09:00:00")) // batch 5
+      feed(ev(9, "2024-03-06 08:00:00")) // batch 6: cadence fires again
+      val b2 = HybridTable.readBoundary(spark, root)
+        .getOrElse(fail("second cadence promotion must commit"))
+      assert(b2 > b1, "boundary must advance past the backlog granules")
+      assert(served() === fed.toSet)
+    } finally q.stop()
+  }
+
   test("band-index compaction: 24 micro-batches -> compact -> probe parity, replay idempotence, bounded file count") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
