@@ -76,6 +76,20 @@ object PqlQueries {
                 AND list_contains(string_split(lower(text), ' '), 'data')
               GROUP BY source ORDER BY cnt DESC, source LIMIT 3""")),
 
+    // Pinot's DISTINCT-as-a-function select form (`SELECT DISTINCT(a, b)
+    // FROM t`) — distinct tuples, a clause-level keyword in SQL, rewritten
+    // at the select level rather than as a function alias. ORDER BY passes
+    // through for a deterministic, oracle-replayable row order.
+    QueryDef(
+      "q_pql_select_distinct",
+      (s, d) => pql(s, d,
+        """SELECT DISTINCT(l_returnflag, l_linestatus) FROM lineitem
+           WHERE l_quantity >= 25
+           ORDER BY l_returnflag, l_linestatus"""),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+              WHERE l_quantity >= 25
+              ORDER BY l_returnflag, l_linestatus""")),
+
     // The wider Pinot aggregate-alias family: DISTINCTSUM/DISTINCTAVG,
     // MINMAXRANGE, SEGMENTPARTITIONEDDISTINCTCOUNT (exact under Pinot's
     // partitioning assumption; Spark's shuffle makes it exact

@@ -520,12 +520,34 @@ object PinotSql {
     case _ => None
   }
 
+  /** Pinot's DISTINCT-as-a-function select form (`SELECT DISTINCT(a, b)
+    * FROM t`): the whole select list is one DISTINCT(...) call returning
+    * distinct tuples — a CLAUSE-level keyword in SQL, so it rewrites here
+    * rather than in mapFunction.
+    */
+  private val DistinctFn = "(?is)^DISTINCT\\s*\\((.*)\\)\\s*$".r
+
   private def rebuildClauses(s: String): String = {
     val c = parseClauses(s)
     c.top.foreach { _ =>
       require(c.groupBy.nonEmpty, s"TOP requires a GROUP BY clause: $s")
       require(c.orderBy.isEmpty, s"TOP and ORDER BY are mutually exclusive: $s")
       require(c.limit.isEmpty, s"TOP and LIMIT are mutually exclusive: $s")
+    }
+    splitTopLevel(c.select).map(_.trim).find(i => DistinctFn.matches(i)) match {
+      case Some(d) =>
+        require(splitTopLevel(c.select).size == 1,
+          s"DISTINCT(...) must be the whole select list: $s")
+        require(c.groupBy.isEmpty && c.top.isEmpty,
+          s"DISTINCT(...) cannot combine with GROUP BY/TOP: $s")
+        val DistinctFn(cols) = d: @unchecked
+        val sb = new StringBuilder("SELECT DISTINCT ").append(cols.trim)
+          .append(" FROM ").append(c.from)
+        c.where.foreach(w => sb.append(" WHERE ").append(w))
+        c.orderBy.foreach(o => sb.append(" ORDER BY ").append(o))
+        c.limit.foreach(l => sb.append(" LIMIT ").append(l))
+        return sb.toString
+      case None =>
     }
     val selectItems = splitTopLevel(c.select).map(_.trim)
     val groupExprs = c.groupBy.map(g => splitTopLevel(g).map(_.trim)).getOrElse(Seq.empty)

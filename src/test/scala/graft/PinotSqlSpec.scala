@@ -53,6 +53,21 @@ class PinotSqlSpec extends SparkSpec {
         "approx_count_distinct(u) AS dc FROM t")
   }
 
+  test("DISTINCT(a, b) select form becomes SELECT DISTINCT a, b") {
+    val t = PinotSql.translate(
+      "SELECT DISTINCT(a, b) FROM t WHERE a > 1 ORDER BY a LIMIT 10")
+    assert(t.sql === "SELECT DISTINCT a, b FROM t WHERE a > 1 ORDER BY a LIMIT 10")
+    // aliases inside still rewrite; DISTINCTCOUNT is NOT the keyword form
+    assert(PinotSql.translate("SELECT DISTINCT(JSONEXTRACTSCALAR(j, '$.k')) FROM t").sql
+      === "SELECT DISTINCT get_json_object(j, '$.k') FROM t")
+    assert(PinotSql.translate("SELECT DISTINCTCOUNT(a) AS c FROM t").sql
+      === "SELECT count(DISTINCT a) AS c FROM t")
+    def bad(q: String): String =
+      intercept[IllegalArgumentException](PinotSql.translate(q)).getMessage
+    assert(bad("SELECT DISTINCT(a), b FROM t").contains("whole select list"))
+    assert(bad("SELECT DISTINCT(a) FROM t GROUP BY a").contains("cannot combine"))
+  }
+
   test("distinct-agg and range aliases expand to exact builtins") {
     val t = PinotSql.translate(
       "SELECT DISTINCTSUM(q) AS ds, DISTINCTAVG(q) AS da, MINMAXRANGE(p) AS r, " +
