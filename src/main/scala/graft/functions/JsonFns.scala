@@ -132,8 +132,15 @@ object JsonFns {
         // values still carrying their quotes) for a SINGLE match —
         // normalize both shapes to array<string>
         val scalar = regexp_replace(raw, "(?s)^\"(.*)\"$", "$1")
-        val vals = when(raw.startsWith("["),
-          from_json(raw, ArrayType(org.apache.spark.sql.types.StringType)))
+        // try-array-else-scalar: a scalar STRING value may itself start
+        // with '[' (get_json_object returns it unquoted), so the array
+        // branch additionally requires the text to PARSE as a JSON array
+        // — otherwise `"$.k"='[tag] hi'` would silently never match.
+        // (A string value whose text is itself a valid JSON array stays
+        // ambiguous under get_json_object's normalization; the element-
+        // wise compare is the useful reading of that corner.)
+        val parsed = from_json(raw, ArrayType(org.apache.spark.sql.types.StringType))
+        val vals = when(raw.startsWith("[") && parsed.isNotNull, parsed)
           .otherwise(array(scalar))
         val strVal = rawVal.startsWith("'") && rawVal.endsWith("'") && rawVal.length >= 2
         def cmp(v: Column): Column = {

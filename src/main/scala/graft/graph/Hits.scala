@@ -42,7 +42,18 @@ object Hits {
       col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst"),
       col("weight").cast("double").as("weight"))
-    require(!e0.isEmpty, "HITS: no authority mass — graph has no edges")
+    // One upfront scan enforces what the old per-iteration driver-side
+    // requires used to: nonempty edges with strictly positive weights.
+    // Under that contract every round's L1 mass is provably nonzero
+    // (initial hub ≡ 1 covers round 1; afterwards hub/auth mass only
+    // sits on nodes with out-/in-edges), so the in-plan normalizers can
+    // never divide by zero — the violation fails HERE, loudly, instead
+    // of surfacing as silent NaN scores.
+    val chk = e0.agg(count(lit(1)).as("n"), count(col("weight")).as("nw"),
+      min("weight").as("w")).head()
+    require(chk.getLong(0) > 0, "HITS: no authority mass — graph has no edges")
+    require(chk.getLong(1) == chk.getLong(0) && chk.getDouble(2) > 0.0,
+      "HITS: weights must be non-null and strictly positive")
     val nodes = e0.select(col("src").as("host"))
       .unionByName(e0.select(col("dst").as("host")))
       .distinct()

@@ -73,31 +73,41 @@ object HybridTable {
   def offlineDir(root: String): String = s"$root/offline"
   def realtimeDir(root: String): String = s"$root/realtime"
 
-  /** The committed boundary (epoch micros), if one has been written. */
+  /** The committed boundary (epoch micros), if one has been written.
+    * Tolerates losing an exists/open race against a concurrent commit
+    * (returns None → the caller falls back to derivation) instead of
+    * surfacing a FileNotFoundException from the serving path.
+    */
   def readBoundary(spark: SparkSession, root: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(root, BoundaryName)
     val f = fs(spark, root)
     if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    }
+    else
+      try {
+        val in = f.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
   }
 
-  /** Atomically (temp + rename) commit a new boundary. */
+  /** Atomically commit a new boundary: temp file + OVERWRITE rename via
+    * FileContext — one metadata op replaces the old value, so a reader
+    * sees either boundary but never a missing file (FileSystem.rename
+    * cannot overwrite, and delete-then-rename would open that window).
+    */
   def writeBoundary(spark: SparkSession, root: String, boundaryUs: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val f = fs(spark, root)
-    val tmp = new Path(root, s".$BoundaryName.tmp")
-    val dst = new Path(root, BoundaryName)
+    val tmp = f.makeQualified(new Path(root, s".$BoundaryName.tmp"))
+    val dst = f.makeQualified(new Path(root, BoundaryName))
     val out = f.create(tmp, true)
     try out.write(boundaryUs.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(dst)) f.delete(dst, false)
-    require(f.rename(tmp, dst), s"could not commit $dst")
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** CATALOG-DERIVED boundary (Pinot's broker rule, re-expressed): the
@@ -130,8 +140,14 @@ object HybridTable {
     val f = fs(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir)
     // recursiveFileLookup: stage subdirs (promoted=...) are plain data,
-    // not Hive partitions — no conflicting-layout inference
-    if (f.exists(p) && f.listStatus(p).nonEmpty)
+    // not Hive partitions — no conflicting-layout inference. The side
+    // counts as PRESENT only when a visible entry exists: a dir holding
+    // only `_temporary`/`_spark_metadata` (a racing first write) must
+    // read as absent, not crash schema inference.
+    if (f.exists(p) && f.listStatus(p).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
       Some(spark.read.option("recursiveFileLookup", "true").parquet(dir))
     else None
   }
@@ -177,8 +193,9 @@ object HybridTable {
     * granule: everything strictly below it is complete and moves; the
     * open granule keeps serving from realtime. Lease-guarded (same
     * discipline as dedup-index compaction); `gcRealtime = true` also
-    * rewrites the realtime dir to drop the now-offline rows (step 3 —
-    * optional because serving correctness never depends on it).
+    * deletes the realtime files wholly below the new boundary (step 3 —
+    * per-file, atomic, idempotent; optional because serving correctness
+    * never depends on it).
     *
     * Returns None when another promoter holds the lease; Some(stats)
     * otherwise (promotedRows == 0 when no granule completed since the
@@ -225,20 +242,23 @@ object HybridTable {
         val promoted = SegmentCatalog.metadataRowCount(spark, stage)
         // 2. flip visibility in one atomic rename
         writeBoundary(spark, root, newB)
-        // 3. GC the promoted rows out of realtime (write-then-swap)
+        // 3. GC: delete exactly the realtime FILES whose footer max sits
+        // wholly below the new boundary — their rows can never be served
+        // again (read filters realtime to ts >= boundary). Per-file
+        // deletes are atomic and idempotent: a crash leaves extra dead
+        // files for the next run, the realtime dir itself is never moved
+        // or rewritten (no window where the open granule disappears from
+        // the layout), and a file STRADDLING the boundary is kept whole —
+        // its dead prefix is reclaimed once a later boundary passes its
+        // max. Files without stats (foreign INT96) are conservatively
+        // kept.
         if (gcRealtime) {
-          val rtDir = realtimeDir(root)
-          val tmp = new Path(rtDir + "__gc_tmp")
-          val old = new Path(rtDir + "__gc_old")
-          f.delete(tmp, true); f.delete(old, true)
-          withMicrosTimestamps(spark) {
-            spark.read.option("recursiveFileLookup", "true").parquet(rtDir)
-              .filter(col(tsCol) >= timestamp_micros(lit(newB)))
-              .write.mode("overwrite").parquet(tmp.toString)
-          }
-          require(f.rename(new Path(rtDir), old), s"gc: could not move $rtDir aside")
-          require(f.rename(tmp, new Path(rtDir)), s"gc: could not swap in $tmp")
-          f.delete(old, true)
+          SegmentCatalog.dataFileRangesLong(spark, realtimeDir(root), tsCol)
+            .foreach {
+              case (file, Some((_, hi))) if hi < newB =>
+                f.delete(new Path(file), false)
+              case _ =>
+            }
         }
         PromotionStats(oldB, newB, promoted)
       }

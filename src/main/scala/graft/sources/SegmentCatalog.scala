@@ -149,24 +149,39 @@ object SegmentCatalog {
     */
   def metadataColumnRangeLong(
       spark: SparkSession, path: String, column: String): Option[(Long, Long)] = {
+    val ranges = dataFileRangesLong(spark, path, column).map(_._2)
+    if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
+    else Some((ranges.map(_.get._1).min, ranges.map(_.get._2).max))
+  }
+
+  /** Per-FILE [min, max] of an int64 column from parquet footers —
+    * None for a file where any row group lacks stats. The file-granular
+    * form feeds per-file lifecycle decisions (hybrid GC deletes exactly
+    * the realtime files wholly below the boundary).
+    *
+    * Footer reads are independent driver-side IO: run them on a bounded
+    * pool so a deep layout (the hybrid bootstrap derivation walks EVERY
+    * offline segment once) costs O(files/16) wall, not O(files). Results
+    * fold through order-independent min/max, so parallelism cannot
+    * change the answer. Worker failures rethrow their ORIGINAL cause
+    * (not the pool's ExecutionException) and abandon the remaining reads.
+    */
+  def dataFileRangesLong(
+      spark: SparkSession, path: String, column: String)
+      : Seq[(String, Option[(Long, Long)])] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val files =
       if (fs.getFileStatus(p).isDirectory) listDataFiles(spark, path)
       else Seq(path)
-    // Footer reads are independent driver-side IO: run them on a bounded
-    // pool so a deep layout (the hybrid bootstrap derivation walks EVERY
-    // offline segment once) costs O(files/16) wall, not O(files). Results
-    // fold through order-independent min/max, so parallelism cannot
-    // change the answer.
-    def readOne(f: String): Seq[Option[(Long, Long)]] = {
+    def readOne(f: String): Option[(Long, Long)] = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new org.apache.hadoop.fs.Path(f), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         import scala.jdk.CollectionConverters._
-        r.getFooter.getBlocks.asScala.toSeq.map { b =>
+        val blocks = r.getFooter.getBlocks.asScala.toSeq.map { b =>
           b.getColumns.asScala
             .find(_.getPath.toDotString == column)
             .flatMap { c =>
@@ -179,23 +194,27 @@ object SegmentCatalog {
               }
             }
         }
+        if (blocks.isEmpty || blocks.exists(_.isEmpty)) None
+        else Some((blocks.map(_.get._1).min, blocks.map(_.get._2).max))
       } finally r.close()
     }
-    val ranges =
-      if (files.size <= 1) files.flatMap(readOne)
-      else {
-        val pool = java.util.concurrent.Executors
-          .newFixedThreadPool(math.min(16, files.size))
-        try {
-          import scala.jdk.CollectionConverters._
-          files.map(f => pool.submit(
-            new java.util.concurrent.Callable[Seq[Option[(Long, Long)]]] {
-              def call(): Seq[Option[(Long, Long)]] = readOne(f)
-            })).flatMap(_.get())
-        } finally pool.shutdown()
-      }
-    if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
-    else Some((ranges.map(_.get._1).min, ranges.map(_.get._2).max))
+    if (files.size <= 1) files.map(f => f -> readOne(f))
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(16, files.size))
+      try {
+        files.map(f => f -> pool.submit(
+          new java.util.concurrent.Callable[Option[(Long, Long)]] {
+            def call(): Option[(Long, Long)] = readOne(f)
+          })).map { case (f, fut) =>
+          f -> (try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause // surface the worker's own IO failure
+          })
+        }
+      } finally pool.shutdownNow() // cancel stragglers on failure; no-op after success
+    }
   }
 
   /** Total row count from parquet FOOTER metadata — a driver-side footer

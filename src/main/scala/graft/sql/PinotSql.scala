@@ -304,6 +304,7 @@ object PinotSql {
   }
 
   private val PercentileName = "(?i)PERCENTILE(EST|TDIGEST|KLL)?(\\d+)".r
+  private val ThetaNominal = "(?i)nominalEntries\\s*=\\s*(\\d+)".r
 
   /** `PERCENTILE95` → 0.95, `PERCENTILE999` → 0.999, `PERCENTILE5` → 0.05
     * (two implied integer digits, longer names shift the scale — the Pinot
@@ -335,12 +336,35 @@ object PinotSql {
       case "DISTINCTCOUNT" | "DISTINCTCOUNTBITMAP" =>
         arity(1); s"count(DISTINCT ${args.head})"
       case "DISTINCTCOUNTHLL" =>
-        arity(1, 2); s"approx_count_distinct(${args.head})"
-      case "DISTINCTCOUNTTHETASKETCH" =>
-        // Pinot returns the rounded LONG estimate; trailing args are
-        // sketch-parameter strings (nominal entries default 4096)
+        // optional 2nd arg is Pinot's log2m: map to the equivalent
+        // relative standard deviation (1.04/sqrt(2^log2m)) rather than
+        // silently ignoring the user's configured precision
         arity(1, 2)
-        s"CAST(round(theta_estimate(theta_sketch_agg(${args.head}, 4096))) AS BIGINT)"
+        if (args.size == 1) s"approx_count_distinct(${args.head})"
+        else {
+          val log2m = args(1).toIntOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"DISTINCTCOUNTHLL: log2m must be an integer literal, got ${args(1)}"))
+          require(log2m >= 4 && log2m <= 21,
+            s"DISTINCTCOUNTHLL: log2m $log2m outside [4, 21]")
+          val rsd = 1.04 / math.sqrt(math.pow(2.0, log2m.toDouble))
+          s"approx_count_distinct(${args.head}, ${"%.6f".format(rsd)}D)"
+        }
+      case "DISTINCTCOUNTTHETASKETCH" =>
+        // Pinot returns the rounded LONG estimate; the optional 2nd arg
+        // carries sketch parameters — honor nominalEntries (the one that
+        // changes the answer) and reject anything else loudly rather
+        // than translate silently-differently
+        arity(1, 2)
+        val nominal =
+          if (args.size == 1) 4096
+          else unquote(args(1)).trim match {
+            case ThetaNominal(n) => n.toInt
+            case other => throw new IllegalArgumentException(
+              "DISTINCTCOUNTTHETASKETCH: unsupported parameter string " +
+                s"'$other' (supported: nominalEntries=<int>)")
+          }
+        s"CAST(round(theta_estimate(theta_sketch_agg(${args.head}, $nominal))) AS BIGINT)"
       case "SEGMENTPARTITIONEDDISTINCTCOUNT" =>
         // exact under Pinot's partitioning assumption; Spark's shuffle
         // makes it exact unconditionally
@@ -451,7 +475,10 @@ object PinotSql {
         val scale = unitMs(unit) * size.toLong
         if (scale == 1L) bucket else s"($bucket div $scale)"
       case SdfFmt(_, _, pattern) =>
-        s"date_format(timestamp_millis($bucket), '$pattern')"
+        // re-escape: unquote() unescaped the literal's '' pairs, and the
+        // pattern goes back inside single quotes (Pinot patterns quote
+        // literal text, e.g. yyyy-MM-dd''T''HH)
+        s"date_format(timestamp_millis($bucket), '${pattern.replace("'", "''")}')"
       case other => throw new IllegalArgumentException(
         s"DATETIMECONVERT: unsupported output format '$other'")
     }

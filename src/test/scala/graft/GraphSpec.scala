@@ -90,6 +90,19 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(h.values.map(_._2).sum - 1.0) < 1e-9, "hub mass != 1")
   }
 
+  test("hits rejects zero/negative/null weights loudly, not as silent NaN") {
+    val zero = intercept[IllegalArgumentException](
+      hitsMap(Seq(("a", "b", 0.0), ("b", "c", 0.0))))
+    assert(zero.getMessage.contains("strictly positive"))
+    val neg = intercept[IllegalArgumentException](
+      hitsMap(Seq(("a", "b", 1.0), ("b", "c", -1.0))))
+    assert(neg.getMessage.contains("strictly positive"))
+    val empty = intercept[IllegalArgumentException](
+      hitsMap(Seq.empty[(String, String, Double)]))
+    assert(empty.getMessage.contains("no edges") ||
+      empty.getMessage.contains("no authority mass"))
+  }
+
   test("hits separates the link farm from the authority") {
     // f1..f3 are a link farm: they point at the popular target but nothing
     // points at them. HITS must give them hub > 0 and authority = 0, and

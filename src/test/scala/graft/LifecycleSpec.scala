@@ -157,7 +157,11 @@ class LifecycleSpec extends SparkSpec {
     val cut = to_timestamp(lit("2024-01-10"))
     HybridTable.withMicrosTimestamps(spark) {
       ev.filter(col("ts") < cut).write.parquet(HybridTable.offlineDir(root))
-      ev.filter(col("ts") >= cut).write.parquet(HybridTable.realtimeDir(root))
+      // realtime arrives time-clustered in production (micro-batch files
+      // track arrival order); range-cluster the fixture the same way so
+      // the per-file GC has wholly-retired files to reclaim
+      ev.filter(col("ts") >= cut).repartitionByRange(8, col("ts"))
+        .write.parquet(HybridTable.realtimeDir(root))
     }
     def snapshot(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("event_id").collect().toSeq
@@ -181,11 +185,16 @@ class LifecycleSpec extends SparkSpec {
     assert(HybridTable.readBoundary(spark, root) === Some(stats.newBoundaryUs))
     assert(snapshot(HybridTable.read(spark, root, "ts")) === whole,
       "post-promotion hybrid read lost or duplicated rows")
-    // GC really dropped the promoted rows from the realtime side
-    val rtMin = spark.read.option("recursiveFileLookup", "true")
-      .parquet(HybridTable.realtimeDir(root))
-      .agg(min(unix_micros(col("ts")))).head().getLong(0)
-    assert(rtMin >= stats.newBoundaryUs, "realtime GC left promoted rows behind")
+    // GC is per-FILE (atomic, idempotent, never moves the dir): every
+    // file wholly below the boundary is gone, straddlers stay whole
+    val rtRanges = graft.sources.SegmentCatalog
+      .dataFileRangesLong(spark, HybridTable.realtimeDir(root), "ts")
+    assert(rtRanges.nonEmpty, "open granule must survive GC")
+    assert(rtRanges.forall {
+      case (_, Some((_, hi))) => hi >= stats.newBoundaryUs
+      case (_, None) => true // stats-free foreign files are kept
+    }, "realtime GC left a wholly-retired file behind")
+    assert(rtRanges.size < 8, "time-clustered fixture should reclaim files")
 
     // replay is a no-op: nothing new completed, boundary holds, parity holds
     val replay = HybridTable.promoteRealtime(spark, root, "ts").get

@@ -111,6 +111,32 @@ class PinotSqlSpec extends SparkSpec {
       .head().getString(0) === "20240102")
   }
 
+  test("sketch parameters are honored or rejected, never silently dropped") {
+    // theta nominalEntries changes the sketch size the estimate rides on
+    assert(PinotSql.translate(
+      "SELECT DISTINCTCOUNTTHETASKETCH(u, 'nominalEntries=65536') AS d FROM t").sql
+      === "SELECT CAST(round(theta_estimate(theta_sketch_agg(u, 65536))) AS BIGINT) AS d FROM t")
+    val badParam = intercept[IllegalArgumentException](PinotSql.translate(
+      "SELECT DISTINCTCOUNTTHETASKETCH(u, 'samplingProbability=0.5') FROM t"))
+    assert(badParam.getMessage.contains("unsupported parameter"))
+    // HLL log2m maps to the equivalent rsd (1.04/sqrt(2^log2m))
+    assert(PinotSql.translate("SELECT DISTINCTCOUNTHLL(u, 12) AS d FROM t").sql
+      === "SELECT approx_count_distinct(u, 0.016250D) AS d FROM t")
+    val badLog2m = intercept[IllegalArgumentException](PinotSql.translate(
+      "SELECT DISTINCTCOUNTHLL(u, 'x') FROM t"))
+    assert(badLog2m.getMessage.contains("log2m"))
+  }
+
+  test("SIMPLE_DATE_FORMAT patterns with quoted literal text re-escape") {
+    val t = PinotSql.translate(
+      "SELECT DATETIMECONVERT(ms, '1:MILLISECONDS:EPOCH', " +
+        "'1:HOURS:SIMPLE_DATE_FORMAT:yyyy-MM-dd''T''HH', '1:HOURS') AS h FROM src")
+    assert(t.sql.contains("'yyyy-MM-dd''T''HH'"), t.sql)
+    // and the emitted SQL actually parses and formats correctly
+    assert(spark.sql(t.sql.replace("FROM src", "FROM (SELECT 1704164645000 AS ms)"))
+      .head().getString(0) === "2024-01-02T03")
+  }
+
   test("double-quoted Pinot identifiers become backticks; strings survive") {
     val t = PinotSql.translate(
       """SELECT "weird col" FROM t WHERE note = 'keep "quotes" and it''s fine'""")
@@ -218,6 +244,19 @@ class PinotSqlSpec extends SparkSpec {
     assert(ids("\"$.addresses\" IS NULL") === Seq(3L))
     assert(ids("\"$.name\" IS NOT NULL") === Seq(1L, 2L, 3L))
     assert(ids("\"$.addresses[*].country\"=''us'' AND \"$.addresses[*].number\"=5") === Seq(1L))
+  }
+
+  test("json_match matches scalar strings that start with '[' (not mistaken for arrays)") {
+    spark.createDataFrame(Seq(
+      (1L, """{"k":"[tag] hello"}"""),
+      (2L, """{"k":"plain"}"""),
+      (3L, """{"k":["x","y"]}"""))).toDF("id", "doc")
+      .createOrReplaceTempView("brackety")
+    def ids(cond: String): Seq[Long] =
+      spark.sql(s"SELECT id FROM brackety WHERE json_match(doc, '$cond') ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+    assert(ids("\"$.k\"=''[tag] hello''") === Seq(1L))
+    assert(ids("\"$.k[*]\"=''y''") === Seq(3L))
   }
 
   test("text_match rejects a non-literal query argument loudly") {
