@@ -408,6 +408,12 @@ object PinotSql {
         if (args.size == 4) s"coalesce($cast, ${args(3)})" else cast
       case "DATETRUNC" =>
         arity(2); s"date_trunc(${args(0)}, ${args(1)})"
+      case "FROMDATETIME" =>
+        // timestamp-index.md:36: fromDateTime('2014-01-16', 'yyyy-MM-dd')
+        // → epoch millis (the pattern literal passes through verbatim)
+        arity(2); s"unix_millis(to_timestamp(${args(0)}, ${args(1)}))"
+      case "TODATETIME" =>
+        arity(2); s"date_format(timestamp_millis(${args(0)}), ${args(1)})"
       case "DATETIMECONVERT" =>
         arity(4); dateTimeConvert(args(0), args(1), args(2), args(3))
       case _ if up.startsWith("PERCENTILE") =>

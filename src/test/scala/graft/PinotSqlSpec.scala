@@ -127,6 +127,20 @@ class PinotSqlSpec extends SparkSpec {
     assert(badLog2m.getMessage.contains("log2m"))
   }
 
+  test("fromDateTime/toDateTime translate the timestamp-index doc example") {
+    // the reference's own query string (timestamp-index.md:36)
+    val t = PinotSql.translate(
+      "SELECT count(*) FROM tbl WHERE tsWeek > fromDateTime('2014-01-16', 'yyyy-MM-dd')")
+    assert(t.sql ===
+      "SELECT count(*) FROM tbl WHERE tsWeek > unix_millis(to_timestamp('2014-01-16', 'yyyy-MM-dd'))")
+    assert(spark.sql(
+      "SELECT unix_millis(to_timestamp('2014-01-16', 'yyyy-MM-dd')) AS ms")
+      .head().getLong(0) === 1389830400000L)
+    assert(spark.sql(PinotSql.translate(
+      "SELECT TODATETIME(1389830400000, 'yyyy-MM-dd') AS d FROM (SELECT 1)").sql)
+      .head().getString(0) === "2014-01-16")
+  }
+
   test("SIMPLE_DATE_FORMAT patterns with quoted literal text re-escape") {
     val t = PinotSql.translate(
       "SELECT DATETIMECONVERT(ms, '1:MILLISECONDS:EPOCH', " +
