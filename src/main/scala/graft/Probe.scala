@@ -1,21 +1,42 @@
 package graft
 
-/** Scratch single-query profiler (not part of the driver contract). */
+/** Scratch single-query profiler (not part of the driver contract).
+  *
+  * Usage: runMain graft.Probe <name>[,<name>...] [sfDir] [reps]
+  * Each query is timed `reps` times through the noop sink; the formatted
+  * physical plan is printed and — when SPARK_GRAFT_PLAN_OUT names a
+  * directory — also written to <dir>/<name>.txt so plan evidence can be
+  * committed (the plans/r15 before/after files).
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
+    val planOut = sys.env.get("SPARK_GRAFT_PLAN_OUT")
     val spark = graft.engine.Graft.session(
       master = "local[32]", shufflePartitions = 32,
       appName = "graft-probe", extraConf = Map("spark.ui.enabled" -> "false"))
-    val fn = SparkEntry.queries(name)
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"PROBE $name rep$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"PROBE $name rep$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      val df = fn(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      planOut match {
+        case Some(dir) =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"$name.txt"),
+            plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          println(s"PROBE $name plan -> $dir/$name.txt")
+        case None => println(plan)
+      }
     }
-    fn(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }

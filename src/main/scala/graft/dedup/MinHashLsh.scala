@@ -30,8 +30,20 @@ object MinHashLsh {
     * recall).
     */
   def bands(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numBands: Int = NumBands): DataFrame = {
-    val sh = TextShingles.withShingleHashes(docs, idCol, textCol, shingleSize)
+      shingleSize: Int = 3, numBands: Int = NumBands): DataFrame =
+    bandsFromShingles(
+      TextShingles.withShingleHashes(docs, idCol, textCol, shingleSize),
+      idCol, numBands)
+
+  /** Bands from an ALREADY-SHINGLED frame (`idCol`, `sh`) — the seam that
+    * lets a caller shingle the corpus ONCE and feed both the band join and
+    * its exact-Jaccard verify from the same (checkpointed) frame, instead
+    * of paying the scan+shingle pipeline per consumer (guide §2.3: don't
+    * recompute what you can reuse; the r15 plan audit showed 4 full
+    * shingle passes inside q_dedup_minhash_exact).
+    */
+  def bandsFromShingles(
+      sh: DataFrame, idCol: String, numBands: Int = NumBands): DataFrame = {
     val bandCol = ColumnBridge.column(
       MinHashBands(ColumnBridge.expression(col("sh")), NumHashes, numBands))
     sh.select(col(idCol), posexplode(bandCol).as(Seq("band_idx", "band_hash")))
@@ -47,8 +59,20 @@ object MinHashLsh {
     * Jaccard oracle.
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numBands: Int = NumBands): DataFrame = {
-    val b = bands(docs, idCol, textCol, shingleSize, numBands)
+      shingleSize: Int = 3, numBands: Int = NumBands): DataFrame =
+    candidatePairsFromShingles(
+      TextShingles.withShingleHashes(docs, idCol, textCol, shingleSize),
+      idCol, numBands)
+
+  /** `candidatePairs` over an already-shingled (`idCol`, `sh`) frame —
+    * pair it with the `bandsFromShingles` seam so one shingle pass feeds
+    * candidates AND verification. `sh` must carry the same shingle size
+    * as any downstream exact-Jaccard verification (sharing one frame
+    * makes that structural instead of a convention).
+    */
+  def candidatePairsFromShingles(
+      sh: DataFrame, idCol: String, numBands: Int = NumBands): DataFrame = {
+    val b = bandsFromShingles(sh, idCol, numBands)
     // sort-merge pinned on both exploded sides — same discipline as
     // EmbeddingLsh.nearPairs (stats on a post-explode projection are
     // unreliable, and a band side must never be broadcast at scale)
@@ -93,8 +117,19 @@ object MinHashLsh {
   def candidatePairsAgainst(
       newDocs: DataFrame, idCol: String, textCol: String,
       indexedBands: DataFrame, shingleSize: Int = 3,
+      numBands: Int = NumBands, broadcastBatch: Boolean = false): DataFrame =
+    candidatePairsAgainstFromShingles(
+      TextShingles.withShingleHashes(newDocs, idCol, textCol, shingleSize),
+      idCol, indexedBands, numBands, broadcastBatch)
+
+  /** `candidatePairsAgainst` over an already-shingled batch frame
+    * (`idCol`, `sh`) — one batch shingle pass serves both the index probe
+    * and the downstream exact-Jaccard verify.
+    */
+  def candidatePairsAgainstFromShingles(
+      newSh: DataFrame, idCol: String, indexedBands: DataFrame,
       numBands: Int = NumBands, broadcastBatch: Boolean = false): DataFrame = {
-    val raw = bands(newDocs, idCol, textCol, shingleSize, numBands)
+    val raw = bandsFromShingles(newSh, idCol, numBands)
       .select(col(idCol).as("new_id"), col("band_idx"), col("band_hash"))
     val nb = if (broadcastBatch) broadcast(raw) else raw.hint("merge")
     nb.join(indexedBands.select(col("doc_id").as("corpus_id"),

@@ -57,16 +57,26 @@ object Curation {
     * components. Returns doc ids to DROP.
     */
   private def nearDupLosers(docs: DataFrame, cfg: Config): DataFrame = {
-    val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text",
-      cfg.shingleSize, cfg.numBands)
+    // One shingle pass for the whole stage: the lazy localCheckpoint lets
+    // the band self-join's two sides and both verify attaches read the
+    // same materialized (doc_id, sh) blocks instead of re-running the
+    // scan→shingle pipeline per consumer (guide §2.3).
     val sh = TextShingles.withShingleHashes(docs, "doc_id", "text", cfg.shingleSize)
-      .select(col("doc_id"), col("sh"))
+      .localCheckpoint(eager = false)
+    val cands = MinHashLsh.candidatePairsFromShingles(sh, "doc_id", cfg.numBands)
+    // `inter` projected ONCE per candidate, then a plan barrier before the
+    // threshold filter — otherwise the optimizer pushes the jaccard
+    // predicate into the verify join and re-evaluates array_intersect
+    // three times per pair. Identical arithmetic, identical kept pairs.
     val verified = cands
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .select(col("a_id"), col("b_id"),
+        size(col("a_sh")).as("__na"), size(col("b_sh")).as("__nb"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"))
+      .localCheckpoint(eager = false)
       .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
+        (col("__na") + col("__nb") - col("inter")))
       .filter(col("jaccard") >= cfg.jaccardThreshold)
       .select("a_id", "b_id")
     Clusters.connectedComponents(verified)

@@ -447,19 +447,36 @@ object DedupQueries {
     QueryDef(
       "q_dedup_minhash_exact",
       (s, d) => {
+        // ONE shingle pass feeds everything: the lazy localCheckpoint
+        // materializes (doc_id, sh) on first use, so the band self-join's
+        // two sides and both verify attaches read the SAME computed
+        // blocks instead of re-running scan→split→shingle-hash 4× (the
+        // r15 plan audit: 4 parquet scans each re-evaluating
+        // word_shingle_hashes). Same expressions, same values — only the
+        // materialization boundary moved.
         val docs = TextShingles.withShingleHashes(
           Tables.documents(s, d), "doc_id", "text", 3)
+          .localCheckpoint(eager = false)
         val sets = docs.select(
           col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
-        val cand = MinHashLsh.candidatePairs(Tables.documents(s, d),
-          "doc_id", "text", shingleSize = 3, numBands = MinHashLsh.NumHashes)
+        val cand = MinHashLsh.candidatePairsFromShingles(
+          docs, "doc_id", numBands = MinHashLsh.NumHashes)
+        // Project `inter` ONCE per candidate and checkpoint the small
+        // (ids, na, nb, inter) frame before the threshold filter: without
+        // the barrier the optimizer pushes the jaccard predicate into the
+        // verify join and re-evaluates array_intersect three times per
+        // pair (twice in the join condition, once in the projection).
+        // The arithmetic above the barrier is unchanged, so the kept
+        // pairs and their rounded jaccard are bit-identical.
         cand
           .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
             col("n").as("na")), "a_id")
           .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
             col("n").as("nb")), "b_id")
-          .withColumn("inter",
-            size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
+          .select(col("a_id"), col("b_id"), col("na"), col("nb"),
+            size(array_intersect(col("a_sh"), col("b_sh"))).cast("long")
+              .as("inter"))
+          .localCheckpoint(eager = false)
           .withColumn("jaccard",
             col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .filter(col("jaccard") >= 0.8)
@@ -796,19 +813,29 @@ object DedupQueries {
           done.createNewFile()
         }
         val idx = graft.sources.SegmentCatalog.readStableSchema(s, idxPath)
-        val cands = MinHashLsh.candidatePairsAgainst(
-          batch, "doc_id", "text", idx, numBands = MinHashLsh.NumHashes)
         // verify sides shingle only their own split (new_id ∈ batch,
         // corpus_id ∈ corpus by construction) — one corpus-worth of
-        // shingling total, not two
-        val aSh = TextShingles.withShingleHashes(batch, "doc_id", "text", 3)
+        // shingling total, not two; the batch frame is additionally
+        // checkpointed so the index probe and the verify attach share ONE
+        // batch shingle pass instead of each re-running it
+        val batchSh = TextShingles.withShingleHashes(batch, "doc_id", "text", 3)
+          .localCheckpoint(eager = false)
+        val cands = MinHashLsh.candidatePairsAgainstFromShingles(
+          batchSh, "doc_id", idx, numBands = MinHashLsh.NumHashes)
+        val aSh = batchSh
           .select(col("doc_id").as("new_id"), col("sh").as("a_sh"))
         val bSh = TextShingles.withShingleHashes(corpus, "doc_id", "text", 3)
           .select(col("doc_id").as("corpus_id"), col("sh").as("b_sh"))
+        // inter projected once + plan barrier before the threshold filter
+        // (the pushed-down predicate would re-evaluate array_intersect 3×
+        // per candidate); arithmetic unchanged, results bit-identical
         cands.join(aSh, "new_id").join(bSh, "corpus_id")
-          .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+          .select(col("new_id"), col("corpus_id"),
+            size(col("a_sh")).as("__na"), size(col("b_sh")).as("__nb"),
+            size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"))
+          .localCheckpoint(eager = false)
           .withColumn("jaccard", col("inter").cast("double") /
-            (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
+            (col("__na") + col("__nb") - col("inter")))
           .filter(col("jaccard") >= 0.8)
           .select(col("new_id"), col("corpus_id"),
             round(col("jaccard"), 4).as("jaccard"))
