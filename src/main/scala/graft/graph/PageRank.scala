@@ -49,9 +49,12 @@ object PageRank {
       .unionByName(e0.select(col("dst").as("host")))
       .distinct()
       .localCheckpoint(eager = false)
-    // One scalar count for the teleport denominator — an aggregate over
-    // the (already small-schema) node set, not a data collect.
-    val n = nodes.count().toDouble
+    // Teleport denominator as an IN-PLAN broadcast scalar (the Hits
+    // normalizer pattern): a single-row count aggregate crossJoin-
+    // broadcast onto the node frame. Division order matches the old
+    // driver-side form exactly — lit(x)/n — so every rank value is
+    // bit-identical to the fetched-scalar implementation.
+    val nRow = broadcast(nodes.agg(count(lit(1)).cast("double").as("__n")))
 
     val outW = e0.groupBy("src").agg(sum("weight").as("out_w"))
     val trans = e0.join(outW, "src")
@@ -59,36 +62,40 @@ object PageRank {
       .localCheckpoint(eager = false)
 
     // Dangling nodes (no out-edges) are a STATIC set — detect them once.
-    // When there are none (the common host-graph case: every host that
-    // appears also links out), the per-iteration dangling-mass scalar job
-    // disappears entirely and the whole fixed-iteration chain runs as ONE
-    // job at the caller's action (lazy localCheckpoints still truncate
-    // the logical plan per round — they wrap the round in a LogicalRDD
-    // immediately; only the RDD lineage waits for the action).
+    // Their per-round mass stays IN-PLAN too: a single-row sum aggregate
+    // broadcast onto the rank update (when the set is empty the sum
+    // coalesces to 0.0 and the teleport term vanishes arithmetically,
+    // exactly as the old hasDangling==false branch hard-coded). With no
+    // per-iteration driver action, the whole fixed-iteration chain runs
+    // as ONE job at the caller's action — on a large cluster that removes
+    // `iterations` scheduler round-trips (lazy localCheckpoints still
+    // truncate the logical plan per round — they wrap the round in a
+    // LogicalRDD immediately; only the RDD lineage waits for the action).
     val danglingNodes = nodes.join(outW, nodes("host") === outW("src"), "left_anti")
+      .select(col("host").as("dhost"))
       .localCheckpoint(eager = false)
-    val hasDangling = danglingNodes.limit(1).count() > 0
 
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var ranks = nodes
+      .crossJoin(nRow)
+      .select(col("host"), (lit(1.0) / col("__n")).as("rank"))
     var iter = 0
     while (iter < iterations) {
       // Mass sitting on dangling nodes this round: redistributed
-      // uniformly via the teleport term. Scalar aggregate — also the
-      // action that materializes the previous round's lazy checkpoint.
-      val dangling =
-        if (!hasDangling) 0.0
-        else ranks.join(danglingNodes.select(col("host").as("dhost")),
-            ranks("host") === col("dhost"))
-          .agg(coalesce(sum("rank"), lit(0.0)))
-          .head().getDouble(0)
+      // uniformly via the teleport term — a 1-row broadcast aggregate.
+      val dangling = broadcast(
+        ranks.join(danglingNodes, ranks("host") === col("dhost"))
+          .agg(coalesce(sum("rank"), lit(0.0)).as("__dangling")))
       val inflow = trans.join(ranks, trans("src") === ranks("host"))
         .groupBy(col("dst"))
         .agg(sum(col("p") * col("rank")).as("inflow"))
       ranks = nodes
         .join(inflow, nodes("host") === inflow("dst"), "left_outer")
+        .crossJoin(nRow)
+        .crossJoin(dangling)
         .select(
           col("host"),
-          (lit((1.0 - damping) / n) + lit(damping * dangling / n) +
+          (lit(1.0 - damping) / col("__n") +
+            lit(damping) * col("__dangling") / col("__n") +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
         .localCheckpoint(eager = false)
       iter += 1
@@ -127,52 +134,51 @@ object PageRank {
       .localCheckpoint(eager = false)
     val seedSet = seeds.select(col("host").cast("string").as("host")).distinct()
       .localCheckpoint(eager = false)
-    // scalar seed count — the teleport normalizer (seed lists are
-    // whitelist-sized by definition; the count also materializes the
-    // checkpoint)
-    val sCount = seedSet.count().toDouble
-    // Degrade like every sibling graph op instead of throwing: an empty
-    // edge set (hence empty host/seed universe) — e.g. an id-shifted scale
-    // corpus whose modular edge join yields zero edges — returns the
-    // all-zero fixpoint over whatever hosts exist (empty hosts → empty
-    // result). Mathematically this IS the limit: with no seed mass the
-    // teleport vector is zero everywhere and the power iteration stays at
-    // zero.
-    if (sCount == 0) return nodes.withColumn("rank", lit(0.0))
+    // Seed-count teleport normalizer as an IN-PLAN broadcast scalar (the
+    // Hits normalizer pattern — no per-build driver action). The empty-
+    // seed degradation stays: with |S| = 0 the teleport vector is defined
+    // as 0.0 everywhere (the guarded division below), and the power
+    // iteration stays at the all-zero fixpoint — exactly what the old
+    // early-return hard-coded, now expressed arithmetically.
+    val sRow = broadcast(seedSet.agg(count(lit(1)).cast("double").as("__ns")))
 
     val outW = e0.groupBy("src").agg(sum("weight").as("out_w"))
     val trans = e0.join(outW, "src")
       .select(col("src"), col("dst"), (col("weight") / col("out_w")).as("p"))
       .localCheckpoint(eager = false)
+    // Dangling mass stays in-plan per round (see `ranks` above): empty
+    // dangling set ⇒ the sum coalesces to 0.0 ⇒ the recycle term is the
+    // same 0.0 the old hasDangling==false branch hard-coded.
     val danglingNodes = nodes.join(outW, nodes("host") === outW("src"), "left_anti")
+      .select(col("host").as("dhost"))
       .localCheckpoint(eager = false)
-    val hasDangling = danglingNodes.limit(1).count() > 0
 
     // per-node teleport: 1/|S| on seeds, 0 elsewhere — broadcast-joined
     // onto the node dictionary once, reused every round
     val tele = nodes
       .join(broadcast(seedSet.withColumn("__s", lit(1))), Seq("host"), "left_outer")
+      .crossJoin(sRow)
       .select(col("host"),
-        (coalesce(col("__s"), lit(0)).cast("double") / sCount).as("tele"))
+        when(col("__ns") === 0.0, lit(0.0))
+          .otherwise(coalesce(col("__s"), lit(0)).cast("double") / col("__ns"))
+          .as("tele"))
       .localCheckpoint(eager = false)
 
     var ranks = tele.select(col("host"), col("tele").as("rank"))
     var iter = 0
     while (iter < iterations) {
-      val dangling =
-        if (!hasDangling) 0.0
-        else ranks.join(danglingNodes.select(col("host").as("dhost")),
-            ranks("host") === col("dhost"))
-          .agg(coalesce(sum("rank"), lit(0.0)))
-          .head().getDouble(0)
+      val dangling = broadcast(
+        ranks.join(danglingNodes, ranks("host") === col("dhost"))
+          .agg(coalesce(sum("rank"), lit(0.0)).as("__dangling")))
       val inflow = trans.join(ranks, trans("src") === ranks("host"))
         .groupBy(col("dst"))
         .agg(sum(col("p") * col("rank")).as("inflow"))
       ranks = tele
         .join(inflow, tele("host") === inflow("dst"), "left_outer")
+        .crossJoin(dangling)
         .select(
           col("host"),
-          (lit(1.0 - damping + damping * dangling) * col("tele") +
+          ((lit(1.0 - damping) + lit(damping) * col("__dangling")) * col("tele") +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
         .localCheckpoint(eager = false)
       iter += 1

@@ -28,8 +28,8 @@ import graft.queries.Registry
   * The allowlist below is the exhaustive set of builders whose SEMANTICS
   * require driver-side iteration on EVERY build — training/fixpoint
   * engines where round t+1's plan embeds round t's data as literals
-  * (k-means centroids, BPE merge argmax, PageRank dangling mass,
-  * hash-to-min convergence counts). The spec asserts the list is EXACT
+  * (k-means centroids, BPE merge argmax, hash-to-min convergence
+  * counts). The spec asserts the list is EXACT
   * both ways: no unlisted builder fires a job, and no listed builder is
   * silently lazy (so stale entries can't hide a regression elsewhere).
   */
@@ -58,11 +58,24 @@ class BuildLazinessSpec extends SparkSpec {
     "q_curation_exact" -> ("the same curation pipeline in the exhaustive-" +
       "recall banding regime — identical stage materialization (the " +
       "connected-components fixpoint's per-round moved-count scalar)"),
-    "q_pagerank_hosts" -> ("power iteration: per-round dangling-mass scalar " +
-      "+ lazy-checkpoint materialization; round t+1 embeds round t"),
-    "q_pagerank_seeded" -> ("TrustRank power iteration: the seed-count " +
-      "teleport normalizer scalar + the same per-round shape as " +
-      "q_pagerank_hosts"),
+    "q_pagerank_hosts" -> ("power iteration: the r15 optimization moved " +
+      "the node-count and per-round dangling-mass scalars IN-PLAN as " +
+      "broadcast single-row aggregates (no driver-side fetch remains); " +
+      "the residual build jobs are the per-round lazy localCheckpoints, " +
+      "whose AQE stage materialization runs when the round plan compiles " +
+      "— the checkpoint is what keeps iteration lineage flat"),
+    "q_pagerank_seeded" -> ("TrustRank power iteration: seed-count " +
+      "teleport normalizer and dangling mass in-plan as of r15; same " +
+      "per-round lazy-checkpoint materialization as q_pagerank_hosts"),
+    "q_dedup_minhash_exact" -> ("r15 optimization: the corpus is shingled " +
+      "ONCE into a lazy localCheckpoint shared by the band self-join and " +
+      "the exact-Jaccard verify, and the per-candidate intersection is " +
+      "projected once behind a checkpoint barrier (was 4 scans / 6 " +
+      "shingle evals / 3 intersects per pair) — the checkpoint stages " +
+      "AQE-materialize when the builder compiles them"),
+    "q_dedup_incremental" -> ("same r15 shape as q_dedup_minhash_exact " +
+      "for the batch side + the intersection barrier; the one-time band " +
+      "index build stays content-keyed (done-marker) as before"),
     "q_hits_hosts" -> ("power iteration: ONE emptiness-guard action per " +
       "build (edges.isEmpty) — the L1 normalizers themselves stay in-plan " +
       "as broadcast scalar aggregates, zero per-iteration driver jobs"),
