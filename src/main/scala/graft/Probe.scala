@@ -25,6 +25,11 @@ object Probe {
         println(f"PROBE $name rep$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
       val df = fn(spark, sfDir)
+      // SPARK_GRAFT_PLAN_FINAL=1: execute THIS QueryExecution (internal
+      // RDD count — no rows to the driver) so the dumped plan is the
+      // final AQE plan with ReusedExchange / AQEShuffleRead visible.
+      if (sys.env.get("SPARK_GRAFT_PLAN_FINAL").contains("1"))
+        df.queryExecution.toRdd.count()
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       planOut match {

@@ -34,6 +34,20 @@ object Graft {
       // shuffling the full fact table and shuffling the matching slice
       // (RuntimeFilterSpec asserts the injection)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // ObjectHashAggregate (every TypedImperativeAggregate: theta/KLL/
+      // tuple sketches, frequent_items, top_k_by, vector_avg) falls back
+      // to SORT-BASED aggregation after only 128 distinct groups by
+      // default — a pre-AQE conservatism that turns any sketch aggregate
+      // over a real group domain into a full sort of its input. Sketch
+      // buffers are O(k) and grow lazily with the values actually seen,
+      // so per-task memory is bounded by the task's input rows, not the
+      // group count; 256k in-memory groups keeps the hash path for
+      // dictionary- and Expand-sized domains while still bounding truly
+      // adversarial cardinality. Scale note: this is a per-TASK map-side
+      // bound — on a cluster each task sees maxPartitionBytes of input,
+      // so the worst case is unchanged from the local bench.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (256 * 1024).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // read parquet timestamps written without isAdjustedToUTC as plain
       // TIMESTAMP, not TIMESTAMP_NTZ — the session timezone is pinned to

@@ -56,7 +56,13 @@ object Percentiles {
       hist: DataFrame, grpCols: Seq[String], ss: Seq[(String, Double)]): DataFrame = {
     val grp = grpCols.map(col)
     val wOrd = Window.partitionBy(grpCols.map(col): _*).orderBy("__v")
-    val wAll = Window.partitionBy(grpCols.map(col): _*)
+    // Same partitioning AND ordering as wOrd, whole-partition frame: the
+    // planner folds both frames into ONE WindowExec pass (an unordered
+    // Window.partitionBy spec planned as a SECOND WindowExec, each
+    // buffering the partition — measured as two Window nodes in the
+    // winsorize/percentile plans before r15).
+    val wAll = Window.partitionBy(grpCols.map(col): _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = hist
       .withColumn("__end", sum("__cnt").over(wOrd))
       .withColumn("__start", col("__end") - col("__cnt"))
@@ -94,7 +100,8 @@ object Percentiles {
         .groupBy(grp :+ col(valCol).cast("double").as("__v"): _*)
         .agg(count(lit(1)).as("__cnt"))
       val wOrd = Window.partitionBy(grpCols.map(col): _*).orderBy("__v")
-      val wAll = Window.partitionBy(grpCols.map(col): _*)
+      val wAll = Window.partitionBy(grpCols.map(col): _*).orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val cum = hist
         .withColumn("__end", sum("__cnt").over(wOrd))
         .withColumn("__start", col("__end") - col("__cnt"))
@@ -139,7 +146,8 @@ object Percentiles {
       .groupBy(grp :+ col(valCol).cast("double").as("__v"): _*)
       .agg(sum(col(weightCol).cast("long")).as("__cnt"))
     val wOrd = Window.partitionBy(grpCols.map(col): _*).orderBy("__v")
-    val wAll = Window.partitionBy(grpCols.map(col): _*)
+    val wAll = Window.partitionBy(grpCols.map(col): _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = hist
       .withColumn("__end", sum("__cnt").over(wOrd))
       .withColumn("__start", col("__end") - col("__cnt"))

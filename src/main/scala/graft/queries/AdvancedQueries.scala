@@ -1987,22 +1987,35 @@ object AdvancedQueries {
     QueryDef(
       "q_mad_outliers",
       (s, d) => {
-        val ev = Tables.events(s, d)
+        // Dictionary end-to-end (r15): ONE scan builds the (type, cents)
+        // histogram; the residual histogram is DERIVED from it (|v−med|
+        // regroups the value dictionary, counts add), and the outlier
+        // count folds it — the before-plan scanned events three times
+        // (value hist, residual hist, final flag pass) and broadcast-
+        // joined the stats onto all raw rows. Exactness: cents are
+        // integers, the median a half-integer, residuals half-integers —
+        // all comparisons and counts are exact, so the regrouped counts
+        // equal the per-row pass bit-for-bit.
+        val hist = Tables.events(s, d)
           .select(col("event_type"),
             round(col("value") * 100).cast("long").as("c"))
-        val med = graft.operators.Percentiles
-          .exact(ev, Seq("event_type"), Seq(("med_c", "c", 0.5)))
-        val resid = ev.join(broadcast(med), "event_type")
-          .withColumn("r", abs(col("c") - col("med_c")))
-        val mad = graft.operators.Percentiles
-          .exact(resid, Seq("event_type"), Seq(("mad_c", "r", 0.5)))
-        ev.join(broadcast(med.join(mad, "event_type")), "event_type")
-          .withColumn("is_out", abs(col("c") - col("med_c")) > col("mad_c") * 4)
+          .filter(col("c").isNotNull)
+          .groupBy(col("event_type"), col("c").cast("double").as("__v"))
+          .agg(count(lit(1)).as("__cnt"))
+        val med = graft.operators.Percentiles.interpolate(
+          hist, Seq("event_type"), Seq(("med_c", 0.5)))
+        val residHist = hist.join(broadcast(med), "event_type")
+          .groupBy(col("event_type"), abs(col("__v") - col("med_c")).as("__v"))
+          .agg(sum("__cnt").as("__cnt"))
+        val mad = graft.operators.Percentiles.interpolate(
+          residHist, Seq("event_type"), Seq(("mad_c", 0.5)))
+        hist.join(broadcast(med.join(mad, "event_type")), "event_type")
+          .withColumn("is_out", abs(col("__v") - col("med_c")) > col("mad_c") * 4)
           .groupBy("event_type")
           .agg(
             (first("med_c") / 100).as("med"), (first("mad_c") / 100).as("mad"),
-            count(lit(1)).as("n_events"),
-            sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+            sum("__cnt").as("n_events"),
+            sum(when(col("is_out"), col("__cnt")).otherwise(0L)).as("n_outliers"))
           .orderBy("event_type")
       },
       Some("""WITH e AS (SELECT event_type,
@@ -2037,16 +2050,31 @@ object AdvancedQueries {
     QueryDef(
       "q_winsorize",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
+        // Every output is a function of the (flag, cents) HISTOGRAM, so
+        // the whole query runs on the dictionary: ONE scan builds the
+        // (group, value, count) rollup; the p05/p95 limits rank it
+        // (Percentiles.interpolate — the same code path Percentiles.exact
+        // uses) and the raw/winsorized means fold it (Σ v·cnt and
+        // Σ clamp(v)·cnt). The r15-before plan scanned lineitem TWICE and
+        // broadcast-joined the limits back onto all 600k raw rows; both
+        // histogram consumers now reuse one shuffle. Exactness: cents and
+        // counts are integers and the clamp caps are quarter-cent doubles,
+        // so every product and sum here is an exactly-representable
+        // multiple of 0.25 far below 2^53 — the regrouped sums equal the
+        // per-row sums bit-for-bit.
+        val hist = Tables.lineitem(s, d)
           .select(col("l_returnflag"),
             round(col("l_extendedprice") * 100).cast("long").as("c"))
-        val limits = graft.operators.Percentiles.exact(
-          li, Seq("l_returnflag"), Seq(("lo", "c", 0.05), ("hi", "c", 0.95)))
-        li.join(broadcast(limits), "l_returnflag")
-          .withColumn("w", least(greatest(col("c").cast("double"), col("lo")), col("hi")))
+          .filter(col("c").isNotNull)
+          .groupBy(col("l_returnflag"), col("c").cast("double").as("__v"))
+          .agg(count(lit(1)).as("__cnt"))
+        val limits = graft.operators.Percentiles.interpolate(
+          hist, Seq("l_returnflag"), Seq(("lo", 0.05), ("hi", 0.95)))
+        hist.join(broadcast(limits), "l_returnflag")
+          .withColumn("w", least(greatest(col("__v"), col("lo")), col("hi")))
           .groupBy("l_returnflag")
           .agg(
-            count(lit(1)).as("n_rows"),
+            sum("__cnt").as("n_rows"),
             // caps are interpolated-percentile ESTIMATES (continuous) —
             // displayed rounded like every class-c estimator column; the
             // raw double's shortest-repr differs across engines at 1 ulp
@@ -2054,8 +2082,8 @@ object AdvancedQueries {
             // …399999999), and the unrounded column was the only reason
             round(first("lo"), 4).as("p05_c"),
             round(first("hi"), 4).as("p95_c"),
-            round(sum("c") / count(lit(1)), 4).as("mean_raw_c"),
-            round(sum("w") / count(lit(1)), 4).as("mean_wins_c"))
+            round(sum(col("__v") * col("__cnt")) / sum("__cnt"), 4).as("mean_raw_c"),
+            round(sum(col("w") * col("__cnt")) / sum("__cnt"), 4).as("mean_wins_c"))
           .orderBy("l_returnflag")
       },
       Some("""WITH li AS (SELECT l_returnflag,
