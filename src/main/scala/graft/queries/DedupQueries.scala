@@ -82,7 +82,10 @@ object DedupQueries {
   private[graft] def jaccardPairs(
       s: org.apache.spark.sql.SparkSession, d: String, threshold: Double,
       maxShingleDf: Long = 4096L) = {
+    // One shingle pass (lazy checkpoint) feeds sizes, the df rollup and
+    // both self-join sides — the r15 dedup-family discipline.
     val docs = TextShingles.withShingleHashes(Tables.documents(s, d), "doc_id", "text", 3)
+      .localCheckpoint(eager = false)
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
     val exAll = docs.select(col("doc_id"), explode(col("sh")).as("sh"))
     // Anti-join against the (tiny by construction: ≤ occurrences/cap keys)
@@ -298,8 +301,11 @@ object DedupQueries {
     QueryDef(
       "q_ngram_containment",
       (s, d) => {
+        // one shingle pass (lazy checkpoint) for sizes, the df cap and
+        // both inverted-index join sides — r15 dedup-family discipline
         val docs = TextShingles.withShingleHashes(
           Tables.documents(s, d), "doc_id", "text", 3)
+          .localCheckpoint(eager = false)
         val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
         val exAll = docs.filter(size(col("sh")) > 0)
           .select(col("doc_id"), explode(col("sh")).as("g"))

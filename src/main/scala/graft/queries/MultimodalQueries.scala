@@ -149,9 +149,12 @@ object MultimodalQueries {
     QueryDef(
       "q_multimodal_embed",
       (s, d) => {
+        // one decode->embed pass serves both kNN sides (the query slice
+        // and the corpus) instead of re-running the model per side (r15)
         val emb = Multimodal.embedImages(mediaItems(s, d), batchSize = 128)
           .filter(col("embedding").isNotNull)
           .select(col("media_id").as("vec_id"), col("embedding"))
+          .localCheckpoint(eager = false)
         graft.similarity.Ann
           .knnBruteForce(emb.filter(col("vec_id") < 30), emb, k = 3)
           .select(col("q_id"), col("cand_id"), col("rank"),
@@ -194,6 +197,7 @@ object MultimodalQueries {
         val emb = Multimodal.embedImages(items, batchSize = 128)
           .filter(col("embedding").isNotNull)
           .select(col("media_id").as("vec_id"), col("embedding"))
+          .localCheckpoint(eager = false)
         graft.similarity.Ann
           .knnBruteForce(emb.filter(col("vec_id") < 20), emb, k = 3)
           .select(col("q_id"), col("cand_id"), col("rank"),
@@ -327,6 +331,11 @@ object MultimodalQueries {
             Multimodal.imageFingerprint(bytes).map(h => (id, variant, h))
           }
           .toDF("doc_id", "variant", "ahash")
+          // both consumers (per-doc rollup + global distinct-hash count)
+          // read the one materialized fingerprint pass instead of
+          // re-running the 4-codec encode→decode→hash pipeline each
+          // (r15: measured as the whole query running twice)
+          .localCheckpoint(eager = false)
         val perDoc = hashed.groupBy("doc_id")
           .agg(countDistinct(col("ahash")).as("n_doc_hashes"))
         perDoc.agg(
