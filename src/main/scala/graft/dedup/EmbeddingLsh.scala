@@ -33,15 +33,49 @@ object EmbeddingLsh {
   def candidatePairs(
       emb: DataFrame, idCol: String, embCol: String,
       r: Int, b: Int, dim: Int, seed: Long): DataFrame = {
-    val banded = emb.select(
+    val banded = pinJoinParallelism(spreadScan(emb, idCol, embCol).select(
       col(idCol).as("vec_id"),
-      explode(bandBuckets(col(embCol), r, b, dim, seed)).as("band"))
+      explode(bandBuckets(col(embCol), r, b, dim, seed)).as("band")))
     // never broadcast the exploded side, spill-capable join — see nearPairs
     banded.as("a").hint("merge")
       .join(banded.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
+  }
+
+  /** Pin the band self-join's parallelism to the session's configured
+    * shuffle partitions. AQE's byte-based partition coalescing sees a
+    * post-explode shuffle of a few MB and folds it to ONE partition —
+    * but the join work per bucket is quadratic in bucket occupancy, so
+    * the whole candidate+verify stage then runs as a single serial task
+    * (measured r15: two 1-task ~2.5 s stages inside
+    * q_dedup_embedding_prod on a 32-core box). An explicit
+    * repartition-by-band at spark.sql.shuffle.partitions is exempt from
+    * AQE coalescing, satisfies the join's distribution requirement (no
+    * extra exchange), and tracks cluster parallelism through config
+    * rather than a local constant.
+    */
+  private def pinJoinParallelism(banded: DataFrame): DataFrame = {
+    val n = banded.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    banded.repartition(n, col("band"))
+  }
+
+  /** Spread the vector scan across the configured shuffle parallelism
+    * BEFORE the O(r·b·dim)-per-row banding expression runs (guide §2.5:
+    * an unsplittable input — the fixtures are one row group per file —
+    * otherwise serializes the most expensive scan-local expression in
+    * this operator into a single task; measured r15 as a 1.6 s 1-task
+    * stage per join side). A keyless round-robin repartition is
+    * deterministic under retry (sortBeforeRepartition) and banding is
+    * per-row, so results are unchanged; at cluster scale the extra
+    * exchange moves only (id, vector) once and is dwarfed by the banded
+    * output it parallelizes.
+    */
+  private def spreadScan(
+      emb: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val n = emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    emb.select(col(idCol), col(embCol)).repartition(n)
   }
 
   /** Exact-cosine near-dup pairs ≥ threshold, via LSH candidates.
@@ -64,8 +98,9 @@ object EmbeddingLsh {
     val v = emb.select(
       col(idCol).as("vec_id"), col(embCol).as("embedding"),
       VectorFns.norm(col(embCol)).as("nrm"))
-    val banded = cappedBands(emb, idCol, embCol, r, b, dim, seed,
-      maxBucketSize, maxSplitRounds, splitBits)
+    val banded = pinJoinParallelism(
+      cappedBands(emb, idCol, embCol, r, b, dim, seed,
+        maxBucketSize, maxSplitRounds, splitBits))
     // The band self-join must NEVER broadcast and must SPILL: both sides
     // are the same b-way EXPLODED table, and Catalyst's static stats
     // don't see the explosion (Generate keeps the child's size estimate),
@@ -119,7 +154,7 @@ object EmbeddingLsh {
       emb: DataFrame, idCol: String, embCol: String,
       r: Int, b: Int, dim: Int, seed: Long,
       maxBucketSize: Int, maxSplitRounds: Int, splitBits: Int): DataFrame = {
-    val base = emb.select(
+    val base = spreadScan(emb, idCol, embCol).select(
       col(idCol).as("vec_id"),
       explode(bandBuckets(col(embCol), r, b, dim, seed)).as("band"),
       // One split key per potential round, computed scan-local in the same
