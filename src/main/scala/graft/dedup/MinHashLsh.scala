@@ -72,7 +72,16 @@ object MinHashLsh {
     */
   def candidatePairsFromShingles(
       sh: DataFrame, idCol: String, numBands: Int = NumBands): DataFrame = {
+    // Pin the band join's parallelism (EmbeddingLsh.pinJoinParallelism's
+    // reasoning): AQE's byte-based coalescing folds the small post-explode
+    // shuffle to 1-4 partitions while the per-bucket join work is
+    // quadratic in occupancy — measured r15 as the dominant 2-task stage
+    // of q_dedup_minhash_exact. Explicit repartition at the session's
+    // shuffle parallelism is AQE-coalesce-exempt and satisfies the join
+    // requirement without an extra exchange.
+    val n = sh.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val b = bandsFromShingles(sh, idCol, numBands)
+      .repartition(n, col("band_idx"), col("band_hash"))
     // sort-merge pinned on both exploded sides — same discipline as
     // EmbeddingLsh.nearPairs (stats on a post-explode projection are
     // unreliable, and a band side must never be broadcast at scale)
@@ -129,9 +138,16 @@ object MinHashLsh {
   def candidatePairsAgainstFromShingles(
       newSh: DataFrame, idCol: String, indexedBands: DataFrame,
       numBands: Int = NumBands, broadcastBatch: Boolean = false): DataFrame = {
+    val n = newSh.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val raw = bandsFromShingles(newSh, idCol, numBands)
       .select(col(idCol).as("new_id"), col("band_idx"), col("band_hash"))
-    val nb = if (broadcastBatch) broadcast(raw) else raw.hint("merge")
+    // same parallelism pin as candidatePairsFromShingles (the index side
+    // is co-partitioned to match, so neither side AQE-coalesces under
+    // the quadratic-per-bucket probe work); the broadcast posture keeps
+    // the original O(batch) shape untouched
+    val nb =
+      if (broadcastBatch) broadcast(raw)
+      else raw.repartition(n, col("band_idx"), col("band_hash")).hint("merge")
     nb.join(indexedBands.select(col("doc_id").as("corpus_id"),
         col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))
