@@ -151,7 +151,10 @@ object MultimodalQueries {
       (s, d) => {
         // one decode->embed pass serves both kNN sides (the query slice
         // and the corpus) instead of re-running the model per side (r15)
-        val emb = Multimodal.embedImages(mediaItems(s, d), batchSize = 128)
+        val emb = Multimodal.embedImages(
+            mediaItems(s, d).repartition(
+              s.conf.get("spark.sql.shuffle.partitions").toInt),
+            batchSize = 128)
           .filter(col("embedding").isNotNull)
           .select(col("media_id").as("vec_id"), col("embedding"))
           .localCheckpoint(eager = false)
@@ -194,7 +197,9 @@ object MultimodalQueries {
               MediaCodec.encodePng(MediaCodec.PngImage(w, h, rgb)),
               "image/png", w, h, 0L)
           }
-        val emb = Multimodal.embedImages(items, batchSize = 128)
+        val emb = Multimodal.embedImages(
+            items.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt),
+            batchSize = 128)
           .filter(col("embedding").isNotNull)
           .select(col("media_id").as("vec_id"), col("embedding"))
           .localCheckpoint(eager = false)
@@ -300,8 +305,16 @@ object MultimodalQueries {
       "q_dedup_image",
       (s, d) => {
         import s.implicits._
+        // spread the 4-codec encode->decode->hash work across the
+        // session's shuffle parallelism: the one-row-group scan is
+        // unsplittable, so without this the whole pipeline runs as a
+        // single task (guide's unsplittable-input rule; the r15
+        // EmbeddingLsh.spreadScan pattern). Per-row work, result-set
+        // identical.
+        val n = s.conf.get("spark.sql.shuffle.partitions").toInt
         val hashed = Tables.documents(s, d)
           .select(col("doc_id")).as[Long]
+          .repartition(n)
           .flatMap { id =>
             val (w, h, bs) = (32, 32, 8)
             val rgb = new Array[Byte](w * h * 3)
