@@ -39,30 +39,36 @@ object Clusters {
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .localCheckpoint(eager = false)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
+    // Round 1 FUSED into initialization (r15 optimization round): from
+    // identity labels, the first propagation round is exactly
+    // min(self, neighbors) — one aggregate over the doubled edge list,
+    // no label table to join yet. Saves a full join+agg round for every
+    // consumer; counted in `iter` so the maxIter bound keeps its meaning.
+    var labels = edges.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("cluster_id"))
+      .select(col("u").as("id"), col("cluster_id"))
       .localCheckpoint(eager = false)
     // labels only ever decrease, so the label sum is strictly monotonic:
     // an unchanged sum means a fixpoint — one cheap aggregate per round
     // instead of a self-join diff. The aggregate is also the single action
     // that materializes the round's lazy checkpoint.
     def labelSum(df: DataFrame): Long =
-      df.agg(sum("cluster_id")).head().getLong(0)
+      df.agg(coalesce(sum("cluster_id"), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
-    var iter = 0
+    var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = edges.join(labels, edges("v") === labels("id"))
-        .groupBy(edges("u").as("nid"))
-        .agg(min("cluster_id").as("nlabel"))
-      // Plain min-label propagation, one join + one aggregate per round.
-      // (Halving EVERY round was measured and lost on shallow graphs —
-      // the extra self-join stage per round costs more than the rounds it
-      // saves — hence the plain-first hybrid.)
-      val prop = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left_outer")
-        .select(
-          col("id"),
-          least(col("cluster_id"), coalesce(col("nlabel"), col("cluster_id"))).as("cluster_id"))
+      // min(self, neighbors) as ONE union+aggregate per round: each edge
+      // delivers its source's label to its target and the node's own
+      // label rides the union — two wide ops per round where the former
+      // groupBy + left-outer-join shape paid three. (Halving EVERY round
+      // was measured and lost on shallow graphs — the extra self-join
+      // stage per round costs more than the rounds it saves — hence the
+      // plain-first hybrid.)
+      val prop = edges.join(labels, edges("v") === labels("id"))
+        .select(edges("u").as("id"), col("cluster_id"))
+        .unionByName(labels)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
       val next =
         (if (iter < plainRounds) prop
          else {

@@ -41,24 +41,39 @@ object ConnectedComponents {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(eager = false)
-    var labels = ue.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
-    var moved = 1L
-    var rounds = 0
-    while (moved > 0) {
-      val nbrMin = ue.join(labels, col("src") === col("node"))
-        .groupBy(col("dst").as("n2"))
-        .agg(min("comp").as("nbc"))
-      val next = labels.as("L")
-        .join(nbrMin, col("L.node") === col("n2"), "left_outer")
-        .select(col("L.node").as("node"),
-          least(col("L.comp"), coalesce(col("nbc"), col("L.comp"))).as("comp"),
-          (col("nbc") < col("L.comp")).as("moved"))
+    // Round 1 FUSED into initialization (r15 optimization round): from
+    // identity labels, one propagation round computes exactly
+    // min(self, neighbors) — a single aggregate over the symmetrized edge
+    // list, no label table yet to join. Saves one full join+agg round on
+    // every consumer; counted as a round so the returned count (and the
+    // GraphSpec round assertions) are unchanged.
+    var labels = ue.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("comp"))
+      .select(col("src").as("node"), col("comp"))
+      .localCheckpoint(eager = false)
+    // Labels only ever decrease, so the label sum is strictly monotonic:
+    // an unchanged sum means no label moved — the same fixpoint test as
+    // the previous moved-count, one cheap aggregate that also
+    // materializes the round's lazy checkpoint.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("comp"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var rounds = 1
+    var converged = false
+    while (!converged) {
+      // min(self, neighbors) as ONE union+aggregate: each edge delivers
+      // its source's label to its target, the node's own label rides the
+      // union — replaces the former groupBy + left-outer-join pair
+      // (two wide ops per round, not three).
+      val next = ue.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("comp"))
+        .unionByName(labels)
+        .groupBy("node").agg(min("comp").as("comp"))
         .localCheckpoint(eager = false)
-      // Scalar convergence test; also the action that materializes this
-      // round's checkpoint. Bounded by the diameter, not the data.
-      moved = next.filter(col("moved")).count()
-      labels = next.select("node", "comp")
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
       rounds += 1
     }
     (labels, rounds)
@@ -100,10 +115,14 @@ object ConnectedComponents {
         .union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = nbrs.groupBy("u").agg(min("v").as("mv"))
         .select(col("u").as("lu"), least(col("u"), col("mv")).as("m"))
+      // No mid-round distinct (r15 optimization round): duplicate
+      // (v, m) rows — several parents handing the same child the same
+      // min — flow into a min-aggregate and into `next`'s own distinct,
+      // so the round's OUTPUT set is unchanged while each round pays one
+      // exchange less. Duplicate multiplicity is bounded by node degree.
       val large = nbrs.join(mins, col("u") === col("lu"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
         .localCheckpoint(eager = false)
       // SMALL-STAR: with canonical edges, each node's strictly smaller
       // neighbors are exactly its out-edges; link them — and the node

@@ -45,6 +45,59 @@ object Percentiles {
       .select(grpCols.map(col) ++ specs.map(s => col(s._1)): _*)
   }
 
+  /** Cumulative ranking over a value HISTOGRAM (`grpCols ++ (__v, __cnt)`)
+    * — adds `__start`/`__end` (0-based cumulative-count interval of each
+    * distinct value within its group, ordered by `__v`) and `__n` (group
+    * total). TWO-PHASE BUCKETED ranking (r15 optimization round): the
+    * group's value dictionary is range-banded into `spark.sql.shuffle.
+    * partitions` buckets (band edges from an in-plan per-group min/max
+    * aggregate — monotonic in `__v`, so bucket order ≡ value order), the
+    * per-bucket totals rank on a bucket-count-sized frame, and the
+    * per-value cumulative sum runs ONE WindowExec partitioned by
+    * (group, bucket) — parallel across the dictionary, where the previous
+    * Window.partitionBy(group) sorted each group's WHOLE dictionary in a
+    * single task (with few groups: single-digit parallelism regardless of
+    * cluster size — the last per-group-serial stage in the engine).
+    * Bit-identical to the one-window form: counts are longs, a bucket's
+    * offset is the exact sum of all lower buckets' counts, and addition
+    * of longs is associative — every (__start, __end, __n) triple equals
+    * the single-window value. The explicit fixed-N repartition before the
+    * window is AQE-coalesce-exempt (a few-MB dictionary shuffle would
+    * otherwise fold back to one task) and tracks the session's shuffle
+    * parallelism, not a local constant.
+    */
+  private[graft] def cumulative(hist: DataFrame, grpCols: Seq[String]): DataFrame = {
+    val grp = grpCols.map(col)
+    val nb = hist.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val stats = hist.groupBy(grp: _*)
+      .agg(min("__v").as("__blo"), max("__v").as("__bhi"))
+    // floor((v−lo)/w) is monotonic non-decreasing in v for w>0, so bucket
+    // id order refines value order; hi==lo (single distinct value) and
+    // the v==hi edge both clamp into the last bucket.
+    val banded = hist.join(broadcast(stats), grpCols)
+      .withColumn("__b",
+        when(col("__bhi") === col("__blo"), lit(0))
+          .otherwise(least(
+            floor((col("__v") - col("__blo")) /
+              ((col("__bhi") - col("__blo")) / nb)), lit(nb - 1)))
+          .cast("int"))
+      .drop("__blo", "__bhi")
+    val bw = Window.partitionBy(grp: _*).orderBy("__b")
+    val bwAll = Window.partitionBy(grp: _*).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = banded.groupBy((grp :+ col("__b")): _*)
+      .agg(sum("__cnt").as("__bc"))
+      .withColumn("__off", sum("__bc").over(bw) - col("__bc"))
+      .withColumn("__n", sum("__bc").over(bwAll))
+      .select((grp :+ col("__b") :+ col("__off") :+ col("__n")): _*)
+    val wv = Window.partitionBy((grp :+ col("__b")): _*).orderBy("__v")
+    banded.join(broadcast(offsets), grpCols :+ "__b")
+      .repartition(nb, (grp :+ col("__b")): _*)
+      .withColumn("__end", col("__off") + sum("__cnt").over(wv))
+      .withColumn("__start", col("__end") - col("__cnt"))
+      .drop("__b", "__off")
+  }
+
   /** Interpolated percentiles over an already-built value HISTOGRAM —
     * columns `grpCols ++ (__v double, __cnt long)`, one row per distinct
     * value per group. This is the piece pre-aggregated quantile state
@@ -55,18 +108,7 @@ object Percentiles {
   private[graft] def interpolate(
       hist: DataFrame, grpCols: Seq[String], ss: Seq[(String, Double)]): DataFrame = {
     val grp = grpCols.map(col)
-    val wOrd = Window.partitionBy(grpCols.map(col): _*).orderBy("__v")
-    // Same partitioning AND ordering as wOrd, whole-partition frame: the
-    // planner folds both frames into ONE WindowExec pass (an unordered
-    // Window.partitionBy spec planned as a SECOND WindowExec, each
-    // buffering the partition — measured as two Window nodes in the
-    // winsorize/percentile plans before r15).
-    val wAll = Window.partitionBy(grpCols.map(col): _*).orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = hist
-      .withColumn("__end", sum("__cnt").over(wOrd))
-      .withColumn("__start", col("__end") - col("__cnt"))
-      .withColumn("__n", sum("__cnt").over(wAll))
+    val cum = cumulative(hist, grpCols)
     val aggs = ss.flatMap { case (name, p) =>
       val h = (col("__n") - 1) * lit(p)
       val lo = floor(h)
@@ -99,13 +141,7 @@ object Percentiles {
       val hist = df.filter(col(valCol).isNotNull)
         .groupBy(grp :+ col(valCol).cast("double").as("__v"): _*)
         .agg(count(lit(1)).as("__cnt"))
-      val wOrd = Window.partitionBy(grpCols.map(col): _*).orderBy("__v")
-      val wAll = Window.partitionBy(grpCols.map(col): _*).orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val cum = hist
-        .withColumn("__end", sum("__cnt").over(wOrd))
-        .withColumn("__start", col("__end") - col("__cnt"))
-        .withColumn("__n", sum("__cnt").over(wAll))
+      val cum = cumulative(hist, grpCols)
       val aggs = ss.map { case (name, _, p) =>
         // 0-based rank of the picked element: ⌈p·n⌉ − 1 (p = 0 → first)
         val r = greatest(ceil(col("__n") * lit(p)) - 1, lit(0.0))
@@ -145,13 +181,7 @@ object Percentiles {
     val hist = df.filter(col(valCol).isNotNull && col(weightCol).isNotNull)
       .groupBy(grp :+ col(valCol).cast("double").as("__v"): _*)
       .agg(sum(col(weightCol).cast("long")).as("__cnt"))
-    val wOrd = Window.partitionBy(grpCols.map(col): _*).orderBy("__v")
-    val wAll = Window.partitionBy(grpCols.map(col): _*).orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = hist
-      .withColumn("__end", sum("__cnt").over(wOrd))
-      .withColumn("__start", col("__end") - col("__cnt"))
-      .withColumn("__n", sum("__cnt").over(wAll))
+    val cum = cumulative(hist, grpCols)
     val aggs = specs.map { case (name, p) =>
       val r = greatest(ceil(col("__n") * lit(p)) - 1, lit(0.0))
       max(when(r >= col("__start") && r < col("__end"), col("__v"))).as(name)

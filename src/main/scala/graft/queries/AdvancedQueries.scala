@@ -258,21 +258,33 @@ object AdvancedQueries {
     QueryDef(
       "q_histogram_eqdepth",
       (s, d) => {
+        // Every output is a function of the cents HISTOGRAM (bucket id
+        // depends only on the value; cnt/lo/hi regroup the dictionary),
+        // so the bucket pass reads the same (g, cents) rollup the
+        // quartile ranking uses — ONE lineitem scan instead of two, and
+        // the second consumer's exchange is a ReusedExchange of the
+        // first's (r15 optimization round; the q_winsorize pattern).
+        // Exactness: cents and counts are integers (sums < 2^53), the
+        // bucket predicate compares the same double values as the raw
+        // row form, min/max over the dictionary equal min/max over rows.
         val li = Tables.lineitem(s, d)
           .select(round(col("l_extendedprice") * 100).cast("long").as("c"),
             lit(1).as("g"))
-        val edges = graft.operators.Percentiles.exact(
-          li, Seq("g"), Seq(("q1", "c", 0.25), ("q2", "c", 0.5), ("q3", "c", 0.75)))
-        li.crossJoin(broadcast(edges.drop("g")))
+        val hist = li.filter(col("c").isNotNull)
+          .groupBy(col("g"), col("c").cast("double").as("__v"))
+          .agg(count(lit(1)).as("__cnt"))
+        val edges = graft.operators.Percentiles.interpolate(
+          hist, Seq("g"), Seq(("q1", 0.25), ("q2", 0.5), ("q3", 0.75)))
+        hist.join(broadcast(edges), "g")
           .withColumn("bucket",
-            when(col("c") <= col("q1"), 0)
-              .when(col("c") <= col("q2"), 1)
-              .when(col("c") <= col("q3"), 2)
+            when(col("__v") <= col("q1"), 0)
+              .when(col("__v") <= col("q2"), 1)
+              .when(col("__v") <= col("q3"), 2)
               .otherwise(3))
           .groupBy("bucket")
-          .agg(count(lit(1)).as("cnt"),
-            round(min("c") / 100.0, 2).as("lo"),
-            round(max("c") / 100.0, 2).as("hi"))
+          .agg(sum("__cnt").as("cnt"),
+            round(min("__v") / 100.0, 2).as("lo"),
+            round(max("__v") / 100.0, 2).as("hi"))
           .orderBy("bucket")
       },
       Some("""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
